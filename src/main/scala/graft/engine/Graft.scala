@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The reference (callysto) builds its runtime via `Callysto::new /
+  * with_state / with_brokers` (reference: callysto/src/app.rs:87-235); the
+  * Spark-native analogue is a configured `SparkSession`. Everything else —
+  * scheduling, partitioning, recovery — is Catalyst/Tungsten's job.
+  *
+  * Scale notes (100 TB design point):
+  *   - AQE on: runtime coalescing of shuffle partitions + skew-join handling.
+  *   - shuffle.partitions matches local cores here; on a real cluster this is
+  *     sized to ~2-3x total executor cores (or left to AQE's initial value).
+  *   - No driver-side collects anywhere in the operator library.
+  */
+object Graft {
+
+  /** Default local parallelism: the bench/verify harness runs local[32]. */
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def session(appName: String = "graft"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.ui.enabled", "false")
+    // Respect an externally-set master (e.g. spark-submit on a cluster);
+    // default to local[cpus] for the single-node harness.
+    val withMaster =
+      if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
+    val spark = withMaster.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+
+/** Core relational inventory: scan → filter → project → aggregate → sort,
+  * plus the full join family. The reference expresses all of this in user
+  * closures over Kafka streams (SURVEY.md §2.4: map `examples/src/avro-sink
+  * .rs:41-50`, filter `examples/src/inmemory.rs:15-23`, counters
+  * `examples/src/basic.rs:29-31`); here each is a first-class declarative
+  * operator so Catalyst gets pushdown/pruning/join-selection for free.
+  *
+  * Scale notes: every aggregate is partial-aggregated map-side (hash
+  * aggregate); small dimension tables (region/nation/supplier/part/customer)
+  * are broadcast to avoid shuffling the fact table; only genuinely large-
+  * by-large joins (lineitem x orders) shuffle — on both keys, once.
+  */
+object Relational extends QuerySet {
+
+  /** TPC-H Q1 shape: the flagship pricing summary. */
+  val q1PricingSummary: GQuery = GQuery(
+    "q1_pricing_summary",
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${sqlSum("l_quantity")} AS sum_qty,
+             ${sqlSum("l_extendedprice")} AS sum_base_price,
+             ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             ${sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+             ${sqlAvg("l_quantity")} AS avg_qty,
+             ${sqlAvg("l_extendedprice")} AS avg_price,
+             ${sqlAvg("l_discount")} AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).lineitem
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+          .as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q6 shape: tight filter + single global aggregate. Exercises
+    * predicate pushdown — all three predicates reach the parquet scan.
+    */
+  val q6Revenue: GQuery = GQuery(
+    "q6_forecast_revenue",
+    Some(s"""
+      SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.06
+        AND l_quantity < 24""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).lineitem
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24
+      )
+      .agg(
+        dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n")
+      )
+  }
+
+  /** TPC-H Q3 shape: 3-way join, filter both sides, group, top-10.
+    * customer is broadcast; orders x lineitem shuffle on the join key.
+    */
+  val q3ShippingPriority: GQuery = GQuery(
+    "q3_shipping_priority",
+    Some(s"""
+      SELECT l_orderkey,
+             ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15'
+        AND l_shipdate > TIMESTAMP '1996-03-15'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.customer
+      .filter($"c_mktsegment" === "BUILDING")
+      .join(tt.orders, $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+      .join(
+        tt.lineitem.filter($"l_shipdate" > lit("1996-03-15").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey"
+      )
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .select($"l_orderkey", $"revenue", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way star join (region→nation→customer/supplier,
+    * orders→lineitem) with local-supplier predicate. Dimensions broadcast.
+    */
+  val q5LocalSupplier: GQuery = GQuery(
+    "q5_local_supplier_volume",
+    Some(s"""
+      SELECT n_name,
+             ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.customer
+      .join(
+        tt.orders.filter(
+          $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp")
+        ),
+        $"c_custkey" === $"o_custkey"
+      )
+      .join(tt.lineitem, $"l_orderkey" === $"o_orderkey")
+      .join(
+        broadcast(tt.supplier),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey"
+      )
+      .join(broadcast(tt.nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(tt.region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Broadcast-hash inner join: fact x small dim with explicit hint. */
+  val qJoinBroadcast: GQuery = GQuery(
+    "q_join_broadcast_inner",
+    Some(s"""
+      SELECT p_brand,
+             ${sqlSum("l_quantity")} AS total_qty,
+             COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.lineitem
+      .join(broadcast(tt.part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(dsum($"l_quantity").as("total_qty"), count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
+  /** Left outer join: every customer, order count 0 where no orders. */
+  val qJoinLeft: GQuery = GQuery(
+    "q_join_left_outer",
+    Some("""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.customer
+      .join(tt.orders, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-semi join (EXISTS): customers that placed a high-value order. */
+  val qJoinSemi: GQuery = GQuery(
+    "q_join_semi",
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      ORDER BY c_custkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.customer
+      .join(
+        tt.orders.filter($"o_totalprice" > 100000),
+        $"c_custkey" === $"o_custkey",
+        "left_semi"
+      )
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers that never placed an urgent
+    * order.
+    */
+  val qJoinAnti: GQuery = GQuery(
+    "q_join_anti",
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.customer
+      .join(
+        tt.orders.filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey",
+        "left_anti"
+      )
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Full outer join of two aggregates: customer count vs supplier count
+    * per nation (either side may be missing).
+    */
+  val qJoinFull: GQuery = GQuery(
+    "q_join_full_outer",
+    Some("""
+      SELECT COALESCE(c.nk, s.nk) AS nationkey,
+             COALESCE(c.n_cust, 0) AS n_cust,
+             COALESCE(s.n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+      ORDER BY nationkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val c = tt.customer.groupBy($"c_nationkey".as("nk")).agg(count(lit(1)).as("n_cust"))
+    val s = tt.supplier.groupBy($"s_nationkey".as("nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("nk") === s("nk"), "full_outer")
+      .select(
+        coalesce(c("nk"), s("nk")).as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp")
+      )
+      .orderBy($"nationkey")
+  }
+
+  /** Theta join: equi key + non-equi residual (price above retail). */
+  val qJoinTheta: GQuery = GQuery(
+    "q_join_theta",
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_above_retail
+      FROM lineitem JOIN part
+        ON l_partkey = p_partkey AND l_extendedprice > 10 * p_retailprice
+      GROUP BY p_brand
+      ORDER BY p_brand""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.lineitem
+      .join(
+        broadcast(tt.part),
+        $"l_partkey" === $"p_partkey" && $"l_extendedprice" > lit(10.0) * $"p_retailprice"
+      )
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_above_retail"))
+      .orderBy($"p_brand")
+  }
+
+  override def queries: Seq[GQuery] = Seq(
+    q1PricingSummary,
+    q6Revenue,
+    q3ShippingPriority,
+    q5LocalSupplier,
+    qJoinBroadcast,
+    qJoinLeft,
+    qJoinSemi,
+    qJoinAnti,
+    qJoinFull,
+    qJoinTheta
+  )
+}
