@@ -30,6 +30,9 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+      // reader rejects by default; read as LongType (ns since epoch).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // Respect an externally-set master (e.g. spark-submit on a cluster);
     // default to local[cpus] for the single-node harness.

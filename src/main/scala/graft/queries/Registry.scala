@@ -5,7 +5,11 @@ package graft.queries
   */
 object Registry {
   def sets: Seq[QuerySet] = Seq(
-    Relational
+    Relational,
+    Aggregates,
+    Windows,
+    SetOps,
+    ScalarFns
   )
 
   lazy val all: Seq[GQuery] = {

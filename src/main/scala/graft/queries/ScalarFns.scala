@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import Common._
+
+/** Scalar function library: string, date/time, math, array (higher-order),
+  * and JSON functions — all codegen'd built-ins, no UDFs.
+  *
+  * Reference analog: payload decoding in user closures —
+  * `payload_view::<str>()` (`examples/src/basic.rs:24`), `serde_json`
+  * (`callysto/src/errors.rs:27-28`) — SURVEY.md §2.2 S6. The engine
+  * exposes these as declarative columns so they stay inside whole-stage
+  * codegen instead of opaque per-record closures.
+  */
+object ScalarFns extends QuerySet {
+
+  /** String suite over part names. */
+  val qString: GQuery = GQuery(
+    "q_fn_string",
+    Some("""
+      SELECT p_partkey,
+             upper(p_name) AS uname,
+             lower(p_brand) AS lbrand,
+             substr(p_name, 1, 4) AS prefix,
+             length(p_name) AS name_len,
+             replace(p_name, ' ', '_') AS snake,
+             concat(p_brand, ':', p_type) AS brand_type,
+             strpos(p_name, 'widget') AS widget_at,
+             lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+             reverse(p_brand) AS rbrand,
+             trim(concat(' ', p_name, ' ')) AS trimmed
+      FROM part
+      ORDER BY p_partkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).part
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("uname"),
+        lower($"p_brand").as("lbrand"),
+        substring($"p_name", 1, 4).as("prefix"),
+        length($"p_name").as("name_len"),
+        regexp_replace($"p_name", " ", "_").as("snake"),
+        concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+        instr($"p_name", "widget").as("widget_at"),
+        lpad($"p_size".cast("string"), 4, "0").as("padded_size"),
+        reverse($"p_brand").as("rbrand"),
+        trim(concat(lit(" "), $"p_name", lit(" "))).as("trimmed")
+      )
+      .orderBy($"p_partkey")
+  }
+
+  /** Regex suite: extract, replace, match. RE2-compatible patterns only
+    * (portable between Java regex and DuckDB's RE2).
+    */
+  val qRegex: GQuery = GQuery(
+    "q_fn_regex",
+    Some("""
+      SELECT p_partkey,
+             regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+             regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+             CASE WHEN regexp_matches(p_type, '^(ECONOMY|PROMO)') THEN 1 ELSE 0 END AS is_cheap
+      FROM part
+      ORDER BY p_partkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).part
+      .select(
+        $"p_partkey",
+        regexp_extract($"p_brand", "[0-9]+", 0).as("brand_num"),
+        regexp_replace($"p_name", "[aeiou]", "*").as("devoweled"),
+        when($"p_type".rlike("^(ECONOMY|PROMO)"), 1).otherwise(0).as("is_cheap")
+      )
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time suite over order dates (string/epoch outputs only —
+    * raw DATE/TIMESTAMP values don't hash identically across engines).
+    */
+  val qDate: GQuery = GQuery(
+    "q_fn_date",
+    Some("""
+      SELECT o_orderkey,
+             year(o_orderdate) AS y,
+             month(o_orderdate) AS m,
+             day(o_orderdate) AS d,
+             quarter(o_orderdate) AS q,
+             isodow(o_orderdate) - 1 AS wd,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders
+      ORDER BY o_orderkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).orders
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        quarter($"o_orderdate").as("q"),
+        weekday($"o_orderdate").as("wd"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+        datediff($"o_orderdate", lit("1995-01-01")).as("days_since"),
+        unix_timestamp($"o_orderdate").as("epoch_s")
+      )
+      .orderBy($"o_orderkey")
+  }
+
+  /** Math suite. IEEE-deterministic ops only: arithmetic, sqrt, abs,
+    * floor, ceil, mod, sign, greatest/least — no libm transcendentals
+    * (exp/ln/pow), whose last ulp differs between JVM and C.
+    */
+  val qMath: GQuery = GQuery(
+    "q_fn_math",
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             abs(l_extendedprice - 30000.0) AS dist,
+             floor(l_extendedprice / 100.0) AS price_bucket,
+             ceil(l_discount * 100.0) AS disc_pct,
+             sqrt(l_quantity) AS qty_root,
+             l_orderkey % 7 AS mod7,
+             sign(l_extendedprice - 30000.0) AS s,
+             greatest(l_quantity, 25.0) AS hi,
+             least(l_quantity, 25.0) AS lo
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).lineitem
+      .select(
+        $"l_orderkey",
+        $"l_linenumber",
+        abs($"l_extendedprice" - 30000.0).as("dist"),
+        floor($"l_extendedprice" / 100.0).as("price_bucket"),
+        ceil($"l_discount" * 100.0).as("disc_pct"),
+        sqrt($"l_quantity").as("qty_root"),
+        ($"l_orderkey" % 7).as("mod7"),
+        signum($"l_extendedprice" - 30000.0).as("s"),
+        greatest($"l_quantity", lit(25.0)).as("hi"),
+        least($"l_quantity", lit(25.0)).as("lo")
+      )
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Array / higher-order-function suite over 64-dim embeddings:
+    * size, element access, elementwise transform + fold (dot products and
+    * norms run inside codegen — no UDF, no shuffle).
+    */
+  val qArray: GQuery = GQuery(
+    "q_fn_array",
+    Some("""
+      SELECT vec_id,
+             len(embedding) AS dim,
+             CAST(embedding[1] AS DOUBLE) AS first_elem,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm,
+             CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+             list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS n_pos
+      FROM embeddings
+      ORDER BY vec_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val embD = transform($"embedding", x => x.cast(DoubleType))
+    t(spark, dir).embeddings
+      .select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).cast(DoubleType).as("first_elem"),
+        aggregate(embD, lit(0.0), (acc, x) => acc + x * x).as("sq_norm"),
+        array_max($"embedding").cast(DoubleType).as("max_elem"),
+        aggregate(
+          transform($"embedding", x => when(x > 0f, 1L).otherwise(0L)),
+          lit(0L),
+          (acc, x) => acc + x
+        ).as("n_pos")
+      )
+      .orderBy($"vec_id")
+  }
+
+  /** JSON suite over the events props payload (from_json /
+    * get_json_object analog of the reference's serde_json decoding).
+    */
+  val qJson: GQuery = GQuery(
+    "q_fn_json",
+    Some("""
+      SELECT event_type,
+             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).events
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qString, qRegex, qDate, qMath, qArray, qJson)
+}

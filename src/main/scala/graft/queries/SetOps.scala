@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+
+/** Set-operation inventory: UNION ALL / UNION DISTINCT / INTERSECT / EXCEPT.
+  * Absent from the reference (SURVEY.md §2.5); first-class here.
+  */
+object SetOps extends QuerySet {
+
+  /** UNION ALL of two projected relations, then aggregate. */
+  val qUnionAll: GQuery = GQuery(
+    "q_set_union_all",
+    Some("""
+      SELECT nationkey, kind, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier)
+      GROUP BY nationkey, kind
+      ORDER BY nationkey, kind""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.customer
+      .select($"c_nationkey".as("nationkey"), lit("customer").as("kind"))
+      .unionAll(tt.supplier.select($"s_nationkey".as("nationkey"), lit("supplier").as("kind")))
+      .groupBy($"nationkey", $"kind")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"nationkey", $"kind")
+  }
+
+  /** UNION DISTINCT. */
+  val qUnionDistinct: GQuery = GQuery(
+    "q_set_union_distinct",
+    Some("""
+      SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier)
+      ORDER BY nationkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.customer
+      .select($"c_nationkey".as("nationkey"))
+      .union(tt.supplier.select($"s_nationkey".as("nationkey")))
+      .distinct()
+      .orderBy($"nationkey")
+  }
+
+  /** INTERSECT: parts shipped by both supplier 1 and supplier 2. */
+  val qIntersect: GQuery = GQuery(
+    "q_set_intersect",
+    Some("""
+      SELECT l_partkey FROM lineitem WHERE l_suppkey = 1
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_suppkey = 2
+      ORDER BY l_partkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.lineitem.filter($"l_suppkey" === 1).select($"l_partkey")
+      .intersect(tt.lineitem.filter($"l_suppkey" === 2).select($"l_partkey"))
+      .orderBy($"l_partkey")
+  }
+
+  /** EXCEPT: parts shipped by supplier 1 but never by supplier 2. */
+  val qExcept: GQuery = GQuery(
+    "q_set_except",
+    Some("""
+      SELECT l_partkey FROM lineitem WHERE l_suppkey = 1
+      EXCEPT
+      SELECT l_partkey FROM lineitem WHERE l_suppkey = 2
+      ORDER BY l_partkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.lineitem.filter($"l_suppkey" === 1).select($"l_partkey")
+      .except(tt.lineitem.filter($"l_suppkey" === 2).select($"l_partkey"))
+      .orderBy($"l_partkey")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qUnionAll, qUnionDistinct, qIntersect, qExcept)
+}
