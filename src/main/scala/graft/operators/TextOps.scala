@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-processing column builders: normalization, tokenization, shingling,
+  * hashing, MinHash signatures, SimHash — all higher-order functions over
+  * built-in expressions, so everything stays inside whole-stage codegen and
+  * distributes row-parallel (no UDFs, no driver work, no shuffle until the
+  * caller groups/joins).
+  *
+  * The reference has no text operators at all (its payloads are opaque
+  * bytes; SURVEY.md §1.2); these are the LLM-data-pipeline layer the
+  * BASELINE north star adds on top of callysto's capability set.
+  */
+object TextOps {
+
+  /** Lower-case, collapse runs of whitespace, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Distinct word n-gram shingles, e.g. n=3 → "a b c" strings. */
+  def shingles(toks: Column, n: Int): Column =
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+      )
+    ).otherwise(array(concat_ws(" ", toks)))
+
+  /** 64-bit stable hash of each array element (xxhash64, codegen'd). */
+  def hashed(arr: Column): Column = transform(arr, s => xxhash64(s))
+
+  /** MinHash signature of length k over a set of element hashes.
+    * Permutation i is xxhash64(h, i) — k independent 64-bit hash families
+    * without materializing (a_i, b_i) coefficient tables.
+    */
+  def minhashSignature(elementHashes: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), lit(k)),
+      i => array_min(transform(elementHashes, h => xxhash64(h, i)))
+    )
+
+  /** LSH band keys for a MinHash signature: b bands of r rows each;
+    * band j key = xxhash64(sig[j*r+1 .. j*r+r], j). Docs sharing any band
+    * key are near-dup candidates (standard banding amplification).
+    */
+  def minhashBands(sig: Column, b: Int, r: Int): Column =
+    transform(
+      sequence(lit(0), lit(b - 1)),
+      j => struct(j.as("band"), xxhash64(slice(sig, j * lit(r) + lit(1), lit(r)), j).as("bkey"))
+    )
+
+  /** SimHash bit vector (64 elements of 0/1) over token hashes: bit i is
+    * set iff the sum over tokens of ±1 (sign of token-hash bit i) is > 0.
+    * Takes the NAME of an array<bigint> column (SQL expr — the Scala
+    * `shiftright` API only accepts a literal shift amount, the SQL function
+    * accepts the lambda variable).
+    */
+  def simhashBits(tokenHashCol: String): Column =
+    expr(s"""transform(sequence(0, 63), i ->
+      CASE WHEN aggregate($tokenHashCol, 0L,
+                  (acc, h) -> acc + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1 ELSE -1 END) > 0
+           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")
+
+  /** Pack a 64-element 0/1 array into one signed long (wrapping is fine —
+    * it's an opaque fingerprint).
+    */
+  def packBits(bits: Column): Column =
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+
+  /** Hamming distance between two equal-length 0/1 bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+
+  /** 16-bit chunk keys of a simhash bit array for banded candidate
+    * generation: two docs within hamming distance 3 of each other share
+    * at least one of the 4 chunks exactly (pigeonhole).
+    */
+  def simhashChunks(bits: Column): Column =
+    transform(
+      sequence(lit(0), lit(3)),
+      j =>
+        struct(
+          j.as("chunk"),
+          aggregate(slice(bits, j * lit(16) + lit(1), lit(16)), lit(0L), (acc, b) => acc * 2 + b)
+            .as("ckey")
+        )
+    )
+
+  /** Count of tokens matching a marker list (language-ID scoring). */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    aggregate(
+      transform(toks, t => when(t.isin(markers.map(x => x: Any): _*), 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v
+    )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.operators.{Dedup, Similarity}
+
+/** Deduplication inventory (SURVEY.md §2.6 LLM-pipeline row): exact,
+  * MinHash-LSH, SimHash, exact n-gram Jaccard, embedding-cosine near-dup.
+  * Exact/Jaccard/embedding variants have DuckDB oracles; the hash-sketch
+  * variants (engine-specific xxhash64) get rows-only checks plus ScalaTest
+  * recall assertions against the exact Jaccard ground truth.
+  */
+object DedupQueries extends QuerySet {
+
+  /** Exact dedup decision table. */
+  val qExact: GQuery = GQuery(
+    "q_dedup_exact",
+    Some("""
+      SELECT content_hash, keep_id, n_copies FROM (
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+               min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1)
+      ORDER BY content_hash""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Dedup.exact(t(spark, dir).documents, "doc_id", "text").orderBy($"content_hash")
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  val qJaccard: GQuery = GQuery(
+    "q_dedup_ngram_jaccard",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             c * 1.0 / (sa.n + sb.n - c) AS jaccard
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Dedup
+      .jaccardPairs(t(spark, dir).documents, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** MinHash + LSH banding (64 hashes, 16 bands × 4). Rows-only oracle;
+    * recall vs exact Jaccard asserted in DedupSpec.
+    */
+  val qMinhash: GQuery = GQuery("q_dedup_minhash_lsh", None) { (spark, dir) =>
+    import spark.implicits._
+    Dedup
+      .minhashPairs(
+        t(spark, dir).documents, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5
+      )
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
+  val qSimhash: GQuery = GQuery("q_dedup_simhash", None) { (spark, dir) =>
+    import spark.implicits._
+    Dedup
+      .simhashPairs(t(spark, dir).documents, "doc_id", "text", maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by label. The oracle
+    * recomputes the dot product with an explicit sequential list fold in
+    * double precision — same order of operations as Spark's aggregate(),
+    * so scores match to the last bit; both sides round to 6dp anyway.
+    */
+  val qEmbedding: GQuery = GQuery(
+    "q_dedup_embedding",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(generate_series(1, 64),
+                            i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, 64),
+                     i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.3
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Similarity
+      .blockedCosinePairs(t(spark, dir).embeddings, "vec_id", "embedding", "label", 0.3)
+      .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qExact, qJaccard, qMinhash, qSimhash, qEmbedding)
+}

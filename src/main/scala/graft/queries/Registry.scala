@@ -9,7 +9,11 @@ object Registry {
     Aggregates,
     Windows,
     SetOps,
-    ScalarFns
+    ScalarFns,
+    TextAnalysis,
+    DedupQueries,
+    SimilarityQueries,
+    MultimodalQueries
   )
 
   lazy val all: Seq[GQuery] = {

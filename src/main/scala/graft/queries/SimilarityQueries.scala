@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.operators.Similarity
+
+/** Similarity-search inventory: exact brute-force top-k (oracle-checked)
+  * and LSH-bucketed approximate top-k (rows-only; recall asserted in
+  * SimilaritySpec against the exact result).
+  */
+object SimilarityQueries extends QuerySet {
+
+  /** Exact top-5 cosine neighbors for the 8 lowest-id vectors. Output is
+    * (query_id, neighbor_id, rank) — rank ordering only depends on score
+    * comparisons, which are stable across engines at double precision.
+    */
+  val qBruteForce: GQuery = GQuery(
+    "q_ann_bruteforce",
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      q AS (SELECT * FROM v WHERE vec_id < 8),
+      scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * v.e[i]))
+                 / (q.nrm * v.nrm) AS score
+        FROM q JOIN v ON q.vec_id != v.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Multi-table sign-LSH approximate top-k (16 tables × 3 planes); each
+    * query scores only bucket collisions. Rows-only (bucket assignment is
+    * engine-specific); recall vs brute force asserted in SimilaritySpec.
+    */
+  val qLsh: GQuery = GQuery("q_ann_lsh", None) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    Similarity
+      .lshTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qBruteForce, qLsh)
+}

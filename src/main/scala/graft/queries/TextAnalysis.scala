@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.operators.TextOps._
+
+/** Text-analysis inventory over the documents table: statistics, quality
+  * scoring, language ID, token counting, fingerprinting, corpus-level
+  * token frequencies. All pure column expressions (codegen'd, row-parallel,
+  * no shuffle except the explicit groupBys).
+  */
+object TextAnalysis extends QuerySet {
+
+  /** Per-document surface statistics. Everything is integer arithmetic or
+    * a deterministic double division, so the DuckDB oracle matches exactly.
+    */
+  val qStats: GQuery = GQuery(
+    "q_text_stats",
+    Some("""
+      SELECT doc_id,
+             length(text) AS n_chars2,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = split($"text", " ")
+    t(spark, dir).documents
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars2"),
+        size(toks).as("n_tokens"),
+        length(regexp_replace($"text", " ", "")).as("n_nonspace"),
+        (length(regexp_replace($"text", " ", "")).cast("double") / size(toks)).as("avg_token_len"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Heuristic quality score in [0,1]: token volume, vocabulary diversity,
+    * stopword presence — the standard cheap pre-filter in training-data
+    * pipelines (cf. C4/Gopher rules), as one deterministic expression.
+    */
+  val qQuality: GQuery = GQuery(
+    "q_text_quality",
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS diversity,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents)
+      SELECT doc_id,
+             0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+               + 0.4 * diversity
+               + 0.2 * least(stopword_ratio * 10.0, 1.0) AS quality
+      FROM s
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val stop = Seq("the", "a", "and", "of", "to")
+    val diversity = size(array_distinct(toks)).cast("double") / size(toks)
+    val stopRatio = markerHits(toks, stop).cast("double") / size(toks)
+    t(spark, dir).documents
+      .select(
+        $"doc_id",
+        (lit(0.4) * least(size(toks).cast("double") / 50.0, lit(1.0))
+          + lit(0.4) * diversity
+          + lit(0.2) * least(stopRatio * 10.0, lit(1.0))).as("quality")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** N-gram-marker language ID: count marker-token hits per language,
+    * argmax with deterministic tie-break (score desc, language asc).
+    */
+  val qLangId: GQuery = GQuery(
+    "q_text_langid",
+    Some("""
+      WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','is','with'], t))) AS en_score,
+               len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist'], t))) AS de_score,
+               len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','est','avec'], t))) AS fr_score,
+               len(list_filter(string_split(text,' '), t -> list_contains(['el','los','y','es','con'], t))) AS es_score
+        FROM documents)
+      SELECT doc_id, lang AS labeled_lang,
+             CASE WHEN en_score = 0 AND de_score = 0 AND fr_score = 0 AND es_score = 0 THEN 'unknown'
+                  WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+                  WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+                  WHEN es_score >= fr_score THEN 'es'
+                  ELSE 'fr' END AS predicted_lang,
+             en_score
+      FROM s
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val en = markerHits(toks, Seq("the", "a", "and", "is", "with"))
+    val de = markerHits(toks, Seq("der", "die", "das", "und", "ist"))
+    val fr = markerHits(toks, Seq("le", "la", "et", "est", "avec"))
+    val es = markerHits(toks, Seq("el", "los", "y", "es", "con"))
+    t(spark, dir).documents
+      .select($"doc_id", $"lang".as("labeled_lang"), en.as("en_score"),
+        de.as("de_score"), fr.as("fr_score"), es.as("es_score"))
+      .select(
+        $"doc_id",
+        $"labeled_lang",
+        when($"en_score" === 0 && $"de_score" === 0 && $"fr_score" === 0 && $"es_score" === 0, "unknown")
+          .when($"en_score" >= $"de_score" && $"en_score" >= $"fr_score" && $"en_score" >= $"es_score", "en")
+          .when($"de_score" >= $"fr_score" && $"de_score" >= $"es_score", "de")
+          .when($"es_score" >= $"fr_score", "es")
+          .otherwise("fr")
+          .as("predicted_lang"),
+        $"en_score"
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting, whitespace + BPE-ish regex variants. */
+  val qTokenCount: GQuery = GQuery(
+    "q_text_token_count",
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_estimate
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).documents
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("bpe_ish_tokens"),
+        ceil(length($"text") / 4.0).cast("long").as("byte_estimate")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Content fingerprints: exact (md5 of normalized text) and word-order-
+    * insensitive (md5 of sorted token list) — the join keys for exact and
+    * shuffled-dup detection.
+    */
+  val qFingerprint: GQuery = GQuery(
+    "q_text_fingerprint",
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_fp,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_fp
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).documents
+      .select(
+        $"doc_id",
+        md5(encode(normText($"text"), "UTF-8")).as("content_fp"),
+        md5(encode(concat_ws(" ", array_sort(split($"text", " "))), "UTF-8")).as("bag_fp")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus-level token frequency: explode → group → top 50. */
+  val qTokenFreq: GQuery = GQuery(
+    "q_text_token_freq",
+    Some("""
+      SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+      ORDER BY freq DESC, token
+      LIMIT 50""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).documents
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"), countDistinct($"doc_id").as("doc_freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(50)
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Quality checks for the sketch-based dedup operators: the DuckDB oracle
+  * can't verify them (engine-specific hashes), so we assert recall against
+  * the exact n-gram Jaccard ground truth instead.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables(spark, sf).documents
+
+  lazy val exactPairs: Set[(Long, Long)] =
+    Dedup
+      .jaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .select($"id_a", $"id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+
+  test("planted near-duplicates exist in the corpus") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("minhash-LSH finds at least 90% of exact jaccard>=0.5 pairs") {
+    val found = Dedup
+      .minhashPairs(docs, "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.4)
+      .select($"id_a", $"id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = exactPairs.count(found.contains).toDouble / exactPairs.size
+    assert(recall >= 0.9, s"minhash recall $recall, found ${found.size} vs exact ${exactPairs.size}")
+  }
+
+  test("minhash estimated jaccard within 0.25 of exact for true pairs") {
+    val est = Dedup
+      .minhashPairs(docs, "doc_id", "text", threshold = 0.4)
+      .select($"id_a", $"id_b", $"est_jaccard")
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (a, b, j) => (a, b) -> j }
+      .toMap
+    val exact = Dedup
+      .jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)]
+      .collect()
+    val diffs = exact.flatMap { case (a, b, j) => est.get((a, b)).map(e => math.abs(e - j)) }
+    assert(diffs.nonEmpty && diffs.max <= 0.25, s"max |est-exact| = ${if (diffs.nonEmpty) diffs.max else -1}")
+  }
+
+  test("simhash pairs are symmetric-free and within hamming bound") {
+    val pairs = Dedup
+      .simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)]
+      .collect()
+    assert(pairs.forall { case (a, b, h) => a < b && h <= 3 })
+    assert(pairs.nonEmpty, "expected some simhash near-dups among planted duplicates")
+  }
+
+  test("exact dedup keeps every distinct content exactly once") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    val total = d.agg(sum($"n_copies")).as[Long].head()
+    assert(total == docs.count())
+    assert(d.count() == d.select($"content_hash").distinct().count())
+  }
+}
