@@ -40,6 +40,10 @@ object Graft {
       if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
     val spark = withMaster.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Post-create registration (not withExtensions): getOrCreate may return
+    // an existing session whose extensions were fixed at first build; the
+    // registry call is idempotent and always lands on the session in hand.
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

@@ -47,29 +47,55 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigs = docs.select(
+    // Stage 1: materialize the shingle-hash array as a REAL column before
+    // building the signature. Passing the expression tree inline would make
+    // Catalyst re-evaluate the whole tokenize→shingle→hash pipeline inside
+    // the k-iteration signature lambda (k=64× per row) — the round-1
+    // scale-killer (477 s for 5k docs).
+    val hashes = docs.select(
       col(idCol).as("id"),
-      minhashSignature(hashed(shingles(tokens(col(textCol)), shingleN)), k).as("sig")
+      hashed(shingles(tokens(col(textCol)), shingleN)).as("eh")
     )
+    // Stage 2: (id, sig) — k longs per doc. localCheckpoint materializes it
+    // once so the band join and pair scoring both read the tiny signature
+    // table instead of recomputing the text pipeline (3× otherwise). On a
+    // cluster this is the classic persist-the-sketches step: signatures are
+    // ~0.5 KB/doc regardless of document size.
+    val sigs = hashes
+      .select(col("id"), minhashSignature(col("eh"), k).as("sig"))
+      .localCheckpoint()
+    // Stage 3: band keys carry IDs ONLY — never drag the 64-element
+    // signature array through the explode + shuffle.
     val banded = sigs
-      .select(col("id"), col("sig"), explode(minhashBands(col("sig"), bands, r)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(
-      b,
-      col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.id") < col("b.id")
-    ).select(
-      col("a.id").as("id_a"),
-      col("b.id").as("id_b"),
-      (aggregate(
-        zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0),
-        (acc, v) => acc + v
-      ).cast("double") / k).as("est_jaccard")
-    ).filter(col("est_jaccard") >= threshold)
+      .select(col("id"), explode(minhashBands(col("sig"), bands, r)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Stage 4: candidate pairs, deduped BEFORE scoring — a pair colliding
+    // in several bands is scored once, not `bands` times.
+    val pairs = banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id")
+      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // Stage 5: score each surviving pair once via two slim signature joins.
+    val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs
+      .join(sa, "id_a")
+      .join(sb, "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("double") / k).as("est_jaccard")
+      )
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into 4×16-bit chunks
@@ -82,24 +108,31 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
+    // Same shape as minhashPairs: materialized signature table, id-only
+    // band join, pair-dedup before the hamming verification.
     val sigs = docs
       .withColumn("__th", hashed(tokens(col(textCol))))
       .select(col(idCol).as("id"), simhashBits("__th").as("bits"))
+      .localCheckpoint()
     val chunked = sigs
-      .select(col("id"), col("bits"), explode(simhashChunks(col("bits"))).as("ck"))
-      .select(col("id"), col("bits"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(
-      b,
-      col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.id") < col("b.id")
-    ).select(
-      col("a.id").as("id_a"),
-      col("b.id").as("id_b"),
-      hamming(col("a.bits"), col("b.bits")).as("hamming_dist")
-    ).filter(col("hamming_dist") <= maxHamming)
+      .select(col("id"), explode(simhashChunks(col("bits"))).as("ck"))
+      .select(col("id"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    val pairs = chunked
+      .as("a")
+      .join(
+        chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.id") < col("b.id")
+      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val ba = sigs.select(col("id").as("id_a"), col("bits").as("bits_a"))
+    val bb = sigs.select(col("id").as("id_b"), col("bits").as("bits_b"))
+    pairs
+      .join(ba, "id_a")
+      .join(bb, "id_b")
+      .select(col("id_a"), col("id_b"), hamming(col("bits_a"), col("bits_b")).as("hamming_dist"))
+      .filter(col("hamming_dist") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
@@ -118,13 +151,17 @@ object Dedup {
       threshold: Double = 0.5,
       maxDocFreq: Long = 0L
   ): DataFrame = {
+    // Materialize the exploded (id, shingle) inverted index ONCE — it feeds
+    // the df-cap computation, both self-join sides, and the size table;
+    // left lazy, the tokenize→shingle pipeline would run 4-5×.
     val sh = docs
       .select(col(idCol).as("id"), explode(shingles(tokens(col(textCol)), shingleN)).as("s"))
+      .localCheckpoint()
     val filtered =
       if (maxDocFreq > 0) {
         val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("s"))
-        sh.join(hot, Seq("s"), "left_anti")
+        sh.join(hot, Seq("s"), "left_anti").localCheckpoint()
       } else sh
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = filtered.as("a")

@@ -2,14 +2,17 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.GraftFunctions
 
 /** Similarity search over embedding columns (array<float>).
   *
-  * Everything is expressed with higher-order functions (zip_with /
-  * aggregate) over the native array type — codegen'd, no UDF, no UDT.
-  * Dot products run in double precision (deterministic left-fold order,
-  * matching an explicit SQL oracle bit-for-bit).
+  * Scoring runs through the engine's codegen'd Catalyst expressions
+  * (graft.functions.{DotProduct, CosineSimilarity}) — a tight primitive
+  * loop per row instead of HOF `aggregate(zip_with(...))` chains, which
+  * allocate an intermediate array per row. Results are bit-identical to
+  * the HOF formulation (same double-precision left-fold), so the DuckDB
+  * oracles still hash-match.
   *
   * Scale path: brute force is O(|Q|·|N|·d) — fine when |Q| is small and
   * broadcast; the LSH variant buckets by random-hyperplane signs so the
@@ -18,19 +21,14 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** Elementwise double-cast of a float array. */
-  def toDouble(arr: Column): Column = transform(arr, x => x.cast(DoubleType))
+  /** Dot product of two float arrays, in double (codegen expression). */
+  def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
-  /** Dot product of two equal-length numeric arrays, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** L2 norm (codegen expression). */
+  def norm(a: Column): Column = GraftFunctions.norm(a)
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(toDouble(a), x => x * x), lit(0.0), (acc, v) => acc + v))
-
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity (one-pass codegen expression). */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -65,19 +63,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic random hyperplanes: `planes x dim` in [-1, 1), seeded —
-    * identical across executors and runs (plain scala.util.Random with a
-    * fixed seed, materialized once on the driver as a literal).
+  /** Deterministic random hyperplanes in float (so plane literals share the
+    * embeddings' array<float> type and the codegen dot applies): `planes x
+    * dim` in [-1, 1), seeded — identical across executors and runs.
     */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextDouble() * 2 - 1)
+    Array.fill(nPlanes, dim)((rnd.nextDouble() * 2 - 1).toFloat)
   }
 
   /** Sign-bucket key of a vector under the given hyperplanes: bit p is
-    * sign(v · plane_p). 16 planes → 65536 buckets.
+    * sign(v · plane_p). Each plane dot is one codegen loop over the vector.
     */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+  def lshBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val bits = planes.map { p =>
       val plane = typedlit(p.toSeq)
       when(dot(vec, plane) > 0, 1L).otherwise(0L)
@@ -90,8 +88,12 @@ object Similarity {
     * each; a candidate is scored iff it shares a bucket with the query in
     * at least one table. Per-table collision for angle θ is (1−θ/π)^r, so
     * recall across L tables is 1−(1−p)^L — tune (L, r) for the recall/
-    * candidate-volume trade-off. Candidate generation is an equi-join on
-    * (table, bucket) — shuffle-based, skew handled by AQE, no cross join.
+    * candidate-volume trade-off.
+    *
+    * Candidate generation is an equi-join on (table, bucket) carrying IDs
+    * ONLY; pairs are deduped before scoring (a pair colliding in several
+    * tables is scored once), then the vectors are joined back — the shuffle
+    * and the distinct never see a 64-float payload.
     */
   def lshTopK(
       candidates: DataFrame,
@@ -111,19 +113,25 @@ object Similarity {
         struct(lit(tIdx).as("tbl"), lshBucket(vec, planes).as("bucket"))
       }: _*)
 
+    val nVec = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val qVec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+
     val cand = candidates
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), explode(buckets(col(vecCol))).as("bk"))
-      .select(col("neighbor_id"), col("nvec"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+      .select(col(idCol).as("neighbor_id"), explode(buckets(col(vecCol))).as("bk"))
+      .select(col("neighbor_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
     val q = broadcast(
       queries
-        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), explode(buckets(col(vecCol))).as("bk"))
-        .select(col("query_id"), col("qvec"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+        .select(col(idCol).as("query_id"), explode(buckets(col(vecCol))).as("bk"))
+        .select(col("query_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
     )
-    val scored = cand
+    val pairs = cand
       .join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("nvec"))
-      .distinct() // a pair may collide in several tables; score once
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = pairs
+      .join(nVec, "neighbor_id")
+      .join(broadcast(qVec), "query_id")
       .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("nvec")).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored

@@ -37,11 +37,24 @@ object TextOps {
   /** MinHash signature of length k over a set of element hashes.
     * Permutation i is xxhash64(h, i) — k independent 64-bit hash families
     * without materializing (a_i, b_i) coefficient tables.
+    *
+    * ONE aggregate pass with a k-element running-min accumulator, so
+    * `elementHashes` is referenced exactly once. The transposed form
+    * (`transform(sequence(1,k), i => array_min(transform(hashes, ...)))`)
+    * references the array inside the outer lambda, and Catalyst re-evaluates
+    * a lambda-captured expression tree on EVERY iteration — if the caller's
+    * shingle pipeline gets project-collapsed into it, that's k=64 full
+    * tokenize→shingle→hash passes per row (the round-1 477 s scale-killer).
+    *
+    * Hash family values are identical to the transposed form
+    * (xxhash64(h, i) for i in 1..k), so signatures and recall bounds are
+    * unchanged. Empty input yields a Long.MaxValue-filled signature.
     */
   def minhashSignature(elementHashes: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), lit(k)),
-      i => array_min(transform(elementHashes, h => xxhash64(h, i)))
+    aggregate(
+      elementHashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => transform(acc, (m, i) => least(m, xxhash64(h, i + lit(1))))
     )
 
   /** LSH band keys for a MinHash signature: b bands of r rows each;
@@ -56,15 +69,18 @@ object TextOps {
 
   /** SimHash bit vector (64 elements of 0/1) over token hashes: bit i is
     * set iff the sum over tokens of ±1 (sign of token-hash bit i) is > 0.
-    * Takes the NAME of an array<bigint> column (SQL expr — the Scala
-    * `shiftright` API only accepts a literal shift amount, the SQL function
-    * accepts the lambda variable).
+    *
+    * ONE aggregate pass with a 64-element counter accumulator — the naive
+    * formulation (64 independent aggregates, one per bit) re-walks the
+    * token-hash array 64× per row. Takes the NAME of an array<bigint>
+    * column (SQL expr — the Scala `shiftright` API only accepts a literal
+    * shift amount, the SQL function accepts the lambda variable).
     */
   def simhashBits(tokenHashCol: String): Column =
-    expr(s"""transform(sequence(0, 63), i ->
-      CASE WHEN aggregate($tokenHashCol, 0L,
-                  (acc, h) -> acc + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1 ELSE -1 END) > 0
-           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")
+    expr(s"""transform(
+      aggregate($tokenHashCol, array_repeat(CAST(0 AS BIGINT), 64),
+        (acc, h) -> transform(acc, (a, i) -> a + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1 ELSE -1 END)),
+      c -> CASE WHEN c > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")
 
   /** Pack a 64-element 0/1 array into one signed long (wrapping is fine —
     * it's an opaque fingerprint).

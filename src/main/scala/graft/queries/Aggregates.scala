@@ -97,7 +97,7 @@ object Aggregates extends QuerySet {
     Some(s"""
       SELECT o_orderpriority,
              COUNT(*) AS n,
-             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
              ${sqlSum("CASE WHEN o_totalprice > 50000 THEN o_totalprice ELSE 0 END")} AS big_total
       FROM orders
       GROUP BY o_orderpriority

@@ -27,16 +27,31 @@ object DedupQueries extends QuerySet {
     Dedup.exact(t(spark, dir).documents, "doc_id", "text").orderBy($"content_hash")
   }
 
-  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join).
+    *
+    * The oracle mirrors the Spark side exactly: same normalization (lower,
+    * collapse whitespace, trim), same whole-text fallback for docs shorter
+    * than n tokens, and the SAME hot-shingle document-frequency cap — the
+    * cap is ON here (10% of the corpus) because an uncapped boilerplate
+    * shingle makes the pair join quadratic at scale.
+    */
   val qJaccard: GQuery = GQuery(
     "q_dedup_ngram_jaccard",
     Some("""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
       sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      shf AS (SELECT * FROM sh WHERE s NOT IN (
+                SELECT s FROM sh GROUP BY s
+                HAVING COUNT(*) > (SELECT CAST(ceil(0.1 * COUNT(*)) AS BIGINT) FROM documents))),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
       pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
       SELECT id_a, id_b,
              c * 1.0 / (sa.n + sb.n - c) AS jaccard
@@ -47,8 +62,12 @@ object DedupQueries extends QuerySet {
       ORDER BY id_a, id_b""")
   ) { (spark, dir) =>
     import spark.implicits._
+    val docs = t(spark, dir).documents
+    // 10%-of-corpus df cap; one cheap count action sizes it (at 100 TB this
+    // is a metadata-level aggregate, not a data pass worth avoiding).
+    val cap = math.ceil(0.1 * docs.count()).toLong
     Dedup
-      .jaccardPairs(t(spark, dir).documents, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .jaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxDocFreq = cap)
       .orderBy($"id_a", $"id_b")
   }
 

@@ -119,11 +119,11 @@ object ScalarFns extends QuerySet {
     Some("""
       SELECT l_orderkey, l_linenumber,
              abs(l_extendedprice - 30000.0) AS dist,
-             floor(l_extendedprice / 100.0) AS price_bucket,
-             ceil(l_discount * 100.0) AS disc_pct,
+             CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_bucket,
+             CAST(ceil(l_discount * 100.0) AS BIGINT) AS disc_pct,
              sqrt(l_quantity) AS qty_root,
              l_orderkey % 7 AS mod7,
-             sign(l_extendedprice - 30000.0) AS s,
+             CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS s,
              greatest(l_quantity, 25.0) AS hi,
              least(l_quantity, 25.0) AS lo
       FROM lineitem
@@ -158,7 +158,7 @@ object ScalarFns extends QuerySet {
              CAST(embedding[1] AS DOUBLE) AS first_elem,
              list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm,
              CAST(list_max(embedding) AS DOUBLE) AS max_elem,
-             list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS n_pos
+             CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_pos
       FROM embeddings
       ORDER BY vec_id""")
   ) { (spark, dir) =>
@@ -187,7 +187,7 @@ object ScalarFns extends QuerySet {
     "q_fn_json",
     Some("""
       SELECT event_type,
-             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              COUNT(*) AS n
       FROM events
       GROUP BY event_type

@@ -43,11 +43,21 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def tfam(v):
+    """Type family — the driver's value hash is type-sensitive (5 != 5.0),
+    so an int-typed Spark column vs a float-typed DuckDB column (HUGEINT ->
+    float64 in pandas) must FAIL here even though the values coerce equal."""
+    n = type(v).__name__
+    if isinstance(v, bool) or n == "bool_":
+        return "bool"
+    if isinstance(v, int) or n.startswith(("int", "uint")):
+        return "int"
+    if isinstance(v, float) or n.startswith("float"):
+        return "float"
+    return "other"
+
+
 def eq(a, b):
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
     try:
@@ -55,6 +65,13 @@ def eq(a, b):
             return True
     except (TypeError, ValueError):
         pass
+    fa, fb = tfam(a), tfam(b)
+    if fa != fb:
+        return False
+    if fa == "float":
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return float(a) == float(b)
     return a == b
 
 
