@@ -30,6 +30,15 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Streaming state backend: RocksDB — the CTable-parity choice (the
+      // reference's primary store is RocksDB, callysto/src/stores/rocksdb.rs)
+      // and required by transformWithState. Changelog checkpointing mirrors
+      // the reference's changelog-topic replication (incremental commits
+      // instead of full snapshot uploads).
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects by default; read as LongType (ns since epoch).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

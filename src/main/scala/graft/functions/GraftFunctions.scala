@@ -1,9 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
+
+import graft.serde.{AvroDecodeContainer, AvroDecodeDatum, AvroEncodeContainer, AvroEncodeDatum}
 
 /** Registration of the engine's custom Catalyst expressions.
   *
@@ -15,14 +18,30 @@ import org.apache.spark.sql.functions.call_function
   *
   * The reference's extension surface is "any Rust closure over the message
   * stream" (reference: callysto/src/types/agent.rs:86-91); ours is typed
-  * Catalyst expressions that stay inside whole-stage codegen.
+  * Catalyst expressions that stay inside whole-stage codegen (vector math)
+  * or tight eval loops (Avro serde).
   */
 object GraftFunctions {
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** Schema arguments must be foldable strings — they determine the
+    * expression's result TYPE, which analysis needs before execution.
+    */
+  private def litString(e: Expression, fn: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: schema argument must be a string literal, got $other")
+  }
+
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => DotProduct(args(0), args(1))),
     "graft_norm" -> (args => L2Norm(args(0))),
-    "graft_cosine" -> (args => CosineSimilarity(args(0), args(1)))
+    "graft_cosine" -> (args => CosineSimilarity(args(0), args(1))),
+    "graft_to_avro" -> (args => AvroEncodeDatum(args(0))),
+    "graft_from_avro" -> (args => AvroDecodeDatum(args(0), litString(args(1), "graft_from_avro"))),
+    "graft_to_avro_file" -> (args => AvroEncodeContainer(args(0))),
+    "graft_from_avro_file" ->
+      (args => AvroDecodeContainer(args(0), litString(args(1), "graft_from_avro_file")))
   )
 
   private def info(name: String): ExpressionInfo =
@@ -39,16 +58,18 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def norm(a: Column): Column = call_function("graft_norm", a)
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def toAvro(s: Column): Column = call_function("graft_to_avro", s)
+  def fromAvro(b: Column, schemaJson: String): Column =
+    call_function("graft_from_avro", b, lit(schemaJson))
+  def toAvroFile(s: Column): Column = call_function("graft_to_avro_file", s)
+  def fromAvroFile(b: Column, schemaJson: String): Column =
+    call_function("graft_from_avro_file", b, lit(schemaJson))
 }
 
 /** `spark.sql.extensions`-compatible injector. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    Seq[(String, Seq[Expression] => Expression)](
-      "graft_dot" -> (args => DotProduct(args(0), args(1))),
-      "graft_norm" -> (args => L2Norm(args(0))),
-      "graft_cosine" -> (args => CosineSimilarity(args(0), args(1)))
-    ).foreach { case (name, b) =>
+    GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(classOf[DotProduct].getName, name), b)
       )

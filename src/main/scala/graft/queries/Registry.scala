@@ -13,7 +13,8 @@ object Registry {
     TextAnalysis,
     DedupQueries,
     SimilarityQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    StreamingQueries
   )
 
   lazy val all: Seq[GQuery] = {

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.functions.GraftFunctions
+import graft.serde.AvroConv
+import graft.streaming.{StateTable, StreamOps}
+
+/** Batch-verifiable analogs of the streaming layer (SURVEY.md §2.6 rows
+  * "Streaming" / "Stateful KV" / "Avro"): the same `window` /
+  * `session_window` / upsert / serde expressions run identically on batch
+  * DataFrames, which is what lets the DuckDB oracle check their semantics;
+  * the streaming-only behaviors (watermark drops, checkpoint recovery,
+  * agent lifecycle) are covered by the MemoryStream specs in
+  * src/test/scala/graft/streaming/.
+  *
+  * `events.ts` arrives as ns-since-epoch; both sides truncate to µs (the
+  * reference timestamp resolution of Spark) before bucketing so boundary
+  * arithmetic agrees exactly.
+  */
+object StreamingQueries extends QuerySet {
+
+  /** StateTable upsert snapshot: last write per key — reading a compacted
+    * changelog topic end-to-end (CTable semantics, table.rs:79-113).
+    */
+  val qStateSnapshot: GQuery = GQuery(
+    "q_state_snapshot",
+    Some("""
+      SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+      FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    StateTable
+      .snapshot(t(spark, dir).events, keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .select(
+        $"user_id",
+        $"event_id".as("last_event_id"),
+        $"event_type".as("last_type"),
+        $"value".as("last_value")
+      )
+      .orderBy($"user_id")
+  }
+
+  /** Tumbling 1-hour event-time window aggregate. */
+  val qTumbling: GQuery = GQuery(
+    "q_window_tumbling",
+    Some(s"""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_start,
+             event_type,
+             COUNT(*) AS n,
+             ${sqlSum("value")} AS total
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = t(spark, dir).events
+    StreamOps
+      .tumbling(
+        ev,
+        StreamOps.tsFromNanos($"ts"),
+        "1 hour",
+        keys = Seq($"event_type"),
+        aggs = Seq(count(lit(1)).as("n"), dsum($"value").as("total"))
+      )
+      .select(
+        unix_timestamp($"window.start").as("bucket_start"),
+        $"event_type",
+        $"n",
+        $"total"
+      )
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  /** Sliding 2-hour window advancing hourly: every event lands in two
+    * windows (the oracle materializes both bucket starts explicitly).
+    */
+  val qSliding: GQuery = GQuery(
+    "q_window_sliding",
+    Some("""
+      SELECT ws AS window_start, event_type, COUNT(*) AS n
+      FROM (
+        SELECT event_type,
+               unnest([b, b - 3600]) AS ws
+        FROM (SELECT event_type,
+                     CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS b
+              FROM events))
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = t(spark, dir).events
+    StreamOps
+      .sliding(
+        ev,
+        StreamOps.tsFromNanos($"ts"),
+        "2 hours",
+        "1 hour",
+        keys = Seq($"event_type"),
+        aggs = Seq(count(lit(1)).as("n"))
+      )
+      .select(unix_timestamp($"window.start").as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Session windows per user (30-minute inactivity gap). The oracle
+    * reconstructs sessions with the lag-gap-islands technique; both sides
+    * compare at µs resolution, and a session breaks when the gap is
+    * >= 30 minutes (Spark merges while ts < prevEnd).
+    */
+  val qSession: GQuery = GQuery(
+    "q_window_session",
+    Some(s"""
+      WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      brk AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM t),
+      sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM brk)
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             COUNT(*) AS n,
+             ${sqlSum("value")} AS total
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = t(spark, dir).events
+    StreamOps
+      .session(
+        ev,
+        StreamOps.tsFromNanos($"ts"),
+        "30 minutes",
+        keys = Seq($"user_id"),
+        aggs = Seq(count(lit(1)).as("n"), dsum($"value").as("total"))
+      )
+      .select(
+        $"user_id",
+        unix_timestamp($"session_window.start").as("session_start"),
+        $"n",
+        $"total"
+      )
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Avro datum round-trip: encode each event to raw Avro binary, decode
+    * with the declared schema, aggregate the decoded columns. The oracle
+    * aggregates the source directly — any serde corruption breaks the
+    * hash match.
+    */
+  val qAvroRoundtrip: GQuery = GQuery(
+    "q_avro_roundtrip",
+    Some(s"""
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(event_id) AS BIGINT) AS sum_id,
+             ${sqlSum("value")} AS total
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val payload = t(spark, dir).events.select($"event_id", $"event_type", $"value")
+    val schemaJson = AvroConv.schemaJson(payload.schema)
+    payload
+      .select(GraftFunctions.toAvro(struct($"event_id", $"event_type", $"value")).as("bin"))
+      .select(GraftFunctions.fromAvro($"bin", schemaJson).as("r"))
+      .select($"r.event_id".as("event_id"), $"r.event_type".as("event_type"), $"r.value".as("value"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"event_id").as("sum_id"),
+        dsum($"value").as("total")
+      )
+      .orderBy($"event_type")
+  }
+
+  /** Avro object-container round-trip (the reference's one-file-per-message
+    * wire format): encode purchase events as single-record container files,
+    * decode + explode all records, aggregate.
+    */
+  val qAvroFileRoundtrip: GQuery = GQuery(
+    "q_avro_file_roundtrip",
+    Some(s"""
+      SELECT event_type,
+             COUNT(*) AS n,
+             ${sqlSum("value")} AS total
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY event_type
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val payload = t(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .select($"event_type", $"value")
+    val schemaJson = AvroConv.schemaJson(payload.schema)
+    payload
+      .select(GraftFunctions.toAvroFile(struct($"event_type", $"value")).as("bin"))
+      .select(explode(GraftFunctions.fromAvroFile($"bin", schemaJson)).as("r"))
+      .select($"r.event_type".as("event_type"), $"r.value".as("value"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+      .orderBy($"event_type")
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qStateSnapshot, qTumbling, qSliding, qSession, qAvroRoundtrip, qAvroFileRoundtrip)
+}

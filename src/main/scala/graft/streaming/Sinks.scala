@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{BinaryType, StringType}
+import org.apache.spark.sql.functions._
+
+/** Engine sinks — the Spark expressions of the reference's sink family
+  * (SURVEY.md §2.3).
+  *
+  * Destinations the streaming layer can write to. Each is either a
+  * first-class `writeStream` format or a `foreachBatch` function, matching
+  * how callysto models sinks as `futures::Sink` implementations the stream
+  * forwards into (`stream.forward(sink)`, examples/src/avro-sink.rs:40-56).
+  */
+sealed trait GraftSink
+
+object GraftSink {
+  /** Per-micro-batch callback — the escape hatch every external system
+    * goes through (`foreachBatch`). Exactly-once only if `f` is
+    * idempotent on (batchId) replays — same at-least-once contract as the
+    * reference's sinks.
+    */
+  final case class ForeachBatch(f: (DataFrame, Long) => Unit) extends GraftSink
+
+  /** In-memory table named `queryName` (tests / debugging). */
+  final case class Memory(queryName: String) extends GraftSink
+
+  /** Append parquet files under `path`. */
+  final case class Parquet(path: String) extends GraftSink
+
+  /** Kafka-shaped sink: rows must carry `key`/`value` binary columns (see
+    * [[Sinks.kafkaShape]]); `format("kafka")` passthrough. The Kafka
+    * connector jar is not shipped in this build, so this sink is validated
+    * structurally (schema contract) and documented as cluster-only.
+    */
+  final case class Kafka(bootstrapServers: String, topic: String) extends GraftSink
+
+  /** JDBC batch-upsert sink (CPostgresSink parity). */
+  final case class Jdbc(url: String, table: String, batchSize: Int = 500) extends GraftSink
+}
+
+object Sinks {
+
+  /** Shape a DataFrame for a Kafka-format sink: serialize `keyCol` and
+    * `valueCol` to binary, mirroring the producer contract of the
+    * reference (`CProducer::send(topic, partition, key, payload)`,
+    * callysto/src/kafka/cproducer.rs:24-41).
+    */
+  def kafkaShape(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    def toBin(name: String) = df.schema(name).dataType match {
+      case BinaryType => col(name)
+      case StringType => col(name).cast(BinaryType)
+      case _          => to_json(struct(col(name))).cast(BinaryType)
+    }
+    df.select(toBin(keyCol).as("key"), toBin(valueCol).as("value"))
+  }
+
+  /** Write one micro-batch to a JDBC table with prepared-statement
+    * batching — the semantics of the reference's Postgres sink (deadpool
+    * connection + prepared-statement cache + row-at-a-time `query_raw`,
+    * reference: callysto/src/sinks/postgres.rs:24-150), upgraded to
+    * `addBatch`/`executeBatch` chunks of `batchSize` (row-at-a-time would
+    * be a scale-killer over a WAN link).
+    *
+    * Runs per partition on the executors: N partitions → N connections,
+    * the pool analog. At-least-once on retry — pair with an idempotent
+    * schema (PK upsert) for effective exactly-once, like the reference.
+    */
+  def jdbcWriteBatch(url: String, table: String, batchSize: Int)(df: DataFrame, batchId: Long): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames
+    val sql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sql)
+          try {
+            var pending = 0
+            rows.foreach { row =>
+              var i = 0
+              while (i < cols.length) {
+                ps.setObject(i + 1, row.get(i))
+                i += 1
+              }
+              ps.addBatch()
+              pending += 1
+              if (pending >= batchSize) {
+                ps.executeBatch()
+                pending = 0
+              }
+            }
+            if (pending > 0) ps.executeBatch()
+            conn.commit()
+          } finally ps.close()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** CREATE TABLE helper for JDBC targets in tests/bootstrap. */
+  def jdbcExecute(url: String, ddl: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(ddl)
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Read a scalar (e.g. COUNT(*)) back from a JDBC target. */
+  def jdbcQueryLong(url: String, query: String): Long = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(query)
+        try { rs.next(); rs.getLong(1) }
+        finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+}

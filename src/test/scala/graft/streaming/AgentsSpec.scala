@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Agent lifecycle parity: two concurrent agents on one session with
+  * shared driver state (the reference's double-agent example,
+  * examples/src/double-agent.rs:82-95), state-machine transitions, and
+  * restart-from-checkpoint continuing exactly where the agent stopped.
+  */
+class AgentsSpec extends SparkSpec {
+
+  private def counterSink(into: ConcurrentHashMap[String, Long]): GraftSink =
+    GraftSink.ForeachBatch { (df: DataFrame, _: Long) =>
+      df.collect().foreach(r => into.put(r.getString(0), r.getLong(1)))
+      ()
+    }
+
+  test("two agents run concurrently on one session and both count (double-agent parity)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in1 = MemoryStream[String]
+    val in2 = MemoryStream[String]
+    val counts = new ConcurrentHashMap[String, Long]()
+    val app = new GraftApp(s, "double-agent", Files.createTempDirectory("graft-app").toString)
+
+    app.agent("agent-1", () => in1.toDF(), counterSink(counts))(
+      _.select(lit("agent-1").as("agent"))
+        .groupBy($"agent")
+        .count()
+    )
+    app.agent("agent-2", () => in2.toDF(), counterSink(counts))(
+      _.select(lit("agent-2").as("agent"))
+        .groupBy($"agent")
+        .count()
+    )
+    assert(app.registered === Seq("agent-1", "agent-2"))
+    assert(app.state("agent-1") === AgentState.PreStart)
+
+    app.startAll()
+    assert(app.state("agent-1") === AgentState.Running)
+    assert(app.state("agent-2") === AgentState.Running)
+
+    in1.addData("m1", "m2", "m3")
+    in2.addData("m1", "m2")
+    app.processAllAvailable("agent-1")
+    app.processAllAvailable("agent-2")
+    assert(counts.get("agent-1") === 3L)
+    assert(counts.get("agent-2") === 2L)
+
+    app.stopAll()
+    assert(app.state("agent-1") === AgentState.Stopped)
+    assert(app.state("agent-2") === AgentState.Stopped)
+  }
+
+  test("agent restart resumes counts from checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[String]
+    val counts = new ConcurrentHashMap[String, Long]()
+    val app = new GraftApp(s, "restarter", Files.createTempDirectory("graft-app-rs").toString)
+    app.agent("counter", () => in.toDF(), counterSink(counts))(
+      _.select(lit("k").as("agent")).groupBy($"agent").count()
+    )
+
+    app.start("counter")
+    in.addData("a", "b")
+    app.processAllAvailable("counter")
+    assert(counts.get("k") === 2L)
+    app.stop("counter")
+
+    // Data arriving while stopped + restart: the running count must
+    // CONTINUE (2 + 3 = 5), proving offsets and agg state were recovered.
+    in.addData("c", "d", "e")
+    app.start("counter")
+    app.processAllAvailable("counter")
+    app.stop("counter")
+    assert(counts.get("k") === 5L)
+  }
+
+  test("task runs driver-side work at registration (task parity)") {
+    var ran = false
+    val app = new GraftApp(spark, "tasker", Files.createTempDirectory("graft-task").toString)
+    app.task(_ => ran = true)
+    assert(ran)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Event-time semantics under streaming execution: watermark-gated late
+  * data drop on tumbling windows, and streaming deduplication — the
+  * behaviors a batch oracle cannot check.
+  */
+class StreamOpsSpec extends SparkSpec {
+
+  test("tumbling window finalizes on watermark and drops late data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val rows = mutable.ArrayBuffer.empty[Row]
+    val src = input
+      .toDF()
+      .select(timestamp_seconds($"_1").as("ts"), $"_2".as("k"))
+    val agg = StreamOps.tumbling(
+      StreamOps.watermarked(src, "ts", "10 minutes"),
+      $"ts",
+      "5 minutes",
+      keys = Seq($"k"),
+      aggs = Seq(count(lit(1)).as("n"))
+    )
+    val q = agg
+      .select(unix_timestamp($"window.start").as("ws"), $"k", $"n")
+      .writeStream
+      .outputMode("append") // append: a window emits once, when the watermark passes it
+      .option("checkpointLocation", Files.createTempDirectory("graft-wm").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }; ()
+      }
+      .start()
+
+    // Window [0, 300): two 'a', one 'b'.
+    input.addData((60L, "a"), (120L, "a"), (200L, "b"))
+    q.processAllAvailable()
+    assert(rows.isEmpty) // watermark hasn't passed the window end yet
+
+    // Advance event time far enough to close [0, 300).
+    input.addData((7200L, "a"))
+    q.processAllAvailable()
+    val finalized = rows.toList.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(finalized === Set((0L, "a", 2L), (0L, "b", 1L)))
+
+    // A late event inside the already-finalized window, far behind the
+    // watermark: must be dropped — no new emission, no mutation.
+    input.addData((90L, "a"))
+    q.processAllAvailable()
+    val afterLate = rows.toList.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(afterLate.size === 2)
+    assert(afterLate.toSet === finalized)
+    q.stop()
+  }
+
+  test("streaming dropDuplicates suppresses re-deliveries across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val rows = mutable.ArrayBuffer.empty[Row]
+    val q = StreamOps
+      .dedup(input.toDF().toDF("id", "payload"), Seq("id"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-dd").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }; ()
+      }
+      .start()
+
+    input.addData((1L, "x"), (2L, "y"), (1L, "x-dup-same-batch"))
+    q.processAllAvailable()
+    input.addData((2L, "y-redelivered"), (3L, "z"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = rows.toList.map(_.getLong(0)).sorted
+    assert(ids === List(1L, 2L, 3L)) // each id exactly once, dups dropped
+  }
+
+  test("session window merges events within the gap in batch and streaming alike") {
+    val s = spark
+    import s.implicits._
+    // Batch execution of the same session_window expression: gap 100s.
+    val df = Seq(
+      ("u1", 0L), ("u1", 50L), ("u1", 120L), // one session: each gap < 100
+      ("u1", 500L),                          // new session (gap 380 >= 100)
+      ("u2", 10L)
+    ).toDF("user", "sec").select($"user", timestamp_seconds($"sec").as("ts"))
+    val sessions = StreamOps
+      .session(df, $"ts", "100 seconds", Seq($"user"), Seq(count(lit(1)).as("n")))
+      .select($"user", unix_timestamp($"session_window.start").as("start"), $"n")
+      .orderBy($"user", $"start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sessions.toSeq === Seq(("u1", 0L, 3L), ("u1", 500L, 1L), ("u2", 10L, 1L)))
+  }
+}
