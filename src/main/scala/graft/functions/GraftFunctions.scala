@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.{call_function, lit}
 
@@ -33,12 +33,22 @@ object GraftFunctions {
         s"$fn: schema argument must be a string literal, got $other")
   }
 
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: argument must be an int literal, got $other")
+  }
+
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => DotProduct(args(0), args(1))),
     "graft_norm" -> (args => L2Norm(args(0))),
     "graft_cosine" -> (args => CosineSimilarity(args(0), args(1))),
     "graft_to_avro" -> (args => AvroEncodeDatum(args(0))),
     "graft_from_avro" -> (args => AvroDecodeDatum(args(0), litString(args(1), "graft_from_avro"))),
+    "graft_minhash" -> (args => MinHashSig(args(0), litInt(args(1), "graft_minhash"))),
+    "graft_simhash_bits" -> (args => SimHashBits(args(0))),
+    "graft_shingles" -> (args => ShingleExplode(args(0), litInt(args(1), "graft_shingles"))),
     "graft_to_avro_file" -> (args => AvroEncodeContainer(args(0))),
     "graft_from_avro_file" ->
       (args => AvroDecodeContainer(args(0), litString(args(1), "graft_from_avro_file")))
@@ -58,6 +68,9 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def norm(a: Column): Column = call_function("graft_norm", a)
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def minhash(arr: Column, k: Int): Column = call_function("graft_minhash", arr, lit(k))
+  def simhashBits(arr: Column): Column = call_function("graft_simhash_bits", arr)
+  def shingles(text: Column, n: Int): Column = call_function("graft_shingles", text, lit(n))
   def toAvro(s: Column): Column = call_function("graft_to_avro", s)
   def fromAvro(b: Column, schemaJson: String): Column =
     call_function("graft_from_avro", b, lit(schemaJson))

@@ -38,24 +38,18 @@ object TextOps {
     * Permutation i is xxhash64(h, i) — k independent 64-bit hash families
     * without materializing (a_i, b_i) coefficient tables.
     *
-    * ONE aggregate pass with a k-element running-min accumulator, so
-    * `elementHashes` is referenced exactly once. The transposed form
-    * (`transform(sequence(1,k), i => array_min(transform(hashes, ...)))`)
-    * references the array inside the outer lambda, and Catalyst re-evaluates
-    * a lambda-captured expression tree on EVERY iteration — if the caller's
-    * shingle pipeline gets project-collapsed into it, that's k=64 full
-    * tokenize→shingle→hash passes per row (the round-1 477 s scale-killer).
+    * Backed by the codegen'd [[graft.functions.MinHashSig]] expression: one
+    * primitive long[] loop per row, referencing the input array exactly
+    * once. (The transposed HOF form — `transform(sequence(1,k), i =>
+    * array_min(transform(hashes, ...)))` — re-evaluates a lambda-captured
+    * expression tree on EVERY iteration; with the caller's shingle pipeline
+    * project-collapsed into it that was k=64 full tokenize→shingle→hash
+    * passes per row, the round-1 477 s scale-killer.)
     *
-    * Hash family values are identical to the transposed form
-    * (xxhash64(h, i) for i in 1..k), so signatures and recall bounds are
-    * unchanged. Empty input yields a Long.MaxValue-filled signature.
+    * Empty input yields a Long.MaxValue-filled signature.
     */
   def minhashSignature(elementHashes: Column, k: Int): Column =
-    aggregate(
-      elementHashes,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => transform(acc, (m, i) => least(m, xxhash64(h, i + lit(1))))
-    )
+    graft.functions.GraftFunctions.minhash(elementHashes, k)
 
   /** LSH band keys for a MinHash signature: b bands of r rows each;
     * band j key = xxhash64(sig[j*r+1 .. j*r+r], j). Docs sharing any band
@@ -69,18 +63,12 @@ object TextOps {
 
   /** SimHash bit vector (64 elements of 0/1) over token hashes: bit i is
     * set iff the sum over tokens of ±1 (sign of token-hash bit i) is > 0.
-    *
-    * ONE aggregate pass with a 64-element counter accumulator — the naive
-    * formulation (64 independent aggregates, one per bit) re-walks the
-    * token-hash array 64× per row. Takes the NAME of an array<bigint>
-    * column (SQL expr — the Scala `shiftright` API only accepts a literal
-    * shift amount, the SQL function accepts the lambda variable).
+    * Backed by the codegen'd [[graft.functions.SimHashBits]] expression —
+    * one primitive counter loop per row (the HOF accumulator formulation
+    * allocated a boxed 64-element array per token).
     */
   def simhashBits(tokenHashCol: String): Column =
-    expr(s"""transform(
-      aggregate($tokenHashCol, array_repeat(CAST(0 AS BIGINT), 64),
-        (acc, h) -> transform(acc, (a, i) -> a + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1 ELSE -1 END)),
-      c -> CASE WHEN c > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")
+    graft.functions.GraftFunctions.simhashBits(col(tokenHashCol))
 
   /** Pack a 64-element 0/1 array into one signed long (wrapping is fine —
     * it's an opaque fingerprint).

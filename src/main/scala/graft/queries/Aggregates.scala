@@ -91,6 +91,38 @@ object Aggregates extends QuerySet {
       .orderBy($"status", $"priority")
   }
 
+  /** Explicit GROUPING SETS: an arbitrary set list — (status, priority),
+    * (priority), () — not expressible as one rollup/cube. Uses the
+    * first-class `Dataset.groupingSets` API (Spark 4).
+    */
+  val qGroupingSets: GQuery = GQuery(
+    "q_agg_grouping_sets",
+    Some(s"""
+      SELECT COALESCE(o_orderstatus, '(all)') AS status,
+             COALESCE(o_orderpriority, '(all)') AS priority,
+             COUNT(*) AS n_orders,
+             ${sqlSum("o_totalprice")} AS total_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).orders
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus",
+        $"o_orderpriority"
+      )
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+      .select(
+        coalesce($"o_orderstatus", lit("(all)")).as("status"),
+        coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+        $"n_orders",
+        $"total_price"
+      )
+      .orderBy($"status", $"priority")
+  }
+
   /** Conditional aggregation: CASE-gated sums in one pass. */
   val qConditional: GQuery = GQuery(
     "q_agg_conditional",
@@ -176,6 +208,6 @@ object Aggregates extends QuerySet {
   }
 
   override def queries: Seq[GQuery] = Seq(
-    qDistinct, qRollup, qCube, qConditional, qCollect, qApproxDistinct, qMinMax
+    qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct, qMinMax
   )
 }

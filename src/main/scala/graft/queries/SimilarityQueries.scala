@@ -57,5 +57,34 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"query_id", $"rank")
   }
 
-  override def queries: Seq[GQuery] = Seq(qBruteForce, qLsh)
+  /** Per-label embedding centroid via the custom [[graft.functions.CentroidAgg]]
+    * Aggregator (UDAF) — the coarse-quantizer step of IVF-style ANN.
+    * Both engines round to 4dp: double summation order differs between
+    * partition-parallel partial aggregation and DuckDB's scan order, so
+    * results agree to ~1 ulp, far inside the rounding tolerance.
+    */
+  val qCentroid: GQuery = GQuery(
+    "q_agg_centroid",
+    Some("""
+      SELECT label, list(round(avg_v, 4) ORDER BY idx) AS centroid
+      FROM (
+        SELECT label, i AS idx, avg(CAST(e AS DOUBLE)) AS avg_v
+        FROM (SELECT label,
+                     unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY label, i)
+      GROUP BY label
+      ORDER BY label""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val centroid = udaf(new graft.functions.CentroidAgg(64))
+    t(spark, dir).embeddings
+      .groupBy($"label")
+      .agg(centroid($"embedding").as("c"))
+      .select($"label", transform($"c.values", x => round(x, 4)).as("centroid"))
+      .orderBy($"label")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qBruteForce, qLsh, qCentroid)
 }

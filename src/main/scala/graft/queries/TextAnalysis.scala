@@ -192,6 +192,36 @@ object TextAnalysis extends QuerySet {
       .limit(50)
   }
 
+  /** Top document-frequency shingles via the custom [[graft.functions.ShingleExplode]]
+    * Generator (UDTF) — one output row per distinct 3-gram per document,
+    * generated in a single pass over the text (no intermediate arrays).
+    * Deterministic order: df desc, then shingle.
+    */
+  val qShingleExplode: GQuery = GQuery(
+    "q_gen_shingles",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3)
+      SELECT s AS shingle, COUNT(*) AS df
+      FROM sh GROUP BY s
+      ORDER BY df DESC, shingle
+      LIMIT 25""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).documents
+      .select($"doc_id", graft.functions.GraftFunctions.shingles($"text", 3))
+      .groupBy($"shingle")
+      .agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"shingle")
+      .limit(25)
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq)
+    Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode)
 }

@@ -116,5 +116,14 @@ final class GraftApp(val spark: SparkSession, val name: String, val checkpointRo
 
   def query(name: String): Option[StreamingQuery] = running.get(name)
 
+  /** Latest micro-batch progress — the reference's consumer-statistics
+    * surface (librdkafka stats → CStatistics, callysto/src/kafka/
+    * contexts.rs:12-56; throughput self-instrumentation in
+    * examples/src/double-agent.rs:36-48). `inputRowsPerSecond` /
+    * `numInputRows` are the engine-native counters.
+    */
+  def progress(name: String): Option[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    running.get(name).flatMap(q => Option(q.lastProgress))
+
   def registered: Seq[String] = agents.keys.toSeq
 }

@@ -63,4 +63,14 @@ object StreamOps {
     */
   def dedupWithinWatermark(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicatesWithinWatermark(cols)
+
+  /** Stream-stream join. Both sides MUST be watermarked and `cond` must
+    * include an event-time bound (equi-key AND time range) — that is what
+    * lets Spark evict join state: a buffered row is dropped once the other
+    * side's watermark passes its time bound. Without the range the state
+    * grows without bound at 100 TB/day ingest. Outer sides emit their
+    * null-padded rows when the watermark closes the bound.
+    */
+  def streamJoin(left: DataFrame, right: DataFrame, cond: Column, joinType: String = "inner"): DataFrame =
+    left.join(right, cond, joinType)
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Extension surface: codegen sketch expressions (MinHashSig, SimHashBits),
+  * the ShingleExplode Generator, and the CentroidAgg Aggregator.
+  */
+class ExtensionSpec extends SparkSpec {
+
+  test("MinHashSig matches the HOF xxhash64 formulation exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Seq(11L, 22L, 33L), Seq(7L), Seq.empty[Long]).toDF("h")
+    val k = 8
+    val hof = aggregate(
+      $"h",
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => transform(acc, (m, i) => least(m, xxhash64(h, i + lit(1))))
+    )
+    val rows = df
+      .select(GraftFunctions.minhash($"h", k).as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // empty input → MaxValue-filled signature
+    assert(rows(2).getSeq[Long](0) === Seq.fill(k)(Long.MaxValue))
+  }
+
+  test("SimHashBits sets bit i by majority of token-hash bit i") {
+    val s = spark
+    import s.implicits._
+    // two of three hashes have bit 0 set (1L, 3L) → bit 0 = 1;
+    // only one has bit 1 set (3L = 0b11) → bit 1 = 0
+    val bits = Seq(Tuple1(Seq(1L, 3L, 4L)))
+      .toDF("h")
+      .select(GraftFunctions.simhashBits($"h").as("b"))
+      .collect()(0)
+      .getSeq[Long](0)
+    assert(bits.length === 64)
+    assert(bits(0) === 1L)
+    assert(bits(1) === 0L)
+    assert(bits(2) === 0L) // only 4L has bit 2: count = -1-1+1 < 0
+  }
+
+  test("ShingleExplode emits distinct normalized n-grams with short-doc fallback") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "The  quick brown FOX the quick brown fox"),
+      (2L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = df
+      .select($"doc_id", GraftFunctions.shingles($"text", 3))
+      .as[(Long, String)]
+      .collect()
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    // 6 trigram positions but duplicates collapse; normalization lowercases
+    assert(out(1L) === Set(
+      "the quick brown", "quick brown fox", "brown fox the", "fox the quick"))
+    assert(out(2L) === Set("tiny doc")) // < n tokens → whole text
+  }
+
+  test("CentroidAgg computes elementwise means per group") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)),
+      ("a", Seq(3.0f, 6.0f)),
+      ("b", Seq(10.0f, 20.0f))
+    ).toDF("g", "v")
+    val centroid = udaf(new graft.functions.CentroidAgg(2))
+    val out = df
+      .groupBy($"g")
+      .agg(centroid($"v").as("c"))
+      .select($"g", $"c.values")
+      .as[(String, Seq[Double])]
+      .collect()
+      .toMap
+    assert(out("a") === Seq(2.0, 4.0))
+    assert(out("b") === Seq(10.0, 20.0))
+  }
+}
