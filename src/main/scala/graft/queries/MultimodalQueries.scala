@@ -3,12 +3,14 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import Common._
-import graft.operators.Multimodal
+import graft.operators.{MediaCodec, Multimodal}
 
-/** Multimodal-column inventory: binary payload plumbing + (stubbed)
-  * decode metadata + frame sampling. The decode itself is a deterministic
-  * fake (no codecs in this container — see Multimodal.fakeDecode); the
-  * schema, mapPartitions batch shape, and partition parallelism are real.
+/** Multimodal-column inventory. Two tiers:
+  *   - generic binary plumbing with a deterministic fake decode
+  *     (Multimodal.fakeDecode — models codecs this container lacks);
+  *   - REAL codecs (MediaCodec): actual PNG encode/decode via the JDK's
+  *     ImageIO with pixel math, bilinear resize, and RIFF/WAVE PCM
+  *     parsing — all oracle-checked through deterministic generation.
   */
 object MultimodalQueries extends QuerySet {
 
@@ -78,5 +80,79 @@ object MultimodalQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
-  override def queries: Seq[GQuery] = Seq(qBytes, qMeta, qFrames)
+  /** REAL image decode: render an actual PNG per doc (solid fill, size and
+    * color deterministic in doc_id), decode it with the JDK's ImageIO, and
+    * report true dimensions, container format, and the mean luma computed
+    * from the DECODED pixels. The oracle recomputes the expected values
+    * from the same doc_id formulas — a hash match proves a real compressed
+    * container round-trip, not an echo.
+    */
+  val qImageDecode: GQuery = GQuery(
+    "q_multimodal_image_decode",
+    Some("""
+      SELECT doc_id,
+             CAST(16 + doc_id % 48 AS INT) AS width,
+             CAST(16 + (doc_id // 48) % 48 AS INT) AS height,
+             'png' AS format,
+             299 * (doc_id % 256) + 587 * ((doc_id // 7) % 256)
+               + 114 * ((doc_id // 13) % 256) AS mean_luma_milli
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    MediaCodec
+      .decodeImages(MediaCodec.syntheticImages(t(spark, dir).documents))
+      .select($"doc_id", $"width", $"height", $"format", $"mean_luma_milli")
+      .orderBy($"doc_id")
+  }
+
+  /** Resize (real bilinear raster op + PNG re-encode) then decode: output
+    * dims are the thumbnail's; solid fill means the mean luma survives the
+    * interpolation exactly.
+    */
+  val qImageResize: GQuery = GQuery(
+    "q_multimodal_image_resize",
+    Some("""
+      SELECT doc_id,
+             CAST(8 AS INT) AS width,
+             CAST(8 AS INT) AS height,
+             299 * (doc_id % 256) + 587 * ((doc_id // 7) % 256)
+               + 114 * ((doc_id // 13) % 256) AS mean_luma_milli
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    MediaCodec
+      .decodeImages(
+        MediaCodec.resizeImages(MediaCodec.syntheticImages(t(spark, dir).documents), 8, 8))
+      .select($"doc_id", $"width", $"height", $"mean_luma_milli")
+      .orderBy($"doc_id")
+  }
+
+  /** REAL audio decode: RIFF/WAVE PCM synth per doc → header + sample
+    * parse → rate/duration/RMS (integer-exact for the square wave).
+    */
+  val qAudioDecode: GQuery = GQuery(
+    "q_multimodal_audio_decode",
+    Some("""
+      SELECT doc_id,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(1 AS INT) AS channels,
+             CAST(16 AS INT) AS bits_per_sample,
+             800 + doc_id % 1600 AS n_samples,
+             (800 + doc_id % 1600) * 1000 // 8000 AS duration_ms,
+             1000 + doc_id % 20000 AS rms_amplitude
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    MediaCodec
+      .decodeWavs(MediaCodec.syntheticWavs(t(spark, dir).documents))
+      .select($"doc_id", $"sample_rate", $"channels", $"bits_per_sample",
+        $"n_samples", $"duration_ms", $"rms_amplitude")
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qBytes, qMeta, qFrames, qImageDecode, qImageResize, qAudioDecode)
 }

@@ -90,6 +90,8 @@ final class GraftApp(val spark: SparkSession, val name: String, val checkpointRo
           .start()
       case GraftSink.Jdbc(url, table, batchSize) =>
         base.foreachBatch(Sinks.jdbcWriteBatch(url, table, batchSize) _).start()
+      case GraftSink.Elastic(index, idCol, transport, perBulk) =>
+        base.foreachBatch(EsSink.bulkWriter(index, idCol, transport, perBulk) _).start()
     }
     running += name -> q
     q

@@ -39,6 +39,16 @@ object GraftSink {
 
   /** JDBC batch-upsert sink (CPostgresSink parity). */
   final case class Jdbc(url: String, table: String, batchSize: Int = 500) extends GraftSink
+
+  /** Elasticsearch-style bulk-index sink (CElasticSearchSink parity);
+    * `transport` posts one `_bulk` ndjson body (see [[EsSink]]).
+    */
+  final case class Elastic(
+      index: String,
+      idCol: String,
+      transport: EsSink.Transport,
+      actionsPerBulk: Int = 500
+  ) extends GraftSink
 }
 
 object Sinks {

@@ -51,6 +51,39 @@ class SinksSpec extends SparkSpec {
     assert(vals.toSeq === Seq("hello", "world"))
   }
 
+  test("elastic sink emits well-formed _bulk ndjson with one action per row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // capture must go through a STATIC holder: the transport closure is
+    // serialized to executors, so a captured local queue would be a copy
+    SinksSpec.esBodies.clear()
+    val bodies = SinksSpec.esBodies
+    val transport: EsSink.Transport = body => { SinksSpec.esBodies.add(body); () }
+    val in = MemoryStream[(Long, String)]
+    val app = new GraftApp(s, "es-app", Files.createTempDirectory("graft-es").toString)
+    // actionsPerBulk 2 forces chunking: 5 rows -> >= 3 transport calls
+    app.agent("indexer", () => in.toDF(), GraftSink.Elastic("docs", "id", transport, 2),
+      outputMode = "append")(_.toDF("id", "body"))
+    app.start("indexer")
+    in.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    app.processAllAvailable("indexer")
+    app.stop("indexer")
+
+    import scala.jdk.CollectionConverters._
+    val lines = bodies.asScala.toList.flatMap(_.split("\n"))
+    val actions = lines.grouped(2).toList
+    assert(actions.size === 5)
+    val ids = actions.map(_.head).map { meta =>
+      assert(meta.startsWith("""{"index":{"_index":"docs","_id":""""))
+      meta.replaceAll(""".*"_id":"(\d+)".*""", "$1").toLong
+    }.sorted
+    assert(ids === List(1L, 2L, 3L, 4L, 5L))
+    // each doc line is the full row as JSON
+    assert(lines.exists(_.contains(""""body":"c"""")))
+  }
+
   test("parquet sink appends streaming output to files") {
     val s = spark
     import s.implicits._
@@ -68,4 +101,8 @@ class SinksSpec extends SparkSpec {
 
     assert(s.read.parquet(dir).count() === 3L)
   }
+}
+
+object SinksSpec {
+  val esBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
