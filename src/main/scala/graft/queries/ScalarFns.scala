@@ -201,5 +201,42 @@ object ScalarFns extends QuerySet {
       .orderBy($"event_type")
   }
 
-  override def queries: Seq[GQuery] = Seq(qString, qRegex, qDate, qMath, qArray, qJson)
+  /** Map-function suite: construction, lookup, keys/values, concat, and
+    * the from_json MapType decode path. The oracle computes each output
+    * directly (map semantics are deterministic functions of the inputs),
+    * so any drift in Spark's map ops breaks the hash.
+    */
+  val qMap: GQuery = GQuery(
+    "q_fn_map",
+    Some("""
+      SELECT event_id,
+             2 AS m_size,
+             value * 2 AS b_val,
+             'a,b' AS keys_sorted,
+             value + value * 2 AS vals_sum,
+             CAST(1.5 AS DOUBLE) AS c_val,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map
+      FROM events
+      ORDER BY event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val m = map(lit("a"), $"value", lit("b"), $"value" * 2)
+    t(spark, dir).events
+      .select(
+        $"event_id",
+        size(m).as("m_size"),
+        element_at(m, "b").as("b_val"),
+        concat_ws(",", array_sort(map_keys(m))).as("keys_sorted"),
+        aggregate(map_values(m), lit(0.0), (acc, v) => acc + v).as("vals_sum"),
+        element_at(map_concat(m, map(lit("c"), lit(1.5))), "c").as("c_val"),
+        element_at(
+          from_json($"props", org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)),
+          "k"
+        ).as("k_from_map")
+      )
+      .orderBy($"event_id")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap)
 }

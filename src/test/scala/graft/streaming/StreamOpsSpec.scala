@@ -91,6 +91,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids === List(1L, 2L, 3L)) // each id exactly once, dups dropped
   }
 
+  test("dropDuplicatesWithinWatermark expires dedup state by event time") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, Long)] // (id, epochSec)
+    val rows = mutable.ArrayBuffer.empty[Row]
+    val src = input.toDF().select($"_1".as("id"), timestamp_seconds($"_2").as("ts"))
+    val q = StreamOps
+      .dedupWithinWatermark(StreamOps.watermarked(src, "ts", "10 seconds"), Seq("id"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ddw").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }; ()
+      }
+      .start()
+
+    // two deliveries of id=1 within the watermark delay → one survivor
+    input.addData((1L, 100L), (1L, 105L), (2L, 100L))
+    q.processAllAvailable()
+    assert(rows.toList.map(_.getLong(0)).sorted === List(1L, 2L))
+
+    // march the watermark far past id=1's state, then redeliver id=1 much
+    // later: dedup state has expired, so it's a NEW event, not a duplicate
+    input.addData((9L, 5000L))
+    q.processAllAvailable()
+    input.addData((8L, 5100L))
+    q.processAllAvailable()
+    input.addData((1L, 6000L))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows.toList.map(_.getLong(0)).count(_ == 1L) === 2)
+  }
+
   test("session window merges events within the gap in batch and streaming alike") {
     val s = spark
     import s.implicits._
