@@ -140,10 +140,96 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
+    * scale path: k-means-style centroids partition the corpus into nlist
+    * cells; queries probe only their nprobe nearest cells, so the scored
+    * candidate volume is ~nprobe/nlist of the corpus instead of all of it.
+    *
+    * Training is spherical k-means (two Lloyd iterations from a
+    * deterministic id % nlist seeding) via the engine's CentroidAgg UDAF —
+    * at 100 TB you'd train on a sample with more iterations; the
+    * cell-assign/probe/score machinery is identical. Centroids are tiny (nlist × dim floats):
+    * collected once, shipped as a literal, so assignment is a narrow
+    * codegen'd map — the only shuffle is the (cell, id) candidate
+    * equi-join, skew-handled by AQE.
+    */
+  def ivfTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nList: Int = 16,
+      nProbe: Int = 6
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.udaf
+    val centroidAgg = udaf(new graft.functions.CentroidAgg(64))
+
+    // cell score list against a given centroid set: (cosine, cell id)
+    def scoresFor(cents: Array[Seq[Float]])(vec: Column): Column =
+      array(cents.zipWithIndex.map { case (c, i) =>
+        struct(cosine(vec, typedlit(c)).as("s"), lit(i).as("cell"))
+      }: _*)
+
+    // Empty cells are DROPPED, not zero-filled: cosine against a zero
+    // vector is NaN, and NaN sorts above every double in Spark, so a
+    // zero-filled dead cell would win every argmax.
+    def trainStep(assignCell: Column): Array[Seq[Float]] = {
+      candidates
+        .select(assignCell.as("cell"), col(vecCol).as("v"))
+        .groupBy(col("cell"))
+        .agg(centroidAgg(col("v")).as("c"))
+        .select(col("cell"), col("c.values").as("vals"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat))
+        .sortBy(_._1)
+        .map(_._2)
+        .toArray
+    }
+
+    // Lloyd iterations from deterministic seeding; centroids are tiny, so
+    // each step is one aggregate job + a driver collect
+    var cents = trainStep((col(idCol) % nList).cast("int"))
+    var it = 0
+    while (it < 2) {
+      cents = trainStep(array_max(scoresFor(cents)(col(vecCol))).getField("cell"))
+      it += 1
+    }
+
+    def cellScores(vec: Column): Column = scoresFor(cents)(vec)
+
+    val cand = candidates.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("nvec"),
+      array_max(cellScores(col(vecCol))).getField("cell").as("cell")
+    )
+    // queries probe their nProbe best cells
+    val q = broadcast(
+      queries
+        .select(
+          col(idCol).as("query_id"),
+          col(vecCol).as("qvec"),
+          explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe)).as("probe")
+        )
+        .select(col("query_id"), col("qvec"), col("probe.cell").as("cell"))
+    )
+    val scored = cand
+      .join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("nvec")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Exact near-duplicate pairs within a blocking key (e.g. a label or
     * cluster id): pairs are generated per block via equi-join, scored in
     * double, thresholded. Blocking bounds the quadratic term to the block
-    * size; at scale the block key would come from LSH/IVF assignment.
+    * size; at scale the block key would come from LSH/IVF assignment —
+    * see [[ivfTopK]] for the IVF cell assignment this composes with.
     */
   def blockedCosinePairs(
       vectors: DataFrame,

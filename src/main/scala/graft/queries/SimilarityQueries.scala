@@ -86,5 +86,17 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"label")
   }
 
-  override def queries: Seq[GQuery] = Seq(qBruteForce, qLsh, qCentroid)
+  /** IVF coarse-quantized approximate top-k (nlist=16, nprobe=6) — the
+    * second ANN scale path next to sign-LSH. Rows-only (cell assignment
+    * is engine-specific); recall vs brute force asserted in SimilaritySpec.
+    */
+  val qIvf: GQuery = GQuery("q_ann_ivf", None) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    Similarity
+      .ivfTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qBruteForce, qLsh, qCentroid, qIvf)
 }

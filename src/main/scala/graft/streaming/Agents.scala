@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Agent lifecycle states — the reference's `Service` state machine
@@ -68,6 +68,26 @@ final class GraftApp(val spark: SparkSession, val name: String, val checkpointRo
     * the streaming queries spin up.
     */
   def task(f: SparkSession => Unit): this.type = { f(spark); this }
+
+  /** Stateful agent with an attached table — `app.table_agent` parity
+    * (reference: callysto/src/app.rs:302-325, types/table_agent.rs:116-179):
+    * the closure maps incoming frames to table ops; the agent applies them
+    * to keyed state and forwards the applied changelog to the sink —
+    * exactly the message→`table.set(...)`→changelog flow of the reference's
+    * table examples (examples/src/inmemory.rs:15-23).
+    */
+  def tableAgent[K, V](
+      name: String,
+      source: () => DataFrame,
+      sink: GraftSink,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
+  )(toOps: DataFrame => Dataset[StateOp[K, V]])(implicit
+      kEnc: org.apache.spark.sql.Encoder[K],
+      vEnc: org.apache.spark.sql.Encoder[V],
+      cEnc: org.apache.spark.sql.Encoder[StateChange[K, V]]
+  ): this.type =
+    agent(name, source, sink, trigger, outputMode = "update")(df =>
+      StateTable.changes(toOps(df)).toDF())
 
   def start(name: String): StreamingQuery = {
     val a = agents.getOrElse(name, throw new NoSuchElementException(s"no agent '$name'"))

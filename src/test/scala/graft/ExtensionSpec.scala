@@ -64,6 +64,22 @@ class ExtensionSpec extends SparkSpec {
     assert(out(2L) === Set("tiny doc")) // < n tokens → whole text
   }
 
+  test("approx_count_distinct lands within 5% of the exact distinct count") {
+    val s = spark
+    import s.implicits._
+    val df = graft.sources.Tables(s, sf).lineitem
+    val row = df
+      .agg(
+        countDistinct($"l_partkey").as("exact"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx")
+      )
+      .collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"HLL estimate $approx vs exact $exact drifted > 5%")
+  }
+
   test("CentroidAgg computes elementwise means per group") {
     val s = spark
     import s.implicits._

@@ -29,6 +29,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("ivf top-k achieves >=50% recall@5 vs brute force with 6/16 cells probed") {
+    val queries = emb.filter($"vec_id" < 8)
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val approx = Similarity
+      .ivfTopK(emb, queries, "vec_id", "embedding", 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall@5 = $recall")
+  }
+
   test("brute force ranks are 1..k per query") {
     val res = Similarity
       .bruteForceTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", 5)

@@ -88,6 +88,41 @@ class AgentsSpec extends SparkSpec {
     assert(counts.get("k") === 5L)
   }
 
+  test("table agent routes messages into keyed state and emits the changelog (inmemory.rs parity)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[Long]
+    val changes = new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[Long])]()
+    val app = new GraftApp(s, "table-app", Files.createTempDirectory("graft-ta").toString)
+    // even/odd routing into a table, like examples/src/inmemory.rs:15-23:
+    // even numbers upsert under key "even-<n%4>", odd ones delete that slot
+    app.tableAgent[String, Long](
+      "evens",
+      () => in.toDF(),
+      GraftSink.ForeachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          changes.add((r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))))
+        ()
+      }
+    ) { df =>
+      df.as[Long].map { n =>
+        if (n % 2 == 0) StateOp.set(s"slot-${n % 4}", n) else StateOp.del[String, Long](s"slot-${n % 4}")
+      }
+    }
+    app.start("evens")
+    in.addData(0L, 2L, 3L, 4L)
+    app.processAllAvailable("evens")
+    app.stop("evens")
+
+    import scala.jdk.CollectionConverters._
+    val byKey = changes.asScala.toList.groupBy(_._1)
+    assert(byKey("slot-0").map(_._2).toSet === Set(Some(0L), Some(4L))) // two upserts
+    assert(byKey("slot-2").map(_._2) === List(Some(2L)))
+    assert(byKey("slot-3").map(_._2) === List(None)) // odd 3 → tombstone
+  }
+
   test("task runs driver-side work at registration (task parity)") {
     var ran = false
     val app = new GraftApp(spark, "tasker", Files.createTempDirectory("graft-task").toString)
