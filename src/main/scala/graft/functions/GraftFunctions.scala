@@ -49,6 +49,9 @@ object GraftFunctions {
     "graft_minhash" -> (args => MinHashSig(args(0), litInt(args(1), "graft_minhash"))),
     "graft_simhash_bits" -> (args => SimHashBits(args(0))),
     "graft_shingles" -> (args => ShingleExplode(args(0), litInt(args(1), "graft_shingles"))),
+    "graft_shingle_hashes" ->
+      (args => ShingleHashes(args(0), litInt(args(1), "graft_shingle_hashes"))),
+    "graft_token_hashes" -> (args => TokenHashes(args(0))),
     "graft_to_avro_file" -> (args => AvroEncodeContainer(args(0))),
     "graft_from_avro_file" ->
       (args => AvroDecodeContainer(args(0), litString(args(1), "graft_from_avro_file")))
@@ -71,6 +74,9 @@ object GraftFunctions {
   def minhash(arr: Column, k: Int): Column = call_function("graft_minhash", arr, lit(k))
   def simhashBits(arr: Column): Column = call_function("graft_simhash_bits", arr)
   def shingles(text: Column, n: Int): Column = call_function("graft_shingles", text, lit(n))
+  def shingleHashes(text: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", text, lit(n))
+  def tokenHashes(text: Column): Column = call_function("graft_token_hashes", text)
   def toAvro(s: Column): Column = call_function("graft_to_avro", s)
   def fromAvro(b: Column, schemaJson: String): Column =
     call_function("graft_from_avro", b, lit(schemaJson))

@@ -45,30 +45,8 @@ case class ShingleExplode(child: Expression, n: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)
     if (raw == null) return Iterator.empty
-    // single-pass normalize + tokenize
-    val text = raw.asInstanceOf[UTF8String].toString
-    val tokens = mutable.ArrayBuffer.empty[String]
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (Character.isWhitespace(c)) {
-        if (sb.length > 0) { tokens += sb.toString; sb.setLength(0) }
-      } else sb.append(Character.toLowerCase(c))
-      i += 1
-    }
-    if (sb.length > 0) tokens += sb.toString
-
-    val out = mutable.LinkedHashSet.empty[String]
-    if (tokens.length < n) out += tokens.mkString(" ")
-    else {
-      var j = 0
-      while (j + n <= tokens.length) {
-        out += tokens.slice(j, j + n).mkString(" ")
-        j += 1
-      }
-    }
-    out.iterator.map(s => InternalRow(UTF8String.fromString(s)))
+    val toks = TextTokenize.tokens(raw.asInstanceOf[UTF8String].toString)
+    TextTokenize.shingleSet(toks, n).iterator.map(s => InternalRow(UTF8String.fromString(s)))
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =

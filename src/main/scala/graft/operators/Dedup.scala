@@ -54,7 +54,7 @@ object Dedup {
     // scale-killer (477 s for 5k docs).
     val hashes = docs.select(
       col(idCol).as("id"),
-      hashed(shingles(tokens(col(textCol)), shingleN)).as("eh")
+      graft.functions.GraftFunctions.shingleHashes(col(textCol), shingleN).as("eh")
     )
     // Stage 2: (id, sig) — k longs per doc. localCheckpoint materializes it
     // once so the band join and pair scoring both read the tiny signature
@@ -111,7 +111,7 @@ object Dedup {
     // Same shape as minhashPairs: materialized signature table, id-only
     // band join, pair-dedup before the hamming verification.
     val sigs = docs
-      .withColumn("__th", hashed(tokens(col(textCol))))
+      .withColumn("__th", graft.functions.GraftFunctions.tokenHashes(col(textCol)))
       .select(col(idCol).as("id"), simhashBits("__th").as("bits"))
       .localCheckpoint()
     val chunked = sigs
@@ -155,7 +155,8 @@ object Dedup {
     // the df-cap computation, both self-join sides, and the size table;
     // left lazy, the tokenize→shingle pipeline would run 4-5×.
     val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(tokens(col(textCol)), shingleN)).as("s"))
+      .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
+      .select(col("id"), col("shingle").as("s"))
       .localCheckpoint()
     val filtered =
       if (maxDocFreq > 0) {

@@ -293,6 +293,46 @@ object Relational extends QuerySet {
       .orderBy($"p_brand")
   }
 
+  /** Interval (event-time range) join — the batch analog of the
+    * watermarked stream-stream join (StreamOps.streamJoin): purchases
+    * matched to the same user's clicks within the following hour. Both
+    * sides truncate ts to µs so boundary arithmetic agrees with the
+    * oracle; the join is equi-key (user_id) + time-range residual, which
+    * is exactly the state-evictable shape streaming requires.
+    */
+  val qJoinInterval: GQuery = GQuery(
+    "q_join_interval",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      SELECT p.user_id,
+             p.event_id AS purchase_id,
+             COUNT(c.event_id) AS clicks_within_1h
+      FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = t(spark, dir).events.select(
+      $"user_id", $"event_id", $"event_type", tsFromNanos($"ts").as("ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+    p.join(
+        c,
+        $"user_id" === $"c_user" &&
+          $"c_ts" > $"p_ts" && $"c_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"),
+        "left_outer"
+      )
+      .groupBy($"user_id", $"purchase_id")
+      .agg(count($"click_id").as("clicks_within_1h"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     q1PricingSummary,
     q6Revenue,
@@ -303,6 +343,7 @@ object Relational extends QuerySet {
     qJoinSemi,
     qJoinAnti,
     qJoinFull,
-    qJoinTheta
+    qJoinTheta,
+    qJoinInterval
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape regression guards: the properties that make the headline
+  * queries scale are asserted on the optimized physical plan, so a future
+  * edit can't silently trade them away (a filter that stops reaching the
+  * parquet scan, a broadcast that degrades to a shuffle, a pruned column
+  * set that widens).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: filters are pushed into the parquet scan and the read schema is pruned") {
+    val p = planOf("q6_forecast_revenue")
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range not pushed to scan")
+    assert(p.contains("LessThan(l_quantity"), "quantity filter not pushed to scan")
+    // projection pruning: 4 of 16 lineitem columns read
+    assert(
+      p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      s"lineitem scan is not pruned to the 4 needed columns")
+  }
+
+  test("q5: every dimension join is broadcast (no shuffle joins at dimension size)") {
+    val p = planOf("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("SortMergeJoin"), "a dimension join degraded to sort-merge")
+  }
+
+  test("q1: aggregation is partial (map-side combine) with only agg + sort shuffles") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (agg, sort), found $exchanges")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = planOf("q_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side is not broadcast")
+  }
+
+  test("similarity scoring runs the codegen'd cosine expression, not HOF folds") {
+    val p = planOf("q_ann_bruteforce")
+    assert(p.contains("graft_cosine"), "custom CosineSimilarity expression not in plan")
+  }
+}
