@@ -11,6 +11,7 @@ object Registry {
     SetOps,
     ScalarFns,
     TextAnalysis,
+    Subqueries,
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,

@@ -1,0 +1,95 @@
+package graft.queries
+
+import Common._
+
+/** Subquery surface — correlated scalar, EXISTS, and IN — expressed through
+  * the engine's SQL entry point (`spark.sql` over registered views) so the
+  * parser/analyzer path is exercised alongside the DataFrame API. Catalyst
+  * rewrites each into the usual join shapes (scalar → aggregate + join,
+  * EXISTS/IN → left-semi), so the 100 TB story is the join story.
+  *
+  * The reference has no subqueries (no SQL at all — SURVEY.md §2.5); these
+  * are part of the relational surface the Spark engine adds.
+  */
+object Subqueries extends QuerySet {
+
+  private def withViews(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Seq("part", "supplier", "orders", "lineitem", "customer").foreach { n =>
+      t(spark, dir).table(n).createOrReplaceTempView(n)
+    }
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems under 30% of
+    * their part's average quantity.
+    */
+  val qScalarCorrelated: GQuery = GQuery(
+    "q_subquery_scalar",
+    Some(s"""
+      SELECT l_partkey,
+             COUNT(*) AS n_small,
+             ${sqlSum("l_extendedprice")} AS small_revenue
+      FROM lineitem l1
+      WHERE l_quantity < 0.3 * (SELECT AVG(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+      GROUP BY l_partkey
+      ORDER BY l_partkey""")
+  ) { (spark, dir) =>
+    withViews(spark, dir)
+    spark.sql(s"""
+      SELECT l_partkey,
+             COUNT(*) AS n_small,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS small_revenue
+      FROM lineitem l1
+      WHERE l_quantity < 0.3 * (SELECT AVG(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+      GROUP BY l_partkey
+      ORDER BY l_partkey""")
+  }
+
+  /** EXISTS (TPC-H Q4 shape): orders with at least one returned,
+    * deeply-discounted lineitem (this corpus has no receipt/commit dates).
+    */
+  val qExists: GQuery = GQuery(
+    "q_subquery_exists",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_flagged_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_returnflag = 'R' AND l_discount > 0.05)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  ) { (spark, dir) =>
+    withViews(spark, dir)
+    spark.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n_flagged_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_returnflag = 'R' AND l_discount > 0.05)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  /** IN subquery: customers from nations that have suppliers. */
+  val qIn: GQuery = GQuery(
+    "q_subquery_in",
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n_cust
+      FROM customer
+      WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")
+  ) { (spark, dir) =>
+    withViews(spark, dir)
+    spark.sql("""
+      SELECT c_nationkey, COUNT(*) AS n_cust
+      FROM customer
+      WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qScalarCorrelated, qExists, qIn)
+}
