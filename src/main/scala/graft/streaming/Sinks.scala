@@ -112,6 +112,67 @@ object Sinks {
     }
   }
 
+  /** Exactly-once JDBC writes on top of at-least-once replays: each
+    * partition inserts its rows AND a (table, batch_id, partition_id)
+    * marker in ONE transaction; a replayed partition sees its marker and
+    * skips. This is the step beyond the reference, which stubs
+    * exactly-once entirely (`ProcessingGuarantee::ExactlyOnce` →
+    * `todo!()`, callysto/src/types/table.rs:149-159).
+    *
+    * Requires the marker table:
+    * `CREATE TABLE <logTable> (sink_table VARCHAR(128), batch_id BIGINT,
+    * partition_id INT)`.
+    */
+  def jdbcWriteBatchExactlyOnce(
+      url: String,
+      table: String,
+      logTable: String,
+      batchSize: Int
+  )(df: DataFrame, batchId: Long): Unit = {
+    val cols = df.schema.fieldNames
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val conn: Connection = DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val check = conn.prepareStatement(
+          s"SELECT COUNT(*) FROM $logTable WHERE sink_table = ? AND batch_id = ? AND partition_id = ?")
+        val committed =
+          try {
+            check.setString(1, table); check.setLong(2, batchId); check.setInt(3, pid)
+            val rs = check.executeQuery()
+            try { rs.next(); rs.getLong(1) > 0 }
+            finally rs.close()
+          } finally check.close()
+        if (!committed) {
+          val ps = conn.prepareStatement(insertSql)
+          try {
+            var pending = 0
+            rows.foreach { row =>
+              var i = 0
+              while (i < cols.length) { ps.setObject(i + 1, row.get(i)); i += 1 }
+              ps.addBatch()
+              pending += 1
+              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) ps.executeBatch()
+          } finally ps.close()
+          val mark = conn.prepareStatement(
+            s"INSERT INTO $logTable (sink_table, batch_id, partition_id) VALUES (?, ?, ?)")
+          try {
+            mark.setString(1, table); mark.setLong(2, batchId); mark.setInt(3, pid)
+            mark.executeUpdate()
+          } finally mark.close()
+          conn.commit() // rows + marker land atomically
+        } else {
+          conn.rollback() // release the read txn opened by the marker check
+        }
+      } finally conn.close()
+    }
+  }
+
   /** CREATE TABLE helper for JDBC targets in tests/bootstrap. */
   def jdbcExecute(url: String, ddl: String): Unit = {
     val conn = DriverManager.getConnection(url)

@@ -51,6 +51,24 @@ class SinksSpec extends SparkSpec {
     assert(vals.toSeq === Seq("hello", "world"))
   }
 
+  test("exactly-once jdbc sink: replayed batches insert nothing twice") {
+    val s = spark
+    import s.implicits._
+    Sinks.jdbcExecute(url, "CREATE TABLE eo_sunk (id BIGINT, name VARCHAR(64))")
+    Sinks.jdbcExecute(url,
+      "CREATE TABLE eo_log (sink_table VARCHAR(128), batch_id BIGINT, partition_id INT)")
+    val df = (1L to 20L).map(i => (i, s"row-$i")).toDF("id", "name")
+    val write = Sinks.jdbcWriteBatchExactlyOnce(url, "eo_sunk", "eo_log", batchSize = 7) _
+    write(df, 42L)
+    assert(Sinks.jdbcQueryLong(url, "SELECT COUNT(*) FROM eo_sunk") === 20L)
+    // at-least-once replay of the SAME micro-batch: markers make it a no-op
+    write(df, 42L)
+    assert(Sinks.jdbcQueryLong(url, "SELECT COUNT(*) FROM eo_sunk") === 20L)
+    // a genuinely new batch still lands
+    write(df, 43L)
+    assert(Sinks.jdbcQueryLong(url, "SELECT COUNT(*) FROM eo_sunk") === 40L)
+  }
+
   test("elastic sink emits well-formed _bulk ndjson with one action per row") {
     val s = spark
     import s.implicits._

@@ -126,6 +126,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toList.map(_.getLong(0)).count(_ == 1L) === 2)
   }
 
+  test("STREAMING session window emits merged sessions once the watermark closes them") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(String, Long)]
+    val rows = mutable.ArrayBuffer.empty[Row]
+    val src = input.toDF().select($"_1".as("user"), timestamp_seconds($"_2").as("ts"))
+    val q = StreamOps
+      .session(
+        StreamOps.watermarked(src, "ts", "10 seconds"),
+        $"ts", "100 seconds", Seq($"user"), Seq(count(lit(1)).as("n")))
+      .select($"user", unix_timestamp($"session_window.start").as("start"), $"n")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sess").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }; ()
+      }
+      .start()
+
+    // u1: events at 0/50/120 chain into one session (gaps < 100s); a later
+    // event at 500 starts a second session
+    input.addData(("u1", 0L), ("u1", 50L), ("u1", 120L), ("u1", 500L))
+    q.processAllAvailable()
+    // close everything: advance watermark far past 500+100
+    input.addData(("u9", 5000L))
+    q.processAllAvailable()
+    input.addData(("u8", 5100L))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = rows.toList
+      .filter(_.getString(0) == "u1")
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(sessions === List((0L, 3L), (500L, 1L)))
+  }
+
   test("session window merges events within the gap in batch and streaming alike") {
     val s = spark
     import s.implicits._
