@@ -12,6 +12,7 @@ object Registry {
     ScalarFns,
     TextAnalysis,
     Subqueries,
+    PipelineQueries,
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,
