@@ -135,6 +135,57 @@ object Dedup {
       .filter(col("hamming_dist") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs — the closing step of fuzzy
+    * dedup: duplicate clusters are the components; the canonical document
+    * is each component's minimum id.
+    *
+    * Iterative min-label propagation on DataFrames (no graph library):
+    * every node starts labeled with itself; each round takes the min of
+    * its own label and its neighbors' labels; stop when no label changes.
+    * Converges in O(diameter) rounds — near-dup clusters are shallow, so
+    * a handful of rounds covers 100 TB corpora. Each round
+    * `localCheckpoint`s the labels: iterative DataFrame loops otherwise
+    * stack lineage until planning itself becomes the bottleneck (the
+    * classic iterative-algorithm trap).
+    *
+    * Input: (id_a, id_b) pair columns. Output: (id, component) where
+    * component = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min over own label and neighbor labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "ncomp"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old"))
+        .limit(1)
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     * explode distinct shingles → self-join on shingle → common-count c;
     * |A ∪ B| = |A| + |B| − c. No approximation; the shuffle key is the

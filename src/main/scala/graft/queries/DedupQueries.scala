@@ -120,5 +120,56 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
-  override def queries: Seq[GQuery] = Seq(qExact, qJaccard, qMinhash, qSimhash, qEmbedding)
+  /** Connected components over the exact-Jaccard near-dup pairs — the
+    * closing step of fuzzy dedup (duplicate cluster = component, canonical
+    * doc = min id). The oracle computes the same transitive closure with a
+    * recursive CTE over the identical pair set.
+    */
+  val qConnected: GQuery = GQuery(
+    "q_dedup_connected",
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      shf AS (SELECT * FROM sh WHERE s NOT IN (
+                SELECT s FROM sh GROUP BY s
+                HAVING COUNT(*) > (SELECT CAST(ceil(0.1 * COUNT(*)) AS BIGINT) FROM documents))),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      jp AS (SELECT id_a, id_b FROM (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+               FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2) p
+             JOIN sz sa ON sa.doc_id = p.id_a
+             JOIN sz sb ON sb.doc_id = p.id_b
+             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS doc_id, least(src, MIN(dst)) AS component
+      FROM reach
+      GROUP BY src
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val cap = math.ceil(0.1 * docs.count()).toLong
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxDocFreq = cap)
+      .select($"id_a", $"id_b")
+    Dedup
+      .connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"component")
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qExact, qJaccard, qMinhash, qSimhash, qEmbedding, qConnected)
 }

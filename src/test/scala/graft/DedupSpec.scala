@@ -62,6 +62,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty, "expected some simhash near-dups among planted duplicates")
   }
 
+  test("connected components label chains and leave separate clusters apart") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, and 5-6 via two paths (cycle)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(cc(5L) === 5L && cc(6L) === 5L && cc(7L) === 5L)
+  }
+
   test("exact dedup keeps every distinct content exactly once") {
     val d = Dedup.exact(docs, "doc_id", "text")
     val total = d.agg(sum($"n_copies")).as[Long].head()
