@@ -89,6 +89,13 @@ class StateTableSpec extends SparkSpec {
     assert(after("a") === StateChange("a", Some(7L), None, deleted = false))
   }
 
+  test("streaming state runs on the RocksDB provider (CTable's store parity)") {
+    assert(
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"),
+      "state store is not RocksDB — transformWithState requires it and the reference's primary store is RocksDB")
+  }
+
   test("batch snapshot keeps the latest row per key (upsert semantics)") {
     val s = spark
     import s.implicits._
