@@ -72,10 +72,14 @@ case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFa
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = TextTokenize.tokens(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-    val out = new Array[Long](toks.length)
+    // empty/whitespace-only text → one hash of "" — matches the HOF path
+    // (split(normText, " ") of "" yields [""]), keeping blank-document
+    // signatures identical between formulations
+    val words = if (toks.isEmpty) Seq("") else toks
+    val out = new Array[Long](words.length)
     var i = 0
-    while (i < toks.length) {
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
+    while (i < words.length) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(words(i))
       out(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
       i += 1
     }

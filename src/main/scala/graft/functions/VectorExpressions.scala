@@ -150,6 +150,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yv * yv
       i += 1
     }
+    // norms run over the FULL arrays (the dot truncates to the shared
+    // prefix) so dot/(norm*norm) composition holds for unequal lengths
+    // too — a truncated-norm cosine would inflate similarity
+    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
+    var j = n
+    while (j < y.numElements()) { val v = y.getFloat(j).toDouble; nb += v * v; j += 1 }
     dp / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -172,6 +178,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  final double $yv = (double) $b.getFloat($i);
          |  $dp += $xv * $yv;
          |  $na += $xv * $xv;
+         |  $nb += $yv * $yv;
+         |}
+         |for (int $i = $n; $i < $a.numElements(); $i++) {
+         |  final double $xv = (double) $a.getFloat($i);
+         |  $na += $xv * $xv;
+         |}
+         |for (int $i = $n; $i < $b.numElements(); $i++) {
+         |  final double $yv = (double) $b.getFloat($i);
          |  $nb += $yv * $yv;
          |}
          |${ev.value} = $dp / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

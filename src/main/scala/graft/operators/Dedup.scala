@@ -183,6 +183,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // Fail LOUD on non-convergence: returning partially-propagated labels
+    // would silently split duplicate clusters. Components wider than
+    // maxIter hops are pathological for near-dup graphs; raise maxIter
+    // deliberately rather than trusting a wrong answer.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations; " +
+          "raise maxIter (component diameter exceeds it)")
     labels
   }
 

@@ -236,6 +236,10 @@ object MediaCodec {
               nSamples += n
             case _ => buf.position(buf.position() + len)
           }
+          // RIFF chunks are word-aligned: odd-length chunks carry a pad
+          // byte that is NOT counted in len — skipping it keeps the next
+          // tag read aligned (real-world LIST/INFO chunks are often odd)
+          if (len % 2 == 1 && buf.remaining() > 0) buf.position(buf.position() + 1)
         }
         val rms = math.round(math.sqrt(sumSq / math.max(1L, nSamples)))
         AudioMeta(r.doc_id, r.media.length.toLong, rate, channels, bits, nSamples,

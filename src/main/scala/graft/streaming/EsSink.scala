@@ -28,21 +28,44 @@ object EsSink {
   /** (bulkBody) => Unit; must be serializable (runs on executors). */
   type Transport = String => Unit
 
+  /** One HttpClient per JVM (it is thread-safe): a client per chunk would
+    * pay TCP/TLS setup on every 500-action bulk and defeat keep-alive.
+    */
+  @transient private lazy val sharedClient: HttpClient = HttpClient.newHttpClient()
+
   /** JDK HttpClient POST to `<base>/_bulk` (ndjson). */
   def httpTransport(baseUrl: String): Transport = { body =>
-    val client = HttpClient.newHttpClient()
     val req = HttpRequest
       .newBuilder(URI.create(s"$baseUrl/_bulk"))
       .header("Content-Type", "application/x-ndjson")
       .POST(HttpRequest.BodyPublishers.ofString(body))
       .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = sharedClient.send(req, HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() / 100 == 2, s"ES bulk failed: HTTP ${resp.statusCode()}")
+  }
+
+  /** Minimal JSON string escape for metadata values — an id containing a
+    * quote, backslash, or newline must not break the ndjson framing (a
+    * malformed action line would poison the whole bulk on every replay).
+    */
+  private[streaming] def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
   }
 
   /** Build the two ndjson lines for one document. */
   private[streaming] def bulkAction(index: String, id: String, docJson: String): String =
-    s"""{"index":{"_index":"$index","_id":"$id"}}""" + "\n" + docJson + "\n"
+    s"""{"index":{"_index":"${jsonEscape(index)}","_id":"${jsonEscape(id)}"}}""" +
+      "\n" + docJson + "\n"
 
   /** foreachBatch body: index every row of the micro-batch by `idCol`. */
   def bulkWriter(index: String, idCol: String, transport: Transport, actionsPerBulk: Int = 500)(

@@ -119,9 +119,20 @@ object Sinks {
     * exactly-once entirely (`ProcessingGuarantee::ExactlyOnce` →
     * `todo!()`, callysto/src/types/table.rs:149-159).
     *
-    * Requires the marker table:
+    * The marker table MUST carry a primary key so the marker insert is the
+    * serialization point — two concurrent attempts of the same partition
+    * (speculation, zombie task + retry) both pass the read check, but only
+    * one marker insert commits; the loser hits the constraint, rolls back
+    * its rows, and skips:
     * `CREATE TABLE <logTable> (sink_table VARCHAR(128), batch_id BIGINT,
-    * partition_id INT)`.
+    * partition_id INT, PRIMARY KEY (sink_table, batch_id, partition_id))`.
+    *
+    * Contract: idempotence is keyed on the micro-batch's partition ids, so
+    * the batch's partitioning must be deterministic across replays (true
+    * for a checkpoint-replayed micro-batch recomputing the same plan; NOT
+    * guaranteed across code/config changes mid-replay). For partition-
+    * layout-independent guarantees, key rows themselves (PK upsert), like
+    * the reference's postgres example schema would.
     */
   def jdbcWriteBatchExactlyOnce(
       url: String,
@@ -161,11 +172,20 @@ object Sinks {
           } finally ps.close()
           val mark = conn.prepareStatement(
             s"INSERT INTO $logTable (sink_table, batch_id, partition_id) VALUES (?, ?, ?)")
-          try {
-            mark.setString(1, table); mark.setLong(2, batchId); mark.setInt(3, pid)
-            mark.executeUpdate()
-          } finally mark.close()
-          conn.commit() // rows + marker land atomically
+          val won =
+            try {
+              mark.setString(1, table); mark.setLong(2, batchId); mark.setInt(3, pid)
+              mark.executeUpdate()
+              true
+            } catch {
+              // PK violation: a concurrent attempt committed first — this
+              // attempt must NOT land its rows
+              case _: java.sql.SQLIntegrityConstraintViolationException => false
+              case e: java.sql.SQLException if e.getSQLState != null
+                  && e.getSQLState.startsWith("23") => false
+            } finally mark.close()
+          if (won) conn.commit() // rows + marker land atomically
+          else conn.rollback()
         } else {
           conn.rollback() // release the read txn opened by the marker check
         }

@@ -22,8 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
-  /** ns-since-epoch long → TimestampType (µs, truncating). */
-  def tsFromNanos(c: Column): Column = timestamp_micros((c / 1000).cast("long"))
+  /** ns-since-epoch long → TimestampType (µs, truncating).
+    *
+    * The division MUST stay integral: `Column./` is double division, and
+    * 2025-era ns epochs (~1.7e18) exceed double's 2^53 exact range — ~1 in
+    * 16 exact-microsecond values would round off by 1 µs, silently moving
+    * events across window/session/interval boundaries. Decimal division is
+    * exact; the cast to long truncates toward zero (positive epochs ⇒
+    * floor), matching DuckDB's ns→µs CAST.
+    */
+  def tsFromNanos(c: Column): Column =
+    timestamp_micros(
+      (c.cast(org.apache.spark.sql.types.DecimalType(20, 0)) / 1000).cast("long"))
 
   /** Tumbling event-time window aggregation. */
   def tumbling(df: DataFrame, ts: Column, width: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =

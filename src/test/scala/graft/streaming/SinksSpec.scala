@@ -56,7 +56,8 @@ class SinksSpec extends SparkSpec {
     import s.implicits._
     Sinks.jdbcExecute(url, "CREATE TABLE eo_sunk (id BIGINT, name VARCHAR(64))")
     Sinks.jdbcExecute(url,
-      "CREATE TABLE eo_log (sink_table VARCHAR(128), batch_id BIGINT, partition_id INT)")
+      "CREATE TABLE eo_log (sink_table VARCHAR(128) NOT NULL, batch_id BIGINT NOT NULL, " +
+        "partition_id INT NOT NULL, PRIMARY KEY (sink_table, batch_id, partition_id))")
     val df = (1L to 20L).map(i => (i, s"row-$i")).toDF("id", "name")
     val write = Sinks.jdbcWriteBatchExactlyOnce(url, "eo_sunk", "eo_log", batchSize = 7) _
     write(df, 42L)

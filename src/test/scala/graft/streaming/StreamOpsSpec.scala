@@ -16,6 +16,18 @@ import graft.SparkSpec
   */
 class StreamOpsSpec extends SparkSpec {
 
+  test("tsFromNanos is exact for ns epochs beyond double's 2^53 range") {
+    val s = spark
+    import s.implicits._
+    // exact-microsecond ns values that double division rounds off by 1 us
+    val vals = Seq(1754000000000016000L, 1754000000000015000L,
+      1704067200000000000L, 9007199254740993000L)
+    vals.toDF("ns")
+      .select($"ns", unix_micros(StreamOps.tsFromNanos($"ns")).as("us"))
+      .collect()
+      .foreach(r => assert(r.getLong(1) === r.getLong(0) / 1000))
+  }
+
   test("tumbling window finalizes on watermark and drops late data") {
     val s = spark
     import s.implicits._
