@@ -87,6 +87,37 @@ class AvroSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("property: random rows of a mixed-type schema survive datum round-trip (5 seeded samples)") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    val rowGen = for {
+      id <- Gen.choose(Long.MinValue, Long.MaxValue)
+      name <- Gen.option(Gen.alphaNumStr.map(_.take(32)))
+      score <- Gen.choose(-1e9, 1e9)
+      flag <- Gen.oneOf(true, false)
+      tags <- Gen.listOfN(5, Gen.choose(-1000L, 1000L))
+    } yield (id, name, score, flag, tags)
+
+    for (i <- 0 until 5) {
+      val rows = Gen.listOfN(40, rowGen)
+        .apply(Gen.Parameters.default, Seed(100L + i)).get
+      val df = rows.toDF("id", "name", "score", "flag", "tags")
+      val schemaJson = AvroConv.schemaJson(df.schema)
+      val back = df
+        .select(GraftFunctions.toAvro(struct(df.columns.map(col): _*)).as("bin"))
+        .select(GraftFunctions.fromAvro($"bin", schemaJson).as("r"))
+        .select($"r.*")
+        .as[(Long, Option[String], Double, Boolean, Seq[Long])]
+        .collect()
+        .toSet
+      assert(back === rows.map(t => (t._1, t._2, t._3, t._4, t._5.toSeq)).toSet,
+        s"sample $i diverged after round-trip")
+    }
+  }
+
   test("catalyst/avro schema mapping is symmetric for supported types") {
     import org.apache.spark.sql.types._
     val st = StructType(Seq(

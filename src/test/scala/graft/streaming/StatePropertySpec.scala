@@ -56,6 +56,54 @@ class StatePropertySpec extends SparkSpec {
     }
   }
 
+  test("STREAMING state table matches the model fold over random op logs (3 seeded samples)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    for (i <- 20L until 23L) {
+      val ops = sample(i)
+      // single input partition: op order per key must be deterministic
+      // through the shuffle (one map task => order-preserving)
+      val input = MemoryStream[StateOp[String, Double]](numPartitions = 1)
+      val collected = scala.collection.mutable.ArrayBuffer.empty[StateChange[String, Double]]
+      val q = StateTable
+        .changes(input.toDS())
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-prop-$i").toString)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[StateChange[String, Double]], _: Long) =>
+            collected.synchronized { collected ++= ds.collect() }; ()
+        }
+        .start()
+      // ops arrive in log order (seq here is just part of the payload; the
+      // stream order IS the op order, so the model folds by index only)
+      ops.grouped(20).foreach { batch =>
+        input.addData(batch.map { case (k, _, v) =>
+          v.fold(StateOp.del[String, Double](k))(x => StateOp.set(k, x))
+        }: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+
+      val finalState = collected
+        .groupBy(_.key)
+        .view
+        .mapValues(_.last)
+        .collect { case (k, c) if !c.deleted => k -> c.value.get }
+        .toMap
+      val expected = ops.zipWithIndex
+        .groupBy(_._1._1)
+        .flatMap { case (k, entries) =>
+          entries.maxBy(_._2)._1._3.map(k -> _)
+        }
+      assert(finalState === expected, s"sample $i: streaming state diverged from model")
+    }
+  }
+
   test("replay idempotence: applying the same log twice yields the same state") {
     val s = spark
     import s.implicits._
