@@ -207,7 +207,39 @@ object Aggregates extends QuerySet {
       .orderBy($"nationkey")
   }
 
+  /** Distribution statistics: exact interpolated percentiles (Spark
+    * `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+    * definition) and a width_bucket histogram position. Rounded to 6dp —
+    * interpolation arithmetic is deterministic but engine fp order isn't
+    * bit-pinned.
+    */
+  val qPercentiles: GQuery = GQuery(
+    "q_agg_percentiles",
+    Some("""
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90,
+             round(quantile_cont(value, 0.99), 6) AS p99,
+             CAST(SUM(CAST(least(greatest(floor(value / 100.0) + 1, 0), 11) AS BIGINT)) AS BIGINT)
+               AS bucket_mass
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).events
+      .groupBy($"event_type")
+      .agg(
+        round(percentile($"value", lit(0.5)), 6).as("p50"),
+        round(percentile($"value", lit(0.9)), 6).as("p90"),
+        round(percentile($"value", lit(0.99)), 6).as("p99"),
+        sum(width_bucket($"value", lit(0.0), lit(1000.0), lit(10))).as("bucket_mass")
+      )
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] = Seq(
-    qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct, qMinMax
+    qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct,
+    qMinMax, qPercentiles
   )
 }
