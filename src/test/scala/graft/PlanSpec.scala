@@ -48,4 +48,21 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q_ann_bruteforce")
     assert(p.contains("graft_cosine"), "custom CosineSimilarity expression not in plan")
   }
+
+  test("q5 is join-strategy invariant: identical rows under sort-merge as under broadcast") {
+    // at 100x the data AQE will pick shuffle joins for what broadcasts
+    // today; results must not depend on that choice
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val broadcast = SparkEntry.queries("q5_local_supplier_volume")(spark, sf).collect().toSeq
+    try {
+      spark.conf.set(key, "-1")
+      val df = SparkEntry.queries("q5_local_supplier_volume")(spark, sf)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected shuffle joins with broadcast disabled")
+      assert(df.collect().toSeq === broadcast, "join strategy changed the result")
+    } finally spark.conf.set(key, prev)
+  }
 }
