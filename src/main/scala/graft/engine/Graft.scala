@@ -53,6 +53,11 @@ object Graft {
     // an existing session whose extensions were fixed at first build; the
     // registry call is idempotent and always lands on the session in hand.
     graft.functions.GraftFunctions.register(spark)
+    // Whole-operator extension: the AsofJoin planner strategy (idempotent —
+    // extraStrategies is a plain public setter, so dedupe by identity).
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
     spark
   }
 }

@@ -87,10 +87,12 @@ object GraftFunctions {
 
 /** `spark.sql.extensions`-compatible injector. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(classOf[DotProduct].getName, name), b)
       )
     }
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }

@@ -170,17 +170,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "ncomp"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("ncomp")).as("nmin"))
+      // Carry the old label through the propagation select so convergence
+      // detection is a filter on the SAME checkpointed frame — not a second
+      // join+shuffle against the previous labels per round.
       val next = labels
         .join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .select(
+          col("id"),
+          col("component").as("old"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component")
+        )
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old"))
-        .limit(1)
-        .count()
-      labels = next
-      converged = changed == 0
+      val changed = !next.filter(col("component") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("component"))
+      converged = !changed
       iter += 1
     }
     // Fail LOUD on non-convergence: returning partially-propagated labels

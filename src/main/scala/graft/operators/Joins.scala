@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Spark's built-in family: as-of (time-travel
+  * lookup) and salted (skew-split) joins.
+  *
+  * Reference parity: callysto users express "most recent state at event
+  * time" imperatively — an agent processing an event calls
+  * `CTable::get` for the latest value written at or before it
+  * (reference callysto/src/types/table.rs:79-113 driven from agent loops,
+  * e.g. examples/src/inmemory.rs). Batch-side, that lookup IS an as-of
+  * join; declaring it lets Catalyst plan it as one shuffle instead of a
+  * per-row point lookup.
+  */
+object Joins {
+
+  /** As-of join: attach to every left row the payload of the latest right
+    * row with `right.ts <= left.ts` under the same `key` (left-outer: left
+    * rows with no prior right row keep nulls).
+    *
+    * Plan (the 100 TB-safe one): union both sides, ONE shuffle+sort on
+    * (key, ts), then a running `last(_, ignoreNulls)` frame fills each
+    * left row from the most recent right row above it. O(n log n) per
+    * key. The naive alternative — a range join `r.ts <= l.ts` + max —
+    * is O(|L_k|·|R_k|) per key and dies on hot keys at scale.
+    *
+    * Tie rules: right rows sort before left rows at equal ts (inclusive
+    * bound, matching DuckDB `ASOF JOIN ... ON l.ts >= r.ts`); among right
+    * rows with identical (key, ts), the one with the greatest first
+    * payload column wins (deterministic where engines' ASOF is arbitrary).
+    *
+    * @param payload right-side columns to carry onto left rows; all other
+    *                right columns are dropped. Names must not collide with
+    *                left columns.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    require(payload.nonEmpty, "need at least one payload column")
+    val leftCols = left.columns.toSeq
+    val rTagged = right
+      .select(col(key) +: col(tsCol) +: payload.map(c => col(c).as("__r_" + c)): _*)
+      .withColumn("__tag", lit(0))
+    val lTagged = left.withColumn("__tag", lit(1))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(
+        col(tsCol).asc,
+        col("__tag").asc,
+        col("__r_" + payload.head).asc_nulls_first
+      )
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn("__f_" + c, last(col("__r_" + c), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col("__f_" + c).as(c)): _*)
+  }
+
+  /** As-of join through the engine's custom whole-operator plan
+    * ([[graft.plans.AsofJoin]] → `AsofJoinExec`): same semantics and tie
+    * rules as [[asOfJoin]] (JoinsSpec asserts equality), but planned as a
+    * single linear merge over two co-partitioned sorted streams instead of
+    * a union + window fill — each side shuffles once on its own key, and a
+    * side already partitioned on the key shuffles zero bytes.
+    */
+  def asOfJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    require(payload.nonEmpty, "need at least one payload column")
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.graftshim.GraftSql
+    val lp = GraftSql.analyzedPlan(left)
+    // Re-alias the right side unconditionally: in self-joins both subtrees
+    // share attribute ids, and DeduplicateRelations doesn't know our node.
+    val rp0 = GraftSql.analyzedPlan(right)
+    val rp: LogicalPlan = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    val payloadAttrs = payload.map(attr(rp, _))
+    val payloadOut = payloadAttrs.map(a => AttributeReference(a.name, a.dataType)())
+    GraftSql.ofRows(
+      left.sparkSession,
+      graft.plans.AsofJoin(
+        lp, rp,
+        attr(lp, key), attr(rp, key),
+        attr(lp, tsCol), attr(rp, tsCol),
+        payloadAttrs, payloadOut)
+    )
+  }
+
+  /** Salted shuffle join for skewed keys: the large side gets a
+    * deterministic salt in [0, nSalts) hashed from a high-cardinality
+    * column, the small-but-unbroadcastable side is replicated once per
+    * salt, and the join key becomes (key, salt) — a hot key's rows land on
+    * nSalts reducers instead of one. Results are identical to the unsalted
+    * join (JoinsSpec asserts it). The salt is a pure function of
+    * `saltFrom`, so retries/re-partitionings reproduce the same placement.
+    *
+    * When to use at scale: both sides too big to broadcast AND key
+    * frequency is power-law. (AQE's skewJoin handles sort-merge skew
+    * adaptively; explicit salting also covers shuffle-hash joins and
+    * engines/configs without AQE.)
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFrom: String,
+      nSalts: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val salted = large
+      .withColumn("__salt", pmod(xxhash64(col(saltFrom)), lit(nSalts.toLong)).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until nSalts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

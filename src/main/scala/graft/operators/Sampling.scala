@@ -23,6 +23,44 @@ object Sampling {
     df.filter(bucket < (fraction * 1e6).toLong)
   }
 
+  /** Hex threshold for a portable md5 gate: the first 4 lowercase-hex
+    * chars of md5 compare lexicographically exactly as the 16-bit value
+    * they encode, so `hexPrefix < threshold` keeps ~fraction of keys in
+    * ANY engine with md5 — no engine-specific hash in the decision.
+    */
+  private def hexThreshold(fraction: Double): String =
+    f"${math.min((fraction * 65536).toLong, 65535L)}%04x"
+
+  private def md5Prefix(keyCol: String, seed: Int) =
+    substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 4)
+
+  /** Portable deterministic Bernoulli sample (md5 gate). Same
+    * reproducibility guarantees as [[bernoulli]], but the keep decision is
+    * expressible verbatim in other engines (the DuckDB oracle replays it);
+    * costs a string md5 per row instead of a codegen'd xxhash64.
+    */
+  def bernoulliPortable(df: DataFrame, keyCol: String, fraction: Double, seed: Int): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(md5Prefix(keyCol, seed) < lit(hexThreshold(fraction)))
+  }
+
+  /** Portable deterministic stratified sample: per-stratum md5 gates.
+    * Strata absent from the map are dropped.
+    */
+  def stratifiedPortable(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      keyCol: String,
+      seed: Int
+  ): DataFrame = {
+    val prefix = md5Prefix(keyCol, seed)
+    val gate = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(strataCol) === stratum && prefix < lit(hexThreshold(f)))
+    }
+    df.filter(gate)
+  }
+
   /** Deterministic stratified sample: per-stratum fractions, same
     * hash-gate mechanism. Strata absent from the map are dropped.
     */

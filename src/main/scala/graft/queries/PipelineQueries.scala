@@ -78,13 +78,22 @@ object PipelineQueries extends QuerySet {
 
   /** Deterministic stratified sample of documents by source (hash-gated —
     * reproducible across partitionings/retries, unlike RNG-stream
-    * sampling). Rows-only oracle (DuckDB has no xxhash64); proportions and
-    * determinism asserted in SamplingSpec.
+    * sampling). The portable md5 gate lets DuckDB replay the exact keep
+    * decision, so this is fully oracle-checked; the xxhash64 fast path and
+    * repartition-invariance are asserted in SamplingSpec.
     */
-  val qSample: GQuery = GQuery("q_sample_stratified", None) { (spark, dir) =>
+  val qSample: GQuery = GQuery(
+    "q_sample_stratified",
+    Some("""
+      SELECT doc_id, source FROM documents
+      WHERE (source = 'src0' AND substr(md5(doc_id::VARCHAR || ':7'), 1, 4) < '8000')
+         OR (source = 'src1' AND substr(md5(doc_id::VARCHAR || ':7'), 1, 4) < '4000')
+         OR (source = 'src2' AND substr(md5(doc_id::VARCHAR || ':7'), 1, 4) < '1999')
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
     import spark.implicits._
     graft.operators.Sampling
-      .stratified(
+      .stratifiedPortable(
         t(spark, dir).documents,
         strataCol = "source",
         fractions = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.1),

@@ -333,6 +333,71 @@ object Relational extends QuerySet {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** As-of join: each purchase gets the user's most recent click at or
+    * before the purchase time, through the engine's custom whole-operator
+    * plan (graft.plans.AsofJoin → sorted-merge AsofJoinExec; the
+    * union+window composition in [[graft.operators.Joins.asOfJoin]] is the
+    * cross-checked fallback). Oracle uses DuckDB's native ASOF LEFT JOIN —
+    * a genuinely independent third formulation.
+    */
+  val qJoinAsof: GQuery = GQuery(
+    "q_join_asof",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      p AS (SELECT user_id, event_id AS purchase_id, ts FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, event_id AS click_id, ts FROM e WHERE event_type = 'click')
+      SELECT p.user_id, p.purchase_id, c.click_id AS last_click_id
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.user_id, p.purchase_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = t(spark, dir).events.select(
+      $"user_id", $"event_id", $"event_type", tsFromNanos($"ts").as("ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts")
+    graft.operators.Joins
+      .asOfJoinNative(p, c, key = "user_id", tsCol = "ts", payload = Seq("click_id"))
+      .select($"user_id", $"purchase_id", $"click_id".as("last_click_id"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  /** Salted skew join: events (hot 5-value key) x an unbroadcast-worthy
+    * dim, split across 8 salts (see [[graft.operators.Joins.saltedJoin]]).
+    * The oracle replays the plain unsalted join — same result by
+    * construction, which is exactly the property salting must preserve.
+    */
+  val qJoinSalted: GQuery = GQuery(
+    "q_join_salted_skew",
+    Some(s"""
+      WITH dim(event_type, weight) AS (VALUES
+        ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+        ('error', 0.0), ('signup', 2.0))
+      SELECT e.event_type,
+             COUNT(*) AS n_events,
+             ${sqlSum("e.value * CAST(d.weight AS DOUBLE)")} AS weighted_value
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY 1
+      ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val dim = Seq(
+      ("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+      ("error", 0.0), ("signup", 2.0)
+    ).toDF("event_type", "weight")
+    val ev = t(spark, dir).events.select($"event_id", $"event_type", $"value")
+    graft.operators.Joins
+      .saltedJoin(ev, dim, key = "event_type", saltFrom = "event_id", nSalts = 8)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum($"value" * $"weight").as("weighted_value")
+      )
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     q1PricingSummary,
     q6Revenue,
@@ -342,6 +407,8 @@ object Relational extends QuerySet {
     qJoinLeft,
     qJoinSemi,
     qJoinAnti,
+    qJoinAsof,
+    qJoinSalted,
     qJoinFull,
     qJoinTheta,
     qJoinInterval

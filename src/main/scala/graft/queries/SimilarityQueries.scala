@@ -59,31 +59,32 @@ object SimilarityQueries extends QuerySet {
 
   /** Per-label embedding centroid via the custom [[graft.functions.CentroidAgg]]
     * Aggregator (UDAF) — the coarse-quantizer step of IVF-style ANN.
-    * Both engines round to 4dp: double summation order differs between
-    * partition-parallel partial aggregation and DuckDB's scan order, so
-    * results agree to ~1 ulp, far inside the rounding tolerance.
+    * Output is exploded to scalar rows (label, idx, avg_v): the oracle
+    * harness hashes flat cells, and array-typed result columns are not
+    * hashable there. Both engines round to 4dp: double summation order
+    * differs between partition-parallel partial aggregation and DuckDB's
+    * scan order, so results agree to ~1 ulp, far inside the tolerance.
     */
   val qCentroid: GQuery = GQuery(
     "q_agg_centroid",
     Some("""
-      SELECT label, list(round(avg_v, 4) ORDER BY idx) AS centroid
-      FROM (
-        SELECT label, i AS idx, avg(CAST(e AS DOUBLE)) AS avg_v
-        FROM (SELECT label,
-                     unnest(embedding) AS e,
-                     unnest(generate_series(1, len(embedding))) AS i
-              FROM embeddings)
-        GROUP BY label, i)
-      GROUP BY label
-      ORDER BY label""")
+      SELECT label, CAST(i - 1 AS INT) AS idx,
+             round(avg(CAST(e AS DOUBLE)), 4) AS avg_v
+      FROM (SELECT label,
+                   unnest(embedding) AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+      GROUP BY label, i
+      ORDER BY label, idx""")
   ) { (spark, dir) =>
     import spark.implicits._
     val centroid = udaf(new graft.functions.CentroidAgg(64))
     t(spark, dir).embeddings
       .groupBy($"label")
       .agg(centroid($"embedding").as("c"))
-      .select($"label", transform($"c.values", x => round(x, 4)).as("centroid"))
-      .orderBy($"label")
+      .select($"label", posexplode($"c.values"))
+      .select($"label", $"pos".cast("int").as("idx"), round($"col", 4).as("avg_v"))
+      .orderBy($"label", $"idx")
   }
 
   /** IVF coarse-quantized approximate top-k (nlist=16, nprobe=6) — the

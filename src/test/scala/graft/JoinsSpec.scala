@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** Specs for the as-of and salted joins (operators/Joins.scala). */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    // (key, ts, left_payload)
+    (1L, 100L, "p1"),
+    (1L, 200L, "p2"),
+    (1L, 50L, "p0"), // before any right row -> null
+    (2L, 10L, "q1"), // key with no right rows at all
+    (3L, 100L, "r1") // ts exactly equal to a right row -> inclusive
+  ).toDF("k", "ts", "lp")
+
+  private val right = Seq(
+    // (key, ts, payload)
+    (1L, 100L, 10L), // equal to p1's ts -> taken (inclusive bound)
+    (1L, 150L, 11L), // latest before p2
+    (1L, 90L, 12L),
+    (3L, 100L, 30L)
+  ).toDF("k", "ts", "pay")
+
+  test("asOfJoin attaches the latest right row at or before each left ts") {
+    val out = Joins
+      .asOfJoin(left, right, key = "k", tsCol = "ts", payload = Seq("pay"))
+      .orderBy($"k", $"ts")
+      .select($"lp", $"pay")
+      .as[(String, Option[Long])]
+      .collect()
+      .toSeq
+    assert(out == Seq(
+      ("p0", None), // 1@50: no right row <= 50
+      ("p1", Some(10L)), // 1@100: right row at exactly 100 (inclusive)
+      ("p2", Some(11L)), // 1@200: latest is 150
+      ("q1", None), // key 2: no right rows
+      ("r1", Some(30L)) // 3@100: equal-ts right row
+    ))
+  }
+
+  test("asOfJoin matches a naive per-row max-ts lookup on real events") {
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = graft.sources.Tables(spark, sf).events
+      .select($"user_id", $"event_id", $"event_type", tsFromNanos($"ts").as("ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts")
+
+    val fast = Joins
+      .asOfJoin(p, c, "user_id", "ts", Seq("click_id"))
+      .select($"user_id", $"purchase_id", $"click_id")
+
+    // naive reference: range join + keep the max-ts click per purchase
+    val naive = p
+      .join(
+        c.select($"user_id".as("cu"), $"click_id", $"ts".as("cts")),
+        $"user_id" === $"cu" && $"cts" <= $"ts",
+        "left_outer"
+      )
+      .groupBy($"user_id", $"purchase_id")
+      .agg(max_by($"click_id", $"cts").as("click_id"))
+
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("asOfJoinNative (custom plan) equals the union+window formulation") {
+    val native = Joins
+      .asOfJoinNative(left, right, key = "k", tsCol = "ts", payload = Seq("pay"))
+    val composed = Joins
+      .asOfJoin(left, right, key = "k", tsCol = "ts", payload = Seq("pay"))
+    assert(
+      native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+      "custom AsofJoinExec differs from the union+window reference"
+    )
+  }
+
+  test("asOfJoinNative plans through AsofJoinExec and equals the naive lookup on real events") {
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = graft.sources.Tables(spark, sf).events
+      .select($"user_id", $"event_id", $"event_type", tsFromNanos($"ts").as("ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts")
+
+    val native = Joins.asOfJoinNative(p, c, "user_id", "ts", Seq("click_id"))
+    assert(
+      native.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "expected AsofJoinExec in the physical plan"
+    )
+    val composed = Joins.asOfJoin(p, c, "user_id", "ts", Seq("click_id"))
+    assert(
+      native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+      "native and composed as-of joins disagree on real events"
+    )
+  }
+
+  test("saltedJoin equals the unsalted join for every join type and salt count") {
+    val ev = graft.sources.Tables(spark, sf).events
+      .select($"event_id", $"event_type", $"value")
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0))
+      .toDF("event_type", "weight")
+    for (n <- Seq(1, 8); jt <- Seq("inner", "left_outer")) {
+      val salted = Joins.saltedJoin(ev, dim, "event_type", "event_id", n, jt)
+      val plain = ev.join(dim, Seq("event_type"), jt)
+      assert(
+        salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"salted($n, $jt) differs from plain join"
+      )
+    }
+  }
+
+  test("saltedJoin spreads a hot key across salt buckets") {
+    val ev = graft.sources.Tables(spark, sf).events
+      .select($"event_id", $"event_type", $"value")
+    val dim = Seq(("click", 1.0)).toDF("event_type", "weight")
+    // reconstruct the salt the operator assigns and count distinct values
+    // for the hot key: with 8 salts over thousands of rows all 8 occur
+    val nBuckets = ev
+      .filter($"event_type" === "click")
+      .select(pmod(xxhash64($"event_id"), lit(8L)).cast("int").as("s"))
+      .distinct()
+      .count()
+    assert(nBuckets == 8L, s"expected 8 salt buckets, got $nBuckets")
+  }
+}
