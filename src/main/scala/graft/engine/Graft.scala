@@ -42,6 +42,11 @@ object Graft {
       // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects by default; read as LongType (ns since epoch).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Managed-table warehouse (bucketed tables, sources/Bucketing.scala)
+      // outside the repo tree; on a cluster this is the shared object store.
+      .config(
+        "spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
     // Respect an externally-set master (e.g. spark-submit on a cluster);
     // default to local[cpus] for the single-node harness.

@@ -225,11 +225,61 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Embedding near-dup candidate pairs blocked by sign-LSH buckets — the
+    * label-free scale path next to [[blockedCosinePairs]]: two vectors
+    * become a candidate pair iff they share a bucket in at least one of L
+    * hyperplane tables, so pair generation is an equi-join on
+    * (table, bucket) carrying IDs only, deduped before scoring.
+    *
+    * Regime note (the honest part): sign-LSH prunes AND recalls only when
+    * duplicates are angularly tight (cos ≳ 0.8 — true near-dups). With
+    * r planes/table a random pair collides per table at 2^-r while a
+    * θ-angle pair collides at (1−θ/π)^r; at cos 0.9 / r=8 / L=16 that is
+    * 99.6% recall with 0.6% of random pairs surviving. Thresholds like
+    * 0.3 are not near-dup dedup and belong on [[blockedCosinePairs]] with
+    * an IVF cell as the block key. SimilaritySpec plants noisy duplicates
+    * and asserts both recall and pruning.
+    */
+  def lshCosinePairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nTables: Int = 16,
+      planesPerTable: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val tables = Array.tabulate(nTables)(t => hyperplanes(planesPerTable, dim, seed = 97L + t))
+    def buckets(vec: Column): Column =
+      array(tables.zipWithIndex.map { case (planes, tIdx) =>
+        struct(lit(tIdx).as("tbl"), lshBucket(vec, planes).as("bucket"))
+      }: _*)
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = vectors
+      .select(col(idCol).as("id"), explode(buckets(col(vecCol))).as("bk"))
+      .select(col("id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    val pairs = bucketed
+      .as("a")
+      .join(
+        bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id")
+      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Exact near-duplicate pairs within a blocking key (e.g. a label or
     * cluster id): pairs are generated per block via equi-join, scored in
     * double, thresholded. Blocking bounds the quadratic term to the block
     * size; at scale the block key would come from LSH/IVF assignment —
-    * see [[ivfTopK]] for the IVF cell assignment this composes with.
+    * see [[ivfTopK]] for the IVF cell assignment this composes with, and
+    * [[lshCosinePairs]] for the label-free LSH-bucketed variant.
     */
   def blockedCosinePairs(
       vectors: DataFrame,

@@ -222,6 +222,37 @@ object TextAnalysis extends QuerySet {
       .limit(25)
   }
 
+  /** PII / sensitive-token redaction — the scrub step every training-data
+    * pipeline runs before release. Pure codegen'd regexp_replace /
+    * regexp_count column expressions (row-parallel, no shuffle, scales
+    * with the scan). Patterns here are digit runs and emails over the
+    * events payload; real deployments swap in their phone/SSN/address
+    * pattern set — the operator shape is identical.
+    */
+  val qRedact: GQuery = GQuery(
+    "q_text_redact",
+    Some("""
+      SELECT event_id,
+             regexp_replace(
+               regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\d+', '[NUM]', 'g') AS redacted,
+             CAST(len(regexp_extract_all(props, '\d+')) AS INT) AS n_redacted
+      FROM events
+      ORDER BY event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    t(spark, dir).events
+      .select(
+        $"event_id",
+        regexp_replace(
+          regexp_replace($"props", lit(email), lit("[EMAIL]")),
+          lit("\\d+"), lit("[NUM]")).as("redacted"),
+        regexp_count($"props", lit("\\d+")).as("n_redacted")
+      )
+      .orderBy($"event_id")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode)
+    Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode, qRedact)
 }

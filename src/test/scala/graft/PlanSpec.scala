@@ -49,6 +49,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), "custom CosineSimilarity expression not in plan")
   }
 
+  test("as-of join plans through the custom exec with one shuffle per side") {
+    val p = planOf("q_join_asof")
+    assert(p.contains("AsofJoin"), "custom AsofJoinExec not in plan")
+    // events scan feeds both sides; each side shuffles once on user_id and
+    // the final orderBy adds one range exchange — nothing else may shuffle
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 exchanges (2 sides + sort), found $exchanges")
+  }
+
+  test("top-k per group uses Spark's map-side WindowGroupLimit before the shuffle") {
+    // rank-limit pushdown (SPARK-37099): only k rows per group per input
+    // partition survive to the shuffle — the built-in operator our top-k
+    // queries rely on at 100 TB, guarded here so a query rewrite can't
+    // silently lose it
+    val p = planOf("q_window_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), "WindowGroupLimit missing from top-k plan")
+    assert(p.contains("Partial"), "expected a partial (map-side) WindowGroupLimit")
+  }
+
   test("q5 is join-strategy invariant: identical rows under sort-merge as under broadcast") {
     // at 100x the data AQE will pick shuffle joins for what broadcasts
     // today; results must not depend on that choice

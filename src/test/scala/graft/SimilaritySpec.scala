@@ -41,6 +41,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ivf recall@5 = $recall")
   }
 
+  test("lsh-blocked near-dup pairs: high recall on planted duplicates, strong candidate pruning") {
+    // plant near-duplicates: every 10th vector gets a slightly-noised twin
+    // (cos >= ~0.95) — the angular regime sign-LSH dedup is built for
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(200)(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val self = Seq((i.toLong, v.toSeq))
+      if (i % 10 == 0) {
+        val twin = v.map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat)
+        self :+ ((1000L + i, twin.toSeq))
+      } else self
+    }.toSeq
+    val df = rows.toDF("vec_id", "embedding")
+
+    val found = Similarity
+      .lshCosinePairs(df, "vec_id", "embedding", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val planted = base.indices.filter(_ % 10 == 0).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.95, s"planted near-dup recall = $recall")
+
+    // pruning: the candidate join must examine far fewer pairs than n^2/2
+    val candidates = Similarity
+      .lshCosinePairs(df, "vec_id", "embedding", threshold = -1.0)
+      .count()
+    val allPairs = rows.size.toLong * (rows.size - 1) / 2
+    assert(
+      candidates < allPairs / 10,
+      s"LSH examined $candidates of $allPairs pairs — no pruning"
+    )
+  }
+
   test("brute force ranks are 1..k per query") {
     val res = Similarity
       .bruteForceTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", 5)
