@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * so the 20× over the HOF formulation (regexp_replace + split +
   * transform/slice/concat_ws + array_distinct) is the dominant win.
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
 
@@ -41,18 +41,15 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression with
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = TextTokenize.tokens(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-    val shingles = TextTokenize.shingleSet(toks, n)
-    val out = new Array[Long](shingles.size)
-    var i = 0
-    shingles.foreach { s =>
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      out(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
-      i += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextTokenize.shingleHashArray(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  /** One helper call per row — keeps the enclosing stage in whole-stage
+    * codegen (no CodegenFallback InternalRow round-trip per row).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextTokenize$$.MODULE$$.shingleHashArray($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -61,7 +58,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression with
 /** Single-pass per-token hashes (duplicates KEPT — simhash weights
   * repeated tokens); values identical to `xxhash64(token)` per token.
   */
-case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+case class TokenHashes(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
@@ -70,21 +67,15 @@ case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFa
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_token_hashes"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = TextTokenize.tokens(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-    // empty/whitespace-only text → one hash of "" — matches the HOF path
-    // (split(normText, " ") of "" yields [""]), keeping blank-document
-    // signatures identical between formulations
-    val words = if (toks.isEmpty) Seq("") else toks
-    val out = new Array[Long](words.length)
-    var i = 0
-    while (i < words.length) {
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(words(i))
-      out(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
-      i += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
-  }
+  // empty/whitespace-only text → one hash of "" — matches the HOF path
+  // (split(normText, " ") of "" yields [""]), keeping blank-document
+  // signatures identical between formulations
+  override protected def nullSafeEval(input: Any): Any =
+    TextTokenize.tokenHashArray(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextTokenize$$.MODULE$$.tokenHashArray($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -123,6 +123,58 @@ class AgentsSpec extends SparkSpec {
     assert(byKey("slot-3").map(_._2) === List(None)) // odd 3 → tombstone
   }
 
+  test("AvailableNow agent drains the backlog and stops on its own (batch-drain mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[String]
+    in.addData("a", "b", "c") // backlog exists BEFORE the agent starts
+    val counts = new ConcurrentHashMap[String, Long]()
+    val app = new GraftApp(s, "drainer", Files.createTempDirectory("graft-drain").toString)
+    app.agent(
+      "drain",
+      () => in.toDF(),
+      counterSink(counts),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    )(_.select(lit("k").as("agent")).groupBy($"agent").count())
+
+    val q = app.start("drain")
+    q.awaitTermination(30000)
+    assert(!q.isActive, "AvailableNow query should terminate after draining")
+    assert(counts.get("k") === 3L)
+    assert(app.state("drain") === AgentState.Stopped)
+  }
+
+  test("stream-static join enriches a stream against a batch dimension (broadcast, no state)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[String]
+    val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
+    val out = new ConcurrentHashMap[String, Long]()
+    val app = new GraftApp(s, "enricher", Files.createTempDirectory("graft-enrich").toString)
+    app.agent(
+      "enrich",
+      () => in.toDF(),
+      GraftSink.ForeachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r => out.merge(r.getString(0), 1L, (a, b) => a + b))
+        ()
+      }
+    )(_.withColumnRenamed("value", "event_type")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"), "inner")
+      .select($"event_type"))
+
+    app.start("enrich")
+    in.addData("click", "view", "click", "scroll") // scroll has no dim row
+    app.processAllAvailable("enrich")
+    app.stop("enrich")
+    assert(out.get("click") === 2L)
+    assert(out.get("view") === 1L)
+    assert(!out.containsKey("scroll"), "inner stream-static join must drop unmatched rows")
+  }
+
   test("task runs driver-side work at registration (task parity)") {
     var ran = false
     val app = new GraftApp(spark, "tasker", Files.createTempDirectory("graft-task").toString)
