@@ -238,8 +238,109 @@ object Aggregates extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Statistical aggregates (stddev, correlation) computed from EXPLICIT
+    * moment sums through DECIMAL(38,6) — not the built-in Welford-style
+    * stddev/corr, whose streaming updates are FP-order-dependent and
+    * differ between partition-parallel Spark and single-scan DuckDB in the
+    * last ulps. Per-row products are IEEE-deterministic; the decimal sums
+    * are exact and order-insensitive; mean and stddev then combine
+    * bit-identically cross-engine. corr's longer compound division was
+    * observed 1 ulp apart between the engines, so it alone rounds to 9dp
+    * on both sides. Same one-pass map-side-combinable shape the built-ins
+    * have. Also covers max_by/min_by with deterministic struct tie-breaks
+    * (the oracle states them independently via ROW_NUMBER).
+    */
+  val qStats: GQuery = GQuery(
+    "q_agg_stats",
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ${sqlSum("l_quantity")} AS sq,
+               ${sqlSum("l_quantity * l_quantity")} AS sqq,
+               ${sqlSum("l_extendedprice")} AS sp,
+               ${sqlSum("l_extendedprice * l_extendedprice")} AS spp,
+               ${sqlSum("l_quantity * l_extendedprice")} AS sqp
+        FROM lineitem GROUP BY l_returnflag),
+      ranked AS (
+        SELECT l_returnflag, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice DESC, l_partkey DESC) AS rmax,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_partkey DESC) AS rmin
+        FROM lineitem)
+      SELECT m.l_returnflag, m.n,
+             m.sq / m.n AS mean_qty,
+             sqrt((m.sqq - m.sq * m.sq / m.n) / (m.n - 1)) AS stddev_qty,
+             round((m.sqp - m.sq * m.sp / m.n)
+               / (sqrt(m.sqq - m.sq * m.sq / m.n) * sqrt(m.spp - m.sp * m.sp / m.n)), 9)
+               AS corr_qty_price,
+             mx.l_partkey AS priciest_part,
+             mn.l_partkey AS cheapest_part
+      FROM m
+      JOIN (SELECT l_returnflag, l_partkey FROM ranked WHERE rmax = 1) mx USING (l_returnflag)
+      JOIN (SELECT l_returnflag, l_partkey FROM ranked WHERE rmin = 1) mn USING (l_returnflag)
+      ORDER BY m.l_returnflag""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val n = count(lit(1)).cast("double")
+    val sq = dsum($"l_quantity")
+    val sqq = dsum($"l_quantity" * $"l_quantity")
+    val sp = dsum($"l_extendedprice")
+    val spp = dsum($"l_extendedprice" * $"l_extendedprice")
+    val sqp = dsum($"l_quantity" * $"l_extendedprice")
+    t(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        (sq / n).as("mean_qty"),
+        sqrt((sqq - sq * sq / n) / (n - 1)).as("stddev_qty"),
+        round((sqp - sq * sp / n) / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)), 9)
+          .as("corr_qty_price"),
+        max_by($"l_partkey", struct($"l_extendedprice", $"l_partkey")).as("priciest_part"),
+        min_by($"l_partkey", struct($"l_extendedprice", -$"l_partkey")).as("cheapest_part")
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  /** Pivot (long → wide): per-customer-segment event... here, per order
+    * priority, lineitem quantity mass by return flag as columns. Spark's
+    * `pivot` with an explicit value list keeps the schema static and the
+    * aggregation one-pass (each pivot cell is a conditional aggregate,
+    * map-side combined); the oracle expresses the identical wide schema
+    * with CASE-gated sums — the portable formulation of PIVOT.
+    */
+  val qPivot: GQuery = GQuery(
+    "q_agg_pivot",
+    Some(s"""
+      SELECT o_orderpriority,
+             ${sqlSum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END")} AS qty_A,
+             ${sqlSum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END")} AS qty_N,
+             ${sqlSum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END")} AS qty_R
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tb = t(spark, dir)
+    tb.lineitem
+      .join(tb.orders.select($"o_orderkey".as("l_orderkey"), $"o_orderpriority"), "l_orderkey")
+      .groupBy($"o_orderpriority")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum($"l_quantity"))
+      // a flag absent from a priority group pivots to NULL; the CASE-sum
+      // oracle yields 0 — align
+      .select(
+        $"o_orderpriority",
+        coalesce($"A", lit(0.0)).as("qty_A"),
+        coalesce($"N", lit(0.0)).as("qty_N"),
+        coalesce($"R", lit(0.0)).as("qty_R")
+      )
+      .orderBy($"o_orderpriority")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct,
-    qMinMax, qPercentiles
+    qMinMax, qPercentiles, qStats, qPivot
   )
 }
