@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling: regularize an event stream onto a fixed-width
+  * bucket grid per key, with forward fill across gaps — the shaping step
+  * between raw events and windowed feature pipelines (rates, EWMAs,
+  * training-frame joins all want a dense regular grid).
+  *
+  * Reference analog: callysto leaves this to user closures over the
+  * message stream + a CTable holding "last seen value" per key (the
+  * imperative forward fill); declaratively the fill is one running
+  * `last(_, ignoreNulls)` window.
+  *
+  * Scale shape: one groupBy to bucket-aggregate (map-side combined), one
+  * tiny per-key bounds aggregate, `sequence`+`explode` to generate each
+  * key's grid WITHOUT a driver loop or a global calendar cross join, a
+  * co-keyed left join, and one window pass. Grid size is bounded by
+  * (range/width) per key, never by event count.
+  */
+object TimeSeries {
+
+  /** Hourly-style gap fill.
+    *
+    * @param df       input events
+    * @param keyCol   series key
+    * @param tsCol    event-time timestamp column
+    * @param valueAgg aggregate over the value within a bucket (e.g. dsum)
+    * @param width    bucket width as a Spark interval literal, e.g. "1 HOUR"
+    * @param truncUnit `date_trunc` unit matching `width`, e.g. "hour"
+    * @return (key, bucket_ts, value [forward-filled], was_gap)
+    */
+  def gapFill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueAgg: Column => Column,
+      width: String,
+      truncUnit: String
+  ): DataFrame = {
+    val agg = df
+      .groupBy(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("__h"))
+      .agg(valueAgg(col("value")).as("__v"))
+    val grid = agg
+      .groupBy(col(keyCol))
+      .agg(min(col("__h")).as("__mn"), max(col("__h")).as("__mx"))
+      .select(
+        col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"), expr(s"INTERVAL $width"))).as("__h")
+      )
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(agg, Seq(keyCol, "__h"), "left_outer")
+      .select(
+        col(keyCol),
+        col("__h").as("bucket_ts"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value"),
+        col("__v").isNull.as("was_gap")
+      )
+  }
+}

@@ -216,6 +216,51 @@ object StreamingQueries extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Per-user hourly resample with forward fill (operators/TimeSeries
+    * .scala): dense bucket grid per key via sequence+explode (no driver
+    * loop, no global calendar cross join), gaps carry the last seen
+    * aggregate forward. Bucket emitted as a formatted string (timestamps
+    * hash differently across engines' fetch paths) and values go through
+    * the exact DECIMAL(38,6) sum so fill chains match bit-for-bit.
+    */
+  val qGapFill: GQuery = GQuery(
+    "q_ts_gapfill",
+    Some(s"""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events WHERE user_id < 20),
+      agg AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                     ${sqlSum("value")} AS v
+              FROM e GROUP BY 1, 2),
+      bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM agg GROUP BY 1),
+      grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+               FROM bounds),
+      joined AS (SELECT g.user_id, g.h, a.v
+                 FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.h = a.h)
+      SELECT user_id,
+             strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+             v IS NULL AS was_gap
+      FROM joined
+      ORDER BY user_id, bucket""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = t(spark, dir).events
+      .filter($"user_id" < 20)
+      .select($"user_id", tsFromNanos($"ts").as("ts"), $"value")
+    graft.operators.TimeSeries
+      .gapFill(ev, keyCol = "user_id", tsCol = "ts", valueAgg = dsum, width = "1 HOUR", truncUnit = "hour")
+      .select(
+        $"user_id",
+        date_format($"bucket_ts", "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        $"value",
+        $"was_gap"
+      )
+      .orderBy($"user_id", $"bucket")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qStateSnapshot, qTumbling, qSliding, qSession, qAvroRoundtrip, qAvroFileRoundtrip)
+    Seq(qStateSnapshot, qTumbling, qSliding, qSession, qAvroRoundtrip, qAvroFileRoundtrip, qGapFill)
 }
