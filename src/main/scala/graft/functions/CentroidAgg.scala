@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Buffer: per-dimension running sums + count. */
-final case class CentroidBuf(sums: Array[Double], n: Long)
+/** Buffer: per-dimension fixed-point sums + count. */
+final case class CentroidBuf(sums: Array[Long], n: Long)
 
 /** Output wrapper (product type so the result has a stable Encoder). */
 final case class Centroid(values: Seq[Double])
@@ -16,23 +16,31 @@ final case class Centroid(values: Seq[Double])
   *
   * The centroid is the building block of IVF-style ANN (cluster centers =
   * coarse quantizer) and of drift monitoring over embedding corpora. Merge
-  * is associative/commutative (per-dimension double sums), so partial
-  * aggregation runs map-side — one shuffle row per (group, 64 doubles)
-  * regardless of corpus size: the 100 TB-safe shape.
+  * is associative/commutative, so partial aggregation runs map-side — one
+  * shuffle row per (group, dim longs) regardless of corpus size: the
+  * 100 TB-safe shape.
   *
-  * Numeric note: double summation order varies with partitioning, so
-  * results are deterministic only to ~1 ulp × log(n); consumers (and the
-  * DuckDB oracle) round to a tolerance-insensitive precision.
+  * Numeric design: components are accumulated as FIXED-POINT longs
+  * (floor(v · 2^20); ~1e-6 granularity, far below any embedding's signal).
+  * Long addition is exact and order-insensitive, so the centroid is
+  * BIT-IDENTICAL across partitionings, retries, and cluster sizes — rerun
+  * a 100 TB training job and get the same quantizer, and the DuckDB
+  * oracle can replay the math exactly (floor has no round-half ties;
+  * double sums would drift with partition order and straddle rounding
+  * boundaries, which is how this surfaced at sf0.1).
   */
 final class CentroidAgg(dim: Int) extends Aggregator[Seq[Float], CentroidBuf, Centroid] {
 
-  override def zero: CentroidBuf = CentroidBuf(new Array[Double](dim), 0L)
+  /** 2^20 fixed-point scale. */
+  val Scale: Double = 1048576.0
+
+  override def zero: CentroidBuf = CentroidBuf(new Array[Long](dim), 0L)
 
   override def reduce(b: CentroidBuf, v: Seq[Float]): CentroidBuf = {
     val s = b.sums
     var i = 0
     val n = math.min(dim, v.length)
-    while (i < n) { s(i) += v(i).toDouble; i += 1 }
+    while (i < n) { s(i) += math.floor(v(i).toDouble * Scale).toLong; i += 1 }
     CentroidBuf(s, b.n + 1)
   }
 
@@ -45,7 +53,7 @@ final class CentroidAgg(dim: Int) extends Aggregator[Seq[Float], CentroidBuf, Ce
 
   override def finish(r: CentroidBuf): Centroid =
     if (r.n == 0) Centroid(Seq.empty)
-    else Centroid(r.sums.toSeq.map(_ / r.n.toDouble))
+    else Centroid(r.sums.toSeq.map(s => (s.toDouble / r.n) / Scale))
 
   override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
   override def outputEncoder: Encoder[Centroid] = Encoders.product[Centroid]

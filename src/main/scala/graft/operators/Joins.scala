@@ -73,17 +73,29 @@ object Joins {
     * a union + window fill — each side shuffles once on its own key, and a
     * side already partitioned on the key shuffles zero bytes.
     */
+  /** @param direction "backward" (latest right at or before, default) or
+    *                   "forward" (earliest right at or after)
+    * @param toleranceMicros max |right.ts - left.ts| in the ts column's
+    *                        native long unit (µs for timestamps); requires
+    *                        a long or timestamp ts column
+    */
   def asOfJoinNative(
       left: DataFrame,
       right: DataFrame,
       key: String,
       tsCol: String,
-      payload: Seq[String]
+      payload: Seq[String],
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None
   ): DataFrame = {
     require(payload.nonEmpty, "need at least one payload column")
+    require(
+      direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     import org.apache.spark.sql.graftshim.GraftSql
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val lp = GraftSql.analyzedPlan(left)
     // Re-alias the right side unconditionally: in self-joins both subtrees
     // share attribute ids, and DeduplicateRelations doesn't know our node.
@@ -92,6 +104,13 @@ object Joins {
     def attr(p: LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    toleranceMicros.foreach { t =>
+      require(t >= 0, "tolerance must be >= 0")
+      val dt = attr(lp, tsCol).dataType
+      require(
+        dt == LongType || dt == TimestampType,
+        s"tolerance needs a long/timestamp ts column, got $dt")
+    }
     val payloadAttrs = payload.map(attr(rp, _))
     val payloadOut = payloadAttrs.map(a => AttributeReference(a.name, a.dataType)())
     GraftSql.ofRows(
@@ -100,7 +119,9 @@ object Joins {
         lp, rp,
         attr(lp, key), attr(rp, key),
         attr(lp, tsCol), attr(rp, tsCol),
-        payloadAttrs, payloadOut)
+        payloadAttrs, payloadOut,
+        forward = direction == "forward",
+        toleranceMicros = toleranceMicros)
     )
   }
 

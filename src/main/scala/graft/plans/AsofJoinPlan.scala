@@ -15,11 +15,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * (SURVEY.md §2.6 extension-surface row; the (c) rung of the custom-op
   * ladder, next to the (b)-rung Expressions in functions/).
   *
-  * Semantics: for every left row, attach the payload of the latest right
-  * row with the same key and `right.ts <= left.ts` (left-outer; ties on
-  * (key, ts) resolved toward the greatest first payload column —
-  * deterministic, and identical to operators/Joins.asOfJoin's union+window
-  * formulation, which JoinsSpec cross-checks).
+  * Semantics (pandas merge_asof parity, left-outer):
+  *   - backward (default): latest right row with the same key and
+  *     `right.ts <= left.ts`; ties on (key, ts) resolve toward the
+  *     GREATEST first payload column (the last row in sort order).
+  *   - forward: earliest right row with `right.ts >= left.ts`; ties
+  *     resolve toward the SMALLEST first payload column (first in order).
+  *   - toleranceMicros: optional max |right.ts - left.ts| in the ts
+  *     column's native long unit (µs for timestamps); rows whose best
+  *     match falls outside it get nulls. Null timestamps never satisfy a
+  *     tolerance; without one they sort as -infinity.
   *
   * Reference parity: a callysto agent calls `CTable::get` for the most
   * recent state written at or before each event it processes (reference
@@ -43,7 +48,9 @@ case class AsofJoin(
     leftTs: Expression,
     rightTs: Expression,
     payload: Seq[Attribute],
-    payloadOut: Seq[Attribute]
+    payloadOut: Seq[Attribute],
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None
 ) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
@@ -61,6 +68,8 @@ case class AsofJoinExec(
     rightTs: Expression,
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
+    forward: Boolean,
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan
 ) extends BinaryExecNode {
@@ -76,8 +85,8 @@ case class AsofJoinExec(
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
 
   /** Per-partition (key, ts) sort; the right side adds the first payload
-    * column as tie-break so "last right row wins" is deterministic under
-    * equal timestamps.
+    * column as tie-break so the backward "last wins" / forward "first
+    * wins" rules are deterministic under equal timestamps.
     */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     SortOrder(leftKey, Ascending) :: SortOrder(leftTs, Ascending) :: Nil,
@@ -98,6 +107,8 @@ case class AsofJoinExec(
     val payloadAttrs = payload
     val outAttrs = output
     val nPayload = payloadOut.length
+    val fwd = forward
+    val tol = toleranceMicros
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), lOut)
       val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)
@@ -110,6 +121,14 @@ case class AsofJoinExec(
       val nullPayload = new GenericInternalRow(nPayload)
       val joined = new JoinedRow
 
+      // |right.ts - left.ts| <= tol, with nulls never qualifying
+      def withinTol(rTs: InternalRow, lTs: InternalRow): Boolean = tol match {
+        case None => true
+        case Some(t) =>
+          !rTs.isNullAt(0) && !lTs.isNullAt(0) &&
+            math.abs(rTs.getLong(0) - lTs.getLong(0)) <= t
+      }
+
       var rRow: InternalRow = null
       var rKey: InternalRow = null
       var rTs: InternalRow = null
@@ -121,30 +140,56 @@ case class AsofJoinExec(
         } else rRow = null
       advanceRight()
 
-      // Most recent consumed right payload and the key it belongs to.
-      var lastPayload: InternalRow = null
-      var lastKey: InternalRow = null
-
-      lIter.map { l =>
-        val lk = lKeyProj(l)
-        val lt = lTsProj(l)
-        var continue = rRow != null
-        while (continue) {
-          val c = keyOrd.compare(rKey, lk)
-          if (c < 0 || (c == 0 && tsOrd.compare(rTs, lt) <= 0)) {
-            if (c == 0 && !rKey.isNullAt(0)) {
-              lastPayload = payloadProj(rRow).copy()
-              lastKey = rKey
-            }
-            advanceRight()
-            continue = rRow != null
-          } else continue = false
+      if (fwd) {
+        // earliest right row at or after each left ts: the cursor only
+        // ever PEEKS at its current row (a right row can serve many left
+        // rows); rows strictly before the current left ts are dead for
+        // every later left row too, so consumption stays monotone.
+        lIter.map { l =>
+          val lk = lKeyProj(l)
+          val lt = lTsProj(l)
+          var continue = rRow != null
+          while (continue) {
+            val c = keyOrd.compare(rKey, lk)
+            if (c < 0 || (c == 0 && tsOrd.compare(rTs, lt) < 0)) {
+              advanceRight()
+              continue = rRow != null
+            } else continue = false
+          }
+          val matched =
+            rRow != null && !lk.isNullAt(0) && keyOrd.compare(rKey, lk) == 0 &&
+              withinTol(rTs, lt)
+          val p = if (matched) payloadProj(rRow) else nullPayload
+          resultProj(joined(l, p))
         }
-        val p =
-          if (!lk.isNullAt(0) && lastKey != null && keyOrd.compare(lastKey, lk) == 0)
-            lastPayload
-          else nullPayload
-        resultProj(joined(l, p))
+      } else {
+        // latest right row at or before each left ts: remember the most
+        // recent consumed payload per key (O(1) state).
+        var lastPayload: InternalRow = null
+        var lastKey: InternalRow = null
+        var lastTs: InternalRow = null
+        lIter.map { l =>
+          val lk = lKeyProj(l)
+          val lt = lTsProj(l)
+          var continue = rRow != null
+          while (continue) {
+            val c = keyOrd.compare(rKey, lk)
+            if (c < 0 || (c == 0 && tsOrd.compare(rTs, lt) <= 0)) {
+              if (c == 0 && !rKey.isNullAt(0)) {
+                lastPayload = payloadProj(rRow).copy()
+                lastKey = rKey
+                lastTs = rTs
+              }
+              advanceRight()
+              continue = rRow != null
+            } else continue = false
+          }
+          val matched =
+            !lk.isNullAt(0) && lastKey != null && keyOrd.compare(lastKey, lk) == 0 &&
+              withinTol(lastTs, lt)
+          val p = if (matched) lastPayload else nullPayload
+          resultProj(joined(l, p))
+        }
       }
     }
   }
@@ -161,8 +206,8 @@ case class AsofJoinExec(
   */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, pay, payOut) =>
-      AsofJoinExec(lk, rk, lt, rt, pay, payOut, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, pay, payOut, fwd, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, pay, payOut, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -364,6 +364,44 @@ object Relational extends QuerySet {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** Forward as-of with tolerance: each click gets the user's NEXT
+    * purchase within one hour (conversion attribution). Exercises the
+    * custom exec's forward direction + tolerance; the oracle states the
+    * same semantics independently via a ranked range join.
+    */
+  val qJoinAsofForward: GQuery = GQuery(
+    "q_join_asof_forward",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      c AS (SELECT user_id, event_id AS click_id, ts FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS purchase_id, ts FROM e WHERE event_type = 'purchase'),
+      cand AS (
+        SELECT c.click_id, p.purchase_id,
+               ROW_NUMBER() OVER (PARTITION BY c.click_id
+                                  ORDER BY p.ts, p.purchase_id) AS rn
+        FROM c JOIN p ON p.user_id = c.user_id
+                     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      SELECT c.user_id, c.click_id, f.purchase_id AS next_purchase_id
+      FROM c LEFT JOIN (SELECT click_id, purchase_id FROM cand WHERE rn = 1) f
+        ON c.click_id = f.click_id
+      ORDER BY c.user_id, c.click_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = t(spark, dir).events.select(
+      $"user_id", $"event_id", $"event_type", tsFromNanos($"ts").as("ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    graft.operators.Joins
+      .asOfJoinNative(
+        c, p, key = "user_id", tsCol = "ts", payload = Seq("purchase_id"),
+        direction = "forward", toleranceMicros = Some(3600L * 1000000L))
+      .select($"user_id", $"click_id", $"purchase_id".as("next_purchase_id"))
+      .orderBy($"user_id", $"click_id")
+  }
+
   /** Salted skew join: events (hot 5-value key) x an unbroadcast-worthy
     * dim, split across 8 salts (see [[graft.operators.Joins.saltedJoin]]).
     * The oracle replays the plain unsalted join — same result by
@@ -408,6 +446,7 @@ object Relational extends QuerySet {
     qJoinSemi,
     qJoinAnti,
     qJoinAsof,
+    qJoinAsofForward,
     qJoinSalted,
     qJoinFull,
     qJoinTheta,

@@ -61,15 +61,17 @@ object SimilarityQueries extends QuerySet {
     * Aggregator (UDAF) — the coarse-quantizer step of IVF-style ANN.
     * Output is exploded to scalar rows (label, idx, avg_v): the oracle
     * harness hashes flat cells, and array-typed result columns are not
-    * hashable there. Both engines round to 4dp: double summation order
-    * differs between partition-parallel partial aggregation and DuckDB's
-    * scan order, so results agree to ~1 ulp, far inside the tolerance.
+    * hashable there. The UDAF accumulates fixed-point longs
+    * (floor(v · 2^20)), so the mean is bit-identical across partition
+    * orders and the oracle replays the exact math — no rounding tolerance
+    * at all (double summation drifted past a round() boundary at sf0.1).
     */
   val qCentroid: GQuery = GQuery(
     "q_agg_centroid",
     Some("""
       SELECT label, CAST(i - 1 AS INT) AS idx,
-             round(avg(CAST(e AS DOUBLE)), 4) AS avg_v
+             (CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+              / COUNT(*)) / 1048576.0 AS avg_v
       FROM (SELECT label,
                    unnest(embedding) AS e,
                    unnest(generate_series(1, len(embedding))) AS i
@@ -83,7 +85,7 @@ object SimilarityQueries extends QuerySet {
       .groupBy($"label")
       .agg(centroid($"embedding").as("c"))
       .select($"label", posexplode($"c.values"))
-      .select($"label", $"pos".cast("int").as("idx"), round($"col", 4).as("avg_v"))
+      .select($"label", $"pos".cast("int").as("idx"), $"col".as("avg_v"))
       .orderBy($"label", $"idx")
   }
 

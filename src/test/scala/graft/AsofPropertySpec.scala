@@ -66,6 +66,76 @@ class AsofPropertySpec extends SparkSpec {
     }
   }
 
+  /** Forward model: min-(ts, payload) right row at or after each left ts,
+    * optionally within tolerance.
+    */
+  private def modelForward(
+      left: List[(Long, Long)],
+      right: List[(Long, Long, Long)],
+      tol: Option[Long]
+  ): List[(Long, Long, Option[Long])] =
+    left.map { case (k, t) =>
+      val matches = right.filter { case (rk, rt, _) =>
+        rk == k && rt >= t && tol.forall(rt - t <= _)
+      }
+      val pay = matches.sortBy { case (_, rt, p) => (rt, p) }.headOption.map(_._3)
+      (k, t, pay)
+    }
+
+  test("forward direction matches the min-at-or-after model on 8 random streams") {
+    for (i <- 0 until 8) {
+      val lRows = sample(40, 300L + i)
+      val rRows = sample(30, 400L + i).zipWithIndex.map { case ((k, t), idx) =>
+        (k, t, idx.toLong)
+      }
+      val got = Joins
+        .asOfJoinNative(
+          lRows.toDF("k", "ts"), rRows.toDF("k", "ts", "pay"),
+          "k", "ts", Seq("pay"), direction = "forward")
+        .as[(Long, Long, Option[Long])]
+        .collect()
+        .toList
+        .sorted(Ordering.by((x: (Long, Long, Option[Long])) => (x._1, x._2, x._3.getOrElse(Long.MinValue))))
+      val expected = modelForward(lRows, rRows, None)
+        .sorted(Ordering.by((x: (Long, Long, Option[Long])) => (x._1, x._2, x._3.getOrElse(Long.MinValue))))
+      assert(got == expected, s"seed $i: forward as-of diverged from model")
+    }
+  }
+
+  test("tolerance bounds matches in both directions (random streams)") {
+    for (i <- 0 until 4) {
+      val lRows = sample(30, 500L + i)
+      val rRows = sample(25, 600L + i).zipWithIndex.map { case ((k, t), idx) =>
+        (k, t, idx.toLong)
+      }
+      val l = lRows.toDF("k", "ts")
+      val r = rRows.toDF("k", "ts", "pay")
+      val tol = 5L
+      val fwd = Joins
+        .asOfJoinNative(l, r, "k", "ts", Seq("pay"), direction = "forward", toleranceMicros = Some(tol))
+        .as[(Long, Long, Option[Long])].collect().toList
+        .sorted(Ordering.by((x: (Long, Long, Option[Long])) => (x._1, x._2, x._3.getOrElse(Long.MinValue))))
+      val fwdExp = modelForward(lRows, rRows, Some(tol))
+        .sorted(Ordering.by((x: (Long, Long, Option[Long])) => (x._1, x._2, x._3.getOrElse(Long.MinValue))))
+      assert(fwd == fwdExp, s"seed $i: forward+tolerance diverged")
+
+      val bwd = Joins
+        .asOfJoinNative(l, r, "k", "ts", Seq("pay"), toleranceMicros = Some(tol))
+        .as[(Long, Long, Option[Long])].collect().toList
+        .sorted(Ordering.by((x: (Long, Long, Option[Long])) => (x._1, x._2, x._3.getOrElse(Long.MinValue))))
+      val bwdExp = lRows.map { case (k, t) =>
+        val matches = rRows.filter { case (rk, rt, _) => rk == k && rt <= t }
+        val pay = if (matches.isEmpty) None
+        else {
+          val bestTs = matches.map(_._2).max
+          if (t - bestTs <= tol) Some(matches.filter(_._2 == bestTs).map(_._3).max) else None
+        }
+        (k, t, pay)
+      }.sorted(Ordering.by((x: (Long, Long, Option[Long])) => (x._1, x._2, x._3.getOrElse(Long.MinValue))))
+      assert(bwd == bwdExp, s"seed $i: backward+tolerance diverged")
+    }
+  }
+
   test("asOfJoinNative: null timestamps behave as earliest (right) / match-nothing-later (left)") {
     val l = Seq((1L, Some(10L), "a"), (1L, None, "b")).toDF("k", "ts", "tag")
     val r = Seq((1L, Some(5L), 100L), (1L, None, 50L)).toDF("k", "ts", "pay")
