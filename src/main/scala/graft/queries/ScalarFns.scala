@@ -238,5 +238,41 @@ object ScalarFns extends QuerySet {
       .orderBy($"event_id")
   }
 
-  override def queries: Seq[GQuery] = Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap)
+  /** Higher-order predicate functions over arrays: filter / exists /
+    * forall / zip_with+slice composition. The oracle uses DuckDB's
+    * list_filter (and derives exists/forall from its length — the
+    * portable formulation).
+    */
+  val qHof: GQuery = GQuery(
+    "q_fn_hof",
+    Some("""
+      SELECT vec_id,
+             len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.5)) AS n_big,
+             len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS has_huge,
+             len(list_filter(embedding, x -> NOT (abs(CAST(x AS DOUBLE)) <= 2.0))) = 0 AS all_bounded,
+             CAST(list_sum(list_transform(generate_series(1, 8),
+                           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+                  AS DOUBLE) AS head8_sq
+      FROM embeddings
+      ORDER BY vec_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).embeddings
+      .select(
+        $"vec_id",
+        // compare in DOUBLE: 0.9 is not exact in float32, so a float-side
+        // comparison could flip for values at the representation boundary
+        size(filter($"embedding", x => x.cast(DoubleType) > 0.5)).as("n_big"),
+        exists($"embedding", x => x.cast(DoubleType) > 0.9).as("has_huge"),
+        forall($"embedding", x => abs(x.cast(DoubleType)) <= 2.0).as("all_bounded"),
+        aggregate(
+          slice(transform($"embedding", _.cast(DoubleType)), 1, 8),
+          lit(0.0),
+          (acc, x) => acc + x * x
+        ).as("head8_sq")
+      )
+      .orderBy($"vec_id")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof)
 }

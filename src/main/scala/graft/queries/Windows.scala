@@ -195,7 +195,49 @@ object Windows extends QuerySet {
       .limit(100)
   }
 
+  /** Time-range frame: per-user trailing-1-hour event-time sum + first
+    * value in the frame. Spark range frames need a numeric order column,
+    * so the frame runs over epoch-µs longs (the oracle mirrors with
+    * epoch_us arithmetic); the windowed sum goes through DECIMAL(38,6)
+    * so frame-internal addition order can't drift the doubles.
+    */
+  val qRangeFrame: GQuery = GQuery(
+    "q_window_range_frame",
+    Some("""
+      WITH e AS (SELECT event_id, user_id, value,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+                 FROM events)
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS hour_sum,
+             COUNT(*) OVER w AS hour_n,
+             first_value(event_id) OVER w AS frame_start_event
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.StreamOps.tsFromNanos
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy($"tsu")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    t(spark, dir).events
+      .select(
+        $"event_id", $"user_id", $"value",
+        unix_micros(tsFromNanos($"ts")).as("tsu"))
+      .select(
+        $"event_id",
+        $"user_id",
+        sum($"value".cast(Common.D)).over(w).cast("double").as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"),
+        first($"event_id").over(w).as("frame_start_event")
+      )
+      .orderBy($"user_id", $"event_id")
+  }
+
   override def queries: Seq[GQuery] = Seq(
-    qTopkPerGroup, qRank, qRunning, qLagLead, qMovingFrame, qDistribution, qTopkGlobal
+    qTopkPerGroup, qRank, qRunning, qLagLead, qMovingFrame, qDistribution, qTopkGlobal,
+    qRangeFrame
   )
 }
