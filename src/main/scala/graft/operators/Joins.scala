@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,6 +123,113 @@ object Joins {
         forward = direction == "forward",
         toleranceMicros = toleranceMicros)
     )
+  }
+
+  /** Broadcast as-of join — the shuffle-FREE path when the right side is
+    * small reference state (the common "huge event stream × compact
+    * slowly-changing dimension" case). The right side is collected to a
+    * per-key ts-sorted index, broadcast once, and each left row does a
+    * binary search in place: a narrow mapPartitions, NO exchange on
+    * either side (BucketingSpec-style plan assertion in JoinsSpec). The
+    * sorted-merge exec ([[asOfJoinNative]]) remains the large × large
+    * path. Semantics match asOfJoinNative; ties on (key, ts) resolve by
+    * the right side's insertion order after a stable ts sort.
+    *
+    * Requires a long or timestamp ts column (compared in epoch-µs).
+    */
+  def asOfJoinBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      payload: Seq[String],
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None
+  ): DataFrame = {
+    require(payload.nonEmpty, "need at least one payload column")
+    require(
+      direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+    def micros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case LongType => col(c)
+      case TimestampType => unix_micros(col(c))
+      case t => throw new IllegalArgumentException(s"as-of broadcast needs long/timestamp ts, got $t")
+    }
+    val forward = direction == "forward"
+
+    // driver-side index: key -> (sorted ts array, payload rows in ts order)
+    val rCollected = right
+      .select(col(key) +: micros(right, tsCol).as("__ts") +: payload.map(col): _*)
+      .collect()
+    val index: Map[Any, (Array[Long], Array[Row])] = rCollected
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .groupBy(_.get(0))
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(_.getLong(1)) // stable
+        k -> (sorted.map(_.getLong(1)), sorted.map(r => Row(payload.indices.map(i => r.get(i + 2)): _*)))
+      }
+    val bc = left.sparkSession.sparkContext.broadcast(index)
+
+    val leftSchema = left.schema
+    val payloadFields = payload.map { c =>
+      val f = right.schema(c)
+      StructField(f.name, f.dataType, nullable = true)
+    }
+    val outSchema = StructType(leftSchema.fields ++ payloadFields)
+    val tsIdx = leftSchema.fieldIndex(tsCol)
+    val keyIdx = leftSchema.fieldIndex(key)
+    val tsIsTimestamp = leftSchema(tsCol).dataType == TimestampType
+    val nP = payload.length
+    val tol = toleranceMicros
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+
+    left.mapPartitions { iter =>
+      val idx = bc.value
+      val nulls = Seq.fill[Any](nP)(null)
+      iter.map { row =>
+        val k = row.get(keyIdx)
+        val tRaw = row.get(tsIdx)
+        val t: java.lang.Long =
+          if (row.isNullAt(tsIdx)) null
+          else if (tsIsTimestamp) tRaw match {
+            // external type depends on spark.sql.datetime.java8API.enabled
+            case i: java.time.Instant =>
+              java.lang.Long.valueOf(
+                org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+            case ts: java.sql.Timestamp =>
+              java.lang.Long.valueOf(
+                org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts))
+          }
+          else java.lang.Long.valueOf(tRaw.asInstanceOf[Long])
+        val pay: Seq[Any] =
+          if (k == null || t == null) nulls
+          else idx.get(k) match {
+            case None => nulls
+            case Some((tss, rows)) =>
+              // first index with ts >= t (lower bound)
+              var lo = 0
+              var hi = tss.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (tss(mid) < t) lo = mid + 1 else hi = mid
+              }
+              val i =
+                if (forward) (if (lo < tss.length) lo else -1)
+                else {
+                  // last index with ts <= t: step past equal-ts run
+                  var j = lo
+                  while (j < tss.length && tss(j) == t.longValue()) j += 1
+                  j - 1
+                }
+              if (i < 0) nulls
+              else if (tol.exists(x => math.abs(tss(i) - t) > x)) nulls
+              else rows(i).toSeq
+          }
+        Row.fromSeq(row.toSeq ++ pay)
+      }
+    }(enc)
   }
 
   /** Salted shuffle join for skewed keys: the large side gets a

@@ -100,6 +100,35 @@ class JoinsSpec extends SparkSpec {
     )
   }
 
+  test("asOfJoinBroadcast equals the sorted-merge exec and plans with zero exchanges") {
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = graft.sources.Tables(spark, sf).events
+      .select($"user_id", $"event_id", $"event_type", tsFromNanos($"ts").as("ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts")
+
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(3600L * 1000000L))) {
+      val bcast = Joins
+        .asOfJoinBroadcast(p, c, "user_id", "ts", Seq("click_id"), dir, tol)
+        .select($"user_id", $"purchase_id", $"click_id")
+      val native = Joins
+        .asOfJoinNative(p, c, "user_id", "ts", Seq("click_id"), dir, tol)
+        .select($"user_id", $"purchase_id", $"click_id")
+      assert(
+        bcast.exceptAll(native).isEmpty && native.exceptAll(bcast).isEmpty,
+        s"broadcast as-of ($dir, tol=$tol) differs from sorted-merge exec"
+      )
+    }
+
+    // the whole point: NO shuffle anywhere — narrow map over the left scan
+    val plan = Joins
+      .asOfJoinBroadcast(p, c, "user_id", "ts", Seq("click_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"broadcast as-of must be shuffle-free, plan:\n$plan")
+  }
+
   test("saltedJoin equals the unsalted join for every join type and salt count") {
     val ev = graft.sources.Tables(spark, sf).events
       .select($"event_id", $"event_type", $"value")
