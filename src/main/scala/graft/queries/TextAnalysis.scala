@@ -253,6 +253,102 @@ object TextAnalysis extends QuerySet {
       .orderBy($"event_id")
   }
 
+  /** Document chunking: overlapping token windows (width 32, stride 24) —
+    * the shaping step that turns a corpus into training sequences. One
+    * narrow pass: tokenize, generate window starts with `sequence`,
+    * explode, slice — rows scale with corpus size x overlap factor, no
+    * shuffle until the final order. Chunks are emitted as md5 hashes
+    * (training pipelines key chunks; dragging full text through the
+    * result defeats the point).
+    */
+  val qChunk: GQuery = GQuery(
+    "q_text_chunk",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      w AS (SELECT doc_id, ts,
+                   unnest(generate_series(0, greatest(CAST(ceil((len(ts) - 32) / 24.0) AS BIGINT), 0))) AS i
+            FROM t)
+      SELECT doc_id,
+             CAST(i AS INT) AS chunk_id,
+             CAST(len(ts[i*24 + 1 : i*24 + 32]) AS INT) AS n_tokens,
+             md5(array_to_string(ts[i*24 + 1 : i*24 + 32], ' ')) AS chunk_hash
+      FROM w
+      ORDER BY doc_id, chunk_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ")
+    t(spark, dir).documents
+      .select($"doc_id", toks.as("ts"))
+      .select(
+        $"doc_id", $"ts",
+        explode(sequence(
+          lit(0),
+          greatest(ceil((size($"ts") - 32) / 24.0).cast("long"), lit(0L)))).as("i")
+      )
+      .select(
+        $"doc_id",
+        $"i".cast("int").as("chunk_id"),
+        size(slice($"ts", ($"i" * 24 + 1).cast("int"), lit(32))).as("n_tokens"),
+        md5(encode(concat_ws(" ", slice($"ts", ($"i" * 24 + 1).cast("int"), lit(32))), "UTF-8")).as("chunk_hash")
+      )
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Within-document repetition score (Gopher-style quality rule): the
+    * fraction of 3-gram shingles that are duplicates of an earlier one in
+    * the same document. Pure per-row column math over the shingle arrays —
+    * row-parallel, scales with the scan.
+    */
+  val qRepetition: GQuery = GQuery(
+    "q_text_repetition",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      s AS (SELECT doc_id,
+                   CASE WHEN len(ts) >= 3
+                        THEN list_transform(generate_series(1, len(ts) - 2),
+                                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                        ELSE [array_to_string(ts, ' ')] END AS sh
+            FROM t)
+      SELECT doc_id,
+             CAST(len(sh) AS INT) AS n_shingles,
+             CAST(len(list_distinct(sh)) AS INT) AS n_distinct,
+             round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS dup_frac
+      FROM s
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ")
+    // 3-grams via three shifted slices zipped pairwise: each slice
+    // evaluates `ts` once per ROW. (An index lambda —
+    // transform(sequence(...), i -> element_at(ts, i)...) — would re-run
+    // the inlined tokenize pipeline per ELEMENT: the round-1 CSE trap.)
+    val sh = when(
+      size($"ts") >= 3,
+      zip_with(
+        zip_with(
+          slice($"ts", lit(1), size($"ts") - 2),
+          slice($"ts", lit(2), size($"ts") - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice($"ts", lit(3), size($"ts") - 2),
+        (ab, c) => concat(ab, lit(" "), c))
+    ).otherwise(array(concat_ws(" ", $"ts")))
+    t(spark, dir).documents
+      .select($"doc_id", toks.as("ts"))
+      .select($"doc_id", sh.as("sh"))
+      .select(
+        $"doc_id",
+        size($"sh").as("n_shingles"),
+        size(array_distinct($"sh")).as("n_distinct"),
+        round(lit(1.0) - size(array_distinct($"sh")).cast("double") / size($"sh"), 6).as("dup_frac")
+      )
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode, qRedact)
+    Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode,
+      qRedact, qChunk, qRepetition)
 }
