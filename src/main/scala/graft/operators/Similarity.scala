@@ -188,9 +188,32 @@ object Similarity {
         .toArray
     }
 
-    // Lloyd iterations from deterministic seeding; centroids are tiny, so
-    // each step is one aggregate job + a driver collect
-    var cents = trainStep((col(idCol) % nList).cast("int"))
+    // Farthest-point seeding on a deterministic sample (k-means++-style
+    // spread beats the modulo partition that ignores geometry), then Lloyd
+    // iterations; centroids are tiny, so each step is one aggregate job +
+    // a driver collect. At 100 TB the sample is exactly how this trains —
+    // the full corpus only ever flows through the cell-assign map.
+    val sample = candidates
+      .filter(col(idCol) % 7 === 0) // deterministic ~1/7 sample, id-hashed
+      .select(col(vecCol))
+      .limit(512)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) -1.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (seeds.length < math.min(nList, sample.length)) {
+      // the sample vector least similar to its closest chosen seed
+      val next = sample.maxBy(v => -seeds.map(s => cos(v, s)).max)
+      seeds += next
+    }
+    val seedCents = seeds.map(_.map(_.toFloat).toSeq).toArray
+    var cents = trainStep(array_max(scoresFor(seedCents)(col(vecCol))).getField("cell"))
     var it = 0
     while (it < 2) {
       cents = trainStep(array_max(scoresFor(cents)(col(vecCol))).getField("cell"))
