@@ -73,8 +73,12 @@ object Joins {
     * a union + window fill — each side shuffles once on its own key, and a
     * side already partitioned on the key shuffles zero bytes.
     */
-  /** @param direction "backward" (latest right at or before, default) or
-    *                   "forward" (earliest right at or after)
+  /** @param key single key column; for composite keys pack the parts into
+    *             one struct column (`struct(a, b)`) on both sides — the
+    *             exec's natural row ordering compares structs
+    *             lexicographically (JoinsSpec proves isolation)
+    * @param direction "backward" (latest right at or before, default) or
+    *                  "forward" (earliest right at or after)
     * @param toleranceMicros max |right.ts - left.ts| in the ts column's
     *                        native long unit (µs for timestamps); requires
     *                        a long or timestamp ts column

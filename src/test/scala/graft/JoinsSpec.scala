@@ -129,6 +129,28 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"broadcast as-of must be shuffle-free, plan:\n$plan")
   }
 
+  test("asOfJoinNative supports composite keys via a struct column") {
+    // two-part key (region, user): pack into one struct column — the
+    // exec's single key expression + natural struct ordering handle it
+    val l2 = Seq(
+      ("eu", 1L, 100L, "p1"),
+      ("us", 1L, 100L, "p2") // same user id, different region: must NOT share state
+    ).toDF("region", "u", "ts", "lp")
+      .withColumn("k", struct($"region", $"u"))
+    val r2 = Seq(
+      ("eu", 1L, 50L, 7L)
+    ).toDF("region", "u", "ts", "pay")
+      .withColumn("k", struct($"region", $"u"))
+    val out = Joins
+      .asOfJoinNative(l2, r2, key = "k", tsCol = "ts", payload = Seq("pay"))
+      .select($"lp", $"pay")
+      .as[(String, Option[Long])]
+      .collect()
+      .toMap
+    assert(out("p1") == Some(7L), "eu user should see the eu right row")
+    assert(out("p2") == None, "us user must not see the eu right row")
+  }
+
   test("saltedJoin equals the unsalted join for every join type and salt count") {
     val ev = graft.sources.Tables(spark, sf).events
       .select($"event_id", $"event_type", $"value")
