@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Degenerate-input behavior of the dedup family: empty corpora, single
+  * documents, and all-identical corpora — the shapes that show up in
+  * SOME partition of any real 100 TB run and must not crash or mislabel.
+  */
+class DedupEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val single = Seq((1L, "just one document here")).toDF("doc_id", "text")
+  private val clones = Seq(
+    (1L, "same text every time"),
+    (2L, "same text every time"),
+    (3L, "same text every time")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: empty -> empty; single -> one keeper; clones -> one keeper with n_copies=3") {
+    assert(Dedup.exact(empty, "doc_id", "text").count() == 0)
+    val s = Dedup.exact(single, "doc_id", "text").collect()
+    assert(s.length == 1 && s.head.getAs[Long]("keep_id") == 1L)
+    val c = Dedup.exact(clones, "doc_id", "text").collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[Long]("keep_id") == 1L)
+    assert(c.head.getAs[Long]("n_copies") == 3L)
+  }
+
+  test("minhash/simhash/jaccard pairs: empty and single inputs yield no pairs; clones pair fully") {
+    for (df <- Seq(empty, single)) {
+      assert(Dedup.minhashPairs(df, "doc_id", "text").count() == 0)
+      assert(Dedup.simhashPairs(df, "doc_id", "text").count() == 0)
+      assert(Dedup.jaccardPairs(df, "doc_id", "text").count() == 0)
+    }
+    // identical docs: every pair (3 choose 2) at similarity 1 / hamming 0
+    val mh = Dedup.minhashPairs(clones, "doc_id", "text").collect()
+    assert(mh.length == 3 && mh.forall(_.getAs[Double]("est_jaccard") == 1.0))
+    val sh = Dedup.simhashPairs(clones, "doc_id", "text").collect()
+    assert(sh.length == 3 && sh.forall(_.getAs[Int]("hamming_dist") == 0))
+    val jc = Dedup.jaccardPairs(clones, "doc_id", "text").collect()
+    assert(jc.length == 3 && jc.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("connected components: empty pairs -> empty labels; clone pairs collapse to one component") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(emptyPairs).count() == 0)
+    val pairs = Dedup.jaccardPairs(clones, "doc_id", "text").select($"id_a", $"id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+    assert(comp.map(_.getAs[Long]("component")).toSet == Set(1L))
+    assert(comp.map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
+  }
+}
