@@ -272,6 +272,79 @@ object Relational extends QuerySet {
   }
 
   /** Theta join: equi key + non-equi residual (price above retail). */
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * MATCH each other instead of dropping — the semantics needed when a
+    * "bucket" key legitimately contains an unknown class. Keys with nulls
+    * are synthesized from events (every user_id ending in 5 degrades to
+    * null) and joined null-safely to a dim that includes a null row.
+    */
+  val qJoinNullSafe: GQuery = GQuery(
+    "q_join_null_safe",
+    Some(s"""
+      WITH e AS (SELECT event_id, value,
+                        nullif(user_id % 10, 5) AS bucket
+                 FROM events),
+      dim(bucket, label) AS (VALUES
+        (0, 'b0'), (1, 'b1'), (2, 'b2'), (3, 'b3'), (4, 'b4'),
+        (6, 'b6'), (7, 'b7'), (8, 'b8'), (9, 'b9'), (NULL, 'unknown'))
+      SELECT d.label,
+             COUNT(*) AS n,
+             ${sqlSum("e.value")} AS total
+      FROM e JOIN dim d ON e.bucket IS NOT DISTINCT FROM d.bucket
+      GROUP BY d.label
+      ORDER BY d.label""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = t(spark, dir).events
+      .select($"event_id", $"value", nullif($"user_id" % 10, lit(5)).as("bucket"))
+    val dim = Seq(
+      Some(0L) -> "b0", Some(1L) -> "b1", Some(2L) -> "b2", Some(3L) -> "b3",
+      Some(4L) -> "b4", Some(6L) -> "b6", Some(7L) -> "b7", Some(8L) -> "b8",
+      Some(9L) -> "b9", (None: Option[Long]) -> "unknown"
+    ).toDF("d_bucket", "label")
+    ev.join(dim, $"bucket" <=> $"d_bucket")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+      .orderBy($"label")
+  }
+
+  /** Unpivot (wide → long, the inverse of q_agg_pivot): per-returnflag
+    * metric columns melted into (flag, metric, value) rows via
+    * `Dataset.unpivot`; the oracle is the portable UNION ALL formulation.
+    */
+  val qUnpivot: GQuery = GQuery(
+    "q_agg_unpivot",
+    Some(s"""
+      WITH w AS (
+        SELECT l_returnflag,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               ${sqlSum("l_extendedprice")} AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM w
+        UNION ALL
+        SELECT l_returnflag, 'n_rows', n_rows FROM w)
+      ORDER BY l_returnflag, metric""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows")
+      )
+      .unpivot(
+        ids = Array($"l_returnflag"),
+        values = Array($"sum_qty", $"sum_price", $"n_rows"),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
   val qJoinTheta: GQuery = GQuery(
     "q_join_theta",
     Some("""
@@ -450,6 +523,8 @@ object Relational extends QuerySet {
     qJoinSalted,
     qJoinFull,
     qJoinTheta,
-    qJoinInterval
+    qJoinInterval,
+    qJoinNullSafe,
+    qUnpivot
   )
 }
