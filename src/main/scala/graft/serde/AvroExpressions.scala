@@ -8,7 +8,7 @@ import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericR
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -27,11 +27,15 @@ import org.apache.spark.sql.types._
   *     SURVEY.md §7.4.3), and its sink writes one container per item
   *     (avro.rs:238-331).
   *
-  * Eval-mode expressions (CodegenFallback): serde cost is codec-bound, not
-  * expression-dispatch-bound; per-thread codec reuse via ThreadLocal keeps
-  * executor threads from sharing Avro's stateful readers/writers.
+  * Serde cost is codec-bound, not expression-dispatch-bound, but each
+  * expression still emits real generated code: a single helper call on the
+  * referenced expression object (`ctx.addReferenceObj`), which keeps the
+  * enclosing stage in whole-stage codegen without CodegenFallback's
+  * per-row InternalRow materialization. Per-thread codec reuse via
+  * ThreadLocal keeps executor threads from sharing Avro's stateful
+  * readers/writers.
   */
-case class AvroEncodeDatum(child: Expression) extends UnaryExpression with CodegenFallback {
+case class AvroEncodeDatum(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StructType => TypeCheckResult.TypeCheckSuccess
@@ -57,13 +61,21 @@ case class AvroEncodeDatum(child: Expression) extends UnaryExpression with Codeg
     baos.toByteArray
   }
 
+  /** Public entry for generated code. */
+  def evalValue(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("avroExpr", this, classOf[AvroEncodeDatum].getName)
+      s"${ev.value} = (byte[]) $ref.evalValue($a);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 case class AvroDecodeDatum(child: Expression, jsonSchema: String)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -87,6 +99,15 @@ case class AvroDecodeDatum(child: Expression, jsonSchema: String)
     AvroConv.recordToRow(readerTL.get().read(null, dec), structType)
   }
 
+  /** Public entry for generated code. */
+  def evalValue(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("avroExpr", this, classOf[AvroDecodeDatum].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.evalValue($a);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -94,7 +115,7 @@ case class AvroDecodeDatum(child: Expression, jsonSchema: String)
 /** struct → one whole Avro object-container file per row (CAvroSink's
   * wire format).
   */
-case class AvroEncodeContainer(child: Expression) extends UnaryExpression with CodegenFallback {
+case class AvroEncodeContainer(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StructType => TypeCheckResult.TypeCheckSuccess
@@ -117,6 +138,15 @@ case class AvroEncodeContainer(child: Expression) extends UnaryExpression with C
     baos.toByteArray
   }
 
+  /** Public entry for generated code. */
+  def evalValue(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("avroExpr", this, classOf[AvroEncodeContainer].getName)
+      s"${ev.value} = (byte[]) $ref.evalValue($a);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -126,8 +156,7 @@ case class AvroEncodeContainer(child: Expression) extends UnaryExpression with C
   * per-message file-reader mode.
   */
 case class AvroDecodeContainer(child: Expression, jsonSchema: String)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -152,6 +181,15 @@ case class AvroDecodeContainer(child: Expression, jsonSchema: String)
       new GenericArrayData(out.toArray)
     } finally reader.close()
   }
+
+  /** Public entry for generated code. */
+  def evalValue(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("avroExpr", this, classOf[AvroDecodeContainer].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalValue($a);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
