@@ -35,6 +35,42 @@ class BucketingSpec extends SparkSpec {
     assert(n == plainN, s"bucketed join rows $n != plain join rows $plainN")
   }
 
+  test("bucketed tables satisfy the custom as-of exec's distribution: shuffle-free as-of join") {
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = Tables(spark, sf).events
+      .select($"user_id", $"event_id", $"event_type", tsFromNanos($"ts").as("ts"))
+    Bucketing.writeBucketed(
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts"),
+      "b_purchases", "user_id", 4)
+    Bucketing.writeBucketed(
+      ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts"),
+      "b_clicks", "user_id", 4)
+
+    val joined = graft.operators.Joins.asOfJoinNative(
+      Bucketing.table(spark, "b_purchases"),
+      Bucketing.table(spark, "b_clicks"),
+      key = "user_id", tsCol = "ts", payload = Seq("click_id"))
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec missing, plan:\n$plan")
+    assert(
+      !plan.contains("Exchange"),
+      s"bucket layout should satisfy the as-of ClusteredDistribution, plan:\n$plan")
+
+    // and it still returns the same rows as the unbucketed path
+    val unbucketed = graft.operators.Joins.asOfJoinNative(
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts"),
+      ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts"),
+      "user_id", "ts", Seq("click_id"))
+    assert(
+      joined.exceptAll(unbucketed).isEmpty && unbucketed.exceptAll(joined).isEmpty,
+      "bucketed as-of differs from the shuffled as-of")
+  }
+
   test("aggregation on the bucket key is shuffle-free") {
     val agg = Bucketing.table(spark, "b_items")
       .groupBy($"o_orderkey")
