@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Buffer: per-dimension fixed-point sums + count. */
-final case class CentroidBuf(sums: Array[Long], n: Long)
+/** Buffer: per-dimension fixed-point sums + non-finite flags + count. */
+final case class CentroidBuf(sums: Array[Long], bad: Array[Boolean], n: Long)
 
 /** Output wrapper (product type so the result has a stable Encoder). */
 final case class Centroid(values: Seq[Double])
@@ -34,26 +34,38 @@ final class CentroidAgg(dim: Int) extends Aggregator[Seq[Float], CentroidBuf, Ce
   /** 2^20 fixed-point scale. */
   val Scale: Double = 1048576.0
 
-  override def zero: CentroidBuf = CentroidBuf(new Array[Long](dim), 0L)
+  override def zero: CentroidBuf = CentroidBuf(new Array[Long](dim), new Array[Boolean](dim), 0L)
 
   override def reduce(b: CentroidBuf, v: Seq[Float]): CentroidBuf = {
     val s = b.sums
     var i = 0
     val n = math.min(dim, v.length)
-    while (i < n) { s(i) += math.floor(v(i).toDouble * Scale).toLong; i += 1 }
-    CentroidBuf(s, b.n + 1)
+    while (i < n) {
+      val x = v(i).toDouble
+      // a NaN/Inf component must surface as a NaN dimension, not silently
+      // quantize to 0 / saturate — corrupt ingest has to stay visible
+      if (java.lang.Double.isFinite(x)) s(i) += math.floor(x * Scale).toLong
+      else b.bad(i) = true
+      i += 1
+    }
+    CentroidBuf(s, b.bad, b.n + 1)
   }
 
   override def merge(a: CentroidBuf, b: CentroidBuf): CentroidBuf = {
     val s = a.sums
     var i = 0
-    while (i < dim) { s(i) += b.sums(i); i += 1 }
-    CentroidBuf(s, a.n + b.n)
+    while (i < dim) {
+      s(i) += b.sums(i)
+      a.bad(i) |= b.bad(i)
+      i += 1
+    }
+    CentroidBuf(s, a.bad, a.n + b.n)
   }
 
   override def finish(r: CentroidBuf): Centroid =
     if (r.n == 0) Centroid(Seq.empty)
-    else Centroid(r.sums.toSeq.map(s => (s.toDouble / r.n) / Scale))
+    else Centroid(r.sums.indices.map(i =>
+      if (r.bad(i)) Double.NaN else (r.sums(i).toDouble / r.n) / Scale))
 
   override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
   override def outputEncoder: Encoder[Centroid] = Encoders.product[Centroid]

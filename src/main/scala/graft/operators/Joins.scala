@@ -45,8 +45,18 @@ object Joins {
   ): DataFrame = {
     require(payload.nonEmpty, "need at least one payload column")
     val leftCols = left.columns.toSeq
+    // Pack ALL payload columns into ONE struct for the fill: the struct is
+    // non-null on every right row even when individual fields are null, so
+    // (a) a legitimately-null payload value in the latest right row is NOT
+    // skipped over for a stale earlier one, and (b) multi-column payloads
+    // can never tear (mix fields from different right rows) — both would
+    // happen with per-column last(ignoreNulls). Null-key right rows are
+    // dropped: null keys never match (SQL equality / AsofJoinExec parity).
     val rTagged = right
-      .select(col(key) +: col(tsCol) +: payload.map(c => col(c).as("__r_" + c)): _*)
+      .filter(col(key).isNotNull)
+      .select(
+        col(key), col(tsCol),
+        struct(payload.map(col): _*).as("__r"))
       .withColumn("__tag", lit(0))
     val lTagged = left.withColumn("__tag", lit(1))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
@@ -55,15 +65,13 @@ object Joins {
       .orderBy(
         col(tsCol).asc,
         col("__tag").asc,
-        col("__r_" + payload.head).asc_nulls_first
+        col("__r").getField(payload.head).asc_nulls_first
       )
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn("__f_" + c, last(col("__r_" + c), ignoreNulls = true).over(w))
-    }
-    filled
+    unioned
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col("__f_" + c).as(c)): _*)
+      .select(leftCols.map(col) ++ payload.map(c => col("__f").getField(c).as(c)): _*)
   }
 
   /** As-of join through the engine's custom whole-operator plan
@@ -108,6 +116,15 @@ object Joins {
     def attr(p: LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    // the exec compares right-side rows with orderings generated from the
+    // LEFT side's types — mismatched widths would read garbage, so fail
+    // loud at build time instead
+    require(
+      attr(lp, key).dataType == attr(rp, key).dataType,
+      s"as-of key type mismatch: left ${attr(lp, key).dataType} vs right ${attr(rp, key).dataType}")
+    require(
+      attr(lp, tsCol).dataType == attr(rp, tsCol).dataType,
+      s"as-of ts type mismatch: left ${attr(lp, tsCol).dataType} vs right ${attr(rp, tsCol).dataType}")
     toleranceMicros.foreach { t =>
       require(t >= 0, "tolerance must be >= 0")
       val dt = attr(lp, tsCol).dataType
@@ -136,8 +153,8 @@ object Joins {
     * binary search in place: a narrow mapPartitions, NO exchange on
     * either side (BucketingSpec-style plan assertion in JoinsSpec). The
     * sorted-merge exec ([[asOfJoinNative]]) remains the large × large
-    * path. Semantics match asOfJoinNative; ties on (key, ts) resolve by
-    * the right side's insertion order after a stable ts sort.
+    * path. Semantics match asOfJoinNative, including the (key, ts) tie
+    * rule (greatest/smallest first-payload wins for Comparable payloads).
     *
     * Requires a long or timestamp ts column (compared in epoch-µs).
     */
@@ -167,11 +184,27 @@ object Joins {
     val rCollected = right
       .select(col(key) +: micros(right, tsCol).as("__ts") +: payload.map(col): _*)
       .collect()
+    // Sort by (ts, first payload) — the same tie rule the sorted-merge
+    // exec's requiredChildOrdering enforces, so equal-(key, ts) rows
+    // resolve identically regardless of collect order. Payloads are
+    // compared via Comparable (numbers/strings/timestamps); a
+    // non-comparable payload head keeps insertion order on ties.
+    val tieOrd: Ordering[Row] = Ordering.fromLessThan { (a, b) =>
+      if (a.getLong(1) != b.getLong(1)) a.getLong(1) < b.getLong(1)
+      else (a.get(2), b.get(2)) match {
+        case (null, null) => false
+        case (null, _) => true
+        case (_, null) => false
+        case (x: Comparable[_], y) if x.getClass == y.getClass =>
+          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        case _ => false
+      }
+    }
     val index: Map[Any, (Array[Long], Array[Row])] = rCollected
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .groupBy(_.get(0))
       .map { case (k, rows) =>
-        val sorted = rows.sortBy(_.getLong(1)) // stable
+        val sorted = rows.sorted(tieOrd)
         k -> (sorted.map(_.getLong(1)), sorted.map(r => Row(payload.indices.map(i => r.get(i + 2)): _*)))
       }
     val bc = left.sparkSession.sparkContext.broadcast(index)
@@ -258,6 +291,13 @@ object Joins {
       joinType: String = "inner"
   ): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    // right/full outer would surface each unmatched small-side REPLICA as
+    // its own null-extended row (up to nSalts duplicates) — the replication
+    // trick only preserves results when unmatched small rows don't project
+    require(
+      Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti", "semi", "anti").contains(joinType.toLowerCase),
+      s"saltedJoin preserves results only for inner/left-side join types, got $joinType")
     val salted = large
       .withColumn("__salt", pmod(xxhash64(col(saltFrom)), lit(nSalts.toLong)).cast("int"))
     val replicated = small

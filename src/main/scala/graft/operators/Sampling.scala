@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sampling operators for training-data pipelines.
@@ -34,6 +34,14 @@ object Sampling {
   private def md5Prefix(keyCol: String, seed: Int) =
     substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 4)
 
+  /** fraction = 1.0 must keep EVERY row: the strict-< hex gate saturates
+    * at "ffff" and would drop the ~1/65536 of keys hashing exactly there.
+    */
+  private def md5Gate(keyCol: String, fraction: Double, seed: Int): Column =
+    if (fraction >= 1.0) lit(true)
+    else if (fraction <= 0.0) lit(false)
+    else md5Prefix(keyCol, seed) < lit(hexThreshold(fraction))
+
   /** Portable deterministic Bernoulli sample (md5 gate). Same
     * reproducibility guarantees as [[bernoulli]], but the keep decision is
     * expressible verbatim in other engines (the DuckDB oracle replays it);
@@ -41,7 +49,7 @@ object Sampling {
     */
   def bernoulliPortable(df: DataFrame, keyCol: String, fraction: Double, seed: Int): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    df.filter(md5Prefix(keyCol, seed) < lit(hexThreshold(fraction)))
+    df.filter(md5Gate(keyCol, fraction, seed))
   }
 
   /** Portable deterministic stratified sample: per-stratum md5 gates.
@@ -54,9 +62,8 @@ object Sampling {
       keyCol: String,
       seed: Int
   ): DataFrame = {
-    val prefix = md5Prefix(keyCol, seed)
     val gate = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
-      acc || (col(strataCol) === stratum && prefix < lit(hexThreshold(f)))
+      acc || (col(strataCol) === stratum && md5Gate(keyCol, f, seed))
     }
     df.filter(gate)
   }

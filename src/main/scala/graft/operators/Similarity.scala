@@ -193,12 +193,21 @@ object Similarity {
     // iterations; centroids are tiny, so each step is one aggregate job +
     // a driver collect. At 100 TB the sample is exactly how this trains —
     // the full corpus only ever flows through the cell-assign map.
-    val sample = candidates
-      .filter(col(idCol) % 7 === 0) // deterministic ~1/7 sample, id-hashed
+    val sample0 = candidates
+      .filter(col(idCol) % 7 === 0) // deterministic ~1/7 sample
       .select(col(vecCol))
       .limit(512)
       .collect()
       .map(_.getSeq[Float](0).toArray)
+    // tiny/filtered corpora may have no id divisible by 7 — fall back to
+    // the first vectors rather than crash on an empty sample
+    val sample =
+      if (sample0.nonEmpty) sample0
+      else candidates.select(col(vecCol)).limit(512).collect().map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty)
+      return candidates.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"), lit(0).as("rank"))
+        .limit(0)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) {

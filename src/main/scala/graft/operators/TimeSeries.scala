@@ -27,9 +27,10 @@ object TimeSeries {
     * @param df       input events
     * @param keyCol   series key
     * @param tsCol    event-time timestamp column
-    * @param valueAgg aggregate over the value within a bucket (e.g. dsum)
+    * @param valueAgg aggregate over the value column within a bucket (e.g. dsum)
     * @param width    bucket width as a Spark interval literal, e.g. "1 HOUR"
     * @param truncUnit `date_trunc` unit matching `width`, e.g. "hour"
+    * @param valueCol the column `valueAgg` aggregates
     * @return (key, bucket_ts, value [forward-filled], was_gap)
     */
   def gapFill(
@@ -38,11 +39,12 @@ object TimeSeries {
       tsCol: String,
       valueAgg: Column => Column,
       width: String,
-      truncUnit: String
+      truncUnit: String,
+      valueCol: String = "value"
   ): DataFrame = {
     val agg = df
       .groupBy(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("__h"))
-      .agg(valueAgg(col("value")).as("__v"))
+      .agg(valueAgg(col(valueCol)).as("__v"))
     val grid = agg
       .groupBy(col(keyCol))
       .agg(min(col("__h")).as("__mn"), max(col("__h")).as("__mx"))

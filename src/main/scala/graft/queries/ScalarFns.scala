@@ -247,7 +247,7 @@ object ScalarFns extends QuerySet {
     "q_fn_hof",
     Some("""
       SELECT vec_id,
-             len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.5)) AS n_big,
+             CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.5)) AS INT) AS n_big,
              len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS has_huge,
              len(list_filter(embedding, x -> NOT (abs(CAST(x AS DOUBLE)) <= 2.0))) = 0 AS all_bounded,
              CAST(list_sum(list_transform(generate_series(1, 8),

@@ -80,6 +80,20 @@ class ExtensionSpec extends SparkSpec {
       s"HLL estimate $approx vs exact $exact drifted > 5%")
   }
 
+  test("CentroidAgg propagates non-finite components as NaN dimensions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, Float.NaN)),
+      ("a", Seq(3.0f, 6.0f))
+    ).toDF("g", "v")
+    val centroid = udaf(new graft.functions.CentroidAgg(2))
+    val out = df.groupBy($"g").agg(centroid($"v").as("c"))
+      .select($"c.values").as[Seq[Double]].head()
+    assert(out(0) === 2.0, "finite dimension must still average")
+    assert(out(1).isNaN, "NaN component must surface as NaN, not quantize to 0")
+  }
+
   test("CentroidAgg computes elementwise means per group") {
     val s = spark
     import s.implicits._

@@ -129,6 +129,50 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"broadcast as-of must be shuffle-free, plan:\n$plan")
   }
 
+  test("a genuinely-null payload value in the latest right row stays null (no stale fill)") {
+    val l = Seq((1L, 200L, "p")).toDF("k", "ts", "lp")
+    val r = Seq((1L, 100L, Some(5L)), (1L, 150L, (None: Option[Long])))
+      .toDF("k", "ts", "pay")
+    val composed = Joins.asOfJoin(l, r, "k", "ts", Seq("pay"))
+      .select($"pay").as[Option[Long]].collect().toSeq
+    val native = Joins.asOfJoinNative(l, r, "k", "ts", Seq("pay"))
+      .select($"pay").as[Option[Long]].collect().toSeq
+    // the LATEST right row (ts=150) carries null — both paths must emit
+    // null, not resurrect the stale ts=100 value
+    assert(composed == Seq(None), s"union+window resurrected a stale value: $composed")
+    assert(native == Seq(None), s"native exec resurrected a stale value: $native")
+  }
+
+  test("multi-column payloads never tear (all columns come from ONE right row)") {
+    val l = Seq((1L, 200L)).toDF("k", "ts")
+    val r = Seq(
+      (1L, 100L, Some(1L), Some(2L)),
+      (1L, 150L, (None: Option[Long]), Some(7L))
+    ).toDF("k", "ts", "a", "b")
+    val out = Joins.asOfJoin(l, r, "k", "ts", Seq("a", "b"))
+      .select($"a", $"b").as[(Option[Long], Option[Long])].collect().head
+    assert(out == (None, Some(7L)), s"torn row: $out (mixed fields from different right rows)")
+  }
+
+  test("saltedJoin rejects join types that would duplicate unmatched small-side rows") {
+    val ev = Seq((1L, "click", 1.0)).toDF("event_id", "event_type", "value")
+    val dim = Seq(("click", 1.0)).toDF("event_type", "weight")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(ev, dim, "event_type", "event_id", 8, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(ev, dim, "event_type", "event_id", 8, "right_outer")
+    }
+  }
+
+  test("asOfJoinNative rejects mismatched key/ts types instead of comparing garbage") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val rIntKey = Seq((1, 5L, 9L)).toDF("k", "ts", "pay")
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoinNative(l, rIntKey, "k", "ts", Seq("pay"))
+    }
+  }
+
   test("asOfJoinNative supports composite keys via a struct column") {
     // two-part key (region, user): pack into one struct column — the
     // exec's single key expression + natural struct ordering handle it

@@ -21,6 +21,13 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(frac - 0.3) < 0.05, s"kept fraction $frac far from 0.3")
   }
 
+  test("portable gate at fraction 1.0 keeps every row (the ffff-prefix edge)") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    val n = docs.count()
+    assert(graft.operators.Sampling.bernoulliPortable(docs, "doc_id", 1.0, 7).count() == n)
+    assert(graft.operators.Sampling.bernoulliPortable(docs, "doc_id", 0.0, 7).count() == 0)
+  }
+
   test("different seeds draw different samples") {
     val a = Sampling.bernoulli(events, "event_id", 0.3, seed = 11)
       .select($"event_id").as[Long].collect().toSet
