@@ -42,9 +42,13 @@ final class CentroidAgg(dim: Int) extends Aggregator[Seq[Float], CentroidBuf, Ce
     val n = math.min(dim, v.length)
     while (i < n) {
       val x = v(i).toDouble
-      // a NaN/Inf component must surface as a NaN dimension, not silently
-      // quantize to 0 / saturate — corrupt ingest has to stay visible
-      if (java.lang.Double.isFinite(x)) s(i) += math.floor(x * Scale).toLong
+      val q = x * Scale
+      // NaN/Inf AND finite-but-absurd components surface as NaN
+      // dimensions: beyond ±2^40 the fixed-point sum could overflow
+      // across merges (silent wrap), and no real embedding component is
+      // ~1e6 — corrupt ingest has to stay visible, not quantize/wrap
+      if (java.lang.Double.isFinite(q) && math.abs(q) <= (1L << 40).toDouble)
+        s(i) += math.floor(q).toLong
       else b.bad(i) = true
       i += 1
     }

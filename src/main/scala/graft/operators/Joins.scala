@@ -178,9 +178,18 @@ object Joins {
       case TimestampType => unix_micros(col(c))
       case t => throw new IllegalArgumentException(s"as-of broadcast needs long/timestamp ts, got $t")
     }
+    require(
+      left.schema(key).dataType == right.schema(key).dataType,
+      s"as-of key type mismatch: left ${left.schema(key).dataType} vs right ${right.schema(key).dataType}")
+    require(
+      left.schema(tsCol).dataType == right.schema(tsCol).dataType,
+      s"as-of ts type mismatch: left ${left.schema(tsCol).dataType} vs right ${right.schema(tsCol).dataType}")
     val forward = direction == "forward"
 
-    // driver-side index: key -> (sorted ts array, payload rows in ts order)
+    // driver-side index: key -> (sorted ts array, payload rows in ts order).
+    // Null timestamps are kept as a Long.MinValue sentinel (-infinity),
+    // matching the sorted-merge exec's nulls-first natural ordering; they
+    // never satisfy a tolerance.
     val rCollected = right
       .select(col(key) +: micros(right, tsCol).as("__ts") +: payload.map(col): _*)
       .collect()
@@ -189,8 +198,9 @@ object Joins {
     // resolve identically regardless of collect order. Payloads are
     // compared via Comparable (numbers/strings/timestamps); a
     // non-comparable payload head keeps insertion order on ties.
+    def tsOf(r: Row): Long = if (r.isNullAt(1)) Long.MinValue else r.getLong(1)
     val tieOrd: Ordering[Row] = Ordering.fromLessThan { (a, b) =>
-      if (a.getLong(1) != b.getLong(1)) a.getLong(1) < b.getLong(1)
+      if (tsOf(a) != tsOf(b)) tsOf(a) < tsOf(b)
       else (a.get(2), b.get(2)) match {
         case (null, null) => false
         case (null, _) => true
@@ -201,11 +211,11 @@ object Joins {
       }
     }
     val index: Map[Any, (Array[Long], Array[Row])] = rCollected
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .filter(r => !r.isNullAt(0))
       .groupBy(_.get(0))
       .map { case (k, rows) =>
         val sorted = rows.sorted(tieOrd)
-        k -> (sorted.map(_.getLong(1)), sorted.map(r => Row(payload.indices.map(i => r.get(i + 2)): _*)))
+        k -> (sorted.map(tsOf), sorted.map(r => Row(payload.indices.map(i => r.get(i + 2)): _*)))
       }
     val bc = left.sparkSession.sparkContext.broadcast(index)
 
@@ -228,20 +238,20 @@ object Joins {
       iter.map { row =>
         val k = row.get(keyIdx)
         val tRaw = row.get(tsIdx)
-        val t: java.lang.Long =
-          if (row.isNullAt(tsIdx)) null
+        val tIsNull = row.isNullAt(tsIdx)
+        // null left ts = -infinity (matches the exec's nulls-first order)
+        val t: Long =
+          if (tIsNull) Long.MinValue
           else if (tsIsTimestamp) tRaw match {
             // external type depends on spark.sql.datetime.java8API.enabled
             case i: java.time.Instant =>
-              java.lang.Long.valueOf(
-                org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
             case ts: java.sql.Timestamp =>
-              java.lang.Long.valueOf(
-                org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts))
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
           }
-          else java.lang.Long.valueOf(tRaw.asInstanceOf[Long])
+          else tRaw.asInstanceOf[Long]
         val pay: Seq[Any] =
-          if (k == null || t == null) nulls
+          if (k == null) nulls
           else idx.get(k) match {
             case None => nulls
             case Some((tss, rows)) =>
@@ -257,11 +267,12 @@ object Joins {
                 else {
                   // last index with ts <= t: step past equal-ts run
                   var j = lo
-                  while (j < tss.length && tss(j) == t.longValue()) j += 1
+                  while (j < tss.length && tss(j) == t) j += 1
                   j - 1
                 }
               if (i < 0) nulls
-              else if (tol.exists(x => math.abs(tss(i) - t) > x)) nulls
+              else if (tol.exists(x =>
+                tss(i) == Long.MinValue || tIsNull || math.abs(tss(i) - t) > x)) nulls
               else rows(i).toSeq
           }
         Row.fromSeq(row.toSeq ++ pay)

@@ -36,11 +36,19 @@ object Sampling {
 
   /** fraction = 1.0 must keep EVERY row: the strict-< hex gate saturates
     * at "ffff" and would drop the ~1/65536 of keys hashing exactly there.
+    * Fractions below the gate's 2^-16 granularity would silently keep
+    * NOTHING — fail loudly and point at the finer-grained xxhash path.
     */
   private def md5Gate(keyCol: String, fraction: Double, seed: Int): Column =
     if (fraction >= 1.0) lit(true)
     else if (fraction <= 0.0) lit(false)
-    else md5Prefix(keyCol, seed) < lit(hexThreshold(fraction))
+    else {
+      require(
+        fraction >= 1.0 / 65536,
+        s"portable md5 gate granularity is 2^-16; fraction $fraction would keep nothing " +
+          "— use Sampling.bernoulli (xxhash64, 1e-6 granularity) instead")
+      md5Prefix(keyCol, seed) < lit(hexThreshold(fraction))
+    }
 
   /** Portable deterministic Bernoulli sample (md5 gate). Same
     * reproducibility guarantees as [[bernoulli]], but the keep decision is

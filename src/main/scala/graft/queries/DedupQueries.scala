@@ -170,6 +170,24 @@ object DedupQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Label-free embedding near-dup via sign-LSH bucket blocking
+    * ([[Similarity.lshCosinePairs]]) — the scale path when no label/cluster
+    * blocking key exists. Rows-only (bucket assignment is engine-specific);
+    * recall and pruning asserted on planted duplicates in SimilaritySpec.
+    * Input bounded to the first 2,000 vectors: at a 0.3 threshold the
+    * corpus' near-dups are angularly wide, so candidate volume — not
+    * correctness — is the limiter at bench SFs (see the operator's regime
+    * note).
+    */
+  val qEmbeddingLsh: GQuery = GQuery("q_dedup_embedding_lsh", None) { (spark, dir) =>
+    import spark.implicits._
+    Similarity
+      .lshCosinePairs(
+        t(spark, dir).embeddings.filter($"vec_id" < 2000),
+        "vec_id", "embedding", threshold = 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qExact, qJaccard, qMinhash, qSimhash, qEmbedding, qConnected)
+    Seq(qExact, qJaccard, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qConnected)
 }

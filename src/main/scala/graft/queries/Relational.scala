@@ -418,7 +418,11 @@ object Relational extends QuerySet {
     Some("""
       WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
       p AS (SELECT user_id, event_id AS purchase_id, ts FROM e WHERE event_type = 'purchase'),
-      c AS (SELECT user_id, event_id AS click_id, ts FROM e WHERE event_type = 'click')
+      -- collapse same-(user, ts) clicks to the max id: DuckDB's ASOF picks an
+      -- ARBITRARY row among equal-ts matches, the engine's exec picks the max
+      -- payload deterministically -- pre-collapsing makes both well-defined
+      c AS (SELECT user_id, ts, max(event_id) AS click_id
+            FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
       SELECT p.user_id, p.purchase_id, c.click_id AS last_click_id
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.user_id, p.purchase_id""")
@@ -430,9 +434,42 @@ object Relational extends QuerySet {
     val p = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id".as("purchase_id"), $"ts")
     val c = ev.filter($"event_type" === "click")
-      .select($"user_id", $"event_id".as("click_id"), $"ts")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("click_id"))
     graft.operators.Joins
       .asOfJoinNative(p, c, key = "user_id", tsCol = "ts", payload = Seq("click_id"))
+      .select($"user_id", $"purchase_id", $"click_id".as("last_click_id"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  /** Broadcast as-of: identical semantics and oracle as q_join_asof, but
+    * through [[graft.operators.Joins.asOfJoinBroadcast]] — the clicks side
+    * is collected/broadcast and each purchase binary-searches in place,
+    * zero exchanges (JoinsSpec asserts the plan). The same DuckDB ASOF
+    * oracle checking BOTH paths proves shuffled and broadcast plans agree.
+    */
+  val qJoinAsofBroadcast: GQuery = GQuery(
+    "q_join_asof_broadcast",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      p AS (SELECT user_id, event_id AS purchase_id, ts FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, max(event_id) AS click_id
+            FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
+      SELECT p.user_id, p.purchase_id, c.click_id AS last_click_id
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.user_id, p.purchase_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = t(spark, dir).events.select(
+      $"user_id", $"event_id", $"event_type", tsFromNanos($"ts").as("ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("click_id"))
+    graft.operators.Joins
+      .asOfJoinBroadcast(p, c, key = "user_id", tsCol = "ts", payload = Seq("click_id"))
       .select($"user_id", $"purchase_id", $"click_id".as("last_click_id"))
       .orderBy($"user_id", $"purchase_id")
   }
@@ -519,6 +556,7 @@ object Relational extends QuerySet {
     qJoinSemi,
     qJoinAnti,
     qJoinAsof,
+    qJoinAsofBroadcast,
     qJoinAsofForward,
     qJoinSalted,
     qJoinFull,

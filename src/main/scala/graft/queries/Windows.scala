@@ -210,7 +210,7 @@ object Windows extends QuerySet {
       SELECT event_id, user_id,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS hour_sum,
              COUNT(*) OVER w AS hour_n,
-             first_value(event_id) OVER w AS frame_start_event
+             min(event_id) OVER w AS frame_min_event
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY tsu
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -231,7 +231,10 @@ object Windows extends QuerySet {
         $"user_id",
         sum($"value".cast(Common.D)).over(w).cast("double").as("hour_sum"),
         count(lit(1)).over(w).as("hour_n"),
-        first($"event_id").over(w).as("frame_start_event")
+        // min (not first_value): RANGE frames include ALL peer rows at an
+        // equal order key, and first_value picks an arbitrary peer — min is
+        // the deterministic choice under duplicate-microsecond ties
+        min($"event_id").over(w).as("frame_min_event")
       )
       .orderBy($"user_id", $"event_id")
   }

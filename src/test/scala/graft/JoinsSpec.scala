@@ -154,6 +154,22 @@ class JoinsSpec extends SparkSpec {
     assert(out == (None, Some(7L)), s"torn row: $out (mixed fields from different right rows)")
   }
 
+  test("broadcast as-of treats null timestamps as -infinity, exactly like the native exec") {
+    val l = Seq((1L, Some(10L), "a"), (1L, (None: Option[Long]), "b")).toDF("k", "ts", "tag")
+    val r = Seq((1L, Some(5L), 100L), (1L, (None: Option[Long]), 50L)).toDF("k", "ts", "pay")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      f(l, r).select($"tag", $"pay").as[(String, Option[Long])].collect().toMap
+    val native = run(Joins.asOfJoinNative(_, _, "k", "ts", Seq("pay")))
+    val bcast = run(Joins.asOfJoinBroadcast(_, _, "k", "ts", Seq("pay")))
+    assert(native == Map("a" -> Some(100L), "b" -> Some(50L)))
+    assert(bcast == native, s"broadcast diverged on null timestamps: $bcast vs $native")
+    // with a tolerance, null-ts rows never qualify — on either path
+    val nativeTol = run(Joins.asOfJoinNative(_, _, "k", "ts", Seq("pay"), toleranceMicros = Some(100L)))
+    val bcastTol = run(Joins.asOfJoinBroadcast(_, _, "k", "ts", Seq("pay"), toleranceMicros = Some(100L)))
+    assert(nativeTol == Map("a" -> Some(100L), "b" -> None))
+    assert(bcastTol == nativeTol, s"broadcast tolerance diverged: $bcastTol vs $nativeTol")
+  }
+
   test("saltedJoin rejects join types that would duplicate unmatched small-side rows") {
     val ev = Seq((1L, "click", 1.0)).toDF("event_id", "event_type", "value")
     val dim = Seq(("click", 1.0)).toDF("event_type", "weight")
