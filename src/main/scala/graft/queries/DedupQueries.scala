@@ -174,7 +174,7 @@ object DedupQueries extends QuerySet {
     * ([[Similarity.lshCosinePairs]]) — the scale path when no label/cluster
     * blocking key exists. Rows-only (bucket assignment is engine-specific);
     * recall and pruning asserted on planted duplicates in SimilaritySpec.
-    * Input bounded to the first 2,000 vectors: at a 0.3 threshold the
+    * Input bounded to the first 1,000 vectors: at a 0.3 threshold the
     * corpus' near-dups are angularly wide, so candidate volume — not
     * correctness — is the limiter at bench SFs (see the operator's regime
     * note).
@@ -183,7 +183,7 @@ object DedupQueries extends QuerySet {
     import spark.implicits._
     Similarity
       .lshCosinePairs(
-        t(spark, dir).embeddings.filter($"vec_id" < 2000),
+        t(spark, dir).embeddings.filter($"vec_id" < 1000),
         "vec_id", "embedding", threshold = 0.3)
       .orderBy($"id_a", $"id_b")
   }
