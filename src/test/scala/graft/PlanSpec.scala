@@ -70,6 +70,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial"), "expected a partial (map-side) WindowGroupLimit")
   }
 
+  test("salted skew join stays an equi-join on (key, salt) — no cartesian, no nested loop") {
+    val p = planOf("q_join_salted_skew")
+    assert(!p.contains("CartesianProduct"), "salting degraded to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "salting degraded to a nested-loop join")
+  }
+
+  test("pivot aggregates map-side (partial) like any other aggregate") {
+    val p = planOf("q_agg_pivot")
+    assert(p.contains("partial_"), "pivot lost map-side partial aggregation")
+  }
+
+  test("gap fill keeps its exchange budget (bucket agg, bounds, grid join, fill window)") {
+    val p = planOf("q_ts_gapfill")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 5, s"gap fill grew extra shuffles: $exchanges")
+    assert(!p.contains("CartesianProduct"), "grid generation must not cross join")
+  }
+
   test("q5 is join-strategy invariant: identical rows under sort-merge as under broadcast") {
     // at 100x the data AQE will pick shuffle joins for what broadcasts
     // today; results must not depend on that choice
