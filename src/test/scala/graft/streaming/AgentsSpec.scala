@@ -175,6 +175,40 @@ class AgentsSpec extends SparkSpec {
     assert(!out.containsKey("scroll"), "inner stream-static join must drop unmatched rows")
   }
 
+  test("a failing agent surfaces Crashed and a restart replays the failed batch (restart-on-crash parity)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[String]
+    val explode = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val counts = new ConcurrentHashMap[String, Long]()
+    val app = new GraftApp(s, "crashy-app", Files.createTempDirectory("graft-crash").toString)
+    app.agent(
+      "crashy",
+      () => in.toDF(),
+      GraftSink.ForeachBatch { (df: DataFrame, _: Long) =>
+        if (explode.get()) throw new RuntimeException("injected sink failure")
+        df.collect().foreach(r => counts.put(r.getString(0), r.getLong(1)))
+        ()
+      }
+    )(_.select(lit("k").as("agent")).groupBy($"agent").count())
+
+    app.start("crashy")
+    in.addData("a", "b")
+    intercept[Exception] { app.processAllAvailable("crashy") }
+    assert(app.state("crashy") === AgentState.Crashed)
+
+    // the reference's onthefly restart loop: clear the fault, start again —
+    // the FAILED batch must replay from the checkpoint (nothing lost)
+    explode.set(false)
+    app.start("crashy")
+    app.processAllAvailable("crashy")
+    assert(app.state("crashy") === AgentState.Running)
+    assert(counts.get("k") === 2L, "failed batch was not replayed after restart")
+    app.stop("crashy")
+  }
+
   test("task runs driver-side work at registration (task parity)") {
     var ran = false
     val app = new GraftApp(spark, "tasker", Files.createTempDirectory("graft-task").toString)
