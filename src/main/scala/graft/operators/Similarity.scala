@@ -306,6 +306,74 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Deterministic IVF codebook from a metadata partition: one fixed-point
+    * centroid per distinct `labelCol` value (via [[graft.functions.CentroidAgg]],
+    * bit-identical across partitionings), float-cast so cell assignment runs
+    * through the codegen'd [[graft.functions.CosineSimilarity]] over
+    * `array<float>`. Cells are indexed by ascending label. The codebook is
+    * tiny (nlist × dim floats) — one aggregate job + a driver collect; at
+    * 100 TB this is exactly how a codebook trains (on an aggregate/sample),
+    * while the full corpus only ever flows through the assignment map.
+    */
+  def labelCodebook(
+      vectors: DataFrame,
+      labelCol: String,
+      vecCol: String,
+      dim: Int = 64
+  ): Array[Seq[Float]] = {
+    import org.apache.spark.sql.functions.udaf
+    val centroidAgg = udaf(new graft.functions.CentroidAgg(dim))
+    vectors
+      .groupBy(col(labelCol))
+      .agg(centroidAgg(col(vecCol)).as("c"))
+      .select(col(labelCol).cast("long").as("lbl"), col("c.values").as("vals"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toFloat)))
+      .sortBy(_._1)
+      .map(_._2)
+  }
+
+  /** Nearest-codebook-cell id of a vector: argmax cosine over the cells,
+    * ties broken toward the SMALLEST cell id (mirrors `ORDER BY s DESC,
+    * cell ASC` so an oracle can replay the assignment exactly). Struct
+    * array_max compares (score, -cell) lexicographically; NaN scores (zero
+    * vectors) sort greatest in both Spark and DuckDB, so even degenerate
+    * rows assign identically.
+    */
+  def ivfCell(vec: Column, codebook: Array[Seq[Float]]): Column = {
+    val scored = array(codebook.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedlit(c)).as("s"), lit(-i).as("neg_cell"))
+    }: _*)
+    -array_max(scored).getField("neg_cell")
+  }
+
+  /** Full-table embedding near-dup with IVF cells as the blocking key —
+    * the scale path for WIDE thresholds (e.g. 0.3), where sign-LSH bucketing
+    * has no selectivity (see [[lshCosinePairs]]'s regime note): every vector
+    * is assigned to its nearest codebook cell (a narrow codegen'd map over
+    * the corpus — no shuffle), then exact pairs are generated per cell via
+    * equi-join and scored with the one-pass codegen cosine. The quadratic
+    * term is bounded by the largest cell; at 100 TB the codebook grows
+    * (nlist ~ √n) to keep cells bounded, and AQE handles residual cell skew.
+    *
+    * Deterministic end to end, so a SQL oracle can replay codebook training,
+    * assignment, and scoring bit-for-bit.
+    */
+  def ivfCellPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Array[Seq[Float]],
+      threshold: Double
+  ): DataFrame = {
+    val assigned = vectors.select(
+      col(idCol),
+      col(vecCol),
+      ivfCell(col(vecCol), codebook).as("__cell")
+    )
+    blockedCosinePairs(assigned, idCol, vecCol, "__cell", threshold)
+  }
+
   /** Exact near-duplicate pairs within a blocking key (e.g. a label or
     * cluster id): pairs are generated per block via equi-join, scored in
     * double, thresholded. Blocking bounds the quadratic term to the block

@@ -172,22 +172,79 @@ object DedupQueries extends QuerySet {
 
   /** Label-free embedding near-dup via sign-LSH bucket blocking
     * ([[Similarity.lshCosinePairs]]) — the scale path when no label/cluster
-    * blocking key exists. Rows-only (bucket assignment is engine-specific);
-    * recall and pruning asserted on planted duplicates in SimilaritySpec.
-    * Input bounded to the first 1,000 vectors: at a 0.3 threshold the
-    * corpus' near-dups are angularly wide, so candidate volume — not
-    * correctness — is the limiter at bench SFs (see the operator's regime
-    * note).
+    * blocking key exists AND duplicates are angularly tight. Rows-only
+    * (bucket assignment is engine-specific); recall and pruning asserted on
+    * planted duplicates in SimilaritySpec. Runs UNBOUNDED over the corpus:
+    * at a 0.3 threshold sign-LSH keeps little selectivity (the operator's
+    * regime note), so this demonstrates the worst case the blocking must
+    * survive — candidate volume is capped only by bucket collisions.
     */
   val qEmbeddingLsh: GQuery = GQuery("q_dedup_embedding_lsh", None) { (spark, dir) =>
     import spark.implicits._
     Similarity
-      .lshCosinePairs(
-        t(spark, dir).embeddings.filter($"vec_id" < 1000),
-        "vec_id", "embedding", threshold = 0.3)
+      .lshCosinePairs(t(spark, dir).embeddings, "vec_id", "embedding", threshold = 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Full-table embedding near-dup blocked by IVF cells — the scale path
+    * for WIDE thresholds where sign-LSH has no selectivity. The codebook is
+    * the per-label fixed-point centroid set ([[Similarity.labelCodebook]]);
+    * assignment is argmax cosine with a smallest-cell tie-break. Everything
+    * is deterministic, so the oracle replays the ENTIRE pipeline — fixed-
+    * point centroid training, float cast, assignment, pair scoring — and
+    * the result is exact-hash-checked, unlike every other sketch-blocked
+    * dedup (engine-specific hashes force those to rows-only gates).
+    */
+  val qEmbeddingIvf: GQuery = GQuery(
+    "q_dedup_embedding_ivf",
+    Some("""
+      WITH flat AS (
+        SELECT label, i,
+               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
+        FROM (SELECT label, unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY label) - 1 AS cell, list(cv ORDER BY i) AS c
+        FROM flat GROUP BY label),
+      cn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cents),
+      v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, cn.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                             i -> v.e[i] * cn.c[i])) / (v.nrm * cn.cnrm) DESC,
+                                             cn.cell) AS rn
+          FROM v CROSS JOIN cn)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id)
+      SELECT id_a, id_b, round(s, 6) AS cos_sim
+      FROM pairs WHERE s >= 0.3
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
+    Similarity
+      .ivfCellPairs(emb, "vec_id", "embedding", codebook, threshold = 0.3)
+      .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))
       .orderBy($"id_a", $"id_b")
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qExact, qJaccard, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qConnected)
+    Seq(qExact, qJaccard, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingIvf,
+      qConnected)
 }

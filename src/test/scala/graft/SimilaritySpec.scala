@@ -75,6 +75,52 @@ class SimilaritySpec extends SparkSpec {
     )
   }
 
+  test("ivf-cell-blocked near-dup equals exact pairs restricted to shared cells") {
+    // the blocked result must be exactly {(a,b) : cell(a)==cell(b), cos>=t}
+    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
+    assert(codebook.length == emb.select("label").distinct().count())
+    val cells = emb
+      .select($"vec_id", Similarity.ivfCell($"embedding", codebook).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val blocked = Similarity
+      .ivfCellPairs(emb, "vec_id", "embedding", codebook, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(blocked.nonEmpty)
+    assert(blocked.forall { case (a, b, s) => cells(a) == cells(b) && s >= 0.3 && a < b })
+    // completeness within a cell: recompute one cell's pairs by brute force
+    val cell0 = cells.filter(_._2 == cells.values.min).keys.toSet
+    val vecs = emb
+      .filter($"vec_id".isin(cell0.toSeq: _*))
+      .as[(Long, Seq[Float], Int)].collect().map(r => r._1 -> r._2).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j && cos(vecs(i), vecs(j)) >= 0.3
+    } yield (i, j)).toSet
+    val got = blocked.collect { case (a, b, _) if cell0(a) && cell0(b) => (a, b) }.toSet
+    assert(got == expected)
+  }
+
+  test("ivf cell assignment is deterministic and tie-breaks toward the smaller cell") {
+    // two identical centroids => every vector ties on both; must pick cell 0
+    val rnd = new scala.util.Random(11)
+    val c = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat).toSeq
+    val book = Array(c, c)
+    val df = Seq.tabulate(16)(i =>
+      (i.toLong, Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val cells = df
+      .select(Similarity.ivfCell($"embedding", book).as("cell"))
+      .as[Int].collect()
+    assert(cells.forall(_ == 0))
+  }
+
   test("brute force ranks are 1..k per query") {
     val res = Similarity
       .bruteForceTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", 5)
