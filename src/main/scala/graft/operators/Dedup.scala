@@ -197,6 +197,48 @@ object Dedup {
     labels
   }
 
+  /** Train/test n-gram contamination audit (decontamination): for each
+    * document in `test`, the fraction of its distinct n-gram shingles that
+    * appear ANYWHERE in `train` — the standard check that evaluation data
+    * did not leak into a training corpus.
+    *
+    * Shape at scale: both sides explode to (id, shingle) inverted-index
+    * rows; the train side collapses to distinct shingles; the probe is one
+    * equi-join keyed on the shingle (AQE-skew-handled) and one per-doc
+    * aggregate. Linear in corpus size — never a doc×doc comparison.
+    *
+    * Output: (id, n_shingles, n_hit, contamination) per test doc.
+    */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5
+  ): DataFrame = {
+    val testSh = test
+      .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
+      .select(col("id"), col("shingle").as("s"))
+    val trainSh = train
+      .select(graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
+      .select(col("shingle").as("s"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    testSh
+      .join(trainSh, Seq("s"), "left_outer")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit")
+      )
+      .select(
+        col("id"),
+        col("n_shingles"),
+        col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles").cast("double")).as("contamination")
+      )
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     * explode distinct shingles → self-join on shingle → common-count c;
     * |A ∪ B| = |A| + |B| − c. No approximation; the shuffle key is the

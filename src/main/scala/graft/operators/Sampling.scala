@@ -27,8 +27,9 @@ object Sampling {
     * chars of md5 compare lexicographically exactly as the 16-bit value
     * they encode, so `hexPrefix < threshold` keeps ~fraction of keys in
     * ANY engine with md5 — no engine-specific hash in the decision.
+    * Public so oracle SQL can be built from the SAME cut points.
     */
-  private def hexThreshold(fraction: Double): String =
+  def hexThreshold(fraction: Double): String =
     f"${math.min((fraction * 65536).toLong, 65535L)}%04x"
 
   private def md5Prefix(keyCol: String, seed: Int) =
@@ -74,6 +75,41 @@ object Sampling {
       acc || (col(strataCol) === stratum && md5Gate(keyCol, f, seed))
     }
     df.filter(gate)
+  }
+
+  /** SQL expression (DuckDB-compatible) of [[md5Prefix]], for oracles that
+    * must replay the gate verbatim.
+    */
+  def md5PrefixSql(keyExpr: String, seed: Int): String =
+    s"substr(md5(CAST($keyExpr AS VARCHAR) || ':$seed'), 1, 4)"
+
+  /** Deterministic portable multi-way split (train/val/test): each key's
+    * 16-bit md5 prefix falls between cumulative-weight cut points, so the
+    * assignment is a pure function of (key, seed) — reproducible across
+    * partitionings, engines, and reruns, and any engine with md5 can
+    * replay it (the property that matters when the SAME 100 TB split must
+    * be honored by every downstream consumer forever). Adds a `split`
+    * column. Weights must sum to 1.
+    */
+  def splitAssign(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      seed: Int
+  ): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
+    val prefix = md5Prefix(keyCol, seed)
+    val cuts = splits.init.scanLeft(0.0)(_ + _._2).tail.map(hexThreshold)
+    val assigned =
+      if (splits.size == 1) lit(splits.head._1)
+      else {
+        val first = when(prefix < lit(cuts.head), lit(splits.head._1))
+        splits.tail.init.zip(cuts.tail)
+          .foldLeft(first) { case (acc, ((name, _), cut)) => acc.when(prefix < lit(cut), lit(name)) }
+          .otherwise(lit(splits.last._1))
+      }
+    df.withColumn("split", assigned)
   }
 
   /** Deterministic stratified sample: per-stratum fractions, same

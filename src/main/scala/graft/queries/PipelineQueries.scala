@@ -104,5 +104,111 @@ object PipelineQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
-  override def queries: Seq[GQuery] = Seq(qCorpusPrep, qSample)
+  /** Deterministic portable train/val/test split (80/10/10): the md5
+    * 16-bit prefix of (doc_id, seed) cut at cumulative-weight boundaries —
+    * the same split every engine, rerun, and partitioning reproduces. The
+    * oracle replays the cut points verbatim (0.8 → 'cccc', 0.9 → 'e666').
+    */
+  val qSplit: GQuery = GQuery(
+    "q_sample_split",
+    Some("""
+      SELECT doc_id,
+             CASE WHEN substr(md5(doc_id::VARCHAR || ':13'), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR || ':13'), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Sampling
+      .splitAssign(
+        t(spark, dir).documents,
+        keyCol = "doc_id",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        seed = 13
+      )
+      .select($"doc_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** Train/test contamination audit ([[Dedup.contamination]]): the test
+    * side is the portable 10% md5-gated sample, the train side is its
+    * complement; per test doc, the fraction of its distinct 5-gram
+    * shingles that leak from the train corpus. Fully oracle-checked —
+    * split, shingling (incl. the <n-token whole-text fallback), hit
+    * counting, and the double ratio all replay in SQL.
+    */
+  val qContamination: GQuery = GQuery(
+    "q_pipeline_contamination",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-4)) AS i) g
+             WHERE len(ts) >= 5
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 5),
+      test AS (SELECT doc_id FROM documents
+               WHERE substr(md5(doc_id::VARCHAR || ':17'), 1, 4) < '1999'),
+      trainsh AS (SELECT DISTINCT s FROM sh
+                  WHERE doc_id NOT IN (SELECT doc_id FROM test)),
+      tsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN test USING (doc_id))
+      SELECT tsh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN trainsh.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN trainsh.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS contamination
+      FROM tsh LEFT JOIN trainsh ON tsh.s = trainsh.s
+      GROUP BY tsh.doc_id
+      ORDER BY tsh.doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val test = graft.operators.Sampling.bernoulliPortable(docs, "doc_id", 0.1, seed = 17)
+    val train = docs.join(test, Seq("doc_id"), "left_anti")
+    Dedup
+      .contamination(train, test, "doc_id", "text", shingleN = 5)
+      .select($"id".as("doc_id"), $"n_shingles", $"n_hit", $"contamination")
+      .orderBy($"doc_id")
+  }
+
+  /** Sequence packing ([[graft.operators.Packing.packBins]]): documents
+    * are concat-and-chunk packed into 512-token training bins within 8
+    * deterministic shards (packing is sequential, so sharding is what
+    * parallelizes it at scale). The oracle replays the shard, the
+    * exclusive running token total, and the bin/offset arithmetic.
+    */
+  val qPack: GQuery = GQuery(
+    "q_pipeline_pack",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               doc_id % 8 AS shard,
+               len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_before
+        FROM d)
+      SELECT doc_id, shard, n_tokens,
+             CAST(floor(cum_before / 512.0) AS BIGINT) AS bin,
+             CAST(cum_before % 512 AS BIGINT) AS bin_offset
+      FROM c
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.{Packing, TextOps}
+    val withTokens = t(spark, dir).documents
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+    Packing
+      .packBins(withTokens, "doc_id", "n_tokens", binTokens = 512, nShards = 8)
+      .select($"doc_id", $"shard", $"n_tokens", $"bin", $"bin_offset")
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qCorpusPrep, qSample, qSplit, qContamination, qPack)
 }

@@ -12,6 +12,7 @@ object Registry {
     ScalarFns,
     TextAnalysis,
     Subqueries,
+    SourceQueries,
     PipelineQueries,
     DedupQueries,
     SimilarityQueries,

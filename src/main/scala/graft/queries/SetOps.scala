@@ -81,5 +81,43 @@ object SetOps extends QuerySet {
       .orderBy($"l_partkey")
   }
 
-  override def queries: Seq[GQuery] = Seq(qUnionAll, qUnionDistinct, qIntersect, qExcept)
+  /** EXCEPT ALL (bag semantics): multiplicities subtract instead of the
+    * set-collapse EXCEPT applies — a part shipped 3× by supplier 1 and 1×
+    * by supplier 2 survives twice.
+    */
+  val qExceptAll: GQuery = GQuery(
+    "q_set_except_all",
+    Some("""
+      SELECT l_partkey FROM (
+        SELECT l_partkey FROM lineitem WHERE l_suppkey = 1
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_suppkey = 2)
+      ORDER BY l_partkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.lineitem.filter($"l_suppkey" === 1).select($"l_partkey")
+      .exceptAll(tt.lineitem.filter($"l_suppkey" === 2).select($"l_partkey"))
+      .orderBy($"l_partkey")
+  }
+
+  /** INTERSECT ALL (bag semantics): min of the two multiplicities. */
+  val qIntersectAll: GQuery = GQuery(
+    "q_set_intersect_all",
+    Some("""
+      SELECT l_partkey FROM (
+        SELECT l_partkey FROM lineitem WHERE l_suppkey = 1
+        INTERSECT ALL
+        SELECT l_partkey FROM lineitem WHERE l_suppkey = 2)
+      ORDER BY l_partkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.lineitem.filter($"l_suppkey" === 1).select($"l_partkey")
+      .intersectAll(tt.lineitem.filter($"l_suppkey" === 2).select($"l_partkey"))
+      .orderBy($"l_partkey")
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qUnionAll, qUnionDistinct, qIntersect, qExcept, qExceptAll, qIntersectAll)
 }

@@ -1,0 +1,68 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Common._
+
+/** Batch file-source coverage beyond parquet (SURVEY.md §2.6 Scans/sources
+  * row): JSON-lines, CSV, and ORC read+write round-trips. Each query writes
+  * a projection of `events` in the target format, reads it back with an
+  * explicit schema (schema inference is a scan-the-data tax and a schema
+  * drift hazard at 100 TB — never rely on it), and aggregates; the oracle
+  * computes the same aggregate straight from parquet, so a hash match
+  * proves the format round-trip was lossless.
+  *
+  * The reference's only wire format is opaque Kafka bytes with user-space
+  * serde (callysto/src/kafka/cconsumer.rs:36-122); file formats are part
+  * of the Spark-native surface a batch/stream engine needs.
+  *
+  * Double values survive text formats because Spark writes shortest
+  * round-trip representations (Jackson/UTF8String both guarantee
+  * read(toString(d)) == d); timestamps are excluded (µs-vs-ns precision
+  * is engine-specific — see the verify skill's gotchas).
+  */
+object SourceQueries extends QuerySet {
+
+  /** Common aggregate on the round-tripped frame; must match [[aggSql]]. */
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        dsum(col("value")).as("total")
+      )
+      .orderBy(col("event_type"))
+
+  private val aggSql: String = s"""
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(event_id) AS BIGINT) AS sum_id,
+             ${sqlSum("value")} AS total
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""
+
+  private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
+    val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
+    val out = Files.createTempDirectory(s"graft_src_$format").resolve("events").toString
+    payload.write.mode("overwrite").format(format).save(out)
+    agg(spark.read.schema(payload.schema).format(format).load(out))
+  }
+
+  val qJson: GQuery = GQuery("q_source_json_roundtrip", Some(aggSql)) { (spark, dir) =>
+    roundtrip(spark, dir, "json")
+  }
+
+  val qCsv: GQuery = GQuery("q_source_csv_roundtrip", Some(aggSql)) { (spark, dir) =>
+    roundtrip(spark, dir, "csv")
+  }
+
+  val qOrc: GQuery = GQuery("q_source_orc_roundtrip", Some(aggSql)) { (spark, dir) =>
+    roundtrip(spark, dir, "orc")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qJson, qCsv, qOrc)
+}

@@ -46,4 +46,26 @@ class SamplingSpec extends SparkSpec {
     assert(out.getOrElse("src0", 0L) >= 12L)
     assert(out.getOrElse("src1", 0L) <= 12L)
   }
+
+  test("split assignment is total, exclusive, repartition-invariant, and ~proportional") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.splitAssign(events, "event_id", splits, seed = 13)
+      .select($"event_id", $"split").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = Sampling.splitAssign(events.repartition(7), "event_id", splits, seed = 13)
+      .select($"event_id", $"split").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b, "split changed under repartitioning")
+    val n = events.count()
+    assert(a.size.toLong == n, "every row gets exactly one split")
+    val byName = a.groupBy(_._2).view.mapValues(_.size.toDouble / n).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(math.abs(byName("train") - 0.8) < 0.05, s"train frac ${byName("train")}")
+    assert(math.abs(byName("val") - 0.1) < 0.05)
+    assert(math.abs(byName("test") - 0.1) < 0.05)
+  }
+
+  test("split assignment rejects weights that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(events, "event_id", Seq("a" -> 0.5, "b" -> 0.4), 1)
+    }
+  }
 }
