@@ -63,6 +63,11 @@ object Graft {
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    // Optimizer-rule extension: fuse the textbook cosine formulation into
+    // the one-pass codegen expression (bit-identical; plans/VectorRules).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseCosineRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseCosineRule
     spark
   }
 }

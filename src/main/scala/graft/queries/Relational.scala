@@ -546,6 +546,32 @@ object Relational extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Explicit cross join (dim × dim): every (region, nation) combination
+    * with a membership flag. Cross joins are legitimate ONLY when at least
+    * one side is tiny and broadcast — Spark requires the explicit
+    * `crossJoin` API precisely so an accidental cartesian can't hide in a
+    * typo'd join condition (at 100 TB an unintended cross join is dead).
+    */
+  val qJoinCross: GQuery = GQuery(
+    "q_join_cross",
+    Some("""
+      SELECT r.r_name, n.n_name,
+             CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_member
+      FROM region r CROSS JOIN nation n
+      ORDER BY r.r_name, n.n_name""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.region
+      .crossJoin(broadcast(tt.nation))
+      .select(
+        $"r_name",
+        $"n_name",
+        when($"n_regionkey" === $"r_regionkey", 1).otherwise(0).as("is_member")
+      )
+      .orderBy($"r_name", $"n_name")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     q1PricingSummary,
     q6Revenue,
@@ -563,6 +589,7 @@ object Relational extends QuerySet {
     qJoinTheta,
     qJoinInterval,
     qJoinNullSafe,
+    qJoinCross,
     qUnpivot
   )
 }

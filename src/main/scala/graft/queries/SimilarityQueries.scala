@@ -101,5 +101,85 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"query_id", $"rank")
   }
 
-  override def queries: Seq[GQuery] = Seq(qBruteForce, qLsh, qCentroid, qIvf)
+  /** Unit-L2 normalization ([[graft.operators.Embeddings.l2Normalize]]):
+    * per vector, the pre-normalization norm and the norm of the normalized
+    * result (≈1 — the oracle replays the same element-wise divisions and
+    * the same left-fold square sum, so even its last-ulp wobble matches).
+    */
+  val qNormalize: GQuery = GQuery(
+    "q_embed_normalize",
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)
+      SELECT vec_id,
+             round(nrm, 6) AS pre_norm,
+             round(sqrt(list_sum(list_transform(e, x -> (x / nrm) * (x / nrm)))), 6) AS post_norm
+      FROM v
+      ORDER BY vec_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.Embeddings
+    val normalized = Embeddings.l2Normalize($"embedding")
+    t(spark, dir).embeddings
+      .select(
+        $"vec_id",
+        round(Similarity.norm($"embedding"), 6).as("pre_norm"),
+        round(
+          sqrt(aggregate(normalized, lit(0.0), (acc, x) => acc + x * x)),
+          6
+        ).as("post_norm")
+      )
+      .orderBy($"vec_id")
+  }
+
+  /** Symmetric int8 quantization ([[graft.operators.Embeddings]]): per
+    * vector, the quantization scale and the max reconstruction error —
+    * the accuracy contract of a 4×-compressed ANN index. Every step
+    * (max-abs, floor(x·scale+0.5), clamp, dequantized error) is exact or
+    * IEEE-deterministic, so the oracle hash-checks the full pipeline.
+    */
+  val qQuantize: GQuery = GQuery(
+    "q_embed_quantize",
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, e,
+               CASE WHEN m = 0 THEN 1.0 ELSE 127.0 / m END AS scale
+        FROM v),
+      q AS (
+        SELECT vec_id, scale,
+               list_transform(e, x -> greatest(-127.0, least(127.0, floor(x * scale + 0.5)))) AS codes,
+               e
+        FROM s)
+      SELECT vec_id,
+             round(scale, 6) AS scale,
+             round(list_max(list_transform(generate_series(1, 64),
+                            i -> abs(e[i] - codes[i] / scale))), 6) AS max_err
+      FROM q
+      ORDER BY vec_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.Embeddings
+    val scale = Embeddings.int8Scale($"embedding")
+    t(spark, dir).embeddings
+      .select($"vec_id", $"embedding", scale.as("scale"))
+      .select(
+        $"vec_id",
+        round($"scale", 6).as("scale"),
+        round(
+          Embeddings.maxAbsError($"embedding", Embeddings.int8Quantize($"embedding", $"scale"), $"scale"),
+          6
+        ).as("max_err")
+      )
+      .orderBy($"vec_id")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize)
 }

@@ -91,5 +91,38 @@ object Subqueries extends QuerySet {
       ORDER BY c_nationkey""")
   }
 
-  override def queries: Seq[GQuery] = Seq(qScalarCorrelated, qExists, qIn)
+  /** Correlated LATERAL subquery in FROM: per supplier, its top part by
+    * shipped quantity. Catalyst decorrelates the lateral into a ranked
+    * join (DecorrelateInnerQuery), so the 100 TB plan is one shuffle on
+    * suppkey with a windowed top-1 — not a per-row re-execution.
+    */
+  val qLateral: GQuery = GQuery(
+    "q_subquery_lateral",
+    Some("""
+      SELECT s.s_suppkey, t.top_part, t.total_qty
+      FROM supplier s,
+           LATERAL (SELECT l_partkey AS top_part,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+                    FROM lineitem
+                    WHERE l_suppkey = s.s_suppkey
+                    GROUP BY l_partkey
+                    ORDER BY total_qty DESC, l_partkey
+                    LIMIT 1) t
+      ORDER BY s.s_suppkey""")
+  ) { (spark, dir) =>
+    withViews(spark, dir)
+    spark.sql("""
+      SELECT s.s_suppkey, t.top_part, t.total_qty
+      FROM supplier s,
+           LATERAL (SELECT l_partkey AS top_part,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+                    FROM lineitem
+                    WHERE l_suppkey = s.s_suppkey
+                    GROUP BY l_partkey
+                    ORDER BY total_qty DESC, l_partkey
+                    LIMIT 1) t
+      ORDER BY s.s_suppkey""")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qScalarCorrelated, qExists, qIn, qLateral)
 }

@@ -80,6 +80,46 @@ class ExtensionSpec extends SparkSpec {
       s"HLL estimate $approx vs exact $exact drifted > 5%")
   }
 
+  test("FuseCosineRule rewrites dot/(norm*norm) into the one-pass cosine") {
+    val s = spark
+    import s.implicits._
+    // parquet-backed (a LocalRelation would be constant-folded before the
+    // rule's effect is observable in the optimized plan)
+    val emb = graft.sources.Tables(s, sf).embeddings.limit(50)
+    val df = emb.select($"embedding".as("a"), reverse($"embedding").as("b"))
+    val textbook = df.select(
+      (GraftFunctions.dot($"a", $"b") /
+        (GraftFunctions.norm($"a") * GraftFunctions.norm($"b"))).as("c"))
+    def hasExpr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean): Boolean =
+      plan.exists(_.expressions.exists(_.exists(pred)))
+    val optimized = textbook.queryExecution.optimizedPlan
+    assert(
+      hasExpr(optimized, _.isInstanceOf[graft.functions.CosineSimilarity]),
+      s"cosine not fused:\n$optimized")
+    assert(
+      !hasExpr(optimized, _.isInstanceOf[graft.functions.DotProduct]),
+      "raw dot survived the fuse")
+    // bit-identical to the direct expression (the rule's safety contract)
+    val direct = df.select(GraftFunctions.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(textbook.as[Double].collect() === direct)
+    // commuted norms fuse too
+    val commuted = df.select(
+      (GraftFunctions.dot($"a", $"b") /
+        (GraftFunctions.norm($"b") * GraftFunctions.norm($"a"))).as("c"))
+    assert(
+      hasExpr(commuted.queryExecution.optimizedPlan,
+        _.isInstanceOf[graft.functions.CosineSimilarity]))
+    assert(commuted.as[Double].collect() === direct)
+    // mismatched operands must NOT fuse
+    val unrelated = df.select(
+      (GraftFunctions.dot($"a", $"b") /
+        (GraftFunctions.norm($"a") * GraftFunctions.norm($"a"))).as("c"))
+    assert(
+      !hasExpr(unrelated.queryExecution.optimizedPlan,
+        _.isInstanceOf[graft.functions.CosineSimilarity]))
+  }
+
   test("CentroidAgg propagates non-finite components as NaN dimensions") {
     val s = spark
     import s.implicits._

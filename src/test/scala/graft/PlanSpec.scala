@@ -88,6 +88,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "grid generation must not cross join")
   }
 
+  test("ivf-cell near-dup pairs by equi-join on the cell — never a cartesian") {
+    val p = planOf("q_dedup_embedding_ivf")
+    assert(!p.contains("CartesianProduct"), "cell blocking degraded to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "cell blocking degraded to a nested loop")
+    assert(p.contains("graft_cosine"), "pair scoring must run the codegen cosine")
+  }
+
+  test("contamination probe is one shingle-keyed equi-join, no cartesian") {
+    val p = planOf("q_pipeline_contamination")
+    assert(!p.contains("CartesianProduct"), "contamination probe went quadratic")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "contamination probe went nested-loop")
+  }
+
+  test("sequence packing windows partition by shard (no single global sort task)") {
+    val p = planOf("q_pipeline_pack")
+    assert(p.contains("hashpartitioning(shard"), "pack window lost its shard partitioning")
+  }
+
+  test("lateral subquery decorrelates into a ranked join, not per-row re-execution") {
+    val p = planOf("q_subquery_lateral")
+    assert(!p.contains("CartesianProduct"), "lateral stayed correlated/cartesian")
+  }
+
   test("q5 is join-strategy invariant: identical rows under sort-merge as under broadcast") {
     // at 100x the data AQE will pick shuffle joins for what broadcasts
     // today; results must not depend on that choice
