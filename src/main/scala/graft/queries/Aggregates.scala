@@ -339,8 +339,81 @@ object Aggregates extends QuerySet {
       .orderBy($"o_orderpriority")
   }
 
+  /** Two-pass heavy hitters via the Misra–Gries sketch
+    * ([[graft.operators.FrequentItems.heavyHitters]]): power users with
+    * ≥ 0.7% of all events. The sketch pass keeps reduce state bounded at
+    * k=255 entries no matter how many distinct users exist; the exact
+    * recount makes the result oracle-checkable (the oracle computes the
+    * same set by brute-force groupBy — same rows, unbounded state).
+    */
+  val qHeavyHitters: GQuery = GQuery(
+    "q_agg_heavy_hitters",
+    Some("""
+      WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE user_id IS NOT NULL)
+      SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, tot
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id, n
+      HAVING COUNT(*) >= ceil(0.007 * n)
+      ORDER BY cnt DESC, user_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.FrequentItems
+      .heavyHitters(t(spark, dir).events, "user_id", s = 0.007, k = 255)
+      .select($"item".cast("long").as("user_id"), $"cnt")
+      .orderBy($"cnt".desc, $"user_id")
+  }
+
+  /** Exact median + deterministic mode per group. Median uses the exact
+    * interpolating percentile over l_quantity — integral values, so the
+    * even-count midpoint is x.0/x.5 (exactly representable: both engines'
+    * interpolation formulas agree bit-for-bit; over arbitrary doubles the
+    * two formulas can differ in the last ulp, and percentile_approx is
+    * the scale path anyway — QuantileSketchSpec). Mode is formulated as
+    * count-then-rank with an explicit (cnt desc, value asc) tie-break:
+    * built-in mode()'s tie choice is engine-arbitrary, which can never be
+    * oracle-checked.
+    */
+  val qMedianMode: GQuery = GQuery(
+    "q_agg_median_mode",
+    Some("""
+      WITH med AS (SELECT l_returnflag,
+                          CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty
+                   FROM lineitem GROUP BY 1),
+           cnts AS (SELECT l_returnflag, l_linestatus,
+                           COUNT(*) AS c
+                    FROM lineitem GROUP BY 1, 2),
+           md AS (SELECT l_returnflag, l_linestatus AS mode_status,
+                         row_number() OVER (PARTITION BY l_returnflag
+                                            ORDER BY c DESC, l_linestatus) AS rk
+                  FROM cnts)
+      SELECT m.l_returnflag, m.median_qty, d.mode_status
+      FROM med m JOIN md d ON m.l_returnflag = d.l_returnflag AND d.rk = 1
+      ORDER BY m.l_returnflag""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val li = t(spark, dir).lineitem
+    val med = li
+      .groupBy($"l_returnflag")
+      .agg(percentile($"l_quantity", lit(0.5)).as("median_qty"))
+    val md = li
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"l_returnflag")
+            .orderBy($"c".desc, $"l_linestatus")))
+      .filter($"rk" === 1)
+      .select($"l_returnflag", $"l_linestatus".as("mode_status"))
+    med.join(md, "l_returnflag")
+      .select($"l_returnflag", $"median_qty", $"mode_status")
+      .orderBy($"l_returnflag")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct,
-    qMinMax, qPercentiles, qStats, qPivot
+    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode
   )
 }

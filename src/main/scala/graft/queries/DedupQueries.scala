@@ -244,7 +244,41 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Paragraph-level exact dedup ([[Dedup.paragraphDedup]], 12-token
+    * windows): every paragraph survives only at its first corpus-wide
+    * occurrence; docs reassemble from what remains. The oracle replays
+    * segmentation, first-occurrence (via a window — an independent
+    * formulation of the Spark side's skew-safe min-struct join), and the
+    * ordered reassembly.
+    */
+  val qParagraph: GQuery = GQuery(
+    "q_dedup_paragraph",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           para AS (SELECT doc_id, i AS pidx,
+                           array_to_string(ts[(i*12+1):(i*12+12)], ' ') AS para
+                    FROM t, LATERAL (SELECT unnest(generate_series(0,
+                             CAST(ceil(len(ts) / 12.0) AS BIGINT) - 1)) AS i) g),
+           firsts AS (SELECT doc_id, pidx, para,
+                             row_number() OVER (PARTITION BY para
+                                                ORDER BY doc_id, pidx) AS rn
+                      FROM para),
+           kept AS (SELECT doc_id, pidx, para FROM firsts WHERE rn = 1),
+           counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+                      FROM para GROUP BY 1)
+      SELECT k.doc_id, c.n_paras, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(k.para, ' ' ORDER BY k.pidx) AS clean_text
+      FROM kept k JOIN counts c USING (doc_id)
+      GROUP BY k.doc_id, c.n_paras
+      ORDER BY k.doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Dedup
+      .paragraphDedup(t(spark, dir).documents, "doc_id", "text", paraTokens = 12)
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qJaccard, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingIvf,
-      qConnected)
+      qConnected, qParagraph)
 }

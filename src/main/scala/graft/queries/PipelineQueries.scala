@@ -210,5 +210,30 @@ object PipelineQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
-  override def queries: Seq[GQuery] = Seq(qCorpusPrep, qSample, qSplit, qContamination, qPack)
+  /** Per-domain quota cap ([[graft.operators.Sampling.domainCap]]): at
+    * most 10 documents per source, best-first by length (n_chars desc,
+    * doc_id tie-break) — the corpus-balancing op that stops one
+    * mega-domain from dominating a training mix. Deterministic ranking,
+    * so the oracle's row_number replays it exactly.
+    */
+  val qDomainCap: GQuery = GQuery(
+    "q_sample_domain_cap",
+    Some("""
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      FROM (SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents)
+      WHERE rk <= 10
+      ORDER BY source, n_chars DESC, doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Sampling
+      .domainCap(t(spark, dir).documents, "source", $"n_chars".desc, $"doc_id".asc, 10)
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"source", $"n_chars".desc, $"doc_id")
+  }
+
+  override def queries: Seq[GQuery] = Seq(
+    qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap)
 }

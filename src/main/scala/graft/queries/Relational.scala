@@ -572,6 +572,46 @@ object Relational extends QuerySet {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** Keyless range join through [[graft.operators.Joins.rangeJoinBinned]]:
+    * orders classified into OVERLAPPING price bands (50% overlap, so this
+    * is a genuine range join, not bucketing — a row can land in two
+    * bands). No equi key exists, so the naive plan is BroadcastNestedLoop /
+    * cartesian; the binned rewrite turns it into one shuffled equi-join on
+    * the bin id (PlanSpec asserts no BNLJ even with broadcast disabled).
+    * Oracle states the range predicate directly — independent plan, same
+    * rows.
+    */
+  val qJoinRangeBinned: GQuery = GQuery(
+    "q_join_range_binned",
+    Some("""
+      WITH p AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+           b AS (SELECT CAST(range AS BIGINT) AS band_id,
+                        CAST(range * 10000 AS BIGINT) AS lo,
+                        CAST(range * 10000 + 14999 AS BIGINT) AS hi
+                 FROM range(0, 60))
+      SELECT b.band_id,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(p.v) AS BIGINT) AS sum_v
+      FROM p JOIN b ON p.v >= b.lo AND p.v <= b.hi
+      GROUP BY 1
+      ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val p = t(spark, dir).orders
+      .select(floor($"o_totalprice").cast("long").as("v"))
+    val bands = spark
+      .range(0, 60)
+      .select(
+        $"id".as("band_id"),
+        ($"id" * 10000L).cast("long").as("lo"),
+        ($"id" * 10000L + 14999L).cast("long").as("hi"))
+    graft.operators.Joins
+      .rangeJoinBinned(p, bands, "v", "lo", "hi", binWidth = 5000L)
+      .groupBy($"band_id")
+      .agg(count(lit(1)).as("n_orders"), sum($"v").as("sum_v"))
+      .orderBy($"band_id")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     q1PricingSummary,
     q6Revenue,
@@ -588,6 +628,7 @@ object Relational extends QuerySet {
     qJoinFull,
     qJoinTheta,
     qJoinInterval,
+    qJoinRangeBinned,
     qJoinNullSafe,
     qJoinCross,
     qUnpivot

@@ -348,7 +348,37 @@ object TextAnalysis extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** TF-IDF top-3 characteristic terms per document
+    * ([[graft.operators.TextOps.tfidfTopK]]). The idf is the log-free
+    * BM25-style ratio so both engines compute bit-identical doubles
+    * (see the operator's Scaladoc); the oracle mirrors the exact
+    * operation order.
+    */
+  val qTfidf: GQuery = GQuery(
+    "q_text_tfidf",
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                             CAST(tf.tf AS DOUBLE) *
+                               ((CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) AS score
+                      FROM tf JOIN df USING (term) CROSS JOIN n),
+           ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                   ORDER BY score DESC, term) AS rk
+                      FROM scored)
+      SELECT doc_id, term, tf, df, score
+      FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, score DESC, term""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.TextOps
+      .tfidfTopK(t(spark, dir).documents, "doc_id", "text", 3)
+      .orderBy($"doc_id", $"score".desc, $"term")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode,
-      qRedact, qChunk, qRepetition)
+      qRedact, qChunk, qRepetition, qTfidf)
 }

@@ -153,4 +153,53 @@ class ExtensionSpec extends SparkSpec {
     assert(out("a") === Seq(2.0, 4.0))
     assert(out("b") === Seq(10.0, 20.0))
   }
+
+  test("Misra-Gries summary keeps every item above n/(k+1) with estimates in [true-n/(k+1), true]") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: item i appears 2^(10-i) times for i in 0..9, plus a
+    // long tail of singletons — deterministic, n = 1023 + 500
+    val heavy = (0 until 10).flatMap(i => Seq.fill(1 << (10 - i))(s"h$i"))
+    val tail = (0 until 500).map(i => s"t$i")
+    val items = scala.util.Random.shuffle(heavy ++ tail): Seq[String]
+    val n = items.size
+    val k = 63
+    val mg = udaf(new graft.functions.FrequentItemsAgg(k))
+    for (parts <- Seq(1, 7, 32)) {
+      val est = items.toDF("item").repartition(parts)
+        .agg(mg($"item").as("m")).select($"m").as[Map[String, Long]].head()
+      val err = n.toDouble / (k + 1)
+      val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      trueCounts.foreach { case (item, c) =>
+        if (c > err)
+          assert(est.contains(item), s"item $item (count $c > $err) missing at parts=$parts")
+      }
+      est.foreach { case (item, e) =>
+        val c = trueCounts(item)
+        assert(e <= c && e >= c - err, s"estimate $e for $item outside [${c - err}, $c]")
+      }
+    }
+  }
+
+  test("two-pass heavyHitters is exact and partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val items = ((0 until 400).map(_ => "hot") ++ (0 until 99).map(i => s"cold$i")).toDF("x")
+    val expected = Set(("hot", 400L))
+    for (parts <- Seq(1, 13)) {
+      val out = graft.operators.FrequentItems
+        .heavyHitters(items.repartition(parts), "x", s = 0.5, k = 15)
+        .as[(String, Long)].collect().toSet
+      assert(out == expected, s"parts=$parts: got $out")
+    }
+  }
+
+  test("heavyHitters rejects a capacity too small for the threshold") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a").toDF("x")
+    intercept[IllegalArgumentException] {
+      graft.operators.FrequentItems.heavyHitters(df, "x", s = 0.001, k = 100)
+    }
+  }
 }

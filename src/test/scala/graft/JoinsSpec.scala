@@ -239,4 +239,47 @@ class JoinsSpec extends SparkSpec {
       .count()
     assert(nBuckets == 8L, s"expected 8 salt buckets, got $nBuckets")
   }
+
+  test("rangeJoinBinned equals the naive range join for every bin width") {
+    // adversarial values: negatives (floor-div sign handling), bounds ON
+    // bin edges, zero-width intervals, overlapping + disjoint intervals,
+    // null bounds, inverted (lo > hi) intervals
+    val pts = Seq(-17L, -10L, -1L, 0L, 1L, 9L, 10L, 49L, 50L, 99L, 250L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("pid", "v")
+    val ivs = Seq(
+      (1L, Some(-20L), Some(-5L)),
+      (2L, Some(-5L), Some(5L)),
+      (3L, Some(0L), Some(0L)), // zero-width
+      (4L, Some(10L), Some(49L)), // edges exactly on bin boundaries
+      (5L, Some(40L), Some(120L)), // overlaps interval 4
+      (6L, Some(200L), Some(300L)),
+      (7L, None, Some(10L)), // null lo -> never matches
+      (8L, Some(10L), None), // null hi -> never matches
+      (9L, Some(60L), Some(55L)) // inverted -> empty
+    ).toDF("iid", "lo", "hi")
+    val naive = pts
+      .join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+      .select($"pid", $"iid")
+    for (w <- Seq(1L, 7L, 10L, 64L, 1000L)) {
+      val binned = Joins
+        .rangeJoinBinned(pts, ivs, "v", "lo", "hi", binWidth = w)
+        .select($"pid", $"iid")
+      assert(
+        binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty,
+        s"binned(w=$w) differs from the naive range join")
+      // exactly-once: no duplicate pairs even when an interval spans many bins
+      assert(
+        binned.count() == binned.distinct().count(),
+        s"binned(w=$w) produced duplicate pairs")
+    }
+  }
+
+  test("rangeJoinBinned rejects non-integral columns instead of silently losing precision") {
+    val p = Seq(1.5).toDF("v")
+    val i = Seq((1L, 2L)).toDF("lo", "hi")
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoinBinned(p, i, "v", "lo", "hi", binWidth = 10L)
+    }
+  }
 }

@@ -95,6 +95,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), "pair scoring must run the codegen cosine")
   }
 
+  test("domain cap pushes its rank limit map-side (partial WindowGroupLimit)") {
+    val p = planOf("q_sample_domain_cap")
+    assert(p.contains("WindowGroupLimit"), "domain cap lost WindowGroupLimit pushdown")
+    assert(p.contains("Partial"), "expected a partial (map-side) WindowGroupLimit")
+  }
+
+  test("binned range join is an equi-join on the bin id — never a nested loop") {
+    // the naive keyless range join can ONLY plan as BNLJ/cartesian; the
+    // binned rewrite must hand Catalyst an equi condition
+    val p = planOf("q_join_range_binned")
+    assert(!p.contains("CartesianProduct"), "binned range join degraded to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "binned range join degraded to a nested loop")
+  }
+
   test("contamination probe is one shingle-keyed equi-join, no cartesian") {
     val p = planOf("q_pipeline_contamination")
     assert(!p.contains("CartesianProduct"), "contamination probe went quadratic")
