@@ -129,6 +129,19 @@ object Sampling {
     df.filter(gate)
   }
 
+  /** Deterministic portable corpus shuffle: a total order by
+    * (md5(key:seed), key) — the global "random" permutation a training
+    * run needs to be REPRODUCIBLE across engines, reruns, partitionings,
+    * and cluster sizes (rand()-based shuffles are none of those). Spark
+    * executes it as one range-partitioned sort (sampled bounds), so at
+    * 100 TB each output partition is written by its own task in parallel;
+    * epoch = new seed, no data movement beyond the one sort shuffle.
+    * The md5 prefix matches [[bernoulliPortable]]'s gate, so an oracle
+    * replays the exact order.
+    */
+  def shuffleDeterministic(df: DataFrame, keyCol: String, seed: Int): DataFrame =
+    df.orderBy(md5(concat(col(keyCol).cast("string"), lit(s":$seed"))), col(keyCol))
+
   /** Per-domain quota cap: keep at most `n` rows per `domainCol` group,
     * best-first by `rank` (ties broken by `tieBreak` for a deterministic,
     * repartition-invariant result). The standard corpus-balancing op —

@@ -182,6 +182,28 @@ object Aggregates extends QuerySet {
       .orderBy($"l_returnflag")
   }
 
+  /** Mergeable HLL sketch rollup (Datasketches `hll_sketch_agg` /
+    * `hll_union_agg`): per-day user sketches re-aggregated to per-type
+    * distinct estimates WITHOUT touching raw rows again — the warehouse
+    * pattern where a 100 TB fact table is sketched once at fine grain and
+    * every coarser rollup merges kilobyte sketches instead of rescanning.
+    * Rows-only gate (the estimate is engine-specific); ExtensionSpec
+    * proves the part that matters: merging daily sketches gives the SAME
+    * estimate as sketching the whole column directly, and both land
+    * within the HLL error bound of exact.
+    */
+  val qHllRollup: GQuery = GQuery("q_agg_hll_rollup", None) { (spark, dir) =>
+    import spark.implicits._
+    val daily = t(spark, dir).events
+      .select($"event_type", to_date(graft.streaming.StreamOps.tsFromNanos($"ts")).as("day"), $"user_id")
+      .groupBy($"event_type", $"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    daily
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"), count(lit(1)).as("n_days"))
+      .orderBy($"event_type")
+  }
+
   /** min/max/min_by/max_by with deterministic tie-breaks. */
   val qMinMax: GQuery = GQuery(
     "q_agg_minmax",
@@ -414,6 +436,6 @@ object Aggregates extends QuerySet {
 
   override def queries: Seq[GQuery] = Seq(
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct,
-    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode
+    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode, qHllRollup
   )
 }

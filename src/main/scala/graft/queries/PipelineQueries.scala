@@ -234,6 +234,28 @@ object PipelineQueries extends QuerySet {
       .orderBy($"source", $"n_chars".desc, $"doc_id")
   }
 
+  /** Deterministic corpus shuffle ([[graft.operators.Sampling.shuffleDeterministic]]):
+    * the head of the seeded global permutation, with the md5 sort key
+    * exposed so the oracle proves the ORDER, not just the membership
+    * (the harness hash is row-order-insensitive). ORDER BY + LIMIT plans
+    * as TakeOrderedAndProject — top-k per partition then a driver merge,
+    * no global single-task sort for the probe.
+    */
+  val qShuffle: GQuery = GQuery(
+    "q_sample_shuffle",
+    Some("""
+      SELECT doc_id, md5(doc_id::VARCHAR || ':41') AS shuffle_key
+      FROM documents
+      ORDER BY shuffle_key, doc_id
+      LIMIT 100""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Sampling
+      .shuffleDeterministic(t(spark, dir).documents, "doc_id", seed = 41)
+      .select($"doc_id", md5(concat($"doc_id".cast("string"), lit(":41"))).as("shuffle_key"))
+      .limit(100)
+  }
+
   override def queries: Seq[GQuery] = Seq(
-    qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap)
+    qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle)
 }

@@ -194,6 +194,30 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketches are mergeable: daily-sketch union equals direct sketch, near exact") {
+    val s = spark
+    import s.implicits._
+    val ev = graft.sources.Tables(spark, sf).events
+      .select($"event_type", to_date(graft.streaming.StreamOps.tsFromNanos($"ts")).as("day"), $"user_id")
+    val direct = ev.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+    val merged = ev.groupBy($"event_type", $"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact"))
+    val joined = direct.withColumnRenamed("est", "d")
+      .join(merged.withColumnRenamed("est", "m"), "event_type")
+      .join(exact, "event_type")
+      .as[(String, Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (et, d, m, ex) =>
+      assert(d == m, s"$et: merged-daily estimate $m != direct estimate $d — sketch union is lossy")
+      assert(math.abs(d - ex).toDouble / ex <= 0.05, s"$et: estimate $d vs exact $ex drifts > 5%")
+    }
+  }
+
   test("heavyHitters rejects a capacity too small for the threshold") {
     val s = spark
     import s.implicits._
