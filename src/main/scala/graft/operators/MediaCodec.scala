@@ -79,6 +79,97 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** 64 pattern bits for a pattern class (SplitMix64 finalizer — fixed,
+    * engine-independent). Each class is an 8×8 black/white block layout.
+    */
+  def patternBits(cls: Long): Long = {
+    var z = cls + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Render one real PNG whose CONTENT is a pattern class (id % classes)
+    * and whose RESOLUTION varies per id: the 8×8 block pattern scales to
+    * this id's width×height, so ids sharing a class are the same picture
+    * at different sizes — the re-encoded-thumbnail duplicate an image
+    * corpus actually contains.
+    */
+  def patternPngFor(id: Long, classes: Int): Array[Byte] = {
+    val bits = patternBits(id % classes)
+    val w = imgWidth(id)
+    val h = imgHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val on = (bits >>> (by * 8 + bx) & 1L) == 1L
+        img.setRGB(x, y, if (on) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of patterned PNGs (duplicate classes at mixed sizes). */
+  def syntheticPatternedImages(ids: DataFrame, classes: Int): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    spreadIds(ids).mapPartitions(_.map(id => MediaRecord(id, patternPngFor(id, classes))))
+  }
+
+  /** Perceptual average-hash (aHash) from DECODED pixels: partition the
+    * image into an 8×8 cell grid, integer-average each cell's luma, set
+    * bit (row·8+col) iff the cell beats the global mean. Pure integer
+    * math over the real decode, so the hash is deterministic across
+    * partitionings and JVMs, and resolution-invariant for block content —
+    * the property that makes it a DEDUP key: resized/re-encoded copies
+    * collapse to the same 64-bit value, turning image near-dup into the
+    * same hash-groupBy shape as text exact dedup (no pairwise pixel
+    * comparisons anywhere). A narrow map over the blob column; only
+    * (id, hash) ever shuffles.
+    */
+  def aHash64(ds: Dataset[MediaRecord]): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.media))
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val bx = x * 8 / w
+            val p = img.getRGB(x, y)
+            sums(by * 8 + bx) +=
+              299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+            counts(by * 8 + bx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val cells = Array.tabulate(64)(i => if (counts(i) == 0) 0L else sums(i) / counts(i))
+        val mean = cells.sum / 64
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (cells(i) > mean) hash |= 1L << i
+          i += 1
+        }
+        (r.doc_id, hash)
+      }
+    }
+  }
+
   /** WAV parameters derived from doc_id; mirrored by the oracle. */
   def wavSamples(id: Long): Int = (800 + id % 1600).toInt // 0.1–0.3 s at 8 kHz
   def wavAmplitude(id: Long): Int = (1000 + id % 20000).toInt

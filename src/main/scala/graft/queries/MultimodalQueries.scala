@@ -153,6 +153,42 @@ object MultimodalQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Image near-dup via perceptual average-hash over a REAL codec path
+    * ([[MediaCodec.aHash64]]): each doc renders an actual PNG whose
+    * content is one of 50 patterns at a doc-specific resolution; decode +
+    * 8×8 cell aHash collapses every resized copy of a pattern to the same
+    * 64-bit key, and dedup becomes a plain hash-groupBy (no pixel-pair
+    * comparisons). The oracle predicts the resulting clusters exactly —
+    * membership (residue classes), sizes, and the distinct-resolution
+    * count per cluster — so a hash match proves decode, cell averaging,
+    * thresholding, and the grouping all behaved, cross-resolution.
+    */
+  val qImageDedup: GQuery = GQuery(
+    "q_multimodal_image_dedup",
+    Some("""
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS cluster_min_id,
+             CAST(COUNT(*) AS BIGINT) AS n_imgs,
+             CAST(COUNT(DISTINCT (doc_id % 48 + 16) * 1000
+                                 + ((doc_id // 48) % 48 + 16)) AS BIGINT) AS n_sizes
+      FROM documents
+      GROUP BY doc_id % 50
+      ORDER BY cluster_min_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    MediaCodec
+      .aHash64(MediaCodec.syntheticPatternedImages(docs, classes = 50))
+      .toDF("doc_id", "ahash")
+      .groupBy($"ahash")
+      .agg(
+        min($"doc_id").as("cluster_min_id"),
+        count(lit(1)).as("n_imgs"),
+        countDistinct(
+          ($"doc_id" % 48 + 16) * 1000 + (expr("doc_id div 48") % 48 + 16)).as("n_sizes"))
+      .select($"cluster_min_id", $"n_imgs", $"n_sizes")
+      .orderBy($"cluster_min_id")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qBytes, qMeta, qFrames, qImageDecode, qImageResize, qAudioDecode)
+    Seq(qBytes, qMeta, qFrames, qImageDecode, qImageResize, qAudioDecode, qImageDedup)
 }
