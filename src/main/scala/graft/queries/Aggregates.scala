@@ -204,6 +204,26 @@ object Aggregates extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Key-skew report ([[graft.operators.Diagnostics.skewReport]]) for
+    * lineitem's part key — the pre-flight check for any shuffle on it.
+    * Median over integer counts interpolates to .0/.5 midpoints (exactly
+    * representable), so the whole row is hash-exact cross-engine.
+    */
+  val qDiagSkew: GQuery = GQuery(
+    "q_diag_skew",
+    Some("""
+      WITH c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM lineitem GROUP BY 1)
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(quantile_cont(cnt, 0.5) AS DOUBLE) AS p50_cnt,
+             CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) AS skew_ratio
+      FROM c""")
+  ) { (spark, dir) =>
+    graft.operators.Diagnostics.skewReport(t(spark, dir).lineitem, "l_partkey")
+  }
+
   /** min/max/min_by/max_by with deterministic tie-breaks. */
   val qMinMax: GQuery = GQuery(
     "q_agg_minmax",
@@ -436,6 +456,6 @@ object Aggregates extends QuerySet {
 
   override def queries: Seq[GQuery] = Seq(
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct,
-    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode, qHllRollup
+    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode, qHllRollup, qDiagSkew
   )
 }

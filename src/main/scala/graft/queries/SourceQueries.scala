@@ -64,5 +64,52 @@ object SourceQueries extends QuerySet {
     roundtrip(spark, dir, "orc")
   }
 
-  override def queries: Seq[GQuery] = Seq(qJson, qCsv, qOrc)
+  /** Resilient parsing of DIRTY json-lines input: a deterministic subset
+    * of records (doc_id % 7 == 0) is truncated mid-token, and the parse
+    * must degrade row-wise (corrupt rows counted, clean rows extracted) —
+    * never fail the job, the non-negotiable ingest property at 100 TB
+    * where some shard always contains garbage. Both engines build the
+    * SAME lines by string concat (engine JSON serializers differ in
+    * whitespace), Spark parses with `from_json` (PERMISSIVE: malformed →
+    * null struct), the oracle replays with json_valid/json_extract.
+    */
+  val qDirtyJson: GQuery = GQuery(
+    "q_source_dirty_json",
+    Some("""
+      WITH raw AS (SELECT doc_id, lang,
+                          '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}' AS line0
+                   FROM documents),
+           dirty AS (SELECT doc_id, lang,
+                            CASE WHEN doc_id % 7 = 0
+                                 THEN substr(line0, 1, length(line0) - 1)
+                                 ELSE line0 END AS line
+                     FROM raw)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+             CAST(SUM(CASE WHEN json_valid(line)
+                           THEN CAST(json_extract(line, '$.doc_id') AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sum_parsed_ids
+      FROM dirty GROUP BY 1 ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val raw = t(spark, dir).documents.select(
+      $"doc_id",
+      $"lang",
+      concat(lit("{\"doc_id\":"), $"doc_id", lit(",\"lang\":\""), $"lang", lit("\"}")).as("line0"))
+    val dirty = raw.select(
+      $"doc_id",
+      $"lang",
+      when($"doc_id" % 7 === 0, expr("substring(line0, 1, length(line0) - 1)"))
+        .otherwise($"line0").as("line"))
+    dirty
+      .withColumn("j", from_json($"line", "doc_id LONG, lang STRING", Map.empty[String, String]))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"j.doc_id".isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(coalesce($"j.doc_id", lit(0L))).as("sum_parsed_ids"))
+      .orderBy($"lang")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qJson, qCsv, qOrc, qDirtyJson)
 }
