@@ -28,6 +28,94 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: the rolling-ingest shape — a new batch is
+    * deduped against the ALREADY-ACCEPTED corpus, not the whole world.
+    * Returns one row per genuinely new content hash in `incoming`
+    * (content_hash, keep_id): first-occurrence-wins inside the batch, then
+    * an anti-join drops hashes the corpus index already holds.
+    *
+    * Scale: the corpus side is reduced to its 16-byte hash column before
+    * the join (at 100 TB the hash index is ~3 orders of magnitude smaller
+    * than the corpus and is the thing you'd persist between ingest runs —
+    * bucketed on content_hash so each day's anti-join is shuffle-free on
+    * the index side, Bucketing.scala pattern). The incoming batch is
+    * hash-aggregated BEFORE the anti-join, so the join carries one row per
+    * distinct new hash, not one per document.
+    */
+  def incrementalNew(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    def hashed(d: DataFrame) =
+      d.select(col(idCol), md5(encode(normText(col(textCol)), "UTF-8")).as("content_hash"))
+    val index = hashed(existing).select(col("content_hash")).distinct()
+    hashed(incoming)
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .join(index, Seq("content_hash"), "left_anti")
+  }
+
+  /** Edit-distance-1 fuzzy key pairs via FastSS deletion-neighborhood
+    * blocking (entity-resolution dedup for short keys: names, titles,
+    * normalized addresses). Each string is keyed by itself plus every
+    * single-character deletion; two strings within Levenshtein distance 1
+    * ALWAYS share a key (equal → identity key; substitution → same-position
+    * deletions agree; insert/delete → the shorter string IS a deletion of
+    * the longer), so the equi-join over deletion keys is a lossless
+    * candidate generator, and the final `levenshtein ≤ 1` check only
+    * removes false positives (cross-position deletion collisions).
+    *
+    * Scale shape: pure equi-join on short string keys — no cross join
+    * anywhere; candidate pairs are deduped BEFORE the verify step (the
+    * round-1 lesson: never score per colliding block). `maxKeyFreq`
+    * drops degenerate hot keys (e.g. a constant prefix corpus-wide) the
+    * same way jaccardPairs caps document frequency. The key payload
+    * carried through the join is the two short strings themselves —
+    * bounded by key length, unlike sketch-vector payloads.
+    *
+    * Deeper radii use k-deletion neighborhoods (k ≤ 2 practical); this
+    * ships the k=1 workhorse.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxKeyFreq: Long = 0
+  ): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(strCol).as("s"))
+    val chars = split(col("s"), "")
+    val dels = when(
+      length(col("s")) > 0,
+      transform(
+        sequence(lit(0), length(col("s")) - 1),
+        i =>
+          concat_ws(
+            "",
+            concat(
+              slice(chars, lit(1), i),
+              slice(chars, i + 2, length(col("s")) - i - 1)))))
+      .otherwise(array().cast("array<string>"))
+    val keyed = base
+      .select(col("id"), col("s"),
+        explode(array_distinct(concat(array(col("s")), dels))).as("__dk"))
+    val capped =
+      if (maxKeyFreq <= 0) keyed
+      else {
+        val hot = keyed.groupBy("__dk").count().filter(col("count") > maxKeyFreq).select("__dk")
+        keyed.join(hot, Seq("__dk"), "left_anti")
+      }
+    val a = capped.select(col("__dk"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = capped.select(col("__dk"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, "__dk")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b")
+      .distinct() // collapse multi-key collisions BEFORE the verify scan
+      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+      .select(col("id_a"), col("id_b"), levenshtein(col("s_a"), col("s_b")).as("dist"))
+  }
+
   /** MinHash + LSH banded near-dup candidate pairs.
     *
     * shingle(n) → xxhash64 → k-minhash signature → b bands of r rows →

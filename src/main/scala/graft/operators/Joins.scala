@@ -379,4 +379,103 @@ object Joins {
       .withColumn("__salt", explode(array((0 until nSalts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Collapse a keyed changelog to its latest op per key: the batch replay
+    * step of the reference's compacted changelog topics (one surviving
+    * record per key after compaction — reference:
+    * callysto/src/types/table.rs:59-62, kafka cleanup.policy=compact at
+    * ctopic.rs:86-99). `seqCol` is the total order within a key (offset /
+    * event time); it must be unique per key, as Kafka offsets are — with
+    * ties the kept row is the max by lexicographic (seq, payload) struct
+    * order, deterministic but arbitrary.
+    *
+    * Scale: one hash aggregation, map-side partial `max` — no window sort,
+    * no shuffle beyond the groupBy on the key (which a bucketed table
+    * avoids entirely, BucketingSpec pattern).
+    */
+  def collapseChangelog(ops: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val payload = ops.columns.filterNot(c => keys.contains(c) || c == seqCol)
+    val packed = struct(col(seqCol) +: payload.map(col): _*)
+    ops
+      .groupBy(keys.map(col): _*)
+      .agg(max(packed).as("__latest"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  /** MERGE-style keyed upsert: apply a batch of updates (optionally
+    * carrying a boolean delete flag) onto a target snapshot.
+    *
+    *   - target rows whose key has no update row survive unchanged;
+    *   - an update row with `deleteCol` false REPLACES the target row
+    *     (insert if the key is new);
+    *   - an update row with `deleteCol` true removes the key (tombstone —
+    *     reference: empty-payload delete at callysto/src/types/table.rs:374).
+    *
+    * `updates` must be collapsed to one row per key first
+    * ([[collapseChangelog]]); its schema is the target's plus `deleteCol`.
+    *
+    * Scale: survivors come from a LEFT ANTI join (keys-only probe side —
+    * broadcast when the update batch is small, the common case for
+    * incremental maintenance of a 100 TB snapshot) plus a union with the
+    * non-tombstone updates. No full-outer join, no wide coalesce: the
+    * target — the big side — is read once and never shuffled when the
+    * anti join broadcasts.
+    */
+  /** Bloom-filter semi-join reduction: probe-side rows are pre-filtered by
+    * a mergeable sketch of the build side's keys BEFORE any shuffle, then
+    * (optionally) exact-joined to remove the sketch's false positives.
+    *
+    * This is the manual, composable form of Spark's InjectRuntimeFilter:
+    * at 100 TB the win is shuffle VOLUME — a fact table joining a
+    * selective dimension ships only `selectivity + fpp` of its rows to the
+    * exchange instead of all of them. The sketch itself is built with one
+    * map-side-combined aggregation over the dim keys (`stat.bloomFilter`,
+    * `org.apache.spark.util.sketch`), costs ~1.2 bytes/key at 1% fpp
+    * (≈120 MB for 100M keys — broadcastable where the key LIST often is
+    * not), and the probe is two hash evaluations per row inside
+    * whole-stage codegen ([[graft.functions.BloomMightContain]]).
+    *
+    * With `exact = false` the result may keep ~fpp of non-matching rows —
+    * the right trade when the next operator is itself tolerant (e.g. a
+    * pre-dedup candidate cut). With `exact = true` results are exactly
+    * the left-semi join (oracle-checked by q_join_bloom_semi).
+    */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      exact: Boolean = true
+  ): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val pre = fact.where(
+      org.apache.spark.sql.graftshim.GraftSql.column(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.graftshim.GraftSql.expression(fact.col(factKey)), bf)))
+    if (!exact) pre
+    else {
+      val keys = dim.select(col(dimKey).as(factKey)).distinct()
+      pre.join(keys, Seq(factKey), "left_semi")
+    }
+  }
+
+  def mergeUpsert(
+      target: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      deleteCol: String,
+      broadcastUpdates: Boolean = true
+  ): DataFrame = {
+    val expected = target.columns.toSet + deleteCol
+    require(
+      updates.columns.toSet == expected,
+      s"updates schema must be target + $deleteCol; got ${updates.columns.mkString(",")}")
+    val touched = updates.select(keys.map(col): _*)
+    val probe = if (broadcastUpdates) broadcast(touched) else touched
+    val survivors = target.join(probe, keys, "left_anti")
+    val upserts = updates.filter(!col(deleteCol)).drop(deleteCol)
+    survivors.unionByName(upserts)
+  }
 }

@@ -143,4 +143,57 @@ object TextOps {
       .filter(col("__rk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Corpus vocabulary with contiguous frequency-ranked ids (the token →
+    * id table a tokenizer trainer exports): tokens above `minCount`,
+    * ranked by (freq desc, token asc) so the assignment is total and
+    * reproducible across engines and partitionings.
+    *
+    * Scale: the count is a map-side-combined aggregation over the corpus
+    * (the only pass that touches every byte); the global row_number runs
+    * AFTER the `minCount` cut, i.e. over vocab-sized data (≤ a few
+    * hundred thousand rows for real corpora) where a single-partition
+    * window sort is microseconds — the same deliberate trade as any
+    * final global ORDER BY.
+    */
+  def buildVocab(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .withColumn(
+        "vocab_id",
+        (row_number().over(Window.orderBy(col("freq").desc, col("token").asc)) - 1).cast("long"))
+  }
+
+  /** Per-document vocabulary-coverage score against a [[buildVocab]] table:
+    * token count, out-of-vocabulary token count, and OOV rate — the
+    * rational (division-only, engine-exact) stand-in for an LM perplexity
+    * gate: documents full of tokens a tokenizer has never seen are the
+    * ones a quality filter drops first.
+    *
+    * Scale: the vocab is broadcast (it survived a minCount cut, so it is
+    * dimension-sized); the token explode never shuffles — the only
+    * aggregation is the per-doc re-group on the id the explode preserved.
+    */
+  def oovScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .join(broadcast(vocab.select(col("token"), lit(true).as("__in"))), Seq("token"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
 }

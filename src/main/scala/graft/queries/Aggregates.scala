@@ -454,8 +454,58 @@ object Aggregates extends QuerySet {
       .orderBy($"l_returnflag")
   }
 
+  /** IQR outlier screen (Tukey fences): per event_type, exact quartiles of
+    * `value`, fences at q1/q3 ∓ 1.5·IQR, and the outlier count — the
+    * standard numeric-column quality gate before training-data export.
+    * Fences are rounded to 6dp on BOTH sides before comparing so a
+    * last-ulp interpolation difference between engines cannot flip a
+    * boundary row. Two-pass shape: the per-group fences are a tiny frame
+    * broadcast back onto the fact scan (no second shuffle); at 100 TB the
+    * exact `percentile` pass is the cost — `percentile_approx` (bounded
+    * error, QuantileSketchSpec) is the drop-in scale path.
+    */
+  val qOutlierIqr: GQuery = GQuery(
+    "q_agg_outlier_iqr",
+    Some("""
+      WITH f AS (
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS q1,
+               round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6) AS q3
+        FROM events GROUP BY 1),
+      b AS (
+        SELECT event_type, q1, q3,
+               round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+               round(q3 + 1.5 * (q3 - q1), 6) AS hi
+        FROM f)
+      SELECT e.event_type, b.q1, b.q3,
+             COUNT(*) FILTER (WHERE e.value < b.lo OR e.value > b.hi) AS n_outliers,
+             COUNT(*) AS n_total
+      FROM events e JOIN b ON e.event_type = b.event_type
+      GROUP BY 1, 2, 3
+      ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = t(spark, dir).events
+    val fences = ev
+      .groupBy($"event_type")
+      .agg(
+        round(percentile($"value", lit(0.25)), 6).as("q1"),
+        round(percentile($"value", lit(0.75)), 6).as("q3"))
+      .select(
+        $"event_type", $"q1", $"q3",
+        round($"q1" - lit(1.5) * ($"q3" - $"q1"), 6).as("lo"),
+        round($"q3" + lit(1.5) * ($"q3" - $"q1"), 6).as("hi"))
+    ev.join(broadcast(fences), "event_type")
+      .groupBy($"event_type", $"q1", $"q3")
+      .agg(
+        count(when($"value" < $"lo" || $"value" > $"hi", 1)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct,
-    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode, qHllRollup, qDiagSkew
+    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode, qHllRollup, qDiagSkew,
+    qOutlierIqr
   )
 }

@@ -27,6 +27,57 @@ object DedupQueries extends QuerySet {
     Dedup.exact(t(spark, dir).documents, "doc_id", "text").orderBy($"content_hash")
   }
 
+  /** Incremental ingest dedup ([[Dedup.incrementalNew]]): even-id docs act
+    * as the accepted corpus index, odd-id docs as the new batch; a batch
+    * doc survives only if its normalized content hash is unseen in the
+    * corpus AND it is the first occurrence within the batch.
+    */
+  val qIncremental: GQuery = GQuery(
+    "q_dedup_incremental",
+    Some("""
+      WITH h AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+        FROM documents),
+      existing AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 2 = 0),
+      incoming AS (
+        SELECT content_hash, min(doc_id) AS keep_id
+        FROM h WHERE doc_id % 2 = 1 GROUP BY 1)
+      SELECT i.content_hash, i.keep_id
+      FROM incoming i LEFT JOIN existing e USING (content_hash)
+      WHERE e.content_hash IS NULL
+      ORDER BY i.content_hash""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    Dedup
+      .incrementalNew(
+        existing = docs.filter($"doc_id" % 2 === 0),
+        incoming = docs.filter($"doc_id" % 2 === 1),
+        "doc_id",
+        "text")
+      .orderBy($"content_hash")
+  }
+
+  /** Edit-distance-1 fuzzy key matching ([[Dedup.editDistancePairs]],
+    * FastSS deletion-neighborhood blocking) over customer names; the
+    * oracle brute-forces all O(n²) pairs with DuckDB's levenshtein, so
+    * this proves the blocked candidate generator loses NOTHING.
+    */
+  val qFuzzyKey: GQuery = GQuery(
+    "q_dedup_fuzzy_key",
+    Some("""
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Dedup
+      .editDistancePairs(t(spark, dir).customer, "c_custkey", "c_name", maxKeyFreq = 10000)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Exact 3-gram Jaccard near-dup pairs (inverted-index join).
     *
     * The oracle mirrors the Spark side exactly: same normalization (lower,
@@ -279,6 +330,6 @@ object DedupQueries extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qExact, qJaccard, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingIvf,
-      qConnected, qParagraph)
+    Seq(qExact, qIncremental, qFuzzyKey, qJaccard, qMinhash, qSimhash, qEmbedding,
+      qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph)
 }

@@ -612,6 +612,37 @@ object Relational extends QuerySet {
       .orderBy($"band_id")
   }
 
+  /** Bloom-filter semi-join reduction ([[graft.operators.Joins.bloomSemiJoin]]):
+    * lineitems of high-value urgent orders. The probe side is cut by the
+    * dim-key sketch BEFORE the shuffle; the exact join then removes the
+    * sketch's false positives, so the result equals the plain left-semi
+    * join — which is exactly what the oracle checks.
+    */
+  val qJoinBloomSemi: GQuery = GQuery(
+    "q_join_bloom_semi",
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_orderkey = l_orderkey
+                      AND o_totalprice > 150000 AND o_orderpriority = '1-URGENT')
+      GROUP BY 1
+      ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val dim = t(spark, dir).orders
+      .filter($"o_totalprice" > 150000 && $"o_orderpriority" === "1-URGENT")
+    graft.operators.Joins
+      .bloomSemiJoin(
+        t(spark, dir).lineitem, "l_orderkey",
+        dim, "o_orderkey",
+        expectedItems = 1000000L, fpp = 0.01)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     q1PricingSummary,
     q6Revenue,
@@ -621,6 +652,7 @@ object Relational extends QuerySet {
     qJoinLeft,
     qJoinSemi,
     qJoinAnti,
+    qJoinBloomSemi,
     qJoinAsof,
     qJoinAsofBroadcast,
     qJoinAsofForward,

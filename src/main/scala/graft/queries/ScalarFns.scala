@@ -274,5 +274,63 @@ object ScalarFns extends QuerySet {
       .orderBy($"vec_id")
   }
 
-  override def queries: Seq[GQuery] = Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof)
+  /** URL parsing suite (`parse_url` — the web-corpus provenance toolkit:
+    * host, registrable domain, path, query param, path depth). The URL is
+    * constructed deterministically from document columns on BOTH sides, so
+    * the oracle (which has no parse_url and uses regexes matching RFC-3986
+    * generic syntax) checks Spark's extraction exactly. Per-domain corpus
+    * balancing over the extracted domain is q_sample_domain_cap.
+    */
+  val qUrl: GQuery = GQuery(
+    "q_fn_url",
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/' || lang || '/doc-' ||
+                 CAST(doc_id AS VARCHAR) || '?ref=' || source || '&page=' ||
+                 CAST(doc_id % 10 AS VARCHAR) AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+               regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+               regexp_extract(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page
+        FROM u)
+      SELECT doc_id, host,
+             regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+             path,
+             page,
+             CAST(length(path) - length(replace(path, '/', '')) AS INT) AS path_depth
+      FROM p
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val u = t(spark, dir).documents
+      .select(
+        $"doc_id",
+        concat(
+          lit("https://"), $"source", lit(".example.com/"), $"lang", lit("/doc-"),
+          $"doc_id".cast("string"), lit("?ref="), $"source", lit("&page="),
+          ($"doc_id" % 10).cast("string")
+        ).as("url")
+      )
+    u.select(
+        $"doc_id",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY"), lit("page")).as("page")
+      )
+      .select(
+        $"doc_id",
+        $"host",
+        regexp_extract($"host", "([^.]+\\.[^.]+)$", 1).as("domain"),
+        $"path",
+        $"page",
+        (length($"path") - length(regexp_replace($"path", "/", ""))).as("path_depth")
+      )
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof, qUrl)
 }

@@ -261,6 +261,63 @@ object StreamingQueries extends QuerySet {
       .orderBy($"user_id", $"bucket")
   }
 
+  /** Changelog replay onto a snapshot: collapse a keyed op log (set/del
+    * with sequence numbers) to its latest op per key, then MERGE-upsert it
+    * into a base table — the batch form of consuming a compacted changelog
+    * topic into a CTable (set: table.rs:93-98, tombstone delete:
+    * table.rs:374, compaction contract: ctopic.rs:86-99). Keys 3|k get a
+    * set at seq 1, keys 6|k additionally a delete at seq 2 (the delete must
+    * win), and fresh keys are inserted — all three MERGE arms exercised.
+    */
+  val qMergeUpsert: GQuery = GQuery(
+    "q_state_merge_upsert",
+    Some("""
+      WITH ops AS (
+        SELECT o_orderkey AS k, 1 AS seq, 'X' AS status,
+               o_totalprice + 100.0 AS price, FALSE AS deleted
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'D', 0.0, TRUE
+        FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey + 50000000, 1, 'N', 1.0, FALSE
+        FROM orders WHERE o_orderkey % 1000 = 1),
+      latest AS (
+        SELECT k, status, price, deleted FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM ops)
+        WHERE rn = 1),
+      merged AS (
+        SELECT b.o_orderkey AS k, b.o_orderstatus AS status, b.o_totalprice AS price
+        FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.k
+        WHERE l.k IS NULL
+        UNION ALL
+        SELECT k, status, price FROM latest WHERE NOT deleted)
+      SELECT k, status, price FROM merged ORDER BY k""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ord = t(spark, dir).orders
+    val base = ord.select($"o_orderkey".as("k"), $"o_orderstatus".as("status"), $"o_totalprice".as("price"))
+    val setOps = ord
+      .filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey".as("k"), lit(1L).as("seq"), lit("X").as("status"),
+        ($"o_totalprice" + 100.0).as("price"), lit(false).as("deleted"))
+    val delOps = ord
+      .filter($"o_orderkey" % 6 === 0)
+      .select($"o_orderkey".as("k"), lit(2L).as("seq"), lit("D").as("status"),
+        lit(0.0).as("price"), lit(true).as("deleted"))
+    val insOps = ord
+      .filter($"o_orderkey" % 1000 === 1)
+      .select(($"o_orderkey" + 50000000L).as("k"), lit(1L).as("seq"), lit("N").as("status"),
+        lit(1.0).as("price"), lit(false).as("deleted"))
+    val latest = graft.operators.Joins.collapseChangelog(
+      setOps.unionByName(delOps).unionByName(insOps), Seq("k"), "seq")
+    graft.operators.Joins
+      .mergeUpsert(base, latest, Seq("k"), "deleted")
+      .orderBy($"k")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qStateSnapshot, qTumbling, qSliding, qSession, qAvroRoundtrip, qAvroFileRoundtrip, qGapFill)
+    Seq(qStateSnapshot, qTumbling, qSliding, qSession, qAvroRoundtrip, qAvroFileRoundtrip,
+      qGapFill, qMergeUpsert)
 }

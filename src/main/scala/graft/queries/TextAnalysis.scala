@@ -378,7 +378,84 @@ object TextAnalysis extends QuerySet {
       .orderBy($"doc_id", $"score".desc, $"term")
   }
 
+  /** Vocabulary build ([[graft.operators.TextOps.buildVocab]]): tokens
+    * with corpus frequency ≥ 20 get contiguous frequency-ranked ids —
+    * the tokenizer-training export table.
+    */
+  val qVocab: GQuery = GQuery(
+    "q_text_vocab",
+    Some("""
+      WITH tf AS (
+        SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        HAVING COUNT(*) >= 20)
+      SELECT token, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT) AS vocab_id
+      FROM tf
+      ORDER BY vocab_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.TextOps
+      .buildVocab(t(spark, dir).documents, "text", minCount = 20)
+      .orderBy($"vocab_id")
+  }
+
+  /** OOV-rate quality gate ([[graft.operators.TextOps.oovScore]] composed
+    * with [[graft.operators.TextOps.buildVocab]]): per document, the
+    * fraction of tokens outside the corpus vocabulary (minCount = 50) —
+    * the rational, engine-exact proxy for an LM-perplexity filter.
+    */
+  val qOov: GQuery = GQuery(
+    "q_text_oov",
+    Some("""
+      WITH vocab AS (
+        SELECT token
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        HAVING COUNT(*) >= 50),
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+             (CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) AS oov_rate
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val vocab = graft.operators.TextOps.buildVocab(docs, "text", minCount = 50)
+    graft.operators.TextOps
+      .oovScore(docs, "doc_id", "text", vocab)
+      .orderBy($"doc_id")
+  }
+
+  /** Deflate compression-ratio quality signal
+    * ([[graft.functions.DeflateRatio]]): per document the compressed/raw
+    * byte fraction plus the corpus quality verdict (repetitive text
+    * compresses away; near-random text doesn't). No oracle — DuckDB has no
+    * deflate; the codec contract (determinism, ordering, agreement with a
+    * direct JVM Deflater) is asserted in ExtensionSpec.
+    */
+  val qCompress: GQuery = GQuery("q_text_compress", None) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).documents
+      .select(
+        $"doc_id",
+        round(graft.functions.GraftFunctions.deflateRatio($"text"), 6).as("deflate_ratio"),
+        length($"text").as("n_chars"))
+      .withColumn(
+        "verdict",
+        when($"deflate_ratio" < 0.2, "repetitive")
+          .when($"deflate_ratio" > 0.9, "incompressible")
+          .otherwise("normal"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode,
-      qRedact, qChunk, qRepetition, qTfidf)
+      qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov)
 }

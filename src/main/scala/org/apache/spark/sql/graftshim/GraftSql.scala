@@ -23,4 +23,15 @@ object GraftSql {
     */
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** A Column over a custom catalyst Expression that carries a non-literal
+    * constructor argument (e.g. a pre-built sketch object) and therefore
+    * cannot route through the function registry's `call_function` path.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The catalyst expression behind a Column (inverse of [[column]]). */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

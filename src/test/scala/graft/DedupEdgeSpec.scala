@@ -44,6 +44,49 @@ class DedupEdgeSpec extends SparkSpec {
     assert(jc.length == 3 && jc.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("editDistancePairs finds exactly the distance<=1 pairs, including empty-string edges") {
+    val docs = Seq(
+      (1L, "cat"), (2L, "cut"), // substitution
+      (3L, "cart"), // insertion vs cat
+      (4L, "ca"), // deletion vs cat
+      (5L, "dog"), // unrelated
+      (6L, ""), // empty: distance 1 only to single-char strings
+      (7L, "a"),
+      (8L, "cat") // exact duplicate of 1
+    ).toDF("id", "name")
+    val got = Dedup
+      .editDistancePairs(docs, "id", "name")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // brute-force reference over all pairs
+    val rows = Seq(1L -> "cat", 2L -> "cut", 3L -> "cart", 4L -> "ca", 5L -> "dog",
+      6L -> "", 7L -> "a", 8L -> "cat")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb))).toSet
+    assert(got === want)
+    assert(got.contains((1L, 8L, 0)) && got.contains((1L, 2L, 1)) && got.contains((6L, 7L, 1)))
+  }
+
+  test("editDistancePairs maxKeyFreq cap drops hot-key blocks instead of going quadratic") {
+    // 50 strings sharing the deletion key "x" (all are 1-char edits of "x")
+    val docs = (1L to 50L).map(i => (i, "x" + ('a' + (i % 26)).toChar)).toDF("id", "name")
+    val uncapped = Dedup.editDistancePairs(docs, "id", "name").count()
+    val capped = Dedup.editDistancePairs(docs, "id", "name", maxKeyFreq = 10).count()
+    assert(capped <= uncapped)
+  }
+
   test("connected components: empty pairs -> empty labels; clone pairs collapse to one component") {
     val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(emptyPairs).count() == 0)

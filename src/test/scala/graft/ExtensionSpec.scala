@@ -226,4 +226,34 @@ class ExtensionSpec extends SparkSpec {
       graft.operators.FrequentItems.heavyHitters(df, "x", s = 0.001, k = 100)
     }
   }
+
+  test("DeflateRatio: deterministic, orders repetitive < natural < random, matches direct JVM run") {
+    val s = spark
+    import s.implicits._
+    val repetitive = "spam ham " * 500
+    val natural =
+      "the quick brown fox jumps over the lazy dog while seventeen judges " +
+        "quietly examined four dozen unusual exhibits from the northern province "
+    val random = new scala.util.Random(42).alphanumeric.take(4000).mkString
+    val df = Seq(("rep", repetitive), ("nat", natural), ("rnd", random), ("empty", ""))
+      .toDF("k", "text")
+    val got = df
+      .select($"k", GraftFunctions.deflateRatio($"text").as("r"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    // exact agreement with a direct Deflater run through the same helper
+    for ((k, t) <- Seq("rep" -> repetitive, "nat" -> natural, "rnd" -> random))
+      assert(got(k) === graft.functions.DeflateUtil.ratio(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    assert(got("rep") < 0.1, s"repetitive text should collapse, got ${got("rep")}")
+    assert(got("rep") < got("nat") && got("nat") < got("rnd"),
+      s"ordering violated: $got")
+    assert(got("rnd") > 0.7, s"alphanumeric noise should stay near 1, got ${got("rnd")}")
+    assert(got("empty") === 1.0)
+    // determinism across a second evaluation (fresh codegen + thread reuse)
+    val again = df.select($"k", GraftFunctions.deflateRatio($"text").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === again)
+  }
 }

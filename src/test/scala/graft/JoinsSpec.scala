@@ -282,4 +282,108 @@ class JoinsSpec extends SparkSpec {
       Joins.rangeJoinBinned(p, i, "v", "lo", "hi", binWidth = 10L)
     }
   }
+
+  test("bloomSemiJoin(exact) equals the plain left-semi join on real tables") {
+    val tb = graft.sources.Tables(spark, sf)
+    val li = tb.lineitem
+    val dim = tb.orders.filter(col("o_totalprice") > 150000)
+    val got = Joins
+      .bloomSemiJoin(li, "l_orderkey", dim, "o_orderkey", expectedItems = 100000L)
+      .select("l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+      .toSet
+    val want = li
+      .join(dim.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+      .toSet
+    assert(got === want)
+  }
+
+  test("bloom prefilter alone never drops a true match and stays near the fpp bound") {
+    val tb = graft.sources.Tables(spark, sf)
+    val li = tb.lineitem
+    val dim = tb.orders.filter(col("o_totalprice") > 180000)
+    val pre = Joins
+      .bloomSemiJoin(li, "l_orderkey", dim, "o_orderkey",
+        expectedItems = 50000L, fpp = 0.01, exact = false)
+    val exactRows = Joins
+      .bloomSemiJoin(li, "l_orderkey", dim, "o_orderkey", expectedItems = 50000L)
+      .count()
+    val preRows = pre.count()
+    // superset of the true semi join (no false negatives)...
+    assert(preRows >= exactRows)
+    // ...and the false-positive overhang is bounded: fpp=1% of the
+    // non-matching rows, with slack for hash variance
+    val nonMatching = li.count() - exactRows
+    assert(preRows - exactRows <= math.max(50, (nonMatching * 0.05).toLong),
+      s"pre=$preRows exact=$exactRows nonMatching=$nonMatching")
+  }
+
+  test("bloomSemiJoin works on string keys") {
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "k")
+    val keep = Seq("alpha", "gamma").toDF("k")
+    val got = Joins
+      .bloomSemiJoin(docs, "k", keep, "k", expectedItems = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+  }
+
+  test("collapseChangelog keeps exactly the highest-seq op per key") {
+    val ops = Seq(
+      (1L, 10L, "a", false),
+      (1L, 30L, "c", true), // latest for key 1 — a delete
+      (1L, 20L, "b", false),
+      (2L, 5L, "x", false)
+    ).toDF("k", "seq", "v", "deleted")
+    val got = Joins
+      .collapseChangelog(ops, Seq("k"), "seq")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    assert(got === Set((1L, "c", true), (2L, "x", false)))
+  }
+
+  test("mergeUpsert: untouched survive, updates replace, deletes remove, inserts appear") {
+    val target = Seq((1L, "one", 1.0), (2L, "two", 2.0), (3L, "three", 3.0)).toDF("k", "name", "v")
+    val updates = Seq(
+      (2L, "TWO", 22.0, false), // update
+      (3L, "gone", 0.0, true), // delete
+      (9L, "nine", 9.0, false) // insert
+    ).toDF("k", "name", "v", "deleted")
+    val got = Joins
+      .mergeUpsert(target, updates, Seq("k"), "deleted")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got === Set((1L, "one", 1.0), (2L, "TWO", 22.0), (9L, "nine", 9.0)))
+  }
+
+  test("mergeUpsert rejects an updates schema that is not target + delete flag") {
+    val target = Seq((1L, "one")).toDF("k", "name")
+    val bad = Seq((1L, true)).toDF("k", "deleted") // missing payload column
+    intercept[IllegalArgumentException] {
+      Joins.mergeUpsert(target, bad, Seq("k"), "deleted")
+    }
+  }
+
+  test("mergeUpsert after collapseChangelog replays a full op log correctly (delete then re-set)") {
+    val target = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    // key 1: set, delete, then re-set at the highest seq → must survive with the last value
+    // key 2: delete at the highest seq → must vanish
+    val ops = Seq(
+      (1L, 1L, 10.0, false),
+      (1L, 2L, 0.0, true),
+      (1L, 3L, 30.0, false),
+      (2L, 1L, 0.0, true)
+    ).toDF("k", "seq", "v", "deleted")
+    val got = Joins
+      .mergeUpsert(target, Joins.collapseChangelog(ops, Seq("k"), "seq"), Seq("k"), "deleted")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet
+    assert(got === Set((1L, 30.0)))
+  }
 }
