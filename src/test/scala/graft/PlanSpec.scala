@@ -125,6 +125,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "lateral stayed correlated/cartesian")
   }
 
+  test("bloom semi-join probes the sketch directly on the fact scan, before any exchange") {
+    val p = planOf("q_join_bloom_semi")
+    assert(p.contains("graft_bloom_might_contain"), "bloom probe expression not in plan")
+    // find the operator id of the Filter that carries the probe, then
+    // assert the tree shows its child is the parquet scan itself — the
+    // probe runs in the scan stage, upstream of every shuffle
+    val probeId = """\((\d+)\) Filter""".r
+      .findAllMatchIn(p)
+      .map(_.group(1))
+      .find { id =>
+        val detail = p.split("\n\n").find(_.startsWith(s"($id) Filter"))
+        detail.exists(_.contains("graft_bloom_might_contain"))
+      }
+    assert(probeId.isDefined, "no Filter operator carries the bloom probe")
+    val tree = p.split("\n\n").head.linesIterator.toSeq
+    val probeLine = tree.indexWhere(_.contains(s"Filter (${probeId.get})"))
+    assert(probeLine >= 0, s"Filter (${probeId.get}) not in plan tree")
+    assert(tree(probeLine + 1).contains("Scan parquet"),
+      s"probe filter's child is not the fact scan:\n${tree.mkString("\n")}")
+  }
+
   test("q5 is join-strategy invariant: identical rows under sort-merge as under broadcast") {
     // at 100x the data AQE will pick shuffle joins for what broadcasts
     // today; results must not depend on that choice

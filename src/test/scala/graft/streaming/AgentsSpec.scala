@@ -61,6 +61,46 @@ class AgentsSpec extends SparkSpec {
     assert(app.state("agent-2") === AgentState.Stopped)
   }
 
+  test("chained agents: agent-1's file sink is agent-2's source (topic-bridge parity)") {
+    // callysto chains agents through intermediate topics (producer in one
+    // agent, consumer group in the next — examples/src/avro-sink.rs:40-56);
+    // with no broker in the container the durable hand-off medium is a
+    // parquet directory: agent-1 appends files, agent-2's directory-
+    // watching source turns each new file into a micro-batch.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[Long]
+    val bridge = Files.createTempDirectory("graft-bridge").toString
+    val counts = new ConcurrentHashMap[String, Long]()
+    val app = new GraftApp(s, "chain", Files.createTempDirectory("graft-app").toString)
+
+    app.agent("upstream", () => in.toDF(), GraftSink.Parquet(bridge), outputMode = "append")(
+      _.filter($"value" % 2 === 0).select($"value".as("v"))
+    )
+    app.start("upstream")
+    in.addData(1L, 2L, 3L, 4L, 5L, 6L)
+    app.processAllAvailable("upstream")
+
+    val schemaSource = Seq.empty[Long].toDF("v")
+    app.agent("downstream", () => Sources.parquetDir(s, bridge, schemaSource),
+      counterSink(counts))(
+      _.select(lit("evens").as("k"), $"v").groupBy($"k").count()
+    )
+    app.start("downstream")
+    app.processAllAvailable("downstream")
+    assert(counts.get("evens") === 3L, s"expected 3 even rows through the bridge, got $counts")
+
+    // a second wave flows through BOTH hops end-to-end
+    in.addData(7L, 8L, 10L)
+    app.processAllAvailable("upstream")
+    app.processAllAvailable("downstream")
+    assert(counts.get("evens") === 5L, s"second wave lost in the bridge: $counts")
+
+    app.stopAll()
+  }
+
   test("agent restart resumes counts from checkpoint") {
     val s = spark
     import s.implicits._

@@ -76,6 +76,55 @@ class StreamOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("chained stateful aggregations: per-key window counts roll up to per-window totals") {
+    // two stateful operators in ONE streaming query (Spark 4 multi-stateful
+    // append pipelines): stage 1 counts per (key, 5-min window), stage 2
+    // re-aggregates the finalized stage-1 rows per window — the declarative
+    // form of callysto's agent -> changelog topic -> downstream-agent chain
+    // collapsed into a single exactly-once query.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val rows = mutable.ArrayBuffer.empty[Row]
+    val src = input
+      .toDF()
+      .select(timestamp_seconds($"_1").as("ts"), $"_2".as("k"))
+    val perKey = StreamOps.tumbling(
+      StreamOps.watermarked(src, "ts", "10 minutes"),
+      $"ts",
+      "5 minutes",
+      keys = Seq($"k"),
+      aggs = Seq(count(lit(1)).as("n"))
+    )
+    val perWindow = perKey
+      .groupBy($"window")
+      .agg(sum($"n").as("total"), count(lit(1)).as("n_keys"))
+    val q = perWindow
+      .select(unix_timestamp($"window.start").as("ws"), $"total", $"n_keys")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-chain").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }; ()
+      }
+      .start()
+
+    // window [0, 300): a,a,b ; window [300, 600): b,c,c,c
+    input.addData((60L, "a"), (120L, "a"), (200L, "b"))
+    input.addData((310L, "b"), (350L, "c"), (400L, "c"), (590L, "c"))
+    q.processAllAvailable()
+    assert(rows.isEmpty) // nothing finalized through EITHER stateful stage yet
+
+    input.addData((7200L, "a")) // advance watermark past both windows
+    q.processAllAvailable()
+    val got = rows.toList.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((0L, 3L, 2L), (300L, 4L, 2L)),
+      s"chained aggregation produced $got")
+    q.stop()
+  }
+
   test("streaming dropDuplicates suppresses re-deliveries across batches") {
     val s = spark
     import s.implicits._
