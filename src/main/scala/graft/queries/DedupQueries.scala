@@ -329,7 +329,52 @@ object DedupQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Per-document shared-shingle fraction: what part of a doc's distinct
+    * 3-grams also occurs in at least one OTHER document. The RefinedWeb /
+    * Gopher-style boilerplate signal — docs made of corpus-common spans
+    * (navigation chrome, licence blocks) score high and get down-weighted
+    * before training. Unlike pairwise dedup this stays linear: shingle →
+    * document-frequency groupBy → join back, no pair enumeration at all,
+    * so it scales to corpora where even banded pair generation is too big.
+    * Same normalization + distinct-per-doc shingling as q_gen_shingles.
+    */
+  val qSharedShingles: GQuery = GQuery(
+    "q_dedup_shared_shingles",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      df AS (SELECT s, COUNT(DISTINCT doc_id) AS ndocs FROM sh GROUP BY s)
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS shared_frac
+      FROM sh JOIN df USING (s)
+      GROUP BY sh.doc_id
+      ORDER BY sh.doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val sh = t(spark, dir).documents
+      .select($"doc_id", graft.functions.GraftFunctions.shingles($"text", 3))
+    val df = sh.groupBy($"shingle").agg(countDistinct($"doc_id").as("ndocs"))
+    sh.join(df, "shingle")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_shared"),
+        (sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("shared_frac")
+      )
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qFuzzyKey, qJaccard, qMinhash, qSimhash, qEmbedding,
-      qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph)
+      qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSharedShingles)
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+
+/** Dataset profiling + feature normalization — the "look before you train"
+  * layer of a corpus pipeline: one-pass column profiles, value-distribution
+  * histograms, and per-group feature scaling. The reference leaves all of
+  * this to user closures over opaque bytes (callysto/src/types/agent.rs:86-91);
+  * here each is a first-class, oracle-checked relational operator.
+  *
+  * Scale notes: every query is a single scan + one narrow aggregation —
+  * the profile is ONE wide agg (not one job per column, which at 100 TB
+  * would read the table five times), the histogram groups on a derived
+  * bounded key (≤ nb+1 groups), and z-score is the canonical two-pass
+  * broadcast-back pattern (tiny stats table joined back map-side).
+  */
+object ProfilingQueries extends QuerySet {
+
+  /** Column profile of `orders` — null count, exact distinct count, min/max
+    * per column — computed in ONE pass (a single wide aggregate row) and
+    * unpivoted to long form with `stack`. The multi-distinct agg expands to
+    * Spark's expand-operator plan (one shuffle), still a single scan; at
+    * 100 TB you'd swap exact distinct for approx_count_distinct, same shape.
+    */
+  val qProfile: GQuery = GQuery(
+    "q_profile_columns",
+    Some("""
+      WITH w AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o_orderkey    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+               COUNT(DISTINCT o_orderkey)    AS k_nd,
+               CAST(MIN(o_orderkey) AS DOUBLE)    AS k_min,  CAST(MAX(o_orderkey) AS DOUBLE)    AS k_max,
+               CAST(SUM(CASE WHEN o_custkey     IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
+               COUNT(DISTINCT o_custkey)     AS c_nd,
+               CAST(MIN(o_custkey) AS DOUBLE)     AS c_min,  CAST(MAX(o_custkey) AS DOUBLE)     AS c_max,
+               CAST(SUM(CASE WHEN o_totalprice  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+               COUNT(DISTINCT o_totalprice)  AS p_nd,
+               MIN(o_totalprice)                  AS p_min,  MAX(o_totalprice)                  AS p_max,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+               COUNT(DISTINCT o_orderstatus) AS s_nd,
+               MIN(o_orderstatus) AS s_min, MAX(o_orderstatus) AS s_max,
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_nulls,
+               COUNT(DISTINCT o_orderpriority) AS r_nd,
+               MIN(o_orderpriority) AS r_min, MAX(o_orderpriority) AS r_max
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS col_name, n, k_nulls AS n_null, k_nd AS n_distinct,
+               k_min AS min_num, k_max AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM w
+        UNION ALL
+        SELECT 'o_custkey', n, c_nulls, c_nd, c_min, c_max, NULL, NULL FROM w
+        UNION ALL
+        SELECT 'o_totalprice', n, p_nulls, p_nd, p_min, p_max, NULL, NULL FROM w
+        UNION ALL
+        SELECT 'o_orderstatus', n, s_nulls, s_nd,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_min, s_max FROM w
+        UNION ALL
+        SELECT 'o_orderpriority', n, r_nulls, r_nd,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), r_min, r_max FROM w)
+      ORDER BY col_name""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val o = t(spark, dir).orders
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    def nulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")
+    def nd(c: String) = countDistinct(col(c)).as(s"${c}__nd")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("n")) ++
+        (numCols ++ strCols).flatMap(c => Seq(nulls(c), nd(c))) ++
+        numCols.flatMap(c =>
+          Seq(min(col(c)).cast("double").as(s"${c}__min"),
+              max(col(c)).cast("double").as(s"${c}__max"))) ++
+        strCols.flatMap(c =>
+          Seq(min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax")))
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val numRows = numCols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max, CAST(NULL AS STRING), CAST(NULL AS STRING)")
+    val strRows = strCols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__nd, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ${c}__smin, ${c}__smax")
+    val stackExpr =
+      s"stack(${numCols.size + strCols.size}, ${(numRows ++ strRows).mkString(", ")}) " +
+        "AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    wide.selectExpr("n", stackExpr)
+      .select($"col_name", $"n", $"n_null", $"n_distinct",
+        $"min_num", $"max_num", $"min_str", $"max_str")
+      .orderBy($"col_name")
+  }
+
+  /** Fixed-width value histogram of lineitem extended price: `width_bucket`
+    * into 21 × 5000 bins (+ overflow), count and exact decimal mass per bin.
+    * Grouping key is derived and bounded, so the shuffle is ≤ 22 groups no
+    * matter the input size — the distribution-profiling primitive.
+    * Oracle expresses width_bucket with the portable floor/clamp formula
+    * (same parity as q_agg_percentiles' bucket_mass).
+    */
+  val qHistogram: GQuery = GQuery(
+    "q_agg_histogram",
+    Some(s"""
+      SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0) + 1, 0), 22) AS BIGINT) AS bucket,
+             COUNT(*) AS n_rows,
+             ${sqlSum("l_extendedprice")} AS mass
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY bucket""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).lineitem
+      .select(
+        width_bucket($"l_extendedprice", lit(0.0), lit(105000.0), lit(21)).as("bucket"),
+        $"l_extendedprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"), dsum($"l_extendedprice").as("mass"))
+      .orderBy($"bucket")
+  }
+
+  /** Per-group feature scaling: z-score (exact decimal moments, population
+    * stddev) and min-max scaling of `events.value` within each event_type.
+    * Two-pass broadcast-back: the per-group stats table (≤ #groups rows)
+    * is broadcast-joined back onto the events scan — no second shuffle of
+    * the big side. Moments go through DECIMAL(38,6) so mean/std combine
+    * bit-identically cross-engine (see Common); the compound z division is
+    * rounded at 9dp like q_agg_stats' corr.
+    */
+  val qZscore: GQuery = GQuery(
+    "q_norm_zscore",
+    Some(s"""
+      WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               ${sqlSum("value")} AS sv,
+               ${sqlSum("value * value")} AS svv,
+               MIN(value) AS mn,
+               MAX(value) AS mx
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type,
+             round((e.value - m.sv / m.n) / sqrt((m.svv - m.sv * m.sv / m.n) / m.n), 9) AS z,
+             round((e.value - m.mn) / (m.mx - m.mn), 9) AS mm
+      FROM events e JOIN m USING (event_type)
+      ORDER BY e.event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+    val n = count(lit(1)).cast("double")
+    val sv = dsum($"value")
+    val svv = dsum($"value" * $"value")
+    val stats = e
+      .groupBy($"event_type")
+      .agg(n.as("n"), sv.as("sv"), svv.as("svv"),
+        min($"value").as("mn"), max($"value").as("mx"))
+    e.join(broadcast(stats), "event_type")
+      .select(
+        $"event_id", $"event_type",
+        round(($"value" - $"sv" / $"n") / sqrt(($"svv" - $"sv" * $"sv" / $"n") / $"n"), 9).as("z"),
+        round(($"value" - $"mn") / ($"mx" - $"mn"), 9).as("mm"))
+      .orderBy($"event_id")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qProfile, qHistogram, qZscore)
+}

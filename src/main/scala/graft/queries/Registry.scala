@@ -17,7 +17,9 @@ object Registry {
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,
-    StreamingQueries
+    StreamingQueries,
+    ProfilingQueries,
+    SequenceQueries
   )
 
   lazy val all: Seq[GQuery] = {

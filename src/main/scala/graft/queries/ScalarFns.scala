@@ -331,6 +331,47 @@ object ScalarFns extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Bitwise function suite over 64-bit keys — mask/extract/pack ops used
+    * for hash-bucket routing, bitmap flags, and packed-id decoding (the
+    * bit-level analog of the reference's byte-level payload handling,
+    * callysto/src/types/table.rs:86-88). All pure codegen'd row
+    * expressions; DuckDB's `bit_count` returns TINYINT and `~`/`xor` are
+    * function-vs-operator spelled, so both sides pin INT/BIGINT explicitly.
+    */
+  val qBitwise: GQuery = GQuery(
+    "q_fn_bitwise",
+    Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS INT) AS ln,
+             l_orderkey & 255 AS band,
+             l_orderkey | 4096 AS bor,
+             xor(l_orderkey, l_partkey) AS bxor,
+             ~l_orderkey AS bnot,
+             l_orderkey << 3 AS shl,
+             l_orderkey >> 2 AS shr,
+             CAST(bit_count(l_orderkey) AS INT) AS popcnt,
+             CAST(l_orderkey % 8 AS BIGINT) AS bucket3
+      FROM lineitem
+      WHERE l_linenumber = 1
+      ORDER BY l_orderkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).lineitem
+      .filter($"l_linenumber" === 1)
+      .select(
+        $"l_orderkey",
+        $"l_linenumber".as("ln"),
+        $"l_orderkey".bitwiseAND(lit(255L)).as("band"),
+        $"l_orderkey".bitwiseOR(lit(4096L)).as("bor"),
+        $"l_orderkey".bitwiseXOR($"l_partkey").as("bxor"),
+        bitwise_not($"l_orderkey").as("bnot"),
+        shiftleft($"l_orderkey", 3).as("shl"),
+        shiftright($"l_orderkey", 2).as("shr"),
+        bit_count($"l_orderkey").as("popcnt"),
+        ($"l_orderkey" % 8).as("bucket3")
+      )
+      .orderBy($"l_orderkey")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof, qUrl)
+    Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof, qUrl, qBitwise)
 }

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Common._
+
+/** Event-sequence analytics over the `events` stream table: transition
+  * matrices, funnel completion, cohort retention. In the reference these
+  * are exactly the things users hand-roll in agent closures over per-key
+  * state (callysto/src/types/table_agent.rs:116-179 — read state, compare
+  * timestamps, write state); here each is a declarative, oracle-checked
+  * relational query.
+  *
+  * Scale notes: everything is keyed on user_id — one hash partitioning
+  * serves the window sort (transitions) and every per-user aggregate in
+  * the funnel cascade (Catalyst reuses the exchange). Stage tables are
+  * per-user aggregates, orders of magnitude smaller than the event log,
+  * so the funnel's chain joins broadcast at real scale.
+  */
+object SequenceQueries extends QuerySet {
+
+  /** Event-type bigram transition matrix: for consecutive events per user
+    * (event-time order), count each (prev → curr) transition and the
+    * distinct users making it. The Markov-chain summary used for both
+    * behavioral analytics and synthetic-session generation. One window
+    * shuffle on user_id, then a bounded groupBy (|types|² groups max).
+    */
+  val qTransitions: GQuery = GQuery(
+    "q_seq_transitions",
+    Some("""
+      WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+      SELECT prev, event_type AS curr,
+             COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM s
+      WHERE prev IS NOT NULL
+      GROUP BY prev, curr
+      ORDER BY prev, curr""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(spark, dir).events
+      .select($"user_id", $"event_type", lag($"event_type", 1).over(w).as("prev"))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev", $"event_type".as("curr"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"prev", $"curr")
+  }
+
+  /** Ordered funnel completion: signup → view → click → purchase, each
+    * stage requiring an event STRICTLY after the user's previous-stage
+    * time. Stage tables are min-timestamp-per-user aggregates; each next
+    * stage filters the event log against the (small) previous stage —
+    * the standard scalable funnel shape (no per-user UDF sessionization).
+    */
+  val qFunnel: GQuery = GQuery(
+    "q_seq_funnel",
+    Some("""
+      WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+             WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      SELECT * FROM (
+        SELECT 1 AS stage_ord, 'signup' AS stage, COUNT(*) AS users FROM s0
+        UNION ALL SELECT 2, 'view', COUNT(*) FROM s1
+        UNION ALL SELECT 3, 'click', COUNT(*) FROM s2
+        UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s3)
+      ORDER BY stage_ord""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+    def stage(evt: String, prev: org.apache.spark.sql.DataFrame, prevT: String, outT: String) =
+      e.filter($"event_type" === evt)
+        .join(prev, "user_id")
+        .filter($"ts" > col(prevT))
+        .groupBy($"user_id")
+        .agg(min($"ts").as(outT))
+    val s0 = e.filter($"event_type" === "signup").groupBy($"user_id").agg(min($"ts").as("t0"))
+    val s1 = stage("view", s0, "t0", "t1")
+    val s2 = stage("click", s1, "t1", "t2")
+    val s3 = stage("purchase", s2, "t2", "t3")
+    def cnt(df: org.apache.spark.sql.DataFrame, ord: Int, name: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"), $"users")
+    cnt(s0, 1, "signup")
+      .unionAll(cnt(s1, 2, "view"))
+      .unionAll(cnt(s2, 3, "click"))
+      .unionAll(cnt(s3, 4, "purchase"))
+      .orderBy($"stage_ord")
+  }
+
+  /** Cohort retention: users grouped by first-activity day, counted on
+    * each subsequent active day as (cohort, day-offset) cells — the
+    * retention-curve input. Two per-user aggregates plus one bounded
+    * groupBy; day buckets come out as strings (raw DATE/TIMESTAMP output
+    * is banned by oracle-parity rules — ns vs µs physics).
+    */
+  val qRetention: GQuery = GQuery(
+    "q_seq_retention",
+    Some("""
+      WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+                 FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT e.user_id, date_trunc('day', e.ts) AS d FROM events e)
+      SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+             CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
+             COUNT(*) AS users
+      FROM f JOIN a USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort_day, day_offset""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    // events.ts arrives as ns-since-epoch BIGINT on the Spark side
+    // (parquet TIMESTAMP(NANOS) via nanosAsLong); day-truncation needs a
+    // real timestamp — integral ns→µs conversion, see StreamOps.tsFromNanos.
+    val e = t(spark, dir).events
+      .withColumn("tts", graft.streaming.StreamOps.tsFromNanos($"ts"))
+    val f = e.groupBy($"user_id").agg(min(date_trunc("day", $"tts")).as("cohort"))
+    val a = e.select($"user_id", date_trunc("day", $"tts").as("d")).distinct()
+    f.join(a, "user_id")
+      .groupBy(
+        date_format($"cohort", "yyyy-MM-dd").as("cohort_day"),
+        datediff($"d", $"cohort").as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qTransitions, qFunnel, qRetention)
+}

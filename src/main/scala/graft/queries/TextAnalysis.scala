@@ -455,7 +455,49 @@ object TextAnalysis extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Character-class composition per document — lowercase/uppercase/digit/
+    * space/other counts and the printable-ASCII ratio. The cheap script /
+    * charset screen that runs before language ID in corpus pipelines
+    * (non-Latin or binary-garbage docs route to different handling).
+    * Counting is by class-removal (`length(regexp_replace(s, cls, ''))`),
+    * the one regex idiom whose semantics are identical across RE2-style
+    * engines; all row-parallel codegen'd expressions, no shuffle.
+    */
+  val qScript: GQuery = GQuery(
+    "q_text_script",
+    Some("""
+      SELECT doc_id,
+             length(text) AS n_chars2,
+             length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_lower,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_other,
+             CAST(length(text) - length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE)
+               / length(text) AS ascii_ratio
+      FROM documents
+      WHERE length(text) > 0
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    def removed(cls: String) =
+      length($"text") - length(regexp_replace($"text", cls, ""))
+    t(spark, dir).documents
+      .filter(length($"text") > 0)
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars2"),
+        removed("[a-z]").as("n_lower"),
+        removed("[A-Z]").as("n_upper"),
+        removed("[0-9]").as("n_digit"),
+        removed(" ").as("n_space"),
+        length(regexp_replace($"text", "[a-zA-Z0-9 ]", "")).as("n_other"),
+        (removed("[ -~]").cast("double") / length($"text")).as("ascii_ratio")
+      )
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode,
-      qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov)
+      qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript)
 }

@@ -239,8 +239,55 @@ object Windows extends QuerySet {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** IGNORE NULLS window fills — forward fill (last non-null so far) and
+    * backward fill (next non-null) per user over event time, then the
+    * coalesced imputation. The missing-value repair step of feature
+    * pipelines, as pure window functions: one shuffle on user_id, both
+    * fill directions computed from the same sorted partition (Spark reuses
+    * the sort across the two frames). Sparsity is synthesized
+    * deterministically (click events' values treated as missing).
+    */
+  val qFillNulls: GQuery = GQuery(
+    "q_window_fill_nulls",
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        FROM events)
+      SELECT event_id, user_id, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill,
+             coalesce(v,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               first_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS imputed
+      FROM e
+      ORDER BY event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val fwd = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ffill = last($"v", ignoreNulls = true).over(fwd)
+    val bfill = first($"v", ignoreNulls = true).over(bwd)
+    t(spark, dir).events
+      .select($"event_id", $"user_id", $"ts",
+        when($"event_type" === "click", lit(null)).otherwise($"value").as("v"))
+      .select($"event_id", $"user_id", $"v",
+        ffill.as("ffill"), bfill.as("bfill"),
+        coalesce($"v", ffill, bfill).as("imputed"))
+      .orderBy($"event_id")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qTopkPerGroup, qRank, qRunning, qLagLead, qMovingFrame, qDistribution, qTopkGlobal,
-    qRangeFrame
+    qRangeFrame, qFillNulls
   )
 }
