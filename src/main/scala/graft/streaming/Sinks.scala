@@ -67,6 +67,22 @@ object Sinks {
     df.select(toBin(keyCol).as("key"), toBin(valueCol).as("value"))
   }
 
+  /** Fan one micro-batch out to several sinks from a SINGLE streaming
+    * query — the multiplexed-sink pattern. In the reference, feeding both
+    * Kafka and Postgres means two independently-committing consumers
+    * (callysto/src/sinks/postgres.rs:24-150 + examples/src/avro-sink.rs:40-56);
+    * here one query's offset commit covers every target, so the sinks can
+    * never drift apart by more than one micro-batch. The frame is
+    * persisted once so N writers share one evaluation of the upstream
+    * plan instead of recomputing it per sink — at scale, re-running the
+    * source scan per target is the difference between 1× and N× I/O.
+    */
+  def fanOut(writers: ((DataFrame, Long) => Unit)*)(df: DataFrame, batchId: Long): Unit = {
+    df.persist()
+    try writers.foreach(w => w(df, batchId))
+    finally { df.unpersist(); () }
+  }
+
   /** Write one micro-batch to a JDBC table with prepared-statement
     * batching — the semantics of the reference's Postgres sink (deadpool
     * connection + prepared-statement cache + row-at-a-time `query_raw`,

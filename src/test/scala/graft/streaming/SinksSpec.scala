@@ -70,6 +70,40 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.jdbcQueryLong(url, "SELECT COUNT(*) FROM eo_sunk") === 40L)
   }
 
+  test("fan-out writes one micro-batch to jdbc AND parquet from a single query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    Sinks.jdbcExecute(url, "CREATE TABLE fan_sunk (id BIGINT, name VARCHAR(64))")
+    val pqDir = Files.createTempDirectory("graft-fanout-pq").toString
+    val in = MemoryStream[(Long, String)]
+    val app = new GraftApp(s, "fanout-app", Files.createTempDirectory("graft-fanout").toString)
+    app.agent(
+      "mux",
+      () => in.toDF(),
+      GraftSink.ForeachBatch(Sinks.fanOut(
+        Sinks.jdbcWriteBatch(url, "fan_sunk", batchSize = 4),
+        (df, _) => df.write.mode("append").parquet(pqDir)
+      )),
+      outputMode = "append"
+    )(_.toDF("id", "name"))
+
+    app.start("mux")
+    in.addData((1L to 9L).map(i => (i, s"row-$i")): _*)
+    app.processAllAvailable("mux")
+    in.addData((10L, "row-10"))
+    app.processAllAvailable("mux")
+    app.stop("mux")
+
+    // Both targets saw the identical frames: same count, same id mass.
+    assert(Sinks.jdbcQueryLong(url, "SELECT COUNT(*) FROM fan_sunk") === 10L)
+    val pq = s.read.parquet(pqDir)
+    assert(pq.count() === 10L)
+    assert(pq.agg(org.apache.spark.sql.functions.sum($"id")).head.getLong(0) === (1L to 10L).sum)
+    assert(Sinks.jdbcQueryLong(url, "SELECT SUM(id) FROM fan_sunk") === (1L to 10L).sum)
+  }
+
   test("elastic sink emits well-formed _bulk ndjson with one action per row") {
     val s = spark
     import s.implicits._

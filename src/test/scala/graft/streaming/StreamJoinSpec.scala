@@ -73,6 +73,60 @@ class StreamJoinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("watermarked stream-stream left-semi join emits matched left rows once, evicts by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val impIn = MemoryStream[(Long, Long)]
+    val clkIn = MemoryStream[(Long, Long)]
+    val rows = mutable.ArrayBuffer.empty[Row]
+
+    val imp = StreamOps.watermarked(
+      impIn.toDF().select($"_1".as("ad_id"), timestamp_seconds($"_2").as("imp_time")),
+      "imp_time", "5 seconds")
+    val clk = StreamOps.watermarked(
+      clkIn.toDF().select($"_1".as("click_ad_id"), timestamp_seconds($"_2").as("click_time")),
+      "click_time", "5 seconds")
+
+    // Semi join: "impressions that got a click" without duplicating the
+    // left row per click — the streaming form of the existence filter
+    // (batch analog: q_join_semi). Same state-eviction contract as inner.
+    val joined = StreamOps.streamJoin(
+      imp,
+      clk,
+      expr("""ad_id = click_ad_id AND
+              click_time BETWEEN imp_time AND imp_time + INTERVAL 30 seconds"""),
+      "left_semi"
+    )
+
+    val q = joined
+      .select($"ad_id", unix_timestamp($"imp_time").as("it"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sssemi").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }; ()
+      }
+      .start()
+
+    // ad 1 clicked TWICE inside the window → exactly one output row.
+    // ad 3 never clicked → no output ever.
+    impIn.addData((1L, 10L), (3L, 20L))
+    clkIn.addData((1L, 15L), (1L, 25L))
+    q.processAllAvailable()
+    impIn.addData((99L, 1000L))
+    clkIn.addData((98L, 1000L))
+    q.processAllAvailable()
+    impIn.addData((97L, 1100L))
+    clkIn.addData((96L, 1100L))
+    q.processAllAvailable()
+
+    val ids = rows.toList.map(_.getLong(0))
+    assert(ids === List(1L), s"semi join must emit ad 1 exactly once and never ad 3, got $rows")
+    q.stop()
+  }
+
   test("agent progress exposes throughput counters (C12 instrumentation parity)") {
     val s = spark
     import s.implicits._
