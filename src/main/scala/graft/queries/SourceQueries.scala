@@ -64,6 +64,21 @@ object SourceQueries extends QuerySet {
     roundtrip(spark, dir, "orc")
   }
 
+  /** Hive-style partitioned-layout round-trip ([[graft.sources.Partitioned]]):
+    * events written as `event_type=<v>/` directories, read back through
+    * directory-partition discovery, same lossless-aggregate proof. The
+    * partition column's values live in directory NAMES, not file bytes —
+    * the layout that makes a filter on event_type prune whole directories
+    * at planning time (pruning itself is asserted on the physical plan in
+    * PartitionedSpec; this query proves the round-trip loses nothing).
+    */
+  val qPartitioned: GQuery = GQuery("q_source_partitioned_roundtrip", Some(aggSql)) { (spark, dir) =>
+    val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
+    val out = Files.createTempDirectory("graft_src_part").resolve("events").toString
+    graft.sources.Partitioned.write(payload, out, Seq("event_type"))
+    agg(graft.sources.Partitioned.read(spark, out))
+  }
+
   /** Resilient parsing of DIRTY json-lines input: a deterministic subset
     * of records (doc_id % 7 == 0) is truncated mid-token, and the parse
     * must degrade row-wise (corrupt rows counted, clean rows extracted) —
@@ -111,5 +126,5 @@ object SourceQueries extends QuerySet {
       .orderBy($"lang")
   }
 
-  override def queries: Seq[GQuery] = Seq(qJson, qCsv, qOrc, qDirtyJson)
+  override def queries: Seq[GQuery] = Seq(qJson, qCsv, qOrc, qDirtyJson, qPartitioned)
 }

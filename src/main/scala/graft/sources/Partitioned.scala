@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Hive-style partitioned layout: the directory-level data-skipping path.
+  *
+  * Where bucketing (see [[Bucketing]]) kills the JOIN shuffle, partitioned
+  * layout kills the SCAN itself: writing `.../col=value/part-*.parquet`
+  * directories lets a filter on the partition column prune whole
+  * directories at PLANNING time — a 100 TB table filtered to one day reads
+  * one day's files, not 100 TB. The reference has no storage layout at all
+  * (topics are the only organization, callysto/src/kafka/ctopic.rs:36-119);
+  * this is the batch-lake organization a Spark engine must provide.
+  *
+  * Rules of thumb at scale: partition on LOW-cardinality columns that
+  * queries filter on (date, region, source); thousands of partitions are
+  * fine, millions are a metastore problem; never partition on a
+  * high-cardinality key (that's bucketing's job). Combine both: partition
+  * by day, bucket by join key inside each partition.
+  */
+object Partitioned {
+
+  /** Write `df` partitioned by `cols` (directory per distinct combo). */
+  def write(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Read a partitioned layout back; partition columns are reconstructed
+    * from directory names, so their VALUES survive but their physical
+    * position moves to the end of the schema and their type is inferred
+    * (pin with a `.select` / cast if the original type must round-trip).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Count the data files the scan over `df` would actually read —
+    * the partition-pruning proof: filtered scans over a partitioned
+    * layout must report fewer files than the full layout.
+    */
+  def filesRead(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect {
+      case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case s: FileSourceScanExec => s }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    scans.map(_.selectedPartitions.totalNumberOfFiles).sum
+  }
+
+  /** The scan's partition filters (non-empty ⇔ pruning happened at the
+    * directory level rather than row level).
+    */
+  def partitionFilters(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.partitionFilters.map(_.sql)
+    }.flatten
+  }
+
+  /** Dynamic-overwrite of only the partitions present in `df` — the
+    * incremental-reload idiom (reprocess one day without touching the
+    * rest of the table).
+    */
+  def overwritePartitions(df: DataFrame, path: String, cols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}

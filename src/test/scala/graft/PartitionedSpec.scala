@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Partitioned
+
+/** Partitioned-layout contract: directory-level partition pruning (the
+  * planning-time data skipping that makes a one-day query on a 100 TB
+  * table read one day), and dynamic partition overwrite (incremental
+  * reload of one partition without touching the rest).
+  */
+class PartitionedSpec extends SparkSpec {
+
+  test("filter on the partition column prunes directories at planning time") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-part-prune").resolve("ev").toString
+    val ev = s.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"event_type", $"value")
+    Partitioned.write(ev, path, Seq("event_type"))
+
+    val all = Partitioned.read(s, path)
+    val one = all.filter($"event_type" === "click")
+
+    val allFiles = Partitioned.filesRead(all)
+    val oneFiles = Partitioned.filesRead(one)
+    assert(allFiles >= 5, s"expected >=5 partition dirs with files, got $allFiles")
+    assert(oneFiles < allFiles,
+      s"pruned scan must read fewer files ($oneFiles vs $allFiles)")
+    assert(Partitioned.partitionFilters(one).nonEmpty,
+      "filter on the partition column must become a PartitionFilter, not a data filter")
+
+    // Pruning must not change semantics: counts agree with a full scan.
+    val expected = ev.filter($"event_type" === "click").count()
+    assert(one.count() === expected)
+  }
+
+  test("dynamic partition overwrite replaces only the partitions in the incoming frame") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-part-dyn").resolve("t").toString
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "b", 30.0))
+      .toDF("id", "k", "v")
+    Partitioned.write(v1, path, Seq("k"))
+
+    // Reload ONLY partition k=b with new contents; k=a must survive.
+    val v2 = Seq((9L, "b", 99.0)).toDF("id", "k", "v")
+    Partitioned.overwritePartitions(v2, path, Seq("k"))
+
+    val back = Partitioned.read(s, path)
+      .select($"id", $"k", $"v").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+    assert(back === List((1L, "a", 10.0), (9L, "b", 99.0)),
+      s"k=a untouched, k=b replaced; got $back")
+  }
+}
