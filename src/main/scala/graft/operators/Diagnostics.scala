@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Operational diagnostics for 100 TB runs. */
@@ -28,4 +28,26 @@ object Diagnostics {
       (max(col("cnt")).cast("double") /
         (sum(col("cnt")).cast("double") / count(lit(1)))).as("skew_ratio"))
   }
+
+  /** Attach named in-flight metrics to a frame (`Dataset.observe`): the
+    * metrics are aggregated DURING the job that consumes the frame — a
+    * data-quality gate with ZERO extra passes, where a separate
+    * `df.agg(...)` audit would re-scan 100 TB. Batch reads them from
+    * `Observation`/`QueryExecutionListener`, streaming from every
+    * micro-batch's `StreamingQueryProgress.observedMetrics` — the C12
+    * instrumentation surface of the reference (consumer statistics,
+    * callysto/src/kafka/contexts.rs:12-56) upgraded to arbitrary
+    * aggregate expressions over the data itself.
+    */
+  def observed(df: DataFrame, name: String, metrics: Column*): DataFrame = {
+    require(metrics.nonEmpty, "need at least one metric expression")
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
+
+  /** Stock quality metrics for [[observed]]: row count plus a null count
+    * per listed column — the minimal completeness gate.
+    */
+  def qualityMetrics(cols: Seq[String]): Seq[Column] =
+    count(lit(1)).as("n_rows") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
 }

@@ -167,4 +167,52 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Per-row hex threshold for a weight in [0,1): floor(w·2^16) rendered
+    * as 4 lowercase-hex chars, comparable against [[md5Prefix]] exactly
+    * like the scalar [[hexThreshold]]. (Spark's `hex` is uppercase,
+    * DuckDB compares case-sensitively — hence the explicit lower+lpad.)
+    */
+  private def hexThresholdCol(w: Column): Column =
+    lower(lpad(hex(floor(w * 65536).cast("long")), 4, "0"))
+
+  /** Portable deterministic WEIGHTED Bernoulli sample: each row carries
+    * its own keep-probability (a quality score, a language boost — the
+    * importance-sampling step of corpus construction). The row's 16-bit
+    * md5 value is compared against a per-row threshold rendered from the
+    * weight; same portability and replay guarantees as
+    * [[bernoulliPortable]], same 2^-16 granularity. Weights clamp to
+    * [0,1]; weight ≥ 1 keeps unconditionally.
+    */
+  def weightedPortable(df: DataFrame, keyCol: String, weight: Column, seed: Int): DataFrame = {
+    val w = least(greatest(weight, lit(0.0)), lit(1.0))
+    df.filter(w >= 1.0 || md5Prefix(keyCol, seed) < hexThresholdCol(w))
+  }
+
+  /** Deterministic corpus mixing: repeat each row per its stratum's epoch
+    * factor — 2.5 epochs of src0 = two full copies plus an md5-gated 50%
+    * third copy, the standard up/down-sampling recipe when blending
+    * sources into a training mix. Strata absent from `epochs` are
+    * dropped. Emits a `copy` index (1..n) so downstream shuffling can
+    * spread the copies. Row-local explode — no shuffle, no RNG state;
+    * the SAME rows replicate on every engine, rerun, and partitioning.
+    */
+  def mixByStratum(
+      df: DataFrame,
+      strataCol: String,
+      epochs: Map[String, Double],
+      keyCol: String,
+      seed: Int
+  ): DataFrame = {
+    require(epochs.values.forall(_ >= 0), "epoch factors must be >= 0")
+    val reps = epochs.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val frac = reps - floor(reps)
+    val extra = when(md5Prefix(keyCol, seed) < hexThresholdCol(frac), 1).otherwise(0)
+    df.withColumn("__n", (floor(reps).cast("int") + extra))
+      .filter(col("__n") >= 1) // sequence(1,0) would run DOWNWARD in Spark
+      .withColumn("copy", explode(sequence(lit(1), col("__n"))))
+      .drop("__n")
+  }
 }

@@ -256,6 +256,75 @@ object PipelineQueries extends QuerySet {
       .limit(100)
   }
 
+  /** Weighted portable Bernoulli ([[graft.operators.Sampling.weightedPortable]]):
+    * keep-probability derived per row (length-proportional quality proxy,
+    * clamped at 1), decided by the row's 16-bit md5 value against a
+    * per-row hex threshold. The importance-sampling step of corpus
+    * construction, fully replayable: the oracle rebuilds the identical
+    * weight, threshold, and gate.
+    */
+  val qWeighted: GQuery = GQuery(
+    "q_sample_weighted",
+    Some("""
+      WITH w AS (SELECT doc_id, source,
+                        least(greatest(n_chars / 1200.0, 0.0), 1.0) AS wt
+                 FROM documents)
+      SELECT doc_id, source FROM w
+      WHERE wt >= 1.0
+         OR substr(md5(doc_id::VARCHAR || ':19'), 1, 4)
+            < printf('%04x', CAST(floor(wt * 65536) AS INT))
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Sampling
+      .weightedPortable(
+        t(spark, dir).documents,
+        keyCol = "doc_id",
+        weight = $"n_chars" / 1200.0,
+        seed = 19
+      )
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic corpus mixing ([[graft.operators.Sampling.mixByStratum]]):
+    * src0 upsampled to 2.5 epochs, src1 kept at 1, src2 downsampled to
+    * 0.25 — each row's copy count is 'floor(epochs) + one md5-gated
+    * fractional copy', so the mix is identical across engines and reruns.
+    * The oracle replays copy counts and the copy-index explode verbatim.
+    */
+  val qMix: GQuery = GQuery(
+    "q_sample_mix",
+    Some("""
+      WITH r AS (SELECT doc_id, source,
+                        CASE source WHEN 'src0' THEN 2.5
+                                    WHEN 'src1' THEN 1.0
+                                    WHEN 'src2' THEN 0.25 END AS reps
+                 FROM documents),
+      c AS (SELECT doc_id, source,
+                   CAST(floor(reps) AS INT)
+                   + CASE WHEN substr(md5(doc_id::VARCHAR || ':21'), 1, 4)
+                               < printf('%04x', CAST(floor((reps - floor(reps)) * 65536) AS INT))
+                          THEN 1 ELSE 0 END AS n
+            FROM r WHERE reps IS NOT NULL)
+      SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS copy
+      FROM c WHERE n >= 1
+      ORDER BY doc_id, copy""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Sampling
+      .mixByStratum(
+        t(spark, dir).documents,
+        strataCol = "source",
+        epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25),
+        keyCol = "doc_id",
+        seed = 21
+      )
+      .select($"doc_id", $"source", $"copy")
+      .orderBy($"doc_id", $"copy")
+  }
+
   override def queries: Seq[GQuery] = Seq(
-    qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle)
+    qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
+    qWeighted, qMix)
 }

@@ -58,6 +58,39 @@ object Partitioned {
     }.flatten
   }
 
+  /** Small-file compaction: rewrite a layout into `targetFiles` files.
+    * The operational counterpart of streaming ingest — a micro-batch
+    * sink drips thousands of KB-sized files per day, and scan throughput
+    * at 100 TB dies on file-open overhead (and the driver dies on
+    * listing). Writes to a side directory, then swaps via delete+rename —
+    * atomic per directory on HDFS-like filesystems; at real scale run
+    * this per partition directory so one compaction failure never
+    * invalidates the table (lake formats do the same swap via metadata).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val tmp = path + "__compacting"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    if (!fs.rename(t, p))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+  }
+
+  /** Count the parquet data files under `path` (recursive). */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
   /** Dynamic-overwrite of only the partitions present in `df` — the
     * incremental-reload idiom (reprocess one day without touching the
     * rest of the table).

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Diagnostics
+import graft.streaming.{GraftApp, GraftSink}
+
+/** In-flight metrics (`Dataset.observe`): quality gates aggregated during
+  * the consuming job itself — no second scan — read back via Observation
+  * (batch) and StreamingQueryProgress.observedMetrics (per micro-batch).
+  */
+class DiagnosticsSpec extends SparkSpec {
+
+  test("batch observe aggregates metrics during the job, no extra pass") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, null), (3L, "c"))
+      .toDF("id", "name")
+    val obs = Observation("gate")
+    val ms = Diagnostics.qualityMetrics(Seq("name"))
+    val out = df.observe(obs, ms.head, ms.tail: _*)
+    assert(out.count() === 3)
+    val m = obs.get
+    assert(m("n_rows") === 3L)
+    assert(m("name_nulls") === 1L)
+  }
+
+  test("streaming observe surfaces metrics in every micro-batch's progress") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[(Long, String)]
+    val app = new GraftApp(s, "obs-app", Files.createTempDirectory("graft-obs").toString)
+    app.agent(
+      "audited",
+      () => Diagnostics.observed(
+        in.toDF().toDF("id", "name"),
+        "gate",
+        Diagnostics.qualityMetrics(Seq("name")): _*),
+      GraftSink.Memory("obs_out"),
+      outputMode = "append"
+    )(identity)
+
+    app.start("audited")
+    in.addData((1L, "a"), (2L, null), (3L, "c"))
+    app.processAllAvailable("audited")
+
+    val gate = app.progress("audited")
+      .flatMap(p => Option(p.observedMetrics).map(_.asScala))
+      .flatMap(_.get("gate"))
+    assert(gate.isDefined, "observed metrics 'gate' absent from the last progress")
+    assert(gate.get.getAs[Long]("n_rows") === 3L)
+    assert(gate.get.getAs[Long]("name_nulls") === 1L)
+    app.stop("audited")
+  }
+}

@@ -37,6 +37,25 @@ class PartitionedSpec extends SparkSpec {
     assert(one.count() === expected)
   }
 
+  test("compaction collapses a many-small-files layout without changing the data") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-compact").resolve("t").toString
+    val ev = s.read.parquet(s"$sf/events.parquet").select($"event_id", $"value")
+    ev.repartition(32).write.parquet(path) // the streaming-ingest dribble
+    val before = Partitioned.dataFileCount(s, path)
+    assert(before >= 32, s"expected >=32 small files, got $before")
+    val sumBefore = s.read.parquet(path).agg(org.apache.spark.sql.functions.sum($"event_id"))
+      .head.getLong(0)
+
+    Partitioned.compact(s, path, targetFiles = 2)
+
+    assert(Partitioned.dataFileCount(s, path) === 2L)
+    val back = s.read.parquet(path)
+    assert(back.count() === ev.count())
+    assert(back.agg(org.apache.spark.sql.functions.sum($"event_id")).head.getLong(0) === sumBefore)
+  }
+
   test("dynamic partition overwrite replaces only the partitions in the incoming frame") {
     val s = spark
     import s.implicits._

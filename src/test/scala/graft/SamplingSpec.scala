@@ -63,6 +63,47 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byName("test") - 0.1) < 0.05)
   }
 
+  test("weighted sample: weight>=1 always kept, weight 0 never, repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents
+    // weight 1 for even ids, 0 for odd: the sample must be exactly the evens
+    val w = when($"doc_id" % 2 === 0, 1.0).otherwise(0.0)
+    val kept = Sampling.weightedPortable(docs, "doc_id", w, seed = 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val evens = docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === evens)
+    // fractional weights: repartition-invariant and ~proportional
+    val frac = Sampling.weightedPortable(docs, "doc_id", lit(0.4), seed = 5)
+    val a = frac.select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling
+      .weightedPortable(docs.repartition(7), "doc_id", lit(0.4), seed = 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b, "weighted sample changed under repartitioning")
+    assert(math.abs(a.size.toDouble / docs.count() - 0.4) < 0.07)
+  }
+
+  test("stratum mix: exact epoch counts, copy indices contiguous, unlisted strata dropped") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents
+    val mixed = Sampling.mixByStratum(
+      docs, "source", Map("src0" -> 3.0, "src1" -> 0.5), "doc_id", seed = 5)
+    // integral epochs: EXACTLY 3 copies of every src0 row
+    val n0 = docs.filter($"source" === "src0").count()
+    assert(mixed.filter($"source" === "src0").count() === 3 * n0)
+    assert(mixed.filter($"source" === "src0").groupBy($"doc_id").count()
+      .filter($"count" =!= 3).count() === 0)
+    // fractional epochs: ~half of src1, one copy each
+    val n1 = docs.filter($"source" === "src1").count()
+    val m1 = mixed.filter($"source" === "src1").count()
+    assert(math.abs(m1.toDouble / n1 - 0.5) < 0.1, s"src1 mix ratio ${m1.toDouble / n1}")
+    assert(mixed.filter($"source" === "src1").filter($"copy" =!= 1).count() === 0)
+    // strata not in the map vanish
+    assert(mixed.filter($"source" === "src2").count() === 0)
+    // copy index is 1..n (explode of sequence) — max equals per-row count
+    assert(mixed.filter($"source" === "src0").agg(max($"copy")).head.getInt(0) === 3)
+  }
+
   test("split assignment rejects weights that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(events, "event_id", Seq("a" -> 0.5, "b" -> 0.4), 1)
