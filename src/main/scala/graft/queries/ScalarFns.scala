@@ -372,6 +372,42 @@ object ScalarFns extends QuerySet {
       .orderBy($"l_orderkey")
   }
 
+  /** Semi-structured VARIANT path (Spark 4): `parse_json` once into the
+    * binary variant encoding, then typed `variant_get` extractions — at
+    * scale this beats per-access JSON string re-parsing (the variant is
+    * parsed once, shredded access is O(field)), which is why it's the
+    * preferred lake representation for schema-on-read payloads. The
+    * oracle replays the same extractions with DuckDB's JSON accessors.
+    */
+  val qVariant: GQuery = GQuery(
+    "q_fn_variant",
+    Some("""
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+             CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+             CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_no_field
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val k = variant_get(parse_json($"props"), "$.k", "bigint")
+    val missing = variant_get(parse_json($"props"), "$.missing", "string")
+    t(spark, dir).events
+      .select($"event_type", k.as("k"), missing.as("m"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        sum(when($"m".isNull, 1L).otherwise(0L)).as("n_no_field"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof, qUrl, qBitwise)
+    Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof, qUrl, qBitwise, qVariant)
 }

@@ -127,6 +127,61 @@ class StreamJoinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("watermarked stream-stream full-outer join null-pads the unmatched side in BOTH directions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val impIn = MemoryStream[(Long, Long)]
+    val clkIn = MemoryStream[(Long, Long)]
+    val rows = mutable.ArrayBuffer.empty[Row]
+
+    val imp = StreamOps.watermarked(
+      impIn.toDF().select($"_1".as("ad_id"), timestamp_seconds($"_2").as("imp_time")),
+      "imp_time", "5 seconds")
+    val clk = StreamOps.watermarked(
+      clkIn.toDF().select($"_1".as("click_ad_id"), timestamp_seconds($"_2").as("click_time")),
+      "click_time", "5 seconds")
+
+    val joined = StreamOps.streamJoin(
+      imp,
+      clk,
+      expr("""ad_id = click_ad_id AND
+              click_time BETWEEN imp_time AND imp_time + INTERVAL 30 seconds"""),
+      "full_outer"
+    )
+
+    val q = joined
+      .select($"ad_id", $"click_ad_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssfo").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }; ()
+      }
+      .start()
+
+    // ad 1 matches; ad 3 is an impression with no click; ad 7 is a click
+    // with no impression — full outer must eventually surface all three.
+    impIn.addData((1L, 10L), (3L, 20L))
+    clkIn.addData((1L, 15L), (7L, 22L))
+    q.processAllAvailable()
+    impIn.addData((99L, 1000L))
+    clkIn.addData((98L, 1000L))
+    q.processAllAvailable()
+    impIn.addData((97L, 1100L))
+    clkIn.addData((96L, 1100L))
+    q.processAllAvailable()
+
+    val got = rows.toList.map { r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    }.toSet
+    assert(got.contains((1L, 1L)), s"matched pair missing: $got")
+    assert(got.contains((3L, -1L)), s"left-unmatched impression missing: $got")
+    assert(got.contains((-1L, 7L)), s"right-unmatched click missing: $got")
+    q.stop()
+  }
+
   test("agent progress exposes throughput counters (C12 instrumentation parity)") {
     val s = spark
     import s.implicits._
