@@ -106,12 +106,23 @@ object Dedup {
         val hot = keyed.groupBy("__dk").count().filter(col("count") > maxKeyFreq).select("__dk")
         keyed.join(hot, Seq("__dk"), "left_anti")
       }
-    val a = capped.select(col("__dk"), col("id").as("id_a"), col("s").as("s_a"))
-    val b = capped.select(col("__dk"), col("id").as("id_b"), col("s").as("s_b"))
-    a.join(b, "__dk")
+    // Materialize the neighborhood ONCE: without this the O(len²)
+    // slice-transform explode is re-evaluated on BOTH sides of the
+    // self-join (the round-1 minhash lesson). The candidate join then
+    // carries ids only — pairs are deduped across multi-key collisions
+    // BEFORE any string moves or levenshtein runs — and the two short
+    // strings are fetched back by id for the single verify pass.
+    val mat = capped.localCheckpoint()
+    val a = mat.select(col("__dk"), col("id").as("id_a"))
+    val b = mat.select(col("__dk"), col("id").as("id_b"))
+    val pairs = a.join(b, "__dk")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "s_a", "s_b")
-      .distinct() // collapse multi-key collisions BEFORE the verify scan
+      .select("id_a", "id_b")
+      .distinct()
+    val strs = mat.select(col("id"), col("s")).distinct()
+    pairs
+      .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
       .select(col("id_a"), col("id_b"), levenshtein(col("s_a"), col("s_b")).as("dist"))
   }
