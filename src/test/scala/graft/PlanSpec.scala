@@ -162,4 +162,24 @@ class PlanSpec extends SparkSpec {
       assert(df.collect().toSeq === broadcast, "join strategy changed the result")
     } finally spark.conf.set(key, prev)
   }
+
+  test("z-score scaling broadcasts the per-group stats back — no second shuffle of events") {
+    val p = planOf("q_norm_zscore")
+    assert(p.contains("BroadcastHashJoin"), "stats table not broadcast back")
+    assert(!p.contains("SortMergeJoin"), "events re-shuffled for a <=#groups-row join")
+  }
+
+  test("column profile is ONE pass: a single parquet scan feeds every per-column aggregate") {
+    val p = planOf("q_profile_columns")
+    // count operator NODES in the tree section only (the details section
+    // repeats each operator's header once more)
+    val scans = p.split("\n\n").head.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"profile must read orders once, found $scans scans")
+  }
+
+  test("funnel cascade never degrades to a cartesian or nested-loop join") {
+    val p = planOf("q_seq_funnel")
+    assert(!p.contains("CartesianProduct"), "funnel stage join went cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "funnel stage join lost its equi-key")
+  }
 }
