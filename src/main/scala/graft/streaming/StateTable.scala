@@ -42,13 +42,14 @@ final case class StateChange[K, V](key: K, value: Option[V], prev: Option[V], de
   * downstream sinks subscribe to it exactly like a compacted changelog
   * topic consumer.
   */
-class StateTableProcessor[K, V](valueEnc: Encoder[V])
+class StateTableProcessor[K, V](valueEnc: Encoder[V], ttl: Option[java.time.Duration] = None)
     extends StatefulProcessor[K, StateOp[K, V], StateChange[K, V]] {
 
   @transient private var state: ValueState[V] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[V]("value", valueEnc, TTLConfig.NONE)
+    state = getHandle.getValueState[V](
+      "value", valueEnc, ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
 
   override def handleInputRows(
       key: K,
@@ -56,7 +57,10 @@ class StateTableProcessor[K, V](valueEnc: Encoder[V])
       timerValues: TimerValues
   ): Iterator[StateChange[K, V]] =
     rows.map { op =>
-      val prev = if (state.exists()) Some(state.get()) else None
+      // Option(get()) rather than exists()+get(): on a TTL'd ValueState
+      // the two must agree, and get() is the read that actually applies
+      // the expiration filter.
+      val prev = Option(state.get())
       op.op match {
         case StateOp.Set =>
           val v = op.value.getOrElse(throw new IllegalArgumentException("set requires a value"))
@@ -75,8 +79,18 @@ object StateTable {
 
   /** Apply an op stream (or batch) to keyed state, returning the applied
     * changelog. Streaming: `transformWithState` with update-mode semantics.
+    *
+    * `ttl` bounds per-key state lifetime by PROCESSING time: a key idle
+    * longer than the TTL reads as absent (its next set reports
+    * `prev = None`) and its storage is reclaimed — the retention knob a
+    * 100 TB keyed-state deployment needs when keys churn (the reference's
+    * RocksDB store grows forever; callysto/src/stores/rocksdb.rs has no
+    * expiry). TTL requires TimeMode.ProcessingTime.
     */
-  def changes[K, V](ops: Dataset[StateOp[K, V]])(implicit
+  def changes[K, V](
+      ops: Dataset[StateOp[K, V]],
+      ttl: Option[java.time.Duration] = None
+  )(implicit
       kEnc: Encoder[K],
       vEnc: Encoder[V],
       cEnc: Encoder[StateChange[K, V]]
@@ -84,8 +98,8 @@ object StateTable {
     ops
       .groupByKey(_.key)
       .transformWithState(
-        new StateTableProcessor[K, V](vEnc),
-        TimeMode.None(),
+        new StateTableProcessor[K, V](vEnc, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Update()
       )
 

@@ -51,6 +51,53 @@ class StateTableSpec extends SparkSpec {
     assert(second("b") === StateChange("b", None, Some(2L), deleted = true))
   }
 
+  test("TTL'd value state expires idle keys: the next set sees prev=None") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // A ProcessingTime time-mode query keeps scheduling (empty) batches to
+    // advance the TTL clock, so processAllAvailable never settles — the
+    // test polls the collected changelog with a deadline instead. Few
+    // state partitions keep the per-batch RocksDB cost negligible while
+    // the engine spins those clock batches.
+    val input = MemoryStream[StateOp[String, Long]]
+    val collected = mutable.ArrayBuffer.empty[StateChange[String, Long]]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = StateTable
+      .changes(input.toDS(), ttl = Some(java.time.Duration.ofSeconds(3)))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("graft-st-ttl").toString)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StateChange[String, Long]], _: Long) =>
+        collected.synchronized { collected ++= ds.collect() }; ()
+      }
+      .start()
+
+    def changesAfter(n: Int): List[Option[Long]] = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (collected.synchronized(collected.size) <= n && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      collected.synchronized(collected.toList).drop(n).map(_.prev)
+    }
+
+    try {
+      input.addData(StateOp.set("k", 1L))
+      assert(changesAfter(0) === List(None), "fresh key must see no prev")
+      input.addData(StateOp.set("k", 2L))
+      assert(changesAfter(1) === List(Some(1L)), "live key must see prev")
+      // idle past the TTL while the query's clock batches keep running:
+      // the key must now read as absent even though it was never deleted
+      Thread.sleep(7000)
+      input.addData(StateOp.set("k", 3L))
+      assert(changesAfter(2) === List(None), "expired key must read absent")
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("state survives checkpoint restart (recovery path)") {
     val s = spark
     import s.implicits._
