@@ -503,9 +503,38 @@ object Aggregates extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Boolean / filtered aggregates: `bool_and`/`bool_or` (ALL/ANY-style
+    * predicates folded map-side like any other partial agg) and
+    * `count_if` — the assertion layer of data-quality reporting ("every
+    * row in this partition satisfies X"). The oracle spells count_if as
+    * the standard `COUNT(*) FILTER (WHERE ...)`.
+    */
+  val qBools: GQuery = GQuery(
+    "q_agg_bools",
+    Some("""
+      SELECT event_type,
+             bool_and(value >= 0.0) AS all_nonneg,
+             bool_or(value > 990.0) AS any_hot,
+             CAST(COUNT(*) FILTER (WHERE value > 500.0) AS BIGINT) AS n_hi,
+             CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_even_user
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).events
+      .groupBy($"event_type")
+      .agg(
+        bool_and($"value" >= 0.0).as("all_nonneg"),
+        bool_or($"value" > 990.0).as("any_hot"),
+        count_if($"value" > 500.0).as("n_hi"),
+        count_if($"user_id" % 2 === 0).as("n_even_user"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct,
     qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode, qHllRollup, qDiagSkew,
-    qOutlierIqr
+    qOutlierIqr, qBools
   )
 }

@@ -408,6 +408,45 @@ object ScalarFns extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Error-tolerant scalar suite (`try_*`): the row-wise "never fail the
+    * job" contract for arithmetic and casts — at 100 TB some shard always
+    * contains a zero denominator or an unparseable string, and one bad row
+    * must degrade to NULL, not kill the stage (same design rule as
+    * q_source_dirty_json's PERMISSIVE parse). Inputs are derived
+    * deterministically from documents so both engines see identical dirt.
+    */
+  val qTry: GQuery = GQuery(
+    "q_fn_try",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % 7 AS BIGINT) AS denom,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR) || 'x'
+                    ELSE CAST(doc_id AS VARCHAR) END AS numstr
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN denom = 0 THEN NULL
+                  ELSE CAST(doc_id AS DOUBLE) / denom END AS safe_div,
+             TRY_CAST(numstr AS BIGINT) AS parsed,
+             COALESCE(TRY_CAST(numstr AS BIGINT), -1) AS parsed_or_default
+      FROM d
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).documents
+      .select(
+        $"doc_id",
+        ($"doc_id" % 7).as("denom"),
+        when($"doc_id" % 3 === 0, concat($"doc_id".cast("string"), lit("x")))
+          .otherwise($"doc_id".cast("string")).as("numstr"))
+      .select(
+        $"doc_id",
+        try_divide($"doc_id".cast("double"), $"denom").as("safe_div"),
+        $"numstr".try_cast("bigint").as("parsed"),
+        coalesce($"numstr".try_cast("bigint"), lit(-1L)).as("parsed_or_default"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof, qUrl, qBitwise, qVariant)
+    Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof, qUrl, qBitwise, qVariant, qTry)
 }

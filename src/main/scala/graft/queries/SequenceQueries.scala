@@ -132,5 +132,39 @@ object SequenceQueries extends QuerySet {
       .orderBy($"cohort_day", $"day_offset")
   }
 
-  override def queries: Seq[GQuery] = Seq(qTransitions, qFunnel, qRetention)
+  /** Rolling 7-day distinct users per day — the hard case of windowed
+    * aggregation (COUNT DISTINCT does not decompose over sliding frames,
+    * so no window function can express it). Exact shape: reduce the event
+    * log to distinct (day, user) pairs FIRST (the only big-data pass),
+    * then a bounded range join of days×pairs — the candidate set is
+    * |days|·|daily actives|, independent of raw event volume. The HLL
+    * sketch rollup (q_agg_hll_rollup) is the approximate scale path when
+    * even the pair table is too hot.
+    */
+  val qRollingDistinct: GQuery = GQuery(
+    "q_seq_rolling_distinct",
+    Some("""
+      WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+      days AS (SELECT DISTINCT d FROM du)
+      SELECT strftime(days.d, '%Y-%m-%d') AS day,
+             COUNT(DISTINCT du.user_id) AS users_7d
+      FROM days JOIN du
+        ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+      ORDER BY day""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+      .withColumn("tts", graft.streaming.StreamOps.tsFromNanos($"ts"))
+    val du = e.select(date_trunc("day", $"tts").as("d"), $"user_id").distinct()
+    val days = du.select($"d".as("day_d")).distinct()
+    days
+      .join(du, $"d".between($"day_d" - expr("INTERVAL 6 DAY"), $"day_d"))
+      .groupBy($"day_d")
+      .agg(countDistinct($"user_id").as("users_7d"))
+      .select(date_format($"day_d", "yyyy-MM-dd").as("day"), $"users_7d")
+      .orderBy($"day")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qTransitions, qFunnel, qRetention, qRollingDistinct)
 }

@@ -182,4 +182,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "funnel stage join went cartesian")
     assert(!p.contains("BroadcastNestedLoopJoin"), "funnel stage join lost its equi-key")
   }
+
+  test("registry-wide lint: NO registered query plans a CartesianProduct") {
+    // The one classic scale-killer no operator may ever reintroduce. Even
+    // the explicit cross join must plan as a BROADCAST nested loop (bounded
+    // side), never a full shuffle cartesian.
+    val offenders = graft.queries.Registry.all.flatMap { q =>
+      val p =
+        try q.run(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANNING FAILED: $e" }
+      if (p.contains("CartesianProduct") || p.startsWith("PLANNING FAILED"))
+        Some(q.name -> p.linesIterator.find(l =>
+          l.contains("CartesianProduct") || l.startsWith("PLANNING FAILED")).getOrElse(""))
+      else None
+    }
+    assert(offenders.isEmpty, s"cartesian/unplannable queries: $offenders")
+  }
 }
