@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded edit distance: `ed ≤ 1` decided in ONE linear scan, returning
+  * 0, 1, or NULL (= "more than 1"). The verify step of deletion-
+  * neighborhood fuzzy matching ([[graft.operators.Dedup.editDistancePairs]])
+  * never needs the exact distance of far-apart strings — but the general
+  * `levenshtein` builds its O(|a|·|b|) DP table before the caller's
+  * `<= 1` filter can discard the row. Early-exit banded matching is the
+  * standard trick (cf. Navarro, "A guided tour to approximate string
+  * matching", CSUR 2001 §5: cutoff at band k); for k=1 the band IS one
+  * alignment walk with a single permitted skip.
+  *
+  * Reference analog: none — the reference has no string-similarity
+  * surface at all; this is part of the extension layer (SURVEY.md §2.6
+  * last row) where a native codegen'd Expression replaces what would be
+  * a per-row UDF.
+  *
+  * Distance is over UTF-16 code units (same comparison plane as Spark's
+  * and DuckDB's `levenshtein` for BMP text; supplementary-plane chars
+  * count as two units — irrelevant for the key/name data this targets).
+  */
+case class EditDistanceAtMost1(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires (string, string), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ed1"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = EditDistanceUtil.ed1(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    if (r < 0) null else Integer.valueOf(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      int graft_ed1_r = graft.functions.EditDistanceUtil$$.MODULE$$.ed1($a, $b);
+      if (graft_ed1_r < 0) { ${ev.isNull} = true; } else { ${ev.value} = graft_ed1_r; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+object EditDistanceUtil {
+
+  /** 0 or 1 if edit distance ≤ 1, else -1 — one scan, no DP table. */
+  def ed1(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    val dl = la - lb
+    if (dl > 1 || dl < -1) return -1
+    if (dl == 0) {
+      // substitution case: at most one mismatching position
+      var i = 0
+      var diff = 0
+      while (i < la) {
+        if (a.charAt(i) != b.charAt(i)) {
+          diff += 1
+          if (diff > 1) return -1
+        }
+        i += 1
+      }
+      diff
+    } else {
+      // insertion/deletion case: walk both, permit ONE skip on the longer
+      val (s, l) = if (dl < 0) (a, b) else (b, a)
+      var i = 0
+      var j = 0
+      var skipped = false
+      while (i < s.length) {
+        if (s.charAt(i) == l.charAt(j)) { i += 1; j += 1 }
+        else if (!skipped) { skipped = true; j += 1 }
+        else return -1
+      }
+      1 // lengths differ, so the distance is exactly 1
+    }
+  }
+}

@@ -53,6 +53,7 @@ object GraftFunctions {
       (args => ShingleHashes(args(0), litInt(args(1), "graft_shingle_hashes"))),
     "graft_token_hashes" -> (args => TokenHashes(args(0))),
     "graft_deflate_ratio" -> (args => DeflateRatio(args(0))),
+    "graft_ed1" -> (args => EditDistanceAtMost1(args(0), args(1))),
     "graft_to_avro_file" -> (args => AvroEncodeContainer(args(0))),
     "graft_from_avro_file" ->
       (args => AvroDecodeContainer(args(0), litString(args(1), "graft_from_avro_file")))
@@ -79,6 +80,7 @@ object GraftFunctions {
     call_function("graft_shingle_hashes", text, lit(n))
   def tokenHashes(text: Column): Column = call_function("graft_token_hashes", text)
   def deflateRatio(text: Column): Column = call_function("graft_deflate_ratio", text)
+  def ed1(a: Column, b: Column): Column = call_function("graft_ed1", a, b)
   def toAvro(s: Column): Column = call_function("graft_to_avro", s)
   def fromAvro(b: Column, schemaJson: String): Column =
     call_function("graft_from_avro", b, lit(schemaJson))

@@ -123,8 +123,11 @@ object Dedup {
     pairs
       .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
-      .select(col("id_a"), col("id_b"), levenshtein(col("s_a"), col("s_b")).as("dist"))
+      // one linear banded scan per pair (graft_ed1: 0/1/NULL), not the
+      // O(|a|·|b|) levenshtein DP the <=1 filter would mostly throw away
+      .withColumn("dist", graft.functions.GraftFunctions.ed1(col("s_a"), col("s_b")))
+      .filter(col("dist").isNotNull)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** MinHash + LSH banded near-dup candidate pairs.

@@ -256,4 +256,33 @@ class ExtensionSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got === again)
   }
+
+  test("EditDistanceAtMost1 agrees with levenshtein on every pair from a mutation corpus") {
+    val s = spark
+    import s.implicits._
+    // strings, their 1-edit mutants, 2-edit mutants, and unrelated noise
+    val base = Seq("customer", "Customer#000000017", "a", "", "abba", "xyzzy")
+    val mutants = base.flatMap { w =>
+      val del = if (w.nonEmpty) Seq(w.substring(1), w.init) else Seq.empty
+      val sub = if (w.nonEmpty) Seq("Q" + w.substring(1)) else Seq.empty
+      val ins = Seq("Q" + w, w + "Q")
+      del ++ sub ++ ins
+    }
+    val words = (base ++ mutants ++ Seq("zz", "QQ", "abcdefgh")).distinct
+    val pairs = for (a <- words; b <- words) yield (a, b)
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      $"a", $"b",
+      GraftFunctions.ed1($"a", $"b").as("fast"),
+      org.apache.spark.sql.functions.levenshtein($"a", $"b").as("exact")
+    ).collect()
+    rows.foreach { r =>
+      val exact = r.getInt(3)
+      val fast = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      if (exact <= 1)
+        assert(fast === Some(exact), s"(${r.getString(0)}, ${r.getString(1)}): $fast vs $exact")
+      else
+        assert(fast === None, s"(${r.getString(0)}, ${r.getString(1)}): expected NULL for d=$exact")
+    }
+  }
 }
