@@ -47,7 +47,25 @@ object Sources {
     (if (numPartitions > 0) b.option("numPartitions", numPartitions.toString) else b).load()
   }
 
-  /** Directory-watching file source (new parquet files become batches). */
-  def parquetDir(spark: SparkSession, path: String, schemaSource: DataFrame): DataFrame =
-    spark.readStream.schema(schemaSource.schema).parquet(path)
+  /** Directory-watching file source (new parquet files become batches).
+    *
+    * `maxFilesPerTrigger` is the ingest backpressure knob — the analog of
+    * the reference sinks' `buffer_size` poll_ready bound
+    * (callysto/src/sinks/postgres.rs:114-125) applied at the SOURCE,
+    * where Spark puts it: a restart facing a week of backlog processes it
+    * as bounded micro-batches instead of one giant catch-up batch that
+    * overwhelms executor memory (the reference's unbounded consumer
+    * channel, cconsumer.rs:69, has exactly that burst failure mode).
+    * Kafka's equivalent is `maxOffsetsPerTrigger`.
+    */
+  def parquetDir(
+      spark: SparkSession,
+      path: String,
+      schemaSource: DataFrame,
+      maxFilesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val r = spark.readStream.schema(schemaSource.schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path)
+  }
 }
