@@ -185,7 +185,9 @@ object Sampling {
     * [0,1]; weight ≥ 1 keeps unconditionally.
     */
   def weightedPortable(df: DataFrame, keyCol: String, weight: Column, seed: Int): DataFrame = {
-    val w = least(greatest(weight, lit(0.0)), lit(1.0))
+    // NULL weight = no evidence = weight 0 (dropped) — made explicit so
+    // the gate never silently inherits three-valued-logic filtering.
+    val w = least(greatest(coalesce(weight, lit(0.0)), lit(0.0)), lit(1.0))
     df.filter(w >= 1.0 || md5Prefix(keyCol, seed) < hexThresholdCol(w))
   }
 

@@ -118,6 +118,31 @@ object SetOps extends QuerySet {
       .orderBy($"l_partkey")
   }
 
+  /** Schema-evolution union (`unionByName` with `allowMissingColumns`):
+    * merging shards written by different pipeline versions — columns are
+    * matched by NAME (positional union would silently pair wrong columns)
+    * and columns absent on one side null-fill. The everyday operation
+    * when a 100 TB corpus spans months of schema drift; DuckDB spells it
+    * `UNION ALL BY NAME`.
+    */
+  val qUnionByName: GQuery = GQuery(
+    "q_set_union_by_name",
+    Some("""
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 0
+        UNION ALL BY NAME
+        SELECT source, doc_id FROM documents WHERE doc_id % 2 = 1)
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val d = t(spark, dir).documents
+    val v1 = d.filter($"doc_id" % 2 === 0).select($"doc_id", $"lang", $"source")
+    val v2 = d.filter($"doc_id" % 2 === 1).select($"source", $"doc_id") // old shard: no lang, reordered
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qUnionAll, qUnionDistinct, qIntersect, qExcept, qExceptAll, qIntersectAll)
+    Seq(qUnionAll, qUnionDistinct, qIntersect, qExcept, qExceptAll, qIntersectAll, qUnionByName)
 }

@@ -67,11 +67,24 @@ object Partitioned {
     * this per partition directory so one compaction failure never
     * invalidates the table (lake formats do the same swap via metadata).
     */
-  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFiles: Int,
+      partitionCols: Seq[String] = Nil
+  ): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
     val tmp = path + "__compacting"
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(path)
+    val writer =
+      if (partitionCols.isEmpty) df.repartition(targetFiles).write
+      else
+        // preserve the hive layout: cluster rows by partition key so each
+        // directory is rewritten as few files (targetFiles bounds the
+        // total task count, and a task holds whole partitions)
+        df.repartition(targetFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+          .write.partitionBy(partitionCols: _*)
+    writer.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)

@@ -56,6 +56,27 @@ class PartitionedSpec extends SparkSpec {
     assert(back.agg(org.apache.spark.sql.functions.sum($"event_id")).head.getLong(0) === sumBefore)
   }
 
+  test("compaction of a PARTITIONED layout preserves directories and pruning") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-compact-part").resolve("t").toString
+    val ev = s.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"event_type", $"value")
+    // dribble: many files per partition directory
+    ev.repartition(8).write.partitionBy("event_type").parquet(path)
+    val before = Partitioned.dataFileCount(s, path)
+    assert(before >= 20, s"expected a file dribble across partition dirs, got $before")
+
+    Partitioned.compact(s, path, targetFiles = 5, partitionCols = Seq("event_type"))
+
+    val after = Partitioned.dataFileCount(s, path)
+    assert(after <= 5, s"compaction should collapse to ~1 file per partition, got $after")
+    // layout survived: pruning still works and data is intact
+    val one = Partitioned.read(s, path).filter($"event_type" === "click")
+    assert(Partitioned.partitionFilters(one).nonEmpty, "pruning lost after compaction")
+    assert(one.count() === ev.filter($"event_type" === "click").count())
+  }
+
   test("dynamic partition overwrite replaces only the partitions in the incoming frame") {
     val s = spark
     import s.implicits._

@@ -66,7 +66,7 @@ class StateTableSpec extends SparkSpec {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     val q = StateTable
-      .changes(input.toDS(), ttl = Some(java.time.Duration.ofSeconds(3)))
+      .changes(input.toDS(), ttl = Some(java.time.Duration.ofSeconds(5)))
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", Files.createTempDirectory("graft-st-ttl").toString)
@@ -89,7 +89,7 @@ class StateTableSpec extends SparkSpec {
       assert(changesAfter(1) === List(Some(1L)), "live key must see prev")
       // idle past the TTL while the query's clock batches keep running:
       // the key must now read as absent even though it was never deleted
-      Thread.sleep(7000)
+      Thread.sleep(12000)
       input.addData(StateOp.set("k", 3L))
       assert(changesAfter(2) === List(None), "expired key must read absent")
     } finally {
