@@ -42,11 +42,15 @@ case class EditDistanceAtMost1(left: Expression, right: Expression) extends Bina
     if (r < 0) null else Integer.valueOf(r)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh local per instance — two ed1 calls in one codegen'd projection
+    // must not collide on a shared variable name
+    val r = ctx.freshName("ed1r")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int graft_ed1_r = graft.functions.EditDistanceUtil$$.MODULE$$.ed1($a, $b);
-      if (graft_ed1_r < 0) { ${ev.isNull} = true; } else { ${ev.value} = graft_ed1_r; }
+      int $r = graft.functions.EditDistanceUtil$$.MODULE$$.ed1($a, $b);
+      if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
     """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

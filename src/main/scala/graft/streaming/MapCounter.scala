@@ -43,7 +43,10 @@ class MapCounterProcessor
       counts.updateValue(r.sub, cur + 1L)
       touched += r.sub
     }
-    touched.iterator.map(sub => SubCount(key, sub, counts.getValue(sub)))
+    // materialize BEFORE returning: the output iterator may be drained
+    // after the executor's implicit key context has moved on, and state
+    // reads are only valid for the current key
+    touched.toList.map(sub => SubCount(key, sub, counts.getValue(sub))).iterator
   }
 }
 

@@ -257,6 +257,18 @@ class ExtensionSpec extends SparkSpec {
     assert(got === again)
   }
 
+  test("two ed1 calls in ONE projection codegen without colliding locals") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("abc", "abd", "xyz")).toDF("a", "b", "c")
+    val row = df.select(
+      GraftFunctions.ed1($"a", $"b").as("d1"),
+      GraftFunctions.ed1($"a", $"c").as("d2")
+    ).head
+    assert(row.getInt(0) === 1)
+    assert(row.isNullAt(1))
+  }
+
   test("EditDistanceAtMost1 agrees with levenshtein on every pair from a mutation corpus") {
     val s = spark
     import s.implicits._
