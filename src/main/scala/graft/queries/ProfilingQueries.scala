@@ -159,5 +159,52 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"event_id")
   }
 
-  override def queries: Seq[GQuery] = Seq(qProfile, qHistogram, qZscore)
+  /** Distribution drift between two slices (here: even vs odd users) —
+    * the train/serve-skew and shard-health check run before blending
+    * corpus slices. Chi-square-style statistic over histogram buckets,
+    * deliberately ln-free (PSI's log terms differ in the last ulp between
+    * libm and the JVM; squares and ratios are bit-identical), summed
+    * through DECIMAL so partition order cannot wobble the total. One
+    * scan → bounded bucket×slice groupBy → one-row broadcast of totals.
+    */
+  val qDrift: GQuery = GQuery(
+    "q_profile_drift",
+    Some("""
+      WITH b AS (SELECT CAST(least(greatest(floor(value / 100.0) + 1, 0), 11) AS BIGINT) AS bucket,
+                        CAST(user_id % 2 AS BIGINT) AS grp
+                 FROM events),
+      c AS (SELECT bucket,
+                   CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM b GROUP BY bucket),
+      t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c),
+      terms AS (SELECT c.bucket,
+                       CAST(c.na AS DOUBLE) / t.ta AS pa,
+                       CAST(c.nb AS DOUBLE) / t.tb AS pb
+                FROM c, t)
+      SELECT COUNT(*) AS n_bins,
+             CAST(SUM(CAST(((pa - pb) * (pa - pb)) / (pa + pb) AS DECIMAL(38,18))) AS DOUBLE)
+               AS chi2,
+             MAX(abs(pa - pb)) AS max_share_delta
+      FROM terms""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val b = t(spark, dir).events.select(
+      width_bucket($"value", lit(0.0), lit(1000.0), lit(10)).as("bucket"),
+      ($"user_id" % 2).as("grp"))
+    val c = b.groupBy($"bucket").agg(
+      sum(when($"grp" === 0, 1L).otherwise(0L)).as("na"),
+      sum(when($"grp" === 1, 1L).otherwise(0L)).as("nb"))
+    val tot = c.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    val terms = c.crossJoin(broadcast(tot)).select(
+      ($"na".cast("double") / $"ta").as("pa"),
+      ($"nb".cast("double") / $"tb").as("pb"))
+    terms.agg(
+      count(lit(1)).as("n_bins"),
+      sum((($"pa" - $"pb") * ($"pa" - $"pb") / ($"pa" + $"pb"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double").as("chi2"),
+      max(abs($"pa" - $"pb")).as("max_share_delta"))
+  }
+
+  override def queries: Seq[GQuery] = Seq(qProfile, qHistogram, qZscore, qDrift)
 }
