@@ -95,7 +95,17 @@ object MediaCodec {
     * at different sizes — the re-encoded-thumbnail duplicate an image
     * corpus actually contains.
     */
-  def patternPngFor(id: Long, classes: Int): Array[Byte] = {
+  def patternPngFor(id: Long, classes: Int): Array[Byte] =
+    patternImageFor(id, classes, "png")
+
+  /** [[patternPngFor]] through any JDK-shipped ImageIO codec ("png",
+    * "jpg", "bmp", "gif"): the same picture through DIFFERENT real
+    * compressed containers — the cross-format duplicate (a JPEG re-save
+    * of a PNG) that byte-level dedup can never catch and perceptual
+    * hashing must. Block patterns survive JPEG's lossy DCT with the
+    * cell averages intact, so aHash collapses the pair.
+    */
+  def patternImageFor(id: Long, classes: Int, format: String): Array[Byte] = {
     val bits = patternBits(id % classes)
     val w = imgWidth(id)
     val h = imgHeight(id)
@@ -113,7 +123,7 @@ object MediaCodec {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 

@@ -155,6 +155,56 @@ object StreamingQueries extends QuerySet {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** DYNAMIC-gap session window: the inactivity timeout depends on the
+    * event itself (purchases hold a session open 30 min, everything else
+    * 10 — the "checkout grace period" shape). Spark's
+    * `session_window(ts, gapExpr)` merges per-event windows
+    * [ts, ts+gap(event)); a fixed-gap LAG check cannot express this — the
+    * oracle needs the full interval-merge formulation (running max of
+    * window ends, break where the next start clears it), in exact µs
+    * integer arithmetic on both sides.
+    */
+  val qSessionDynamic: GQuery = GQuery(
+    "q_window_session_dynamic",
+    Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                        CASE WHEN event_type = 'purchase'
+                             THEN 1800000000 ELSE 600000000 END AS gap,
+                        value
+                 FROM events),
+      m AS (SELECT *, max(us + gap) OVER (PARTITION BY user_id ORDER BY us
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+            FROM e),
+      f AS (SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS brk
+            FROM m),
+      g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f)
+      SELECT user_id,
+             MIN(us) AS session_start,
+             MAX(us + gap) AS session_end,
+             COUNT(*) AS n,
+             ${sqlSum("value")} AS total
+      FROM g
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val gap = when($"event_type" === "purchase", lit("30 minutes")).otherwise(lit("10 minutes"))
+    t(spark, dir).events
+      .withColumn("tts", StreamOps.tsFromNanos($"ts"))
+      .groupBy($"user_id", session_window($"tts", gap))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+      .select(
+        $"user_id",
+        unix_micros($"session_window.start").as("session_start"),
+        unix_micros($"session_window.end").as("session_end"),
+        $"n",
+        $"total")
+      .orderBy($"user_id", $"session_start")
+  }
+
   /** Avro datum round-trip: encode each event to raw Avro binary, decode
     * with the declared schema, aggregate the decoded columns. The oracle
     * aggregates the source directly — any serde corruption breaks the
@@ -318,6 +368,6 @@ object StreamingQueries extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qStateSnapshot, qTumbling, qSliding, qSession, qAvroRoundtrip, qAvroFileRoundtrip,
-      qGapFill, qMergeUpsert)
+    Seq(qStateSnapshot, qTumbling, qSliding, qSession, qSessionDynamic, qAvroRoundtrip,
+      qAvroFileRoundtrip, qGapFill, qMergeUpsert)
 }

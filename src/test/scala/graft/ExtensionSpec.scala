@@ -257,6 +257,40 @@ class ExtensionSpec extends SparkSpec {
     assert(got === again)
   }
 
+  test("count-min sketch estimates honor the (eps, delta) contract and merge losslessly") {
+    val s = spark
+    import s.implicits._
+    val ev = graft.sources.Tables(s, "/root/testdata/sf0.01").events
+    val n = ev.count()
+    val truth = ev.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    def sketchOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.util.sketch.CountMinSketch = {
+      val bytes = df
+        .agg(count_min_sketch($"event_type", lit(0.001), lit(0.99), lit(42)).as("s"))
+        .head.getAs[Array[Byte]]("s")
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    }
+
+    val whole = sketchOf(ev)
+    truth.foreach { case (k, c) =>
+      val est = whole.estimateCount(k)
+      assert(est >= c, s"CMS underestimated $k: $est < $c")
+      assert(est <= c + (0.001 * n).ceil.toLong,
+        s"CMS overestimated $k beyond eps*n: $est vs $c + ${(0.001 * n).ceil}")
+    }
+
+    // mergeability (the property that makes it a distributed sketch):
+    // shard sketches merged == whole-input estimates
+    val odd = sketchOf(ev.filter($"event_id" % 2 === 1))
+    val even = sketchOf(ev.filter($"event_id" % 2 === 0))
+    val merged = even.mergeInPlace(odd)
+    truth.keys.foreach { k =>
+      assert(merged.estimateCount(k) === whole.estimateCount(k),
+        s"merged shard sketches disagree with the whole-input sketch on $k")
+    }
+  }
+
   test("two ed1 calls in ONE projection codegen without colliding locals") {
     val s = spark
     import s.implicits._

@@ -27,4 +27,25 @@ class MediaHashSpec extends SparkSpec {
     val hashes = MediaCodec.aHash64(spark.createDataset(recs)).collect().map(_._2)
     assert(hashes.distinct.length == 50, "pattern classes collided in aHash space")
   }
+
+  test("cross-FORMAT duplicates collapse: a JPEG re-save hashes like its PNG original") {
+    // ids 0..9 as PNG, ids 100..109 as JPEG — same 10 pattern classes at
+    // different resolutions THROUGH DIFFERENT LOSSY/LOSSLESS CODECS.
+    // aHash must group each class's PNG with its JPEG re-encode.
+    val classes = 10
+    val recs =
+      (0L until 10L).map(id => graft.operators.Multimodal.MediaRecord(
+        id, MediaCodec.patternImageFor(id, classes, "png"))) ++
+      (100L until 110L).map(id => graft.operators.Multimodal.MediaRecord(
+        id, MediaCodec.patternImageFor(id, classes, "jpg")))
+    val hashed = MediaCodec.aHash64(spark.createDataset(recs)).collect().toMap
+    (0L until 10L).foreach { id =>
+      val png = hashed(id)
+      val jpg = hashed(id + 100) // same class: (id+100) % 10 == id % 10
+      assert(png === jpg,
+        s"class ${id % classes}: PNG hash $png != JPEG hash $jpg — lossy re-encode escaped dedup")
+    }
+    // and the 10 classes stay distinct across the mixed-format corpus
+    assert(hashed.values.toSeq.distinct.length === classes)
+  }
 }
