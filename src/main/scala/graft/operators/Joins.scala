@@ -395,7 +395,7 @@ object Joins {
     */
   def collapseChangelog(ops: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
     val payload = ops.columns.filterNot(c => keys.contains(c) || c == seqCol)
-    val packed = struct(col(seqCol) +: payload.map(col): _*)
+    val packed = struct(col(seqCol) +: payload.toIndexedSeq.map(col): _*)
     ops
       .groupBy(keys.map(col): _*)
       .agg(max(packed).as("__latest"))

@@ -109,7 +109,7 @@ object Similarity {
     val tables = Array.tabulate(nTables)(t => hyperplanes(planesPerTable, dim, seed = 42L + t))
 
     def buckets(vec: Column): Column =
-      array(tables.zipWithIndex.map { case (planes, tIdx) =>
+      array(tables.zipWithIndex.toIndexedSeq.map { case (planes, tIdx) =>
         struct(lit(tIdx).as("tbl"), lshBucket(vec, planes).as("bucket"))
       }: _*)
 
@@ -168,7 +168,7 @@ object Similarity {
 
     // cell score list against a given centroid set: (cosine, cell id)
     def scoresFor(cents: Array[Seq[Float]])(vec: Column): Column =
-      array(cents.zipWithIndex.map { case (c, i) =>
+      array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct(cosine(vec, typedlit(c)).as("s"), lit(i).as("cell"))
       }: _*)
 
@@ -283,7 +283,7 @@ object Similarity {
   ): DataFrame = {
     val tables = Array.tabulate(nTables)(t => hyperplanes(planesPerTable, dim, seed = 97L + t))
     def buckets(vec: Column): Column =
-      array(tables.zipWithIndex.map { case (planes, tIdx) =>
+      array(tables.zipWithIndex.toIndexedSeq.map { case (planes, tIdx) =>
         struct(lit(tIdx).as("tbl"), lshBucket(vec, planes).as("bucket"))
       }: _*)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -341,7 +341,7 @@ object Similarity {
     * rows assign identically.
     */
   def ivfCell(vec: Column, codebook: Array[Seq[Float]]): Column = {
-    val scored = array(codebook.zipWithIndex.map { case (c, i) =>
+    val scored = array(codebook.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(cosine(vec, typedlit(c)).as("s"), lit(-i).as("neg_cell"))
     }: _*)
     -array_max(scored).getField("neg_cell")

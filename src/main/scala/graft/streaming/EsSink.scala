@@ -74,7 +74,7 @@ object EsSink {
   ): Unit = {
     val payload = df.select(
       col(idCol).cast("string").as("__id"),
-      to_json(struct(df.columns.map(col): _*)).as("__doc")
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("__doc")
     )
     payload.foreachPartition { (rows: Iterator[Row]) =>
       rows.grouped(actionsPerBulk).foreach { chunk =>

@@ -64,7 +64,7 @@ class IdleSessionProcessor(gapMs: Long)
   ): Iterator[SessionClosed] = {
     val cur = if (acc.exists()) Some(acc.get()) else None
     cur match {
-      case Some(a) if a.maxTsMs + gapMs == expiredTimerInfo.getExpiryTimeInMs =>
+      case Some(a) if a.maxTsMs + gapMs == expiredTimerInfo.getExpiryTimeInMs() =>
         acc.clear()
         Iterator.single(SessionClosed(key, a.n, a.maxTsMs))
       case _ => Iterator.empty // stale timer for an already-extended session

@@ -268,7 +268,7 @@ class ExtensionSpec extends SparkSpec {
     def sketchOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.util.sketch.CountMinSketch = {
       val bytes = df
         .agg(count_min_sketch($"event_type", lit(0.001), lit(0.99), lit(42)).as("s"))
-        .head.getAs[Array[Byte]]("s")
+        .head().getAs[Array[Byte]]("s")
       org.apache.spark.util.sketch.CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
     }
 
@@ -298,7 +298,7 @@ class ExtensionSpec extends SparkSpec {
     val row = df.select(
       GraftFunctions.ed1($"a", $"b").as("d1"),
       GraftFunctions.ed1($"a", $"c").as("d2")
-    ).head
+    ).head()
     assert(row.getInt(0) === 1)
     assert(row.isNullAt(1))
   }
