@@ -21,6 +21,42 @@ import graft.operators.Diagnostics
   */
 class CorpusStreamSpec extends SparkSpec {
 
+  test("one query unions two source streams (multi-topic consumption)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // the reference needs one agent PER topic sharing driver state
+    // (examples/src/double-agent.rs); Spark consumes both sources in ONE
+    // query — a single offset commit spans them, so the merged view can
+    // never observe one topic ahead of a crash and the other behind it
+    val a = MemoryStream[(Long, String)]
+    val b = MemoryStream[(Long, String)]
+    val seen = mutable.ArrayBuffer.empty[(Long, String)]
+
+    val app = new GraftApp(s, "union-app", Files.createTempDirectory("graft-union").toString)
+    app.agent(
+      "merged",
+      () => a.toDF().toDF("id", "src").unionByName(b.toDF().toDF("id", "src")),
+      GraftSink.ForeachBatch((df, _) => seen.synchronized {
+        seen ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+      }),
+      outputMode = "append"
+    )(identity)
+
+    app.start("merged")
+    a.addData((1L, "a"), (2L, "a"))
+    b.addData((10L, "b"))
+    app.processAllAvailable("merged")
+    b.addData((11L, "b"))
+    app.processAllAvailable("merged")
+    app.stop("merged")
+
+    val got = seen.synchronized(seen.toSet)
+    assert(got === Set((1L, "a"), (2L, "a"), (10L, "b"), (11L, "b")),
+      s"union query must see every row from both sources exactly once, got $got")
+  }
+
   test("streaming corpus prep: audit -> quality gate -> cross-batch dedup -> fan-out") {
     val s = spark
     import s.implicits._
