@@ -21,9 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * last row) where a native codegen'd Expression replaces what would be
   * a per-row UDF.
   *
-  * Distance is over UTF-16 code units (same comparison plane as Spark's
-  * and DuckDB's `levenshtein` for BMP text; supplementary-plane chars
-  * count as two units — irrelevant for the key/name data this targets).
+  * Distance is over Unicode CODE POINTS — the same comparison plane as
+  * the `levenshtein` it replaces (and the DuckDB oracle), so one
+  * supplementary-plane substitution counts as ONE edit, not two
+  * mismatching UTF-16 units. For pure-BMP input the code-point walk
+  * degenerates to the code-unit walk at the same cost.
   */
 case class EditDistanceAtMost1(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -60,10 +62,13 @@ case class EditDistanceAtMost1(left: Expression, right: Expression) extends Bina
 
 object EditDistanceUtil {
 
-  /** 0 or 1 if edit distance ≤ 1, else -1 — one scan, no DP table. */
+  /** 0 or 1 if edit distance ≤ 1, else -1 — one scan, no DP table.
+    * Compares CODE POINTS (not UTF-16 units) to stay on levenshtein's
+    * comparison plane for supplementary-plane text.
+    */
   def ed1(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = codePoints(ua.toString)
+    val b = codePoints(ub.toString)
     val la = a.length
     val lb = b.length
     val dl = la - lb
@@ -73,7 +78,7 @@ object EditDistanceUtil {
       var i = 0
       var diff = 0
       while (i < la) {
-        if (a.charAt(i) != b.charAt(i)) {
+        if (a(i) != b(i)) {
           diff += 1
           if (diff > 1) return -1
         }
@@ -87,11 +92,26 @@ object EditDistanceUtil {
       var j = 0
       var skipped = false
       while (i < s.length) {
-        if (s.charAt(i) == l.charAt(j)) { i += 1; j += 1 }
+        if (s(i) == l(j)) { i += 1; j += 1 }
         else if (!skipped) { skipped = true; j += 1 }
         else return -1
       }
       1 // lengths differ, so the distance is exactly 1
     }
+  }
+
+  /** Decode a string to its code-point array in one linear pass. */
+  private def codePoints(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[Int](n)
+    var i = 0
+    var k = 0
+    while (k < n) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      i += Character.charCount(cp)
+      k += 1
+    }
+    out
   }
 }

@@ -168,13 +168,16 @@ object Sampling {
       .drop("__rk")
   }
 
-  /** Per-row hex threshold for a weight in [0,1): floor(w·2^16) rendered
+  /** Per-row hex threshold for a weight in [0,1]: floor(w·2^16) rendered
     * as 4 lowercase-hex chars, comparable against [[md5Prefix]] exactly
     * like the scalar [[hexThreshold]]. (Spark's `hex` is uppercase,
     * DuckDB compares case-sensitively — hence the explicit lower+lpad.)
+    * Clamped to 65535 mirroring the scalar's `math.min`: w=1.0 would
+    * otherwise render '10000' and be TRUNCATED by lpad to '1000' (~6%
+    * keep-rate instead of keep-all).
     */
-  private def hexThresholdCol(w: Column): Column =
-    lower(lpad(hex(floor(w * 65536).cast("long")), 4, "0"))
+  private[graft] def hexThresholdCol(w: Column): Column =
+    lower(lpad(hex(least(floor(w * 65536), lit(65535)).cast("long")), 4, "0"))
 
   /** Portable deterministic WEIGHTED Bernoulli sample: each row carries
     * its own keep-probability (a quality score, a language boost — the

@@ -36,25 +36,35 @@ object Partitioned {
     * the partition-pruning proof: filtered scans over a partitioned
     * layout must report fewer files than the full layout.
     */
-  def filesRead(df: DataFrame): Long = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val plan = df.queryExecution.executedPlan
-    val scans = plan.collect {
-      case a: AdaptiveSparkPlanExec =>
-        a.executedPlan.collect { case s: FileSourceScanExec => s }
-      case s: FileSourceScanExec => Seq(s)
-    }.flatten
-    scans.map(_.selectedPartitions.totalNumberOfFiles).sum
-  }
+  def filesRead(df: DataFrame): Long =
+    fileScans(df).map(_.selectedPartitions.totalNumberOfFiles).sum
 
   /** The scan's partition filters (non-empty ⇔ pruning happened at the
     * directory level rather than row level).
     */
-  def partitionFilters(df: DataFrame): Seq[String] = {
+  def partitionFilters(df: DataFrame): Seq[String] =
+    fileScans(df).flatMap(_.partitionFilters.map(_.sql))
+
+  /** All file scans in the executed plan, looking through AQE wrapping —
+    * under AQE (any join/aggregate over the scan) the scans live inside
+    * `AdaptiveSparkPlanExec.executedPlan`, and once a stage has run they
+    * move inside `QueryStageExec` LEAVES (whose wrapped plan is a member,
+    * not a child, so a plain `collect` never reaches them).
+    */
+  private def fileScans(
+      df: DataFrame
+  ): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    collectScans(df.queryExecution.executedPlan)
+
+  private def collectScans(
+      plan: org.apache.spark.sql.execution.SparkPlan
+  ): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    df.queryExecution.executedPlan.collect {
-      case s: FileSourceScanExec => s.partitionFilters.map(_.sql)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    plan.collect {
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case q: QueryStageExec        => collectScans(q.plan)
+      case s: FileSourceScanExec    => Seq(s)
     }.flatten
   }
 
@@ -62,10 +72,13 @@ object Partitioned {
     * The operational counterpart of streaming ingest — a micro-batch
     * sink drips thousands of KB-sized files per day, and scan throughput
     * at 100 TB dies on file-open overhead (and the driver dies on
-    * listing). Writes to a side directory, then swaps via delete+rename —
-    * atomic per directory on HDFS-like filesystems; at real scale run
-    * this per partition directory so one compaction failure never
-    * invalidates the table (lake formats do the same swap via metadata).
+    * listing). Writes to a side directory, then publishes via the
+    * crash-recoverable swap in [[Swap]] — the old layout survives as a
+    * `__backup` until the compacted copy is live, and a leftover
+    * `__compacting`/`__backup` from a crashed run is recovered on the
+    * next call. At real scale run this per partition directory so one
+    * compaction failure never invalidates the table (lake formats do the
+    * same swap via metadata).
     */
   def compact(
       spark: SparkSession,
@@ -75,6 +88,11 @@ object Partitioned {
   ): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
     val tmp = path + "__compacting"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    Swap.recover(fs, p, t)
     val df = spark.read.parquet(path)
     val writer =
       if (partitionCols.isEmpty) df.repartition(targetFiles).write
@@ -85,13 +103,7 @@ object Partitioned {
         df.repartition(targetFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
           .write.partitionBy(partitionCols: _*)
     writer.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    if (!fs.rename(t, p))
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    Swap.publish(fs, p, t)
   }
 
   /** Count the parquet data files under `path` (recursive). */

@@ -21,8 +21,12 @@ import graft.operators.Joins
   * Replay safety: foreachBatch re-delivers the last uncommitted batch
   * after a crash; re-merging the same collapsed updates is idempotent
   * (same keys replaced with the same rows, same tombstones dropped), so
-  * at-least-once delivery yields an exactly-once snapshot. At scale,
-  * swap per partition directory (see [[graft.sources.Partitioned]]) and
+  * at-least-once delivery yields an exactly-once snapshot. The directory
+  * swap itself is crash-recoverable via [[graft.sources.Swap]] — a death
+  * between unpublish and publish leaves a `__backup` that the next batch
+  * restores before merging, so the fresh-snapshot branch below can never
+  * be entered because a swap LOST the table mid-flight. At scale, swap
+  * per partition directory (see [[graft.sources.Partitioned]]) and
   * bucket the snapshot by key so the anti-join in the merge stays
   * shuffle-free.
   */
@@ -39,17 +43,16 @@ object Materialize {
       deleteCol: String
   )(df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(path + "__merging")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Swap.recover(fs, fsPath, tmpPath)
     val collapsed = Joins.collapseChangelog(df, keys, seqCol)
     if (collapsed.isEmpty) return
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (!fs.exists(fsPath)) collapsed.filter(!col(deleteCol)).drop(deleteCol)
       else Joins.mergeUpsert(spark.read.parquet(path), collapsed, keys, deleteCol)
-    val tmp = path + "__merging"
-    merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(fsPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath))
-      throw new java.io.IOException(s"snapshot swap failed: $tmp -> $path")
+    merged.write.mode("overwrite").parquet(tmpPath.toString)
+    graft.sources.Swap.publish(fs, fsPath, tmpPath)
   }
 }

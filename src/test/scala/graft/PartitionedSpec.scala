@@ -77,6 +77,50 @@ class PartitionedSpec extends SparkSpec {
     assert(one.count() === ev.filter($"event_type" === "click").count())
   }
 
+  test("partitionFilters sees through AQE wrapping (joins/aggregates over the scan)") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-part-aqe").resolve("ev").toString
+    val ev = s.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"event_type", $"value")
+    Partitioned.write(ev, path, Seq("event_type"))
+
+    // An aggregate forces AdaptiveSparkPlanExec to wrap the scan; the
+    // pruning report must still find the PartitionFilters inside it.
+    val agg = Partitioned.read(s, path)
+      .filter($"event_type" === "click")
+      .groupBy($"event_type").agg(sum($"value"))
+    agg.collect() // materialize so AQE finalizes the plan
+    assert(Partitioned.partitionFilters(agg).nonEmpty,
+      "partitionFilters must unwrap AdaptiveSparkPlanExec like filesRead does")
+  }
+
+  test("compact recovers a crashed swap: backup restored, stranded side dir dropped") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-compact-crash").resolve("t").toString
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    df.repartition(4).write.parquet(path)
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+
+    // Simulate death between rename(path -> backup) and rename(tmp -> path):
+    // the table directory is GONE, the old data sits at __backup, and a
+    // half-written compacted copy is stranded at __compacting.
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(path + "__backup")))
+    df.limit(1).write.parquet(path + "__compacting")
+    assert(!fs.exists(p), "precondition: table lost mid-swap")
+
+    Partitioned.compact(s, path, targetFiles = 1)
+
+    val back = s.read.parquet(path)
+    assert(back.count() === 3L, "recovery must restore the FULL pre-crash table")
+    assert(back.agg(sum($"v")).head.getDouble(0) === 60.0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__backup")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__compacting")))
+  }
+
   test("dynamic partition overwrite replaces only the partitions in the incoming frame") {
     val s = spark
     import s.implicits._

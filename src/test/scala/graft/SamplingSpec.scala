@@ -83,6 +83,16 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.size.toDouble / docs.count() - 0.4) < 0.07)
   }
 
+  test("hexThresholdCol clamps w=1.0 to 'ffff' (hex(65536)='10000' would lpad-TRUNCATE to '1000')") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rendered = Seq(1.0, 0.9999999, 0.5, 0.0).toDF("w")
+      .select(Sampling.hexThresholdCol($"w").as("t"))
+      .as[String].collect().toSeq
+    assert(rendered === Seq("ffff", "ffff", "8000", "0000"))
+  }
+
   test("stratum mix: exact epoch counts, copy indices contiguous, unlisted strata dropped") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, "/root/testdata/sf0.01").documents

@@ -54,4 +54,38 @@ class MaterializeSpec extends SparkSpec {
     // the CTable visibility the reference gets from compacted topics
     assert(s.read.parquet(snap).count() === 2)
   }
+
+  test("a crash mid-swap does not lose prior keyed state (backup restored before merge)") {
+    val s = spark
+    import s.implicits._
+
+    val snap = Files.createTempDirectory("graft-mat-crash").resolve("state").toString
+    def write(rows: Seq[(String, Double, Long, Boolean)], batch: Long): Unit =
+      Materialize.snapshotWriter(snap, Seq("k"), "seq", "del")(
+        rows.toDF("k", "v", "seq", "del"), batch)
+    def state(): Map[String, Double] =
+      s.read.parquet(snap).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    write(Seq(("a", 1.0, 1L, false), ("b", 2.0, 2L, false)), 0L)
+    assert(state() === Map("a" -> 1.0, "b" -> 2.0))
+
+    // Simulate the worst crash point: the old snapshot was renamed away
+    // (to __backup) but the merged copy never landed — plus a stranded
+    // partial __merging dir. The snapshot path does NOT exist now; the
+    // old code's !fs.exists branch would rebuild from only the next
+    // batch, silently dropping key b.
+    val p = new org.apache.hadoop.fs.Path(snap)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(snap + "__backup")))
+    Seq(("junk", 0.0, 0L, false)).toDF("k", "v", "seq", "del")
+      .write.parquet(snap + "__merging")
+    assert(!fs.exists(p), "precondition: snapshot lost mid-swap")
+
+    // the uncommitted batch is redelivered (at-least-once)
+    write(Seq(("a", 5.0, 3L, false)), 1L)
+    assert(state() === Map("a" -> 5.0, "b" -> 2.0),
+      "prior state must survive a mid-swap crash; b was silently dropped before the fix")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snap + "__backup")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snap + "__merging")))
+  }
 }
