@@ -3,12 +3,19 @@ package graft
 import graft.engine.Graft
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line for the driver.
+  * prints ONE JSON line for the driver — guaranteed to be the LAST stdout
+  * line (loggers are turned off before it is printed, so Spark shutdown
+  * hooks can't write after it), and also written to `BENCH_LAST.json` so
+  * a log-tailing harness has a structured fallback.
   *
   * Measurement contract:
   *   - results are forced through a `noop`-format write, which consumes the
   *     FULL row (every computed column is evaluated — a bare `.count()`
   *     would let Catalyst prune all projections and benchmark the scan);
+  *   - each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and
+  *     reported as the per-query MEDIAN ("queries") plus max ("queries_p95")
+  *     — container-load noise on a single run otherwise masquerades as a
+  *     regression (the round-3 phantom set-ops slowdown);
   *   - a failing query records -1 and is listed in "failed" — errors are
   *     never silently swallowed into a fast-looking time;
   *   - the session comes from Graft.session, the same config (AQE, skew
@@ -19,12 +26,19 @@ import graft.engine.Graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = Graft.session("graft-bench")
     // Untimed warmup: JVM/codegen/parquet-footer warmup shouldn't be billed
     // to whichever query happens to run first.
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // run-major order: every query sees the same cache temperature in run k
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (r <- 1 to runs; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val sec =
         try {
@@ -32,20 +46,37 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
+            System.err.println(s"[bench] $name FAILED (run $r): $e")
             -1.0
         }
       spark.catalog.clearCache()
-      name -> sec
+      samples(name) = samples(name) :+ sec
     }
-    val ok = results.filter(_._2 >= 0)
-    val failed = results.collect { case (n, s) if s < 0 => "\"" + n + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
-    )
+
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val failed = names.filter(n => samples(n).exists(_ < 0))
+    val p50 = names.map(n => n -> (if (failed.contains(n)) -1.0 else median(samples(n))))
+    val p95 = names.map(n => n -> (if (failed.contains(n)) -1.0 else samples(n).max))
+    val total = p50.collect { case (_, s) if s >= 0 => s }.sum
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(p50)},""" +
+        s""""queries_p95":${jmap(p95)},"runs":$runs,""" +
+        s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // Nothing may print after the JSON line: kill all logging (including
+    // the JVM shutdown hooks') before emitting it.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    println(json)
+    System.out.flush()
   }
 }
