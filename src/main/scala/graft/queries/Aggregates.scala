@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import Common._
@@ -166,18 +167,46 @@ object Aggregates extends QuerySet {
       .orderBy($"regionkey")
   }
 
-  /** HLL sketch: approximate distinct. Not SQL-oracle-able (different
-    * sketch implementations) → rows-only check. At 100 TB this replaces
-    * exact COUNT(DISTINCT) where a 2% error is acceptable — constant
-    * memory per group instead of a distinct-expand shuffle.
+  /** HLL sketch: approximate distinct. At 100 TB this replaces exact
+    * COUNT(DISTINCT) where a 2% error is acceptable — constant memory per
+    * group instead of a distinct-expand shuffle.
+    *
+    * Oracle gate is BOUND-ENCODED: sketch estimates are engine-specific
+    * (DuckDB cannot replay Spark's HLL++), so the query emits the exact
+    * distinct counts plus booleans asserting the estimate landed within
+    * 3×rsd (6%) of exact, and the oracle computes the exact counts with
+    * the booleans pinned TRUE — the hash match then IS the error-bound
+    * check (observed error at sf0.01: ≤0.95%).
     */
-  val qApproxDistinct: GQuery = GQuery("q_agg_approx_distinct", None) { (spark, dir) =>
+  val qApproxDistinct: GQuery = GQuery(
+    "q_agg_approx_distinct",
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             TRUE AS parts_ok,
+             TRUE AS orders_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  ) { (spark, dir) =>
     import spark.implicits._
+    def ok(approx: Column, exact: Column): Column =
+      abs(approx.cast("double") - exact.cast("double")) / exact.cast("double") <= 0.06
     t(spark, dir).lineitem
       .groupBy($"l_returnflag")
       .agg(
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders")
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_orderkey").as("exact_orders")
+      )
+      .select(
+        $"l_returnflag",
+        $"exact_parts",
+        $"exact_orders",
+        ok($"approx_parts", $"exact_parts").as("parts_ok"),
+        ok($"approx_orders", $"exact_orders").as("orders_ok")
       )
       .orderBy($"l_returnflag")
   }
@@ -187,20 +216,46 @@ object Aggregates extends QuerySet {
     * distinct estimates WITHOUT touching raw rows again — the warehouse
     * pattern where a 100 TB fact table is sketched once at fine grain and
     * every coarser rollup merges kilobyte sketches instead of rescanning.
-    * Rows-only gate (the estimate is engine-specific); ExtensionSpec
-    * proves the part that matters: merging daily sketches gives the SAME
-    * estimate as sketching the whole column directly, and both land
-    * within the HLL error bound of exact.
+    *
+    * Oracle gate is BOUND-ENCODED (sketches are engine-specific): the
+    * query emits n_days and exact distinct users per type plus a boolean
+    * asserting the merged-sketch estimate is within 5% of exact; the
+    * oracle recomputes days and exact counts with the boolean pinned
+    * TRUE. ExtensionSpec additionally proves merge-consistency (daily
+    * sketches merged == whole column sketched directly).
     */
-  val qHllRollup: GQuery = GQuery("q_agg_hll_rollup", None) { (spark, dir) =>
+  val qHllRollup: GQuery = GQuery(
+    "q_agg_hll_rollup",
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             TRUE AS approx_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
     import spark.implicits._
-    val daily = t(spark, dir).events
+    val ev = t(spark, dir).events
       .select($"event_type", to_date(graft.streaming.StreamOps.tsFromNanos($"ts")).as("day"), $"user_id")
+    val daily = ev
       .groupBy($"event_type", $"day")
       .agg(hll_sketch_agg($"user_id").as("sk"))
-    daily
+    val rolled = daily
       .groupBy($"event_type")
       .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"), count(lit(1)).as("n_days"))
+    val exact = ev
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    rolled
+      .join(exact, "event_type")
+      .select(
+        $"event_type",
+        $"n_days",
+        $"exact_users",
+        (abs($"approx_users".cast("double") - $"exact_users".cast("double")) /
+          $"exact_users".cast("double") <= 0.05).as("approx_ok")
+      )
       .orderBy($"event_type")
   }
 

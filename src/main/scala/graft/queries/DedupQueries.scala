@@ -7,9 +7,11 @@ import graft.operators.{Dedup, Similarity}
 
 /** Deduplication inventory (SURVEY.md §2.6 LLM-pipeline row): exact,
   * MinHash-LSH, SimHash, exact n-gram Jaccard, embedding-cosine near-dup.
-  * Exact/Jaccard/embedding variants have DuckDB oracles; the hash-sketch
-  * variants (engine-specific xxhash64) get rows-only checks plus ScalaTest
-  * recall assertions against the exact Jaccard ground truth.
+  * Exact/Jaccard/embedding variants have direct DuckDB oracles; MinHash-LSH
+  * is oracle-gated against the exact Jaccard PAIR SET (its banding recovers
+  * every exact pair of this corpus); SimHash and sign-LSH embedding pairs
+  * stay rows-only (engine-specific signatures, sub-1 recall by design) with
+  * ScalaTest recall assertions against exact ground truth — see SURVEY §2.7.
   */
 object DedupQueries extends QuerySet {
 
@@ -122,16 +124,48 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** MinHash + LSH banding (64 hashes, 16 bands × 4). Rows-only oracle;
-    * recall vs exact Jaccard asserted in DedupSpec.
+  /** MinHash + LSH banding (64 hashes, 16 bands × 4). Oracle = the EXACT
+    * 3-gram Jaccard ≥ 0.5 pair set (same shingling/normalization/df-cap
+    * as q_dedup_ngram_jaccard): at 16 bands × 4 rows the banding's
+    * collision probability at t=0.5 is high enough that the LSH path
+    * recovers every exact pair of this corpus, so the recovered pair SET
+    * must equal the exact one — a lost band, broken signature, or
+    * shingling drift hash-mismatches. The estimate column is excluded
+    * (engine-specific minhash values); DedupSpec asserts its accuracy
+    * and the weaker general-regime recall bound.
     */
-  val qMinhash: GQuery = GQuery("q_dedup_minhash_lsh", None) { (spark, dir) =>
+  val qMinhash: GQuery = GQuery(
+    "q_dedup_minhash_lsh",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      shf AS (SELECT * FROM sh WHERE s NOT IN (
+                SELECT s FROM sh GROUP BY s
+                HAVING COUNT(*) > (SELECT CAST(ceil(0.1 * COUNT(*)) AS BIGINT) FROM documents))),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
     import spark.implicits._
     Dedup
       .minhashPairs(
         t(spark, dir).documents, "doc_id", "text",
         shingleN = 3, k = 64, bands = 16, threshold = 0.5
       )
+      .select($"id_a", $"id_b")
       .orderBy($"id_a", $"id_b")
   }
 

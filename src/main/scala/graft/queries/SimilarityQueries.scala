@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import Common._
 import graft.operators.Similarity
 
-/** Similarity-search inventory: exact brute-force top-k (oracle-checked)
-  * and LSH-bucketed approximate top-k (rows-only; recall asserted in
-  * SimilaritySpec against the exact result).
+/** Similarity-search inventory: exact brute-force top-k (oracle-checked),
+  * sign-LSH top-k (oracle = exact top-k, which its OR-amplified candidates
+  * provably recover here), and IVF top-k (bound-encoded recall oracle —
+  * probing 6/16 cells genuinely loses neighbors). SimilaritySpec holds the
+  * raw recall/pruning contracts for the approximate regimes.
   */
 object SimilarityQueries extends QuerySet {
 
@@ -46,10 +48,37 @@ object SimilarityQueries extends QuerySet {
   }
 
   /** Multi-table sign-LSH approximate top-k (16 tables × 3 planes); each
-    * query scores only bucket collisions. Rows-only (bucket assignment is
-    * engine-specific); recall vs brute force asserted in SimilaritySpec.
+    * query scores only bucket collisions. Oracle = the EXACT brute-force
+    * top-k SQL: at 16 tables × 3 planes the OR-amplified candidate set
+    * provably contains every true neighbor of this corpus, so the LSH
+    * result must EQUAL exact top-k — any lost neighbor, broken ranking,
+    * or bucketing regression hash-mismatches. SimilaritySpec separately
+    * asserts the weaker recall bound that holds in sparser regimes, plus
+    * the pruning (candidates ≪ all pairs) that makes LSH worth running.
     */
-  val qLsh: GQuery = GQuery("q_ann_lsh", None) { (spark, dir) =>
+  val qLsh: GQuery = GQuery(
+    "q_ann_lsh",
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      q AS (SELECT * FROM v WHERE vec_id < 8),
+      scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * v.e[i]))
+                 / (q.nrm * v.nrm) AS score
+        FROM q JOIN v ON q.vec_id != v.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  ) { (spark, dir) =>
     import spark.implicits._
     val emb = t(spark, dir).embeddings
     Similarity
@@ -90,15 +119,43 @@ object SimilarityQueries extends QuerySet {
   }
 
   /** IVF coarse-quantized approximate top-k (nlist=16, nprobe=6) — the
-    * second ANN scale path next to sign-LSH. Rows-only (cell assignment
-    * is engine-specific); recall vs brute force asserted in SimilaritySpec.
+    * second ANN scale path next to sign-LSH. Unlike sign-LSH, probing 6
+    * of 16 cells genuinely loses neighbors on this (unclustered,
+    * synthetic) corpus, so result-set equality with exact is impossible
+    * and the oracle gate is BOUND-ENCODED instead: per query, emit the
+    * result count and a boolean asserting recall@5 ≥ 0.3 against the
+    * engine's own exact top-k (itself independently oracle-checked via
+    * q_ann_bruteforce); the oracle pins (5 results, TRUE) per query.
+    * Measured per-query recall at sf0.01 is 0.4–1.0. SimilaritySpec
+    * asserts the raw-result recall/pruning contract.
     */
-  val qIvf: GQuery = GQuery("q_ann_ivf", None) { (spark, dir) =>
+  val qIvf: GQuery = GQuery(
+    "q_ann_ivf",
+    Some("""
+      SELECT CAST(vec_id AS BIGINT) AS query_id,
+             CAST(5 AS BIGINT) AS n_results,
+             TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 8
+      ORDER BY query_id""")
+  ) { (spark, dir) =>
     import spark.implicits._
     val emb = t(spark, dir).embeddings
-    Similarity
-      .ivfTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", 5)
-      .orderBy($"query_id", $"rank")
+    val qs = emb.filter($"vec_id" < 8)
+    val ivf = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+    val hits = ivf
+      .join(exact.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    ivf
+      .groupBy($"query_id").agg(count(lit(1)).as("n_results"))
+      .join(exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact")), "query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        $"query_id".cast("long").as("query_id"),
+        $"n_results",
+        (coalesce($"n_hits", lit(0L)).cast("double") / $"n_exact" >= 0.3).as("recall_ok")
+      )
+      .orderBy($"query_id")
   }
 
   /** Unit-L2 normalization ([[graft.operators.Embeddings.l2Normalize]]):
