@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -136,10 +137,13 @@ object SequenceQueries extends QuerySet {
     * aggregation (COUNT DISTINCT does not decompose over sliding frames,
     * so no window function can express it). Exact shape: reduce the event
     * log to distinct (day, user) pairs FIRST (the only big-data pass),
-    * then a bounded range join of days×pairs — the candidate set is
-    * |days|·|daily actives|, independent of raw event volume. The HLL
-    * sketch rollup (q_agg_hll_rollup) is the approximate scale path when
-    * even the pair table is too hot.
+    * then EXPLODE each pair to the ≤7 window-days it contributes to and
+    * equi-aggregate — a pure shuffle-on-day plan with a bounded 7× row
+    * expansion, no range join and no BroadcastNestedLoopJoin anywhere
+    * (PlanSpec asserts it). The equi-join back to active days only trims
+    * windows anchored on days with no activity of their own. The HLL
+    * variant below is the approximate scale path when even the 7×
+    * pair-day table is too hot.
     */
   val qRollingDistinct: GQuery = GQuery(
     "q_seq_rolling_distinct",
@@ -158,13 +162,73 @@ object SequenceQueries extends QuerySet {
       .withColumn("tts", graft.streaming.StreamOps.tsFromNanos($"ts"))
     val du = e.select(date_trunc("day", $"tts").as("d"), $"user_id").distinct()
     val days = du.select($"d".as("day_d")).distinct()
-    days
-      .join(du, $"d".between($"day_d" - expr("INTERVAL 6 DAY"), $"day_d"))
+    val contrib = du.select(
+      explode(sequence($"d", $"d" + expr("INTERVAL 6 DAY"), expr("INTERVAL 1 DAY")))
+        .as("day_d"),
+      $"user_id")
+    contrib
+      .join(days, "day_d") // equi-join on the window anchor, broadcastable
       .groupBy($"day_d")
       .agg(countDistinct($"user_id").as("users_7d"))
       .select(date_format($"day_d", "yyyy-MM-dd").as("day"), $"users_7d")
       .orderBy($"day")
   }
 
-  override def queries: Seq[GQuery] = Seq(qTransitions, qFunnel, qRetention, qRollingDistinct)
+  /** Approximate rolling 7-day distinct users — the 100 TB path for
+    * q_seq_rolling_distinct: sketch each day ONCE (kilobytes per day),
+    * then every 7-day window merges 7 sketches instead of re-touching
+    * (day, user) pairs — the same explode-to-window equi-shuffle shape,
+    * but over |days| sketch rows instead of |days|·|daily actives| pairs.
+    *
+    * Oracle gate is BOUND-ENCODED like q_agg_hll_rollup: emits the exact
+    * 7-day distinct count plus a boolean asserting the merged-sketch
+    * estimate lands within 5% of exact; the oracle recomputes exact with
+    * the boolean pinned TRUE.
+    */
+  val qRollingDistinctHll: GQuery = GQuery(
+    "q_seq_rolling_distinct_hll",
+    Some("""
+      WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+      days AS (SELECT DISTINCT d FROM du)
+      SELECT strftime(days.d, '%Y-%m-%d') AS day,
+             COUNT(DISTINCT du.user_id) AS exact_users_7d,
+             TRUE AS approx_ok
+      FROM days JOIN du
+        ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+      ORDER BY day""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+      .withColumn("tts", graft.streaming.StreamOps.tsFromNanos($"ts"))
+    val du = e.select(date_trunc("day", $"tts").as("d"), $"user_id").distinct()
+    val days = du.select($"d".as("day_d")).distinct()
+    def windows(c: Column): Column =
+      explode(sequence(c, c + expr("INTERVAL 6 DAY"), expr("INTERVAL 1 DAY")))
+    // one sketch per day, merged per window — the approximate path
+    val daily = du.groupBy($"d").agg(hll_sketch_agg($"user_id").as("sk"))
+    val approx = daily
+      .select(windows($"d").as("day_d"), $"sk")
+      .join(days, "day_d")
+      .groupBy($"day_d")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users_7d"))
+    // exact side for the bound (same plan as q_seq_rolling_distinct)
+    val exact = du
+      .select(windows($"d").as("day_d"), $"user_id")
+      .join(days, "day_d")
+      .groupBy($"day_d")
+      .agg(countDistinct($"user_id").as("exact_users_7d"))
+    approx
+      .join(exact, "day_d")
+      .select(
+        date_format($"day_d", "yyyy-MM-dd").as("day"),
+        $"exact_users_7d",
+        (abs($"approx_users_7d".cast("double") - $"exact_users_7d".cast("double")) /
+          $"exact_users_7d".cast("double") <= 0.05).as("approx_ok")
+      )
+      .orderBy($"day")
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll)
 }

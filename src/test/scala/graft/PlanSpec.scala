@@ -109,6 +109,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "binned range join degraded to a nested loop")
   }
 
+  test("rolling 7-day distinct (exact + HLL) is explode-to-window equi-shuffle, never BNLJ") {
+    // the naive days×pairs BETWEEN join can only plan as a broadcast
+    // nested loop; the explode-to-window rewrite must stay equi
+    for (q <- Seq("q_seq_rolling_distinct", "q_seq_rolling_distinct_hll")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degraded to a nested loop")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian")
+    }
+  }
+
   test("contamination probe is one shingle-keyed equi-join, no cartesian") {
     val p = planOf("q_pipeline_contamination")
     assert(!p.contains("CartesianProduct"), "contamination probe went quadratic")
