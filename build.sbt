@@ -9,6 +9,19 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Live-Kafka path: this container is zero-egress and ships no Kafka
+// connector, so the exact coordinates are pinned behind an opt-in flag
+// rather than breaking offline resolution. Where a network (or vendored
+// jars) exists, `SPARK_GRAFT_KAFKA=1 sbt ...` enables the live
+// consume/produce path (streaming/Sources.kafka, Sinks GraftSink.Kafka)
+// and TopicAdmin.declare's reflective AdminClient call, plus an embedded
+// KRaft broker for end-to-end tests. kafka-clients must match the Spark
+// distribution's own pom (Spark 4.x line: kafka-clients 3.9.x).
+libraryDependencies ++= (if (sys.env.contains("SPARK_GRAFT_KAFKA")) Seq(
+  "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2",
+  "org.apache.kafka" % "kafka-clients" % "3.9.1",
+  "org.apache.kafka" %% "kafka" % "3.9.1" % Test, // embedded KRaft broker
+) else Seq.empty)
 Test / fork := true
 run / fork := true
 // Pass the forked process's stdout straight through: the bench driver

@@ -102,11 +102,13 @@ final class GraftApp(val spark: SparkSession, val name: String, val checkpointRo
       case GraftSink.ForeachBatch(f) => base.foreachBatch(f).start()
       case GraftSink.Memory(qn)      => base.format("memory").queryName(qn).start()
       case GraftSink.Parquet(path)   => base.format("parquet").option("path", path).start()
-      case GraftSink.Kafka(servers, topic) =>
-        base
+      case GraftSink.Kafka(servers, topic, security) =>
+        val b = base
           .format("kafka")
           .option("kafka.bootstrap.servers", servers)
           .option("topic", topic)
+        security.map(_.sourceOptions).getOrElse(Map.empty)
+          .foldLeft(b) { case (acc, (k, v)) => acc.option(k, v) }
           .start()
       case GraftSink.Jdbc(url, table, batchSize) =>
         base.foreachBatch(Sinks.jdbcWriteBatch(url, table, batchSize) _).start()

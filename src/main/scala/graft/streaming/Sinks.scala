@@ -31,11 +31,17 @@ object GraftSink {
   final case class Parquet(path: String) extends GraftSink
 
   /** Kafka-shaped sink: rows must carry `key`/`value` binary columns (see
-    * [[Sinks.kafkaShape]]); `format("kafka")` passthrough. The Kafka
-    * connector jar is not shipped in this build, so this sink is validated
-    * structurally (schema contract) and documented as cluster-only.
+    * [[Sinks.kafkaShape]]); `format("kafka")` passthrough. `security` is
+    * the typed SSL/SASL surface ([[KafkaSecurity]]) applied as
+    * `kafka.`-prefixed options. The Kafka connector jar is not shipped in
+    * this build, so this sink is validated structurally (schema contract)
+    * and documented as cluster-only.
     */
-  final case class Kafka(bootstrapServers: String, topic: String) extends GraftSink
+  final case class Kafka(
+      bootstrapServers: String,
+      topic: String,
+      security: Option[KafkaSecurity] = None
+  ) extends GraftSink
 
   /** JDBC batch-upsert sink (CPostgresSink parity). */
   final case class Jdbc(url: String, table: String, batchSize: Int = 500) extends GraftSink

@@ -17,7 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sources {
 
-  /** Kafka topic subscription with the reference's config surface. */
+  /** Kafka topic subscription with the reference's config surface.
+    * `security` is the TYPED protocol/SSL/SASL object ([[KafkaSecurity]],
+    * enums.rs:60-145 parity) — invalid combinations fail at build time,
+    * and its validated options land ahead of `extraOptions` (which stays
+    * as the raw passthrough escape hatch).
+    */
   def kafka(
       spark: SparkSession,
       bootstrapServers: String,
@@ -25,6 +30,7 @@ object Sources {
       startingOffsets: String = "earliest",
       isolationLevel: String = "read_uncommitted",
       maxOffsetsPerTrigger: Option[Long] = None,
+      security: Option[KafkaSecurity] = None,
       extraOptions: Map[String, String] = Map.empty
   ): DataFrame = {
     val b = spark.readStream
@@ -34,7 +40,8 @@ object Sources {
       .option("startingOffsets", startingOffsets)
       .option("kafka.isolation.level", isolationLevel)
     val withMax = maxOffsetsPerTrigger.fold(b)(n => b.option("maxOffsetsPerTrigger", n.toString))
-    extraOptions.foldLeft(withMax) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    val opts = security.map(_.sourceOptions).getOrElse(Map.empty) ++ extraOptions
+    opts.foldLeft(withMax) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
 
   /** Synthetic rows-per-second source (columns: timestamp, value) — the
