@@ -39,6 +39,26 @@ object Graft {
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // RocksDB store tuning — parity with the reference's DB options
+    // (callysto/src/stores/rocksdb.rs:35-41,127-153): 64 MB write buffers
+    // × 3, format-v5 block tables, LRU block cache (the reference sizes
+    // 2 GB per NODE store; Spark's cache is per store INSTANCE, so 64 MB
+    // × 32 shuffle partitions lands on the same node total), unlimited
+    // open files (the reference probes the fd rlimit to the same end).
+    // trackTotalNumberOfRows off: the reference maintains no row count,
+    // and the count costs a point-read before every put/delete on the
+    // write path (StateBench measures the difference at 1M keys).
+    // SPARK_GRAFT_ROCKSDB_TUNING=off reverts to Spark defaults (A/B lever).
+    val tuned = !sys.env.get("SPARK_GRAFT_ROCKSDB_TUNING").contains("off")
+    val withRocks =
+      if (!tuned) b
+      else b
+        .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
+        .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "3")
+        .config("spark.sql.streaming.stateStore.rocksdb.formatVersion", "5")
+        .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "64")
+        .config("spark.sql.streaming.stateStore.rocksdb.maxOpenFiles", "-1")
+        .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects by default; read as LongType (ns since epoch).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,7 +71,8 @@ object Graft {
     // Respect an externally-set master (e.g. spark-submit on a cluster);
     // default to local[cpus] for the single-node harness.
     val withMaster =
-      if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
+      if (sys.props.contains("spark.master")) withRocks
+      else withRocks.master(s"local[$cpus]")
     val spark = withMaster.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Post-create registration (not withExtensions): getOrCreate may return
