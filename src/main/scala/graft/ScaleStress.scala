@@ -1,0 +1,82 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+import graft.engine.Graft
+
+/** Dedup-family scale stress: run the pair-generating dedup queries
+  * across sf0.001 / sf0.01 / sf0.1 (a 100× input spread), recording wall
+  * time and TOTAL SHUFFLE WRITE BYTES per query, and fit the observed
+  * scaling exponent between the two largest scale factors — converting
+  * "the plan is banded/blocked so it scales" into a measured
+  * sub-quadratic curve (a quadratic operator would show exponent ≈ 2 in
+  * bytes; the banded plans must stay near-linear in the corpus).
+  *
+  * Shuffle bytes are the scale-honest metric here: wall time at these
+  * sizes carries a multi-second fixed planning/JVM floor per query that
+  * flattens exponents, while shuffle volume is exactly the quantity that
+  * explodes when a pair join degenerates at 100 TB.
+  */
+object ScaleStress {
+
+  private class ShuffleMeter extends SparkListener {
+    val write = new AtomicLong(0)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      ()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session("graft-scale-stress")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s -> s"/root/testdata/$s")
+    val names = Seq(
+      "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_fuzzy_key",
+      "q_dedup_connected", "q_dedup_simhash")
+
+    // untimed warmup (JVM/codegen)
+    SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+
+    // results(query)(sf) = (inputRows, sec, shuffleBytes)
+    val results = scala.collection.mutable.Map.empty[(String, String), (Long, Double, Long)]
+    for ((sf, dir) <- sfs; name <- names) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val cust = spark.read.parquet(s"$dir/customer.parquet").count()
+      val rows = if (name == "q_dedup_fuzzy_key") cust else docs
+      val w0 = meter.write.get()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      // listener events are async (private bus); give it a beat to drain
+      Thread.sleep(300)
+      val bytes = meter.write.get() - w0
+      results((name, sf)) = (rows, sec, bytes)
+      System.err.println(f"[scale] $name%-24s $sf%-8s rows=$rows%7d sec=$sec%8.2f shuffleMB=${bytes / 1e6}%10.2f")
+    }
+    spark.stop()
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+
+    def exp(name: String, lo: String, hi: String, f: ((Long, Double, Long)) => Double): Double = {
+      val a = results((name, lo)); val b = results((name, hi))
+      math.log(f(b) / f(a)) / math.log(b._1.toDouble / a._1)
+    }
+    val lines = names.map { n =>
+      val cells = sfs.map { case (sf, _) =>
+        val (rows, sec, bytes) = results((n, sf))
+        s""""$sf":{"rows":$rows,"sec":$sec,"shuffle_bytes":$bytes}"""
+      }.mkString(",")
+      val eT = exp(n, "sf0.01", "sf0.1", _._2)
+      val eB = exp(n, "sf0.01", "sf0.1", _._3.toDouble.max(1.0))
+      s""""$n":{$cells,"exp_time":$eT,"exp_shuffle":$eB}"""
+    }
+    println(s"""{"metric":"dedup_scale_stress",${lines.mkString(",")}}""")
+    System.out.flush()
+  }
+}

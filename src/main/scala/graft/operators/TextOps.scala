@@ -80,20 +80,36 @@ object TextOps {
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
 
-  /** 16-bit chunk keys of a simhash bit array for banded candidate
-    * generation: two docs within hamming distance 3 of each other share
-    * at least one of the 4 chunks exactly (pigeonhole).
+  /** Combination blocking keys of a simhash bit array — the Manku/Jain/
+    * Das Sarma web-dedup scheme (WWW'07 §3) rather than naive single-chunk
+    * banding: split the 64 bits into `maxHamming + 3` blocks; a pair
+    * within hamming ≤ k corrupts at most k blocks, so at least 3 blocks
+    * match exactly (pigeonhole) and the pair shares one of the
+    * C(k+3, 3) three-block combination keys. Recall is still EXACT, but
+    * the key widens from 64/(k+1) to 3·64/(k+3) bits — for k=3 that is
+    * 16 → 32 bits, which cuts random-collision candidates from n²/2^16
+    * to n²/2^32 per key: the difference between a birthday-quadratic
+    * blow-up and near-zero noise pairs at web scale (ScaleStress measured
+    * the 16-bit scheme at shuffle exponent 1.85 on a 10× corpus step).
     */
-  def simhashChunks(bits: Column): Column =
-    transform(
-      sequence(lit(0), lit(3)),
-      j =>
-        struct(
-          j.as("chunk"),
-          aggregate(slice(bits, j * lit(16) + lit(1), lit(16)), lit(0L), (acc, b) => acc * 2 + b)
-            .as("ckey")
-        )
-    )
+  def simhashComboKeys(bits: Column, maxHamming: Int): Column = {
+    require(maxHamming >= 0 && maxHamming <= 13, s"maxHamming out of range: $maxHamming")
+    val nBlocks = maxHamming + 3
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    def blockVal(i: Int): Column =
+      aggregate(
+        slice(bits, lit(bounds(i) + 1), lit(bounds(i + 1) - bounds(i))),
+        lit(0L),
+        (acc, b) => acc * 2 + b)
+    val combos = (0 until nBlocks).combinations(3).toSeq
+    array(combos.zipWithIndex.map { case (c, idx) =>
+      struct(
+        lit(idx).as("combo"),
+        blockVal(c(0)).as("b0"),
+        blockVal(c(1)).as("b1"),
+        blockVal(c(2)).as("b2"))
+    }: _*)
+  }
 
   /** Count of tokens matching a marker list (language-ID scoring). */
   def markerHits(toks: Column, markers: Seq[String]): Column =
