@@ -248,14 +248,20 @@ object Dedup {
     * dedup: duplicate clusters are the components; the canonical document
     * is each component's minimum id.
     *
-    * Iterative min-label propagation on DataFrames (no graph library):
-    * every node starts labeled with itself; each round takes the min of
-    * its own label and its neighbors' labels; stop when no label changes.
-    * Converges in O(diameter) rounds — near-dup clusters are shallow, so
-    * a handful of rounds covers 100 TB corpora. Each round
-    * `localCheckpoint`s the labels: iterative DataFrame loops otherwise
-    * stack lineage until planning itself becomes the bottleneck (the
-    * classic iterative-algorithm trap).
+    * Iterative min-label propagation WITH POINTER HALVING on DataFrames
+    * (no graph library): every node starts labeled with itself; each
+    * round takes the min of its own label and its neighbors' labels, then
+    * SHORTCUTS `label := label(label)` (the union-find path-halving jump,
+    * cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — star contraction serves the same purpose). Labels only
+    * decrease and always name a node of the same component, so the
+    * shortcut is correctness-free; it squares propagation distance per
+    * round, turning O(diameter) rounds into ~O(log diameter) — an
+    * adversarial 2000-hop paragraph chain closes in ~12 rounds instead
+    * of 2000 (DedupSpec asserts it). Stop when no label changes. Each
+    * round `localCheckpoint`s the labels: iterative DataFrame loops
+    * otherwise stack lineage until planning itself becomes the
+    * bottleneck (the classic iterative-algorithm trap).
     *
     * Input: (id_a, id_b) pair columns. Output: (id, component) where
     * component = min id reachable.
@@ -282,12 +288,25 @@ object Dedup {
       // Carry the old label through the propagation select so convergence
       // detection is a filter on the SAME checkpointed frame — not a second
       // join+shuffle against the previous labels per round.
-      val next = labels
+      val propagated = labels
         .join(neighborMin, Seq("id"), "left_outer")
         .select(
           col("id"),
           col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component")
+        )
+      // pointer halving: follow the label one hop (label(label(u))).
+      // Every label is a node id of the same component, so the jump can
+      // only move the label DOWN within the component — safe, and it
+      // doubles how far a min travels per round.
+      val hop = propagated
+        .select(col("id").as("component"), col("component").as("c2"))
+      val next = propagated
+        .join(hop, Seq("component"), "left_outer")
+        .select(
+          col("id"),
+          col("old"),
+          least(col("component"), coalesce(col("c2"), col("component"))).as("component")
         )
         .localCheckpoint()
       val changed = !next.filter(col("component") =!= col("old")).isEmpty

@@ -74,6 +74,19 @@ class DedupSpec extends SparkSpec {
     assert(cc(5L) === 5L && cc(6L) === 5L && cc(7L) === 5L)
   }
 
+  test("connected components close a 2000-hop chain within the 20-round cap (pointer halving)") {
+    import spark.implicits._
+    // adversarial diameter: a straight path 0-1-2-...-2000. Pure min-label
+    // propagation needs ~2000 rounds (and would hit the maxIter=20 loud
+    // failure); the pointer-halving jump must close it in ~log2(2000)≈11.
+    val n = 2000
+    val chain = (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(cc.length === n + 1)
+    assert(cc.forall(_._2 === 0L), "every node of the chain must label to the minimum (0)")
+  }
+
   test("exact dedup keeps every distinct content exactly once") {
     val d = Dedup.exact(docs, "doc_id", "text")
     val total = d.agg(sum($"n_copies")).as[Long].head()
