@@ -33,7 +33,11 @@ object Bench {
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // run-major order: every query sees the same cache temperature in run k
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
