@@ -57,6 +57,82 @@ object Dedup {
       .join(index, Seq("content_hash"), "left_anti")
   }
 
+  /** Incremental FUZZY dedup — the near-dup gate for rolling ingest (the
+    * fuzzy sibling of [[incrementalNew]]): a new batch is admitted
+    * against the ALREADY-ACCEPTED corpus's minhash signature index, so a
+    * re-crawl of an accepted page (same content modulo small edits) does
+    * not re-enter the corpus. Returns the incoming ids that survive.
+    *
+    * Rejection rule: an incoming doc is dropped if a banded LSH candidate
+    * verifies at est-Jaccard ≥ threshold against ANY existing doc, or
+    * against ANY smaller-id doc of its own batch. The within-batch rule
+    * is PAIRWISE ("any near-dup evidence excludes"), deliberately more
+    * conservative than greedy first-occurrence-wins: near-duplication is
+    * not transitive, and an ingest gate prefers dropping a duplicate
+    * chain's tail over admitting it.
+    *
+    * Scale shape: identical to [[minhashPairs]] — id-only band joins,
+    * candidates deduped before the single verify pass. The existing-side
+    * signature table (~0.5 KB/doc, content-independent size) is the
+    * artifact to PERSIST between ingest runs, exactly like
+    * incrementalNew's hash index; each run sketches only the new batch.
+    */
+  def minhashIncrementalNew(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    def sigsOf(d: DataFrame) = d
+      .select(
+        col(idCol).as("id"),
+        graft.functions.GraftFunctions.shingleHashes(col(textCol), shingleN).as("eh"))
+      .select(col("id"), minhashSignature(col("eh"), k).as("sig"))
+      .localCheckpoint()
+    def bandsOf(s: DataFrame) = s
+      .select(col("id"), explode(minhashBands(col("sig"), bands, r)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val sigE = sigsOf(existing)
+    val sigI = sigsOf(incoming)
+    val bE = bandsOf(sigE)
+    val bI = bandsOf(sigI)
+    // candidates: incoming × existing, and incoming × SMALLER-id incoming
+    val candEI = bI.as("i")
+      .join(bE.as("e"), col("i.band") === col("e.band") && col("i.bkey") === col("e.bkey"))
+      .select(col("i.id").as("id_i"), col("e.id").as("id_o"))
+      .distinct()
+    val candII = bI.as("a")
+      .join(
+        bI.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("b.id") < col("a.id"))
+      .select(col("a.id").as("id_i"), col("b.id").as("id_o"))
+      .distinct()
+    // one verify per candidate: does any counterpart cross the threshold?
+    def rejectedBy(cand: DataFrame, other: DataFrame): DataFrame = cand
+      .join(sigI.select(col("id").as("id_i"), col("sig").as("sig_i")), "id_i")
+      .join(other.select(col("id").as("id_o"), col("sig").as("sig_o")), "id_o")
+      .filter(
+        (aggregate(
+          zip_with(col("sig_i"), col("sig_o"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("double") / k) >= threshold)
+      .select(col("id_i"))
+      .distinct()
+    val rejected = rejectedBy(candEI, sigE).union(rejectedBy(candII, sigI)).distinct()
+    sigI
+      .select(col("id"))
+      .join(rejected.withColumnRenamed("id_i", "id"), Seq("id"), "left_anti")
+      .select(col("id").as("keep_id"))
+  }
+
   /** Edit-distance-1 fuzzy key pairs via FastSS deletion-neighborhood
     * blocking (entity-resolution dedup for short keys: names, titles,
     * normalized addresses). Each string is keyed by itself plus every

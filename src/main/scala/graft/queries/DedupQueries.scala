@@ -60,6 +60,56 @@ object DedupQueries extends QuerySet {
       .orderBy($"content_hash")
   }
 
+  /** Incremental FUZZY ingest gate ([[Dedup.minhashIncrementalNew]]):
+    * even-id docs are the accepted corpus (its persisted signature
+    * index), odd-id docs the new batch; a batch doc survives only with
+    * no near-dup (Jaccard ≥ 0.5) in the corpus and none at a smaller id
+    * within its own batch. Oracle = the same decision replayed over the
+    * EXACT capped-Jaccard pair relation (which the 16×4 banding fully
+    * recovers on this corpus — same regime as q_dedup_minhash_lsh).
+    */
+  val qIncrementalFuzzy: GQuery = GQuery(
+    "q_dedup_incremental_fuzzy",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      shf AS (SELECT * FROM sh WHERE s NOT IN (
+                SELECT s FROM sh GROUP BY s
+                HAVING COUNT(*) > (SELECT CAST(ceil(0.1 * COUNT(*)) AS BIGINT) FROM documents))),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+            FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      jp AS (SELECT id_a, id_b FROM p
+             JOIN sz sa ON sa.doc_id = id_a
+             JOIN sz sb ON sb.doc_id = id_b
+             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5)
+      SELECT CAST(d.doc_id AS BIGINT) AS keep_id FROM documents d
+      WHERE d.doc_id % 2 = 1
+        AND NOT EXISTS (SELECT 1 FROM jp
+                        WHERE (jp.id_a = d.doc_id AND jp.id_b % 2 = 0)
+                           OR (jp.id_b = d.doc_id AND jp.id_a % 2 = 0))
+        AND NOT EXISTS (SELECT 1 FROM jp
+                        WHERE jp.id_b = d.doc_id AND jp.id_a % 2 = 1)
+      ORDER BY keep_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    Dedup
+      .minhashIncrementalNew(
+        existing = docs.filter($"doc_id" % 2 === 0),
+        incoming = docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .orderBy($"keep_id")
+  }
+
   /** Edit-distance-1 fuzzy key matching ([[Dedup.editDistancePairs]],
     * FastSS deletion-neighborhood blocking) over customer names; the
     * oracle brute-forces all O(n²) pairs with DuckDB's levenshtein, so
@@ -409,6 +459,6 @@ object DedupQueries extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qExact, qIncremental, qFuzzyKey, qJaccard, qMinhash, qSimhash, qEmbedding,
-      qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSharedShingles)
+    Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qMinhash, qSimhash,
+      qEmbedding, qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSharedShingles)
 }

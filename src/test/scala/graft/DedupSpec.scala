@@ -74,6 +74,26 @@ class DedupSpec extends SparkSpec {
     assert(cc(5L) === 5L && cc(6L) === 5L && cc(7L) === 5L)
   }
 
+  test("incremental fuzzy gate: corpus near-dups and smaller-batch-id near-dups rejected") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val existing = Seq(
+      (2L, base),
+      (4L, "completely unrelated text about distributed query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, base + " now"),                                   // near-dup of existing 2 → rejected
+      (3L, "fresh content that matches nothing in the corpus at all whatsoever"),
+      (5L, "fresh content that matches nothing in the corpus at all whatsoever ok"), // ~dup of 3 → rejected
+      (7L, "entirely novel seventh document speaking of embeddings and parquet files")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .minhashIncrementalNew(existing, incoming, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq
+    assert(kept === Seq(3L, 7L),
+      s"expected corpus-dup 1 and batch-dup 5 rejected, got $kept")
+  }
+
   test("connected components close a 2000-hop chain within the 20-round cap (pointer halving)") {
     import spark.implicits._
     // adversarial diameter: a straight path 0-1-2-...-2000. Pure min-label
