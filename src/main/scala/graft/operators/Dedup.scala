@@ -334,7 +334,12 @@ object Dedup {
     * shortcut is correctness-free; it squares propagation distance per
     * round, turning O(diameter) rounds into ~O(log diameter) — an
     * adversarial 2000-hop paragraph chain closes in ~12 rounds instead
-    * of 2000 (DedupSpec asserts it). Stop when no label changes. Each
+    * of 2000 (DedupSpec asserts it). The hop adds one labels-sized join
+    * per round (~15% on shallow-cluster corpora at sf0.1) and buys the
+    * exponential round reduction on deep chains — the failure mode this
+    * kills is the loud maxIter abort on a >20-hop cluster, which
+    * paragraph-chain duplicates at corpus scale can genuinely produce.
+    * Stop when no label changes. Each
     * round `localCheckpoint`s the labels: iterative DataFrame loops
     * otherwise stack lineage until planning itself becomes the
     * bottleneck (the classic iterative-algorithm trap).
@@ -371,6 +376,9 @@ object Dedup {
           col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component")
         )
+        // feeds BOTH sides of the hop join below — materialize once or
+        // the edge join above runs twice per round
+        .localCheckpoint()
       // pointer halving: follow the label one hop (label(label(u))).
       // Every label is a node id of the same component, so the jump can
       // only move the label DOWN within the component — safe, and it
