@@ -18,9 +18,18 @@ import graft.streaming.{GraftApp, GraftSink}
   * Two agents on one session, each draining its own in-process stream of
   * 74,000-byte messages through a count+bytes aggregation into shared
   * driver counters (the `fetch_add` parity). No Kafka broker exists in
-  * this container, so the source is MemoryStream: the figure measures the
-  * engine's micro-batch machinery — encode, plan, aggregate, sink — not
-  * broker I/O. Printed as one JSON line; recorded in BASELINE.md.
+  * this container, so the default source is MemoryStream: the figure
+  * measures the engine's micro-batch machinery — encode, plan,
+  * aggregate, sink — not broker I/O. Printed as one JSON line; recorded
+  * in BASELINE.md.
+  *
+  * Broker-backed mode: set GRAFT_TPUT_BROKER=host:port (and
+  * GRAFT_TPUT_TOPICS=t1,t2, default graft-tput-1/2) on a cluster with
+  * the spark-sql-kafka connector (build.sbt SPARK_GRAFT_KAFKA block) to
+  * drain the SAME double-agent topology from two pre-produced Kafka
+  * topics — the reference's exact double-agent.rs setup. The drain is
+  * timed from earliest offsets with availableNow semantics via
+  * processAllAvailable.
   */
 object ThroughputBench {
 
@@ -30,6 +39,7 @@ object ThroughputBench {
   def main(args: Array[String]): Unit = {
     val rounds = sys.env.getOrElse("GRAFT_TPUT_ROUNDS", "10").toInt
     val perBatch = sys.env.getOrElse("GRAFT_TPUT_BATCH", "1000").toInt
+    val broker = sys.env.get("GRAFT_TPUT_BROKER")
     val spark = Graft.session("graft-throughput")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -41,26 +51,43 @@ object ThroughputBench {
     val in2 = MemoryStream[String]
     val app = new GraftApp(spark, "tput", Files.createTempDirectory("graft-tput").toString)
 
+    // broker mode reads the pre-produced topics from earliest; memory
+    // mode gets batches pushed below. Both feed the same value column
+    // shape through identical agents.
+    val topics = sys.env.getOrElse("GRAFT_TPUT_TOPICS", "graft-tput-1,graft-tput-2")
+      .split(",").map(_.trim)
+    def source(i: Int): () => DataFrame = broker match {
+      case Some(servers) =>
+        () =>
+          graft.streaming.Sources
+            .kafka(spark, servers, topics(i), startingOffsets = "earliest")
+            .select($"value".cast("string").as("value"))
+      case None =>
+        if (i == 0) () => in1.toDF() else () => in2.toDF()
+    }
+
     def sink: GraftSink = GraftSink.ForeachBatch { (df: DataFrame, _: Long) =>
       val r = df.agg(count(lit(1)), sum(length($"value"))).collect()(0)
       msgCount.addAndGet(r.getLong(0))
       if (!r.isNullAt(1)) msgBytes.addAndGet(r.getLong(1))
       ()
     }
-    app.agent("double-agent-1", () => in1.toDF(), sink)(identity)
-    app.agent("double-agent-2", () => in2.toDF(), sink)(identity)
+    app.agent("double-agent-1", source(0), sink)(identity)
+    app.agent("double-agent-2", source(1), sink)(identity)
     app.startAll()
 
-    // warmup round (plan compilation, codegen) — not timed
-    in1.addData(batch); in2.addData(batch)
-    app.processAllAvailable("double-agent-1")
-    app.processAllAvailable("double-agent-2")
-    msgBytes.set(0L); msgCount.set(0L)
+    if (broker.isEmpty) {
+      // warmup round (plan compilation, codegen) — not timed
+      in1.addData(batch); in2.addData(batch)
+      app.processAllAvailable("double-agent-1")
+      app.processAllAvailable("double-agent-2")
+      msgBytes.set(0L); msgCount.set(0L)
 
-    // pre-produce the whole backlog (the reference's producer.py runs
-    // before its timing window), then time the drain only
-    var r = 0
-    while (r < rounds) { in1.addData(batch); in2.addData(batch); r += 1 }
+      // pre-produce the whole backlog (the reference's producer.py runs
+      // before its timing window), then time the drain only
+      var r = 0
+      while (r < rounds) { in1.addData(batch); in2.addData(batch); r += 1 }
+    }
 
     val t0 = System.nanoTime()
     app.processAllAvailable("double-agent-1")
@@ -68,9 +95,11 @@ object ThroughputBench {
     val sec = (System.nanoTime() - t0) / 1e9
     app.stopAll()
     val mb = msgBytes.get() / 1e6
+    val src = broker.fold("memory")(_ => "kafka")
     println(
       s"""{"metric":"stream_consume_throughput","value":${mb / sec},"unit":"MB/sec",""" +
-        s""""messages":${msgCount.get()},"payload_bytes":74000,"agents":2,"seconds":$sec}""")
+        s""""source":"$src","messages":${msgCount.get()},"payload_bytes":74000,""" +
+        s""""agents":2,"seconds":$sec}""")
     spark.stop()
   }
 }
