@@ -119,6 +119,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental fuzzy gate: banded equi-joins only, never BNLJ/cartesian") {
+    val p = planOf("q_dedup_incremental_fuzzy")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "fuzzy gate degraded to a nested loop")
+    assert(!p.contains("CartesianProduct"), "fuzzy gate went cartesian")
+  }
+
   test("contamination probe is one shingle-keyed equi-join, no cartesian") {
     val p = planOf("q_pipeline_contamination")
     assert(!p.contains("CartesianProduct"), "contamination probe went quadratic")
