@@ -409,6 +409,81 @@ object Dedup {
     labels
   }
 
+  /** Span-level exact substring dedup — the arbitrary-alignment sibling
+    * of [[paragraphDedup]] (which can only see fixed token blocks), after
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22): every W-token window of every document is
+    * fingerprinted; the corpus-wide FIRST instance (minimum (doc, pos))
+    * of each fingerprint owns it, and every token lying inside any LATER
+    * instance of a repeated window is removed; documents reassemble from
+    * the surviving tokens. Catches boilerplate/quotation overlap at any
+    * offset — including repeats WITHIN one document — that block-aligned
+    * dedup misses. Removal is deliberately aggressive (a token inside any
+    * duplicate window instance goes, even where instances overlap the
+    * owner): dedup for training corpora prefers dropping a span twice to
+    * keeping it twice.
+    *
+    * Scale shape: one posexplode to (fp, doc, pos) — linear in corpus
+    * tokens; first-instance selection is the same skew-safe min-struct
+    * groupBy as paragraphDedup; coverage explode is W× the DUPLICATE
+    * windows only (not the corpus); never any pair enumeration. The
+    * tokenized array is checkpointed once and feeds windowing, token
+    * explode and counts.
+    *
+    * Output: (id, n_tokens, n_dup_tokens, clean_text).
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20
+  ): DataFrame = {
+    val w = windowTokens
+    require(w >= 2, "windowTokens must be at least 2")
+    val toks = docs
+      .select(col(idCol).as("id"), split(normText(col(textCol)), " ").as("ts"))
+      .localCheckpoint()
+    val wins = toks
+      .filter(size(col("ts")) >= w)
+      .select(
+        col("id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ts")) - w),
+          p => md5(encode(concat_ws(" ", slice(col("ts"), p + 1, lit(w))), "UTF-8")))))
+      .select(col("id"), col("pos"), col("col").as("fp"))
+    // corpus-wide first instance per fingerprint (skew-safe min-struct)
+    val owner = wins.groupBy(col("fp")).agg(min(struct(col("id"), col("pos"))).as("own"))
+    val dups = wins
+      .join(owner, "fp")
+      .filter(!(col("id") === col("own.id") && col("pos") === col("own.pos")))
+      .select(col("id"), col("pos"))
+    // tokens covered by any duplicate window instance
+    val covered = dups
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + w - 1)).as("tpos"))
+      .distinct()
+    val tokens = toks
+      .select(col("id"), posexplode(col("ts")))
+      .select(col("id"), col("pos").as("tpos"), col("col").as("tok"))
+    val kept = tokens
+      .join(covered, Seq("id", "tpos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"))
+    toks
+      .select(col("id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dup_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Train/test n-gram contamination audit (decontamination): for each
     * document in `test`, the fraction of its distinct n-gram shingles that
     * appear ANYWHERE in `train` — the standard check that evaluation data

@@ -413,6 +413,52 @@ object DedupQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Span-level exact substring dedup ([[Dedup.spanDedup]], 20-token
+    * windows): any 20-token span seen earlier in the corpus (any offset,
+    * any document, including earlier in the SAME document) is removed
+    * from later documents, which reassemble from surviving tokens. The
+    * oracle replays the whole pipeline — windowing, first-instance
+    * ownership via a window function, coverage expansion, ordered
+    * reassembly — so segmentation, tie-breaks and reassembly are all
+    * hash-checked.
+    */
+  val qSpan: GQuery = GQuery(
+    "q_dedup_span",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      w AS (SELECT doc_id, i AS pos, md5(array_to_string(ts[i+1:i+20], ' ')) AS fp
+            FROM t, LATERAL (SELECT unnest(generate_series(0, len(ts)-20)) AS i) g
+            WHERE len(ts) >= 20),
+      dups AS (SELECT doc_id, pos FROM (
+                 SELECT doc_id, pos,
+                        row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+                 FROM w) WHERE rn > 1),
+      cov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+              FROM dups, LATERAL (SELECT unnest(generate_series(0, 19)) AS j) g),
+      tok AS (SELECT doc_id, i - 1 AS tpos, ts[i] AS tok
+              FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g),
+      kept AS (SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      string_agg(k.tok, ' ' ORDER BY k.tpos) AS clean_text
+               FROM tok k
+               WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                 WHERE c.doc_id = k.doc_id AND c.tpos = k.tpos)
+               GROUP BY k.doc_id)
+      SELECT t.doc_id,
+             CAST(len(t.ts) AS BIGINT) AS n_tokens,
+             CAST(len(t.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dup_tokens,
+             COALESCE(k.clean_text, '') AS clean_text
+      FROM t LEFT JOIN kept k USING (doc_id)
+      ORDER BY t.doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Dedup
+      .spanDedup(t(spark, dir).documents, "doc_id", "text", windowTokens = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** Per-document shared-shingle fraction: what part of a doc's distinct
     * 3-grams also occurs in at least one OTHER document. The RefinedWeb /
     * Gopher-style boilerplate signal — docs made of corpus-common spans
@@ -460,5 +506,6 @@ object DedupQueries extends QuerySet {
 
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qMinhash, qSimhash,
-      qEmbedding, qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSharedShingles)
+      qEmbedding, qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSpan,
+      qSharedShingles)
 }

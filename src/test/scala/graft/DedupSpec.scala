@@ -74,6 +74,29 @@ class DedupSpec extends SparkSpec {
     assert(cc(5L) === 5L && cc(6L) === 5L && cc(7L) === 5L)
   }
 
+  test("span dedup removes cross-doc and within-doc repeated windows at any offset") {
+    import spark.implicits._
+    // W=4 for a hand-checkable scenario
+    val shared = "alpha beta gamma delta" // the 4-token span doc 2 repeats
+    val docs = Seq(
+      (1L, s"intro words $shared closing remark"),       // first instance: untouched
+      (2L, s"unrelated prefix tokens here $shared tail"), // later instance: span removed
+      (3L, "self self self self self self")               // within-doc repeats collapse
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanDedup(docs, "doc_id", "text", windowTokens = 4)
+      .orderBy($"id")
+      .as[(Long, Long, Long, String)].collect()
+
+    val d1 = out(0); val d2 = out(1); val d3 = out(2)
+    assert(d1 === ((1L, 8L, 0L, s"intro words $shared closing remark")),
+      s"first instance must keep everything, got $d1")
+    assert(d2._3 === 4L, s"doc 2 must lose exactly the shared 4-token span, got $d2")
+    assert(d2._4 === "unrelated prefix tokens here tail")
+    // "self"×6 with W=4: windows 0,1,2 share one fp; starts 1,2 are dups,
+    // covering tokens 1..5 → only token 0 survives
+    assert(d3 === ((3L, 6L, 5L, "self")), s"within-doc repeat must collapse, got $d3")
+  }
+
   test("incremental fuzzy gate: corpus near-dups and smaller-batch-id near-dups rejected") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
