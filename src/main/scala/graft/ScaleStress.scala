@@ -37,7 +37,7 @@ object ScaleStress {
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s -> s"/root/testdata/$s")
     val names = Seq(
       "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_fuzzy_key",
-      "q_dedup_connected", "q_dedup_simhash")
+      "q_dedup_connected", "q_dedup_simhash", "q_dedup_span")
 
     // untimed warmup (JVM/codegen)
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()

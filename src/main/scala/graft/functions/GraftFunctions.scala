@@ -56,7 +56,10 @@ object GraftFunctions {
     "graft_ed1" -> (args => EditDistanceAtMost1(args(0), args(1))),
     "graft_to_avro_file" -> (args => AvroEncodeContainer(args(0))),
     "graft_from_avro_file" ->
-      (args => AvroDecodeContainer(args(0), litString(args(1), "graft_from_avro_file")))
+      (args => AvroDecodeContainer(args(0), litString(args(1), "graft_from_avro_file"))),
+    "graft_unicode_norm" ->
+      (args => UnicodeNormalize(args(0), litString(args(1), "graft_unicode_norm"))),
+    "graft_strip_accents" -> (args => StripAccents(args(0)))
   )
 
   private def info(name: String): ExpressionInfo =
@@ -84,6 +87,9 @@ object GraftFunctions {
   def toAvro(s: Column): Column = call_function("graft_to_avro", s)
   def fromAvro(b: Column, schemaJson: String): Column =
     call_function("graft_from_avro", b, lit(schemaJson))
+  def unicodeNorm(s: Column, form: String): Column =
+    call_function("graft_unicode_norm", s, lit(form))
+  def stripAccents(s: Column): Column = call_function("graft_strip_accents", s)
   def toAvroFile(s: Column): Column = call_function("graft_to_avro_file", s)
   def fromAvroFile(b: Column, schemaJson: String): Column =
     call_function("graft_from_avro_file", b, lit(schemaJson))

@@ -497,7 +497,45 @@ object TextAnalysis extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Unicode canonicalization ([[graft.functions.UnicodeNormalize]] /
+    * [[graft.functions.StripAccents]] — Spark has no built-in; DuckDB's
+    * `nfc_normalize`/`strip_accents` oracle both): every doc gets a
+    * DECOMPOSED-form prefix (e + U+0301, u + U+0308) so NFC genuinely
+    * recomposes, then the query reports the NFC prefix, the
+    * accent-stripped prefix, whether NFC changed the string, and the
+    * code-point savings — the corpus-hygiene step that keeps composed
+    * and decomposed spellings of the same text from defeating exact-hash
+    * dedup.
+    */
+  val qUnicode: GQuery = GQuery(
+    "q_text_unicode",
+    Some("""
+      WITH s AS (SELECT doc_id,
+                        'Cafe' || chr(769) || ' Zu' || chr(776) || 'rich ' || text AS t
+                 FROM documents)
+      SELECT doc_id,
+             substr(nfc_normalize(t), 1, 24) AS nfc_prefix,
+             substr(strip_accents(nfc_normalize(t)), 1, 24) AS stripped_prefix,
+             nfc_normalize(t) != t AS changed_by_nfc,
+             CAST(length(t) - length(nfc_normalize(t)) AS BIGINT) AS composed_savings
+      FROM s ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{stripAccents, unicodeNorm}
+    // decomposed on purpose: e+U+0301, u+U+0308 — NFC must recompose
+    val t0 = concat(lit("Cafe\u0301 Zu\u0308rich "), $"text")
+    t(spark, dir).documents
+      .select(
+        $"doc_id",
+        substring(unicodeNorm(t0, "NFC"), 1, 24).as("nfc_prefix"),
+        substring(stripAccents(unicodeNorm(t0, "NFC")), 1, 24).as("stripped_prefix"),
+        (unicodeNorm(t0, "NFC") =!= t0).as("changed_by_nfc"),
+        (length(t0) - length(unicodeNorm(t0, "NFC"))).cast("long").as("composed_savings")
+      )
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode,
-      qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript)
+      qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode)
 }

@@ -331,4 +331,33 @@ class ExtensionSpec extends SparkSpec {
         assert(fast === None, s"(${r.getString(0)}, ${r.getString(1)}): expected NULL for d=$exact")
     }
   }
+
+  test("UnicodeNormalize recomposes/decomposes; StripAccents folds diacritics; both null-safe") {
+    import spark.implicits._
+    val composed = "Caf\u00e9 Z\u00fcrich"    // e-acute, u-diaeresis precomposed
+    val decomposed = "Cafe\u0301 Zu\u0308rich" // e+U+0301, u+U+0308
+    val rows = Seq((decomposed, composed), (composed, composed), ("plain ascii", "plain ascii"))
+      .toDF("t", "expectNfc")
+      .select(
+        GraftFunctions.unicodeNorm($"t", "NFC").as("nfc"),
+        GraftFunctions.unicodeNorm($"t", "NFD").as("nfd"),
+        GraftFunctions.stripAccents($"t").as("stripped"),
+        $"expectNfc")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(3), "NFC must equal the precomposed form")
+      // NFD of the NFC result decomposes back; idempotence on ASCII
+      assert(r.getString(2) === r.getString(3).replace("\u00e9", "e").replace("\u00fc", "u"))
+    }
+    // NFD expands the composed form
+    assert(rows(1).getString(1) === decomposed)
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(GraftFunctions.unicodeNorm($"t", "NFC"), GraftFunctions.stripAccents($"t"))
+      .collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+    // unknown form rejected at build time
+    intercept[Exception](
+      Seq("x").toDF("t").select(GraftFunctions.unicodeNorm($"t", "NFX")).collect())
+  }
 }
