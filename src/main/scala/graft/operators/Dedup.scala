@@ -292,10 +292,13 @@ object Dedup {
       maxHamming: Int = 3
   ): DataFrame = {
     // Same shape as minhashPairs: materialized signature table, id-only
-    // band join, pair-dedup before the hamming verification.
+    // band join, pair-dedup before the hamming verification. The 64-bit
+    // signature is PACKED into one long at sketch time: every downstream
+    // shuffle carries 8 bytes instead of a 64-element array, block keys
+    // are shift/mask, and the verify is codegen'd bit_count(a ^ b).
     val sigs = docs
       .withColumn("__th", graft.functions.GraftFunctions.tokenHashes(col(textCol)))
-      .select(col(idCol).as("id"), simhashBits("__th").as("bits"))
+      .select(col(idCol).as("id"), packBits(simhashBits("__th")).as("bits"))
       .localCheckpoint()
     val chunked = sigs
       .select(col("id"), explode(simhashComboKeys(col("bits"), maxHamming)).as("ck"))
@@ -316,7 +319,10 @@ object Dedup {
     pairs
       .join(ba, "id_a")
       .join(bb, "id_b")
-      .select(col("id_a"), col("id_b"), hamming(col("bits_a"), col("bits_b")).as("hamming_dist"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("bits_a").bitwiseXOR(col("bits_b"))).cast("int").as("hamming_dist"))
       .filter(col("hamming_dist") <= maxHamming)
   }
 

@@ -70,15 +70,16 @@ object TextOps {
   def simhashBits(tokenHashCol: String): Column =
     graft.functions.GraftFunctions.simhashBits(col(tokenHashCol))
 
-  /** Pack a 64-element 0/1 array into one signed long (wrapping is fine —
-    * it's an opaque fingerprint).
+  /** Pack a 64-element 0/1 array into one signed long, MSB-first
+    * (bits(0) → bit 63; wrapping is fine — it's an opaque fingerprint).
+    * One long per doc replaces the 64-element array through every
+    * downstream shuffle, and hamming verification becomes the codegen'd
+    * `bit_count(a ^ b)` instead of a zip_with/aggregate HOF pass.
     */
   def packBits(bits: Column): Column =
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-
-  /** Hamming distance between two equal-length 0/1 bit arrays. */
-  def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    // shift+or, not acc*2+b: setting bit 63 would overflow the signed
+    // multiply under ANSI mode, while shiftleft wraps by definition
+    aggregate(bits, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b.cast("long")))
 
   /** Combination blocking keys of a simhash bit array — the Manku/Jain/
     * Das Sarma web-dedup scheme (WWW'07 §3) rather than naive single-chunk
@@ -92,15 +93,17 @@ object TextOps {
     * blow-up and near-zero noise pairs at web scale (ScaleStress measured
     * the 16-bit scheme at shuffle exponent 1.85 on a 10× corpus step).
     */
-  def simhashComboKeys(bits: Column, maxHamming: Int): Column = {
+  def simhashComboKeys(packed: Column, maxHamming: Int): Column = {
     require(maxHamming >= 0 && maxHamming <= 13, s"maxHamming out of range: $maxHamming")
     val nBlocks = maxHamming + 3
     val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
-    def blockVal(i: Int): Column =
-      aggregate(
-        slice(bits, lit(bounds(i) + 1), lit(bounds(i + 1) - bounds(i))),
-        lit(0L),
-        (acc, b) => acc * 2 + b)
+    // bit-array range [lo, hi) sits at long bits [64-hi, 64-lo) under the
+    // MSB-first packing of [[packBits]] — pure shift/mask, fully codegen'd
+    def blockVal(i: Int): Column = {
+      val hi = bounds(i + 1)
+      val mask = (1L << (bounds(i + 1) - bounds(i))) - 1
+      shiftrightunsigned(packed, 64 - hi).bitwiseAND(lit(mask))
+    }
     val combos = (0 until nBlocks).combinations(3).toSeq
     array(combos.zipWithIndex.map { case (c, idx) =>
       struct(
