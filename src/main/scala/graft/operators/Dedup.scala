@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextOps._
@@ -290,6 +290,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3
+  ): DataFrame =
+    simhashPairsFromHashes(
+      docs, idCol,
+      graft.functions.GraftFunctions.tokenHashes(col(textCol)), maxHamming)
+
+  /** [[simhashPairs]] with a caller-supplied token-hash column
+    * (array<long>) in place of the default xxhash64 tokenizer. The hash
+    * family is a parameter of the sketch, not of the blocking/verify
+    * plan: a portable family (e.g. md5-derived, computable by any engine)
+    * makes the whole pipeline's output exactly reproducible cross-engine,
+    * which is how q_dedup_simhash carries a full DuckDB oracle.
+    */
+  def simhashPairsFromHashes(
+      docs: DataFrame,
+      idCol: String,
+      tokenHashes: Column,
+      maxHamming: Int = 3
   ): DataFrame = {
     // Same shape as minhashPairs: materialized signature table, id-only
     // band join, pair-dedup before the hamming verification. The 64-bit
@@ -297,7 +314,7 @@ object Dedup {
     // shuffle carries 8 bytes instead of a 64-element array, block keys
     // are shift/mask, and the verify is codegen'd bit_count(a ^ b).
     val sigs = docs
-      .withColumn("__th", graft.functions.GraftFunctions.tokenHashes(col(textCol)))
+      .withColumn("__th", tokenHashes)
       .select(col(idCol).as("id"), packBits(simhashBits("__th")).as("bits"))
       .localCheckpoint()
     val chunked = sigs

@@ -290,6 +290,20 @@ object Similarity {
     val bucketed = vectors
       .select(col(idCol).as("id"), explode(buckets(col(vecCol))).as("bk"))
       .select(col("id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    verifiedBucketPairs(bucketed, v, threshold)
+  }
+
+  /** Shared tail of the sign-LSH pair operators: equi-join the (tbl,
+    * bucket) table against itself carrying IDs only, dedup pairs that
+    * collide in several tables, then join the vectors back for the exact
+    * cosine verify — the shuffle and the distinct never see a 64-float
+    * payload.
+    */
+  private def verifiedBucketPairs(
+      bucketed: DataFrame,
+      v: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     val pairs = bucketed
       .as("a")
       .join(
@@ -304,6 +318,64 @@ object Similarity {
       .join(v.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** ±1 hyperplane sign s(table, plane, dim): bit 0 of the first 8 md5
+    * bytes of "t|p|d" read big-endian — the exact value any engine gets
+    * from its own md5 (DuckDB: `('0x'||substr(md5(t||'|'||p||'|'||d),1,16))
+    * ::UBIGINT & 1`), so the plane family is portable by construction.
+    */
+  def portableSign(t: Int, p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(s"$t|$p|$d".getBytes("UTF-8"))
+    if ((digest(7) & 1) == 1) 1L else -1L
+  }
+
+  /** [[lshCosinePairs]] on a PORTABLE integer sign-LSH: hyperplane
+    * components are ±1 drawn from [[portableSign]] and embeddings are
+    * quantized to `floor(x * 2^20)` longs, so each bucket bit is the sign
+    * of an exact integer dot — no float summation order anywhere, hence
+    * bit-identical across engines (the q_dedup_embedding_lsh DuckDB
+    * oracle replays signature construction, the ≥1-table collision test,
+    * and the cosine verify, and must hash-match). ±1 planes are a
+    * standard sign-LSH family (same collision-probability analysis as
+    * Gaussian planes); the quantization perturbs angles by < 2^-19 —
+    * immaterial against an 8-bit bucket. Production default
+    * [[lshCosinePairs]] keeps the float planes + codegen dot.
+    */
+  def lshCosinePairsPortable(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nTables: Int = 16,
+      planesPerTable: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val signs: Array[Array[Array[Long]]] =
+      Array.tabulate(nTables, planesPerTable, dim)(portableSign)
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val quantized = vectors
+      .select(
+        col(idCol).as("id"),
+        transform(col(vecCol), x => floor(x.cast("double") * 1048576.0).cast("long")).as("__qv"))
+      .localCheckpoint()
+    def bucket(t: Int): Column =
+      concat((0 until planesPerTable).map { p =>
+        val sv = typedlit(signs(t)(p).toSeq)
+        val dotInt = aggregate(
+          zip_with(col("__qv"), sv, (a, b) => a * b),
+          lit(0L),
+          (acc, x) => acc + x)
+        when(dotInt > 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    val bucketed = quantized
+      .select(
+        col("id"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("tbl"), bucket(t).as("bucket"))): _*)).as("bk"))
+      .select(col("id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    verifiedBucketPairs(bucketed, v, threshold)
   }
 
   /** Deterministic IVF codebook from a metadata partition: one fixed-point

@@ -9,9 +9,11 @@ import graft.operators.{Dedup, Similarity}
   * MinHash-LSH, SimHash, exact n-gram Jaccard, embedding-cosine near-dup.
   * Exact/Jaccard/embedding variants have direct DuckDB oracles; MinHash-LSH
   * is oracle-gated against the exact Jaccard PAIR SET (its banding recovers
-  * every exact pair of this corpus); SimHash and sign-LSH embedding pairs
-  * stay rows-only (engine-specific signatures, sub-1 recall by design) with
-  * ScalaTest recall assertions against exact ground truth — see SURVEY §2.7.
+  * every exact pair of this corpus); SimHash runs on portable md5 token
+  * hashes so the sketch replays in SQL and its exact-recall blocking is
+  * oracle-proven; sign-LSH embedding pairs run the portable integer-LSH
+  * variant whose oracle replays the full sub-1-recall pipeline — see
+  * SURVEY §2.7. Float/xxhash production defaults stay spec-gated.
   */
 object DedupQueries extends QuerySet {
 
@@ -219,11 +221,53 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
-  val qSimhash: GQuery = GQuery("q_dedup_simhash", None) { (spark, dir) =>
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures), run on
+    * PORTABLE md5-derived token hashes (first 8 md5 bytes as a long) so
+    * the full pipeline — tokenize → hash → 64 bit-votes → pack → blocked
+    * join → hamming verify — is exactly reproducible in DuckDB. Manku
+    * combination blocking has recall 1 within the hamming bound, so the
+    * oracle's brute-force `bit_count(xor(sig_a, sig_b)) <= 3` over all
+    * pairs must EQUAL our banded plan's output: the hash match proves the
+    * blocking scheme loses nothing, not just that the sketch agrees.
+    * (Production default [[Dedup.simhashPairs]] stays on xxhash64 —
+    * ~3× cheaper per token; DedupSpec gates that path's recall.)
+    */
+  val qSimhash: GQuery = GQuery(
+    "q_dedup_simhash",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN [''] ELSE toks END) AS t
+        FROM tk),
+      th AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+      bitsum AS (
+        SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        FROM th CROSS JOIN range(64) r(j)
+        GROUP BY 1, 2),
+      sig AS (
+        SELECT doc_id, string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS s
+        FROM bitsum GROUP BY 1)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(hamming(a.s, b.s) AS INT) AS hamming_dist
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE hamming(a.s, b.s) <= 3
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
     import spark.implicits._
+    // md5-lower-64 per token: identical bit pattern to the oracle's
+    // ('0x'||substr(md5(t),1,16))::UBIGINT (conv(...,16,-10) renders the
+    // same 64 bits as a signed decimal; only the bits feed the sketch)
+    val hashed = transform(
+      filter(split(lower($"text"), "\\s+"), x => x =!= ""),
+      tk => conv(substring(md5(tk), 1, 16), 16, -10).cast("long"))
+    val emptyHash = conv(substring(md5(lit("")), 1, 16), 16, -10).cast("long")
+    val hashes = when(size(hashed) === 0, array(emptyHash)).otherwise(hashed)
     Dedup
-      .simhashPairs(t(spark, dir).documents, "doc_id", "text", maxHamming = 3)
+      .simhashPairsFromHashes(t(spark, dir).documents, "doc_id", hashes, maxHamming = 3)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -305,19 +349,59 @@ object DedupQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
-  /** Label-free embedding near-dup via sign-LSH bucket blocking
-    * ([[Similarity.lshCosinePairs]]) — the scale path when no label/cluster
-    * blocking key exists AND duplicates are angularly tight. Rows-only
-    * (bucket assignment is engine-specific); recall and pruning asserted on
-    * planted duplicates in SimilaritySpec. Runs UNBOUNDED over the corpus:
-    * at a 0.3 threshold sign-LSH keeps little selectivity (the operator's
-    * regime note), so this demonstrates the worst case the blocking must
-    * survive — candidate volume is capped only by bucket collisions.
+  /** Label-free embedding near-dup via sign-LSH bucket blocking — the
+    * scale path when no label/cluster blocking key exists AND duplicates
+    * are angularly tight. Runs UNBOUNDED over the corpus: at a 0.3
+    * threshold sign-LSH keeps little selectivity (the operator's regime
+    * note), so this demonstrates the worst case the blocking must survive —
+    * candidate volume is capped only by bucket collisions.
+    *
+    * Registered on the PORTABLE variant ([[Similarity.lshCosinePairsPortable]]):
+    * ±1 md5-seeded hyperplanes over 2^20-quantized integer embeddings make
+    * every bucket bit exact integer arithmetic, so the DuckDB oracle
+    * replays signature construction, the ≥1-of-16-tables collision test,
+    * and the cosine verify bit-for-bit — the hash match covers the FULL
+    * sub-1-recall LSH pipeline, not an exact sibling. (Float-plane
+    * production default stays gated by SimilaritySpec planted-dup recall.)
     */
-  val qEmbeddingLsh: GQuery = GQuery("q_dedup_embedding_lsh", None) { (spark, dir) =>
+  val qEmbeddingLsh: GQuery = GQuery(
+    "q_dedup_embedding_lsh",
+    Some("""
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      dots AS (
+        SELECT vec_id, t, p,
+               list_sum(list_transform(generate_series(1, 64),
+                 d -> (CASE WHEN (('0x' || substr(md5(t::VARCHAR || '|' || p::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                            THEN 1 ELSE -1 END) * q[d])) AS dot
+        FROM qv CROSS JOIN range(16) rt(t) CROSS JOIN range(8) rp(p)),
+      sigs AS (
+        SELECT vec_id, t, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        FROM dots GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)
+      SELECT c.id_a, c.id_b,
+             round(list_sum(list_transform(generate_series(1, 64),
+                            i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM cand c
+      JOIN v a ON a.vec_id = c.id_a
+      JOIN v b ON b.vec_id = c.id_b
+      WHERE list_sum(list_transform(generate_series(1, 64),
+                     i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.3
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
     import spark.implicits._
     Similarity
-      .lshCosinePairs(t(spark, dir).embeddings, "vec_id", "embedding", threshold = 0.3)
+      .lshCosinePairsPortable(t(spark, dir).embeddings, "vec_id", "embedding", threshold = 0.3)
+      .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))
       .orderBy($"id_a", $"id_b")
   }
 

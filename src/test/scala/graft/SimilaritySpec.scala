@@ -75,6 +75,37 @@ class SimilaritySpec extends SparkSpec {
     )
   }
 
+  test("portable sign-LSH: md5 signs match the cross-engine convention; pairs are verified-exact") {
+    // ground truth computed independently in DuckDB:
+    //   ('0x'||substr(md5(t||'|'||p||'|'||d),1,16))::UBIGINT & 1 → ±1
+    val duckdb = Seq(
+      (0, 0, 0, -1L), (0, 0, 1, 1L), (0, 0, 2, -1L), (0, 0, 3, -1L),
+      (0, 1, 0, 1L), (0, 1, 1, -1L), (0, 1, 2, 1L), (0, 1, 3, -1L),
+      (1, 0, 0, 1L), (1, 0, 1, -1L), (1, 0, 2, -1L), (1, 0, 3, 1L),
+      (2, 1, 0, 1L), (2, 1, 1, -1L), (2, 1, 2, 1L), (2, 1, 3, 1L))
+    duckdb.foreach { case (t, p, d, want) =>
+      assert(Similarity.portableSign(t, p, d) == want, s"portableSign($t,$p,$d)")
+    }
+
+    // every emitted pair carries its true cosine and clears the threshold:
+    // the LSH decides WHICH pairs surface (sub-1 recall by design), the
+    // verify guarantees nothing spurious survives
+    val exact = Similarity
+      .blockedCosinePairs(emb.withColumn("one", org.apache.spark.sql.functions.lit(1)),
+        "vec_id", "embedding", "one", 0.3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val portable = Similarity
+      .lshCosinePairsPortable(emb, "vec_id", "embedding", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(portable.nonEmpty)
+    portable.foreach { case (a, b, cos) =>
+      assert(cos >= 0.3)
+      val ex = exact.get((a, b))
+      assert(ex.isDefined, s"portable pair ($a,$b) not in exact pair set")
+      assert(math.abs(ex.get - cos) < 1e-9, s"cosine mismatch on ($a,$b)")
+    }
+  }
+
   test("ivf-cell-blocked near-dup equals exact pairs restricted to shared cells") {
     // the blocked result must be exactly {(a,b) : cell(a)==cell(b), cos>=t}
     val codebook = Similarity.labelCodebook(emb, "label", "embedding")
