@@ -59,7 +59,10 @@ object GraftFunctions {
       (args => AvroDecodeContainer(args(0), litString(args(1), "graft_from_avro_file"))),
     "graft_unicode_norm" ->
       (args => UnicodeNormalize(args(0), litString(args(1), "graft_unicode_norm"))),
-    "graft_strip_accents" -> (args => StripAccents(args(0)))
+    "graft_strip_accents" -> (args => StripAccents(args(0))),
+    "graft_lsh_buckets" ->
+      (args => PortableLshBuckets(args(0), litInt(args(1), "graft_lsh_buckets"),
+        litInt(args(2), "graft_lsh_buckets"), litInt(args(3), "graft_lsh_buckets")))
   )
 
   private def info(name: String): ExpressionInfo =
@@ -89,6 +92,8 @@ object GraftFunctions {
     call_function("graft_from_avro", b, lit(schemaJson))
   def unicodeNorm(s: Column, form: String): Column =
     call_function("graft_unicode_norm", s, lit(form))
+  def lshBuckets(vec: Column, nTables: Int, planesPerTable: Int, dim: Int): Column =
+    call_function("graft_lsh_buckets", vec, lit(nTables), lit(planesPerTable), lit(dim))
   def stripAccents(s: Column): Column = call_function("graft_strip_accents", s)
   def toAvroFile(s: Column): Column = call_function("graft_to_avro_file", s)
   def fromAvroFile(b: Column, schemaJson: String): Column =

@@ -325,11 +325,8 @@ object Similarity {
     * from its own md5 (DuckDB: `('0x'||substr(md5(t||'|'||p||'|'||d),1,16))
     * ::UBIGINT & 1`), so the plane family is portable by construction.
     */
-  def portableSign(t: Int, p: Int, d: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(s"$t|$p|$d".getBytes("UTF-8"))
-    if ((digest(7) & 1) == 1) 1L else -1L
-  }
+  def portableSign(t: Int, p: Int, d: Int): Long =
+    graft.functions.PortableLsh.sign(t, p, d)
 
   /** [[lshCosinePairs]] on a PORTABLE integer sign-LSH: hyperplane
     * components are ±1 drawn from [[portableSign]] and embeddings are
@@ -342,6 +339,10 @@ object Similarity {
     * Gaussian planes); the quantization perturbs angles by < 2^-19 —
     * immaterial against an 8-bit bucket. Production default
     * [[lshCosinePairs]] keeps the float planes + codegen dot.
+    *
+    * All nTables × planesPerTable sign-dots run in ONE codegen expression
+    * ([[graft.functions.PortableLshBuckets]]) — a primitive integer loop
+    * per row, not planes × tables HOF aggregates.
     */
   def lshCosinePairsPortable(
       vectors: DataFrame,
@@ -352,29 +353,12 @@ object Similarity {
       planesPerTable: Int = 8,
       dim: Int = 64
   ): DataFrame = {
-    val signs: Array[Array[Array[Long]]] =
-      Array.tabulate(nTables, planesPerTable, dim)(portableSign)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val quantized = vectors
+    val bucketed = vectors
       .select(
         col(idCol).as("id"),
-        transform(col(vecCol), x => floor(x.cast("double") * 1048576.0).cast("long")).as("__qv"))
-      .localCheckpoint()
-    def bucket(t: Int): Column =
-      concat((0 until planesPerTable).map { p =>
-        val sv = typedlit(signs(t)(p).toSeq)
-        val dotInt = aggregate(
-          zip_with(col("__qv"), sv, (a, b) => a * b),
-          lit(0L),
-          (acc, x) => acc + x)
-        when(dotInt > 0, lit("1")).otherwise(lit("0"))
-      }: _*)
-    val bucketed = quantized
-      .select(
-        col("id"),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("tbl"), bucket(t).as("bucket"))): _*)).as("bk"))
-      .select(col("id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+        posexplode(GraftFunctions.lshBuckets(col(vecCol), nTables, planesPerTable, dim)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("bucket"))
     verifiedBucketPairs(bucketed, v, threshold)
   }
 
