@@ -37,7 +37,8 @@ object ScaleStress {
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s -> s"/root/testdata/$s")
     val names = Seq(
       "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_fuzzy_key",
-      "q_dedup_connected", "q_dedup_simhash", "q_dedup_span")
+      "q_dedup_connected", "q_dedup_simhash", "q_dedup_span",
+      "q_dedup_embedding_lsh")
 
     // untimed warmup (JVM/codegen)
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
@@ -47,7 +48,12 @@ object ScaleStress {
     for ((sf, dir) <- sfs; name <- names) {
       val docs = spark.read.parquet(s"$dir/documents.parquet").count()
       val cust = spark.read.parquet(s"$dir/customer.parquet").count()
-      val rows = if (name == "q_dedup_fuzzy_key") cust else docs
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val rows = name match {
+        case "q_dedup_fuzzy_key" => cust
+        case "q_dedup_embedding_lsh" => emb
+        case _ => docs
+      }
       val w0 = meter.write.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()

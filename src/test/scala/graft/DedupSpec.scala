@@ -62,6 +62,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty, "expected some simhash near-dups among planted duplicates")
   }
 
+  test("packed-long hamming equals the unpacked bit-array definition") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    // random 0/1 arrays incl. the MSB-set case (bit 0 of the array = bit
+    // 63 of the long, where signed-multiply packing would overflow)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = Array.fill(64)(rnd.nextInt(2).toLong)
+      val b = if (i % 3 == 0) a.clone() else Array.fill(64)(rnd.nextInt(2).toLong)
+      if (i % 2 == 0) a(0) = 1L // force the sign bit often
+      (a.toSeq, b.toSeq, a.zip(b).count { case (x, y) => x != y })
+    }
+    val df = rows.toDF("a", "b", "want")
+    val got = df
+      .select(
+        bit_count(TextOps.packBits($"a").bitwiseXOR(TextOps.packBits($"b")))
+          .cast("int").as("got"),
+        $"want")
+      .as[(Int, Int)]
+      .collect()
+    got.foreach { case (g, w) => assert(g == w) }
+  }
+
   test("connected components label chains and leave separate clusters apart") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, and 5-6 via two paths (cycle)
