@@ -19,10 +19,16 @@ import Common._
 object ProfilingQueries extends QuerySet {
 
   /** Column profile of `orders` — null count, exact distinct count, min/max
-    * per column — computed in ONE pass (a single wide aggregate row) and
-    * unpivoted to long form with `stack`. The multi-distinct agg expands to
-    * Spark's expand-operator plan (one shuffle), still a single scan; at
-    * 100 TB you'd swap exact distinct for approx_count_distinct, same shape.
+    * per column, unpivoted to long form with `stack`. The non-distinct
+    * stats come from ONE wide aggregate pass; the five exact distinct
+    * counts are SPLIT into per-column partial-distinct aggregates
+    * cross-joined back (five single-column scans) rather than fused into
+    * the wide aggregate — fused, Spark plans a row-multiplying Expand
+    * (one projection per distinct column: 6× the scan feeding the
+    * shuffle), the same plan defect q_agg_approx_distinct's fix removed.
+    * Five narrow columnar scans shuffle only distinct values; at 100 TB
+    * you'd swap exact distinct for approx_count_distinct and fall back to
+    * one pass.
     */
   val qProfile: GQuery = GQuery(
     "q_profile_columns",
@@ -67,16 +73,17 @@ object ProfilingQueries extends QuerySet {
     val strCols = Seq("o_orderstatus", "o_orderpriority")
     def nulls(c: String) =
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")
-    def nd(c: String) = countDistinct(col(c)).as(s"${c}__nd")
     val aggs: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as("n")) ++
-        (numCols ++ strCols).flatMap(c => Seq(nulls(c), nd(c))) ++
+        (numCols ++ strCols).map(c => nulls(c)) ++
         numCols.flatMap(c =>
           Seq(min(col(c)).cast("double").as(s"${c}__min"),
               max(col(c)).cast("double").as(s"${c}__max"))) ++
         strCols.flatMap(c =>
           Seq(min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax")))
-    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val wide = (numCols ++ strCols)
+      .map(c => o.agg(countDistinct(col(c)).as(s"${c}__nd")))
+      .foldLeft(o.agg(aggs.head, aggs.tail: _*))(_ crossJoin _)
     val numRows = numCols.map(c =>
       s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max, CAST(NULL AS STRING), CAST(NULL AS STRING)")
     val strRows = strCols.map(c =>

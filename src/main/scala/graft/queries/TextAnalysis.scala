@@ -435,23 +435,38 @@ object TextAnalysis extends QuerySet {
 
   /** Deflate compression-ratio quality signal
     * ([[graft.functions.DeflateRatio]]): per document the compressed/raw
-    * byte fraction plus the corpus quality verdict (repetitive text
-    * compresses away; near-random text doesn't). No oracle — DuckDB has no
-    * deflate; the codec contract (determinism, ordering, agreement with a
-    * direct JVM Deflater) is asserted in ExtensionSpec.
+    * byte fraction (repetitive text compresses away; near-random text
+    * doesn't). DuckDB has no deflate, so this is the bound-encoded oracle
+    * pattern: the output carries the exact recomputable value (n_chars)
+    * plus two REAL invariants of the ratio as booleans the oracle pins
+    * TRUE — (a) the ratio lies in (0.02, 1.1] (deflate's stored-block
+    * ceiling plus header overhead on tiny docs), and (b) deflating
+    * text||text beats 0.5·ratio + 0.2: every doc is far inside the 32 KB
+    * back-reference window, so the second copy must collapse to
+    * near-nothing — a self-referential compression property no constant
+    * output could fake. The hash match IS the codec contract; the raw
+    * per-doc ratio stays covered by ExtensionSpec (determinism, ordering,
+    * direct-JVM-Deflater agreement).
     */
-  val qCompress: GQuery = GQuery("q_text_compress", None) { (spark, dir) =>
+  val qCompress: GQuery = GQuery(
+    "q_text_compress",
+    Some("""
+      SELECT doc_id,
+             length(text) AS n_chars,
+             TRUE AS ratio_in_bounds,
+             TRUE AS doubling_compresses
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
     import spark.implicits._
+    val ratio = graft.functions.GraftFunctions.deflateRatio($"text")
+    val doubled = graft.functions.GraftFunctions.deflateRatio(concat($"text", $"text"))
     t(spark, dir).documents
       .select(
         $"doc_id",
-        round(graft.functions.GraftFunctions.deflateRatio($"text"), 6).as("deflate_ratio"),
-        length($"text").as("n_chars"))
-      .withColumn(
-        "verdict",
-        when($"deflate_ratio" < 0.2, "repetitive")
-          .when($"deflate_ratio" > 0.9, "incompressible")
-          .otherwise("normal"))
+        length($"text").as("n_chars"),
+        (ratio > 0.02 && ratio <= 1.1).as("ratio_in_bounds"),
+        (doubled < ratio * 0.5 + 0.2).as("doubling_compresses"))
       .orderBy($"doc_id")
   }
 

@@ -185,12 +185,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "events re-shuffled for a <=#groups-row join")
   }
 
-  test("column profile is ONE pass: a single parquet scan feeds every per-column aggregate") {
+  test("column profile never plans the multi-distinct Expand; distinct scans are single-column") {
     val p = planOf("q_profile_columns")
-    // count operator NODES in the tree section only (the details section
-    // repeats each operator's header once more)
-    val scans = p.split("\n\n").head.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans === 1, s"profile must read orders once, found $scans scans")
+    // five exact COUNT DISTINCTs fused into one aggregate would plan a
+    // row-multiplying Expand (6 projections of the scan); the profile
+    // splits them into per-column partial-distinct aggregates instead —
+    // one wide stats scan plus five NARROW scans that each read exactly
+    // one column (columnar IO ≈ the single all-column scan, none of the
+    // Expand CPU)
+    assert(!p.contains("Expand"), "profile re-fused multi-column distinct into an Expand")
+    val tree = p.split("\n\n").head
+    val scans = tree.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 6, s"expected 1 stats + 5 distinct scans, found $scans")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val narrow = readSchemas.count(s => s.count(_ == ':') == 1)
+    assert(narrow >= 5, s"distinct scans must read ONE column, schemas: $readSchemas")
   }
 
   test("funnel cascade never degrades to a cartesian or nested-loop join") {
