@@ -79,6 +79,77 @@ object SourceQueries extends QuerySet {
     agg(graft.sources.Partitioned.read(spark, out))
   }
 
+  /** DYNAMIC partition pruning over the hive layout — the runtime half of
+    * the data-skipping story. [[qPartitioned]] proves PLANNING-time pruning
+    * (literal filter on the partition column); here the days to read are
+    * only known after filtering a dim table on a NON-join attribute
+    * (`day_kind`, a stored column the optimizer cannot rewrite into a
+    * static partition predicate), so Spark must inject a
+    * DynamicPruningExpression into the fact scan that evaluates the
+    * broadcast dim result at RUNTIME and skips the other day directories —
+    * at 100 TB, the difference between scanning 30 days and the ~14 the
+    * dim selects, with zero static predicate available. PartitionedSpec
+    * asserts the `dynamicpruning` filter and the reduced file count on
+    * this exact plan shape; this query proves the pruned result is
+    * byte-identical to the oracle's unpruned join.
+    *
+    * The day key is `yyyyMMdd` as INT so directory-name type inference
+    * round-trips it exactly (a `yyyy-MM-dd` string would come back as
+    * DATE, which the oracle contract bans from outputs); `day_kind` is the
+    * first md5 nibble of the day string — deterministic and portable, ~half
+    * the days land in the selected set.
+    */
+  val qPartitionedDpp: GQuery = GQuery(
+    "q_source_partitioned_dpp",
+    Some(s"""
+      WITH ev AS (SELECT event_id, value,
+                         CAST(strftime(ts, '%Y%m%d') AS INT) AS day
+                  FROM events),
+           dim AS (SELECT day, substr(md5(CAST(day AS VARCHAR)), 1, 1) AS day_kind
+                   FROM (SELECT DISTINCT day FROM ev)),
+           sel AS (SELECT day FROM dim
+                   WHERE day_kind IN ('0','1','2','3','4','5','6','7'))
+      SELECT ev.day AS day,
+             COUNT(*) AS n,
+             CAST(SUM(event_id) AS BIGINT) AS sum_id,
+             ${sqlSum("value")} AS total
+      FROM ev JOIN sel ON ev.day = sel.day
+      GROUP BY ev.day
+      ORDER BY day""")
+  ) { (spark, dir) => dppJoin(spark, dir)._1 }
+
+  /** Builds the partitioned fact + dim layout and the DPP join; returns the
+    * aggregated frame plus the raw joined frame PartitionedSpec uses for
+    * plan/file-count assertions (same scan, pre-aggregation).
+    */
+  def dppJoin(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = t(spark, dir).events.select(
+      col("event_id"),
+      col("value"),
+      date_format(graft.streaming.StreamOps.tsFromNanos(col("ts")), "yyyyMMdd")
+        .cast("int").as("day"))
+    val base = Files.createTempDirectory("graft_src_dpp")
+    val factPath = base.resolve("fact").toString
+    val dimPath = base.resolve("dim").toString
+    graft.sources.Partitioned.write(ev, factPath, Seq("day"))
+    ev.select(col("day")).distinct()
+      .withColumn("day_kind", substring(md5(col("day").cast("string")), 1, 1))
+      .write.mode("overwrite").parquet(dimPath)
+    val fact = graft.sources.Partitioned.read(spark, factPath)
+    val sel = spark.read.parquet(dimPath)
+      .where(col("day_kind").isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .select(col("day"))
+    val joined = fact.join(broadcast(sel), Seq("day"))
+    val agg = joined
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        dsum(col("value")).as("total"))
+      .orderBy(col("day"))
+    (agg, joined)
+  }
+
   /** Resilient parsing of DIRTY json-lines input: a deterministic subset
     * of records (doc_id % 7 == 0) is truncated mid-token, and the parse
     * must degrade row-wise (corrupt rows counted, clean rows extracted) —
@@ -126,5 +197,6 @@ object SourceQueries extends QuerySet {
       .orderBy($"lang")
   }
 
-  override def queries: Seq[GQuery] = Seq(qJson, qCsv, qOrc, qDirtyJson, qPartitioned)
+  override def queries: Seq[GQuery] =
+    Seq(qJson, qCsv, qOrc, qDirtyJson, qPartitioned, qPartitionedDpp)
 }

@@ -45,6 +45,20 @@ object Partitioned {
   def partitionFilters(df: DataFrame): Seq[String] =
     fileScans(df).flatMap(_.partitionFilters.map(_.sql))
 
+  /** Per-scan (filesReadAtRuntime, filesBeforeDynamicPruning) for every
+    * scan carrying a DynamicPruningExpression, AFTER the frame has
+    * executed. `selectedPartitions` (what [[filesRead]] counts) is the
+    * PLANNING-time selection; runtime DPP skipping only shows up in the
+    * scan's metrics — `numFiles` is what was actually read, and Spark adds
+    * `staticFilesNum` (the pre-pruning count) exactly when dynamic
+    * pruning applies. A (read, static) pair with read < static is the
+    * proof the runtime subquery skipped whole directories.
+    */
+  def dynamicPruningReport(df: DataFrame): Seq[(Long, Long)] =
+    fileScans(df)
+      .filter(_.metrics.contains("staticFilesNum"))
+      .map(s => (s.metrics("numFiles").value, s.metrics("staticFilesNum").value))
+
   /** All file scans in the executed plan, looking through AQE wrapping —
     * under AQE (any join/aggregate over the scan) the scans live inside
     * `AdaptiveSparkPlanExec.executedPlan`, and once a stage has run they

@@ -95,6 +95,26 @@ class PartitionedSpec extends SparkSpec {
       "partitionFilters must unwrap AdaptiveSparkPlanExec like filesRead does")
   }
 
+  test("dim-attribute filter triggers DYNAMIC partition pruning on the fact scan") {
+    val s = spark
+    // The registered q_source_partitioned_dpp shape: fact partitioned by
+    // day, dim filtered on day_kind (a stored attribute — no static
+    // predicate on the join key exists for the optimizer to propagate).
+    // The fact scan must carry a runtime DynamicPruningExpression and
+    // read strictly fewer files than the full layout.
+    val (_, joined) = graft.queries.SourceQueries.dppJoin(s, sf)
+    joined.collect() // finalize AQE so the pruned file count is real
+    val filters = Partitioned.partitionFilters(joined)
+    assert(filters.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"fact scan must be pruned by a runtime subquery, filters: $filters")
+    val report = Partitioned.dynamicPruningReport(joined)
+    assert(report.nonEmpty, "no scan reported dynamic-pruning metrics")
+    report.foreach { case (read, static) =>
+      assert(read < static,
+        s"dynamic pruning must skip day directories at runtime ($read vs $static)")
+    }
+  }
+
   test("compact recovers a crashed swap: backup restored, stranded side dir dropped") {
     val s = spark
     import s.implicits._
