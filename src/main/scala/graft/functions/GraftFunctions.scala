@@ -62,7 +62,9 @@ object GraftFunctions {
     "graft_strip_accents" -> (args => StripAccents(args(0))),
     "graft_lsh_buckets" ->
       (args => PortableLshBuckets(args(0), litInt(args(1), "graft_lsh_buckets"),
-        litInt(args(2), "graft_lsh_buckets"), litInt(args(3), "graft_lsh_buckets")))
+        litInt(args(2), "graft_lsh_buckets"), litInt(args(3), "graft_lsh_buckets"))),
+    "graft_zorder" ->
+      (args => ZOrderKey(args.tail, litInt(args.head, "graft_zorder")))
   )
 
   private def info(name: String): ExpressionInfo =
@@ -95,6 +97,8 @@ object GraftFunctions {
   def lshBuckets(vec: Column, nTables: Int, planesPerTable: Int, dim: Int): Column =
     call_function("graft_lsh_buckets", vec, lit(nTables), lit(planesPerTable), lit(dim))
   def stripAccents(s: Column): Column = call_function("graft_strip_accents", s)
+  def zorder(bits: Int, dims: Column*): Column =
+    call_function("graft_zorder", (lit(bits) +: dims): _*)
   def toAvroFile(s: Column): Column = call_function("graft_to_avro_file", s)
   def fromAvroFile(b: Column, schemaJson: String): Column =
     call_function("graft_from_avro_file", b, lit(schemaJson))

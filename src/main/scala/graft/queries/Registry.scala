@@ -19,7 +19,8 @@ object Registry {
     MultimodalQueries,
     StreamingQueries,
     ProfilingQueries,
-    SequenceQueries
+    SequenceQueries,
+    LayoutQueries
   )
 
   lazy val all: Seq[GQuery] = {
