@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.functions.{array, call_function, lit}
 
 import graft.serde.{AvroDecodeContainer, AvroDecodeDatum, AvroEncodeContainer, AvroEncodeDatum}
 
@@ -64,7 +64,9 @@ object GraftFunctions {
       (args => PortableLshBuckets(args(0), litInt(args(1), "graft_lsh_buckets"),
         litInt(args(2), "graft_lsh_buckets"), litInt(args(3), "graft_lsh_buckets"))),
     "graft_zorder" ->
-      (args => ZOrderKey(args.tail, litInt(args.head, "graft_zorder")))
+      (args => ZOrderKey(args.tail, litInt(args.head, "graft_zorder"))),
+    "graft_subword" ->
+      (args => SubwordTokenize(args(0), args(1), litInt(args(2), "graft_subword")))
   )
 
   private def info(name: String): ExpressionInfo =
@@ -99,6 +101,9 @@ object GraftFunctions {
   def stripAccents(s: Column): Column = call_function("graft_strip_accents", s)
   def zorder(bits: Int, dims: Column*): Column =
     call_function("graft_zorder", (lit(bits) +: dims): _*)
+  def subword(text: Column, vocab: Seq[String], maxPieceLen: Int): Column =
+    call_function("graft_subword", text,
+      array(vocab.map(lit): _*), lit(maxPieceLen))
   def toAvroFile(s: Column): Column = call_function("graft_to_avro_file", s)
   def fromAvroFile(b: Column, schemaJson: String): Column =
     call_function("graft_from_avro_file", b, lit(schemaJson))

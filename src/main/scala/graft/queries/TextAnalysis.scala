@@ -550,7 +550,76 @@ object TextAnalysis extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Greedy subword tokenization ([[graft.functions.SubwordTokenize]])
+    * with a corpus-trained piece vocabulary: the WordPiece/BPE inference
+    * step of a tokenize-and-pack pipeline. Vocab = top-500 character
+    * 2..6-grams of whitespace words by (count DESC, gram ASC) — built
+    * distributed, collected bounded (KBs, like the IVF codebook), and
+    * shipped to executors inside the expression. Output is every piece of
+    * every document in order; the DuckDB oracle retrains the identical
+    * vocab and replays greedy longest-prefix matching with a recursive
+    * CTE (best match per step = MAX matching gram length, else 1 char),
+    * so the hash match proves training, tie-breaking, and the greedy scan
+    * end-to-end. At 100 TB the per-row cost is a linear scan with ≤5 hash
+    * probes per character and the vocab build is one n-gram count —
+    * nothing here is corpus-quadratic.
+    */
+  val qSubword: GQuery = GQuery(
+    "q_text_subword",
+    Some("""
+      WITH RECURSIVE
+      parts AS (SELECT doc_id, string_split_regex(text, '\s+') AS ps FROM documents),
+      widx AS (SELECT doc_id, ps, unnest(range(1, array_length(ps) + 1)) AS word_idx FROM parts),
+      words AS (SELECT doc_id, word_idx, ps[word_idx] AS word FROM widx
+                WHERE length(ps[word_idx]) > 0),
+      gpos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p FROM words),
+      grams AS (SELECT substr(word, p, n.n) AS gram
+                FROM gpos, (SELECT unnest(range(2, 7)) AS n) n
+                WHERE p + n.n - 1 <= length(word)),
+      vocab AS (SELECT gram FROM (
+                  SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram
+                  ORDER BY cnt DESC, gram ASC LIMIT 500)),
+      tok AS (
+        SELECT doc_id, word_idx, word, 1 AS pos, 0 AS pidx, CAST(NULL AS VARCHAR) AS piece
+        FROM words
+        UNION ALL
+        SELECT doc_id, word_idx, word, pos + best_n, pidx + 1, substr(word, pos, best_n)
+        FROM (
+          SELECT t.doc_id, t.word_idx, t.word, t.pos, t.pidx,
+                 COALESCE((SELECT MAX(length(v.gram)) FROM vocab v
+                           WHERE length(v.gram) <= length(t.word) - t.pos + 1
+                             AND substr(t.word, t.pos, length(v.gram)) = v.gram), 1) AS best_n
+          FROM tok t WHERE t.pos <= length(t.word)))
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY word_idx, pidx) - 1 AS INT)
+               AS piece_idx,
+             piece
+      FROM tok WHERE piece IS NOT NULL
+      ORDER BY doc_id, piece_idx""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val words = docs
+      .select(explode(split($"text", "\\s+")).as("word"))
+      .where(length($"word") > 0)
+    val grams = words
+      .select($"word", explode(sequence(lit(2), lit(6))).as("n"))
+      .where(length($"word") >= $"n")
+      .select(explode(expr("transform(sequence(1, length(word) - n + 1), p -> substring(word, p, n))")).as("gram"))
+    val vocab = grams
+      .groupBy($"gram").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"gram".asc)
+      .limit(500)
+      .collect().map(_.getString(0)).toSeq
+    docs
+      .select($"doc_id",
+        posexplode(graft.functions.GraftFunctions.subword($"text", vocab, 6)))
+      .toDF("doc_id", "piece_idx", "piece")
+      .orderBy($"doc_id", $"piece_idx")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode,
-      qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode)
+      qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
+      qSubword)
 }
