@@ -618,8 +618,73 @@ object TextAnalysis extends QuerySet {
       .orderBy($"doc_id", $"piece_idx")
   }
 
+  /** Bigram language-model likelihood score — the CCNet-style "does this
+    * document look like the corpus" quality gate, in exact integer
+    * arithmetic so the oracle is bit-identical. Train: bigram counts
+    * c(w1,w2), prefix counts c(w1), vocab size V over whitespace word
+    * sequences. Score: per bigram, add-one likelihood
+    * p = (c(w1,w2)+1)/(c(w1)+V), kept EXACT by scaling to
+    * floor(p * 10^12) with integer division (no doubles anywhere — a
+    * real log-perplexity would hash-diverge on ln rounding); per doc,
+    * the integer mean of scaled likelihoods. Low scores = improbable
+    * word sequences = filtration candidates. Every stage is a linear
+    * count or an equi-join back on the bigram key — train and score are
+    * one pass each at 100 TB, and the LM itself stays distributed (no
+    * driver collect; contrast the bounded-vocab subword tokenizer).
+    * Overflow bound: the scaled numerator (c12+1)*10^12 wraps past
+    * ~9.2M occurrences of ONE bigram — at corpora where a single bigram
+    * exceeds that, drop the scale to 10^9 (DuckDB errors loudly on
+    * overflow; Spark wraps, so the scale choice is the contract).
+    */
+  val qLmScore: GQuery = GQuery(
+    "q_text_lm_score",
+    Some("""
+      WITH parts AS (SELECT doc_id, string_split_regex(text, '\s+') AS ps FROM documents),
+      widx AS (SELECT doc_id, ps, unnest(range(1, array_length(ps) + 1)) AS i FROM parts),
+      words AS (SELECT doc_id, i, ps[i] AS w FROM widx WHERE length(ps[i]) > 0),
+      seq AS (SELECT doc_id, i, w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+              FROM words),
+      big AS (SELECT doc_id, w AS w1, w2 FROM seq WHERE w2 IS NOT NULL),
+      bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+      pc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+      v AS (SELECT COUNT(DISTINCT w) AS nv FROM words),
+      scored AS (SELECT b.doc_id,
+                        ((bc.c12 + 1) * 1000000000000) // (pc.c1 + v.nv) AS p12
+                 FROM big b
+                 JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+                 JOIN pc ON b.w1 = pc.w1
+                 CROSS JOIN v)
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(p12) // COUNT(*) AS BIGINT) AS lm_score_e12
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = t(spark, dir).documents
+      .select($"doc_id", posexplode(split($"text", "\\s+")))
+      .toDF("doc_id", "i", "w")
+      .where(length($"w") > 0)
+    val big = words
+      .withColumn("w2", lead($"w", 1).over(Window.partitionBy($"doc_id").orderBy($"i")))
+      .where($"w2".isNotNull)
+      .select($"doc_id", $"w".as("w1"), $"w2")
+    val bc = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val pc = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val nv = words.select(countDistinct($"w").as("nv"))
+    big
+      .join(bc, Seq("w1", "w2"))
+      .join(pc, Seq("w1"))
+      .crossJoin(nv)
+      .withColumn("p12", expr("((c12 + 1) * 1000000000000L) div (c1 + nv)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p12) div count(1)").cast("long").as("lm_score_e12"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
-      qSubword)
+      qSubword, qLmScore)
 }
