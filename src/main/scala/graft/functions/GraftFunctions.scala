@@ -66,7 +66,14 @@ object GraftFunctions {
     "graft_zorder" ->
       (args => ZOrderKey(args.tail, litInt(args.head, "graft_zorder"))),
     "graft_subword" ->
-      (args => SubwordTokenize(args(0), args(1), litInt(args(2), "graft_subword")))
+      (args => SubwordTokenize(args(0), args(1), litInt(args(2), "graft_subword"))),
+    "graft_cell_cosines" -> (args => {
+      require(args(1).foldable, "graft_cell_cosines centroid matrix must be a literal")
+      val arr = args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val flat = Array.tabulate(arr.numElements())(arr.getFloat)
+      CellCosines(args(0), flat,
+        litInt(args(2), "graft_cell_cosines"), litInt(args(3), "graft_cell_cosines"))
+    })
   )
 
   private def info(name: String): ExpressionInfo =
@@ -104,6 +111,12 @@ object GraftFunctions {
   def subword(text: Column, vocab: Seq[String], maxPieceLen: Int): Column =
     call_function("graft_subword", text,
       array(vocab.map(lit): _*), lit(maxPieceLen))
+  def cellCosines(vec: Column, cents: Array[Seq[Float]]): Column = {
+    val dim = cents.map(_.length).max
+    require(cents.forall(_.length == dim), "centroid cells must share one dimension")
+    call_function("graft_cell_cosines", vec,
+      lit(cents.flatten.toArray), lit(cents.length), lit(dim))
+  }
   def toAvroFile(s: Column): Column = call_function("graft_to_avro_file", s)
   def fromAvroFile(b: Column, schemaJson: String): Column =
     call_function("graft_from_avro_file", b, lit(schemaJson))

@@ -145,13 +145,13 @@ object Similarity {
     * cells; queries probe only their nprobe nearest cells, so the scored
     * candidate volume is ~nprobe/nlist of the corpus instead of all of it.
     *
-    * Training is spherical k-means (two Lloyd iterations from a
-    * deterministic id % nlist seeding) via the engine's CentroidAgg UDAF —
-    * at 100 TB you'd train on a sample with more iterations; the
-    * cell-assign/probe/score machinery is identical. Centroids are tiny (nlist × dim floats):
-    * collected once, shipped as a literal, so assignment is a narrow
-    * codegen'd map — the only shuffle is the (cell, id) candidate
-    * equi-join, skew-handled by AQE.
+    * Training is spherical k-means on a bounded deterministic sample
+    * (farthest-point seeding + three driver-side Lloyd rounds over 512
+    * vectors) — the corpus itself never feeds a training job, only the
+    * single codegen'd cell-assign map. Centroids are tiny (nlist × dim
+    * floats): shipped as a literal, so assignment is a narrow map — the
+    * only shuffle is the (cell, id) candidate equi-join, skew-handled by
+    * AQE.
     */
   def ivfTopK(
       candidates: DataFrame,
@@ -163,36 +163,24 @@ object Similarity {
       nProbe: Int = 6
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.udaf
-    val centroidAgg = udaf(new graft.functions.CentroidAgg(64))
 
     // cell score list against a given centroid set: (cosine, cell id)
+    // structs, built from ONE CellCosines pass (a reference-object
+    // centroid matrix, not nlist separate literal trees — the latter made
+    // Catalyst planning+codegen dominate small IVF queries)
     def scoresFor(cents: Array[Seq[Float]])(vec: Column): Column =
-      array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        struct(cosine(vec, typedlit(c)).as("s"), lit(i).as("cell"))
-      }: _*)
-
-    // Empty cells are DROPPED, not zero-filled: cosine against a zero
-    // vector is NaN, and NaN sorts above every double in Spark, so a
-    // zero-filled dead cell would win every argmax.
-    def trainStep(assignCell: Column): Array[Seq[Float]] = {
-      candidates
-        .select(assignCell.as("cell"), col(vecCol).as("v"))
-        .groupBy(col("cell"))
-        .agg(centroidAgg(col("v")).as("c"))
-        .select(col("cell"), col("c.values").as("vals"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat))
-        .sortBy(_._1)
-        .map(_._2)
-        .toArray
-    }
+      transform(
+        graft.functions.GraftFunctions.cellCosines(vec, cents),
+        (s, i) => struct(s.as("s"), i.as("cell")))
 
     // Farthest-point seeding on a deterministic sample (k-means++-style
     // spread beats the modulo partition that ignores geometry), then Lloyd
-    // iterations; centroids are tiny, so each step is one aggregate job +
-    // a driver collect. At 100 TB the sample is exactly how this trains —
-    // the full corpus only ever flows through the cell-assign map.
+    // iterations ON THE SAMPLE, entirely driver-side: the sample is 512
+    // vectors, so three Lloyd rounds are microseconds — spending three
+    // full-corpus aggregate jobs on them (as an earlier version did) buys
+    // nothing at any scale. This IS the 100 TB recipe: train the coarse
+    // quantizer on a bounded sample, and let the corpus flow only through
+    // the single codegen'd cell-assign map below.
     val sample0 = candidates
       .filter(col(idCol) % 7 === 0) // deterministic ~1/7 sample
       .select(col(vecCol))
@@ -221,13 +209,35 @@ object Similarity {
       val next = sample.maxBy(v => -seeds.map(s => cos(v, s)).max)
       seeds += next
     }
-    val seedCents = seeds.map(_.map(_.toFloat).toSeq).toArray
-    var cents = trainStep(array_max(scoresFor(seedCents)(col(vecCol))).getField("cell"))
+    // Lloyd on the sample. Empty cells are DROPPED, not zero-filled:
+    // cosine against a zero vector is NaN, and NaN sorts above every
+    // double in Spark, so a zero-filled dead cell would win every argmax.
+    var centsD: Array[Array[Double]] = seeds.map(_.map(_.toDouble)).toArray
     var it = 0
-    while (it < 2) {
-      cents = trainStep(array_max(scoresFor(cents)(col(vecCol))).getField("cell"))
+    while (it < 3) {
+      val dim = centsD.map(_.length).max
+      val sums = Array.fill(centsD.length)(new Array[Double](dim))
+      val counts = new Array[Long](centsD.length)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < centsD.length) {
+          val s = cos(v, centsD(c).map(_.toFloat))
+          // ties take the HIGHER cell, matching array_max's struct order
+          if (s >= bestS) { bestS = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < math.min(dim, v.length)) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centsD = centsD.indices
+        .filter(counts(_) > 0L)
+        .map(c => sums(c).map(_ / counts(c)))
+        .toArray
       it += 1
     }
+    val cents: Array[Seq[Float]] = centsD.map(_.map(_.toFloat).toSeq)
 
     def cellScores(vec: Column): Column = scoresFor(cents)(vec)
 
@@ -397,10 +407,12 @@ object Similarity {
     * rows assign identically.
     */
   def ivfCell(vec: Column, codebook: Array[Seq[Float]]): Column = {
-    val scored = array(codebook.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct(cosine(vec, typedlit(c)).as("s"), lit(-i).as("neg_cell"))
-    }: _*)
-    -array_max(scored).getField("neg_cell")
+    // one CellCosines pass (reference-object centroids); the FIRST index
+    // of the max score is the smallest-id argmax. Spark's NaN semantics
+    // (NaN = NaN is true, NaN sorts greatest) keep zero-vector rows on
+    // the same degenerate-but-deterministic assignment as before.
+    val sc = graft.functions.GraftFunctions.cellCosines(vec, codebook)
+    (array_position(sc, array_max(sc)) - 1).cast("int")
   }
 
   /** Full-table embedding near-dup with IVF cells as the blocking key —
