@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -114,4 +114,57 @@ object EditDistanceUtil {
     }
     out
   }
+}
+
+/** `graft_deletions(s)` → array<string>: the string itself plus every
+  * single-CODE-POINT deletion, first-occurrence-deduped (the FastSS k=1
+  * blocking neighborhood — see Dedup.editDistancePairs). A codegen'd
+  * replacement for the slice/concat higher-order-function chain, which
+  * spent ~20 Catalyst array allocations per deletion; here each variant
+  * is one substring concat. Deletions walk code points so the
+  * neighborhood lives on the same comparison plane as `graft_ed1` and
+  * `levenshtein` for supplementary-plane keys.
+  */
+object DeletionNeighborhoodUtil {
+  def deletions(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = u.toString
+    val out = new java.util.LinkedHashSet[String]()
+    out.add(s)
+    var i = 0
+    while (i < s.length) {
+      val step = Character.charCount(s.codePointAt(i))
+      out.add(s.substring(0, i) + s.substring(i + step))
+      i += step
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) {
+      arr(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+case class DeletionNeighborhood(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_deletions"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeletionNeighborhoodUtil.deletions(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.DeletionNeighborhoodUtil$$.MODULE$$.deletions($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -67,6 +67,7 @@ object GraftFunctions {
       (args => ZOrderKey(args.tail, litInt(args.head, "graft_zorder"))),
     "graft_subword" ->
       (args => SubwordTokenize(args(0), args(1), litInt(args(2), "graft_subword"))),
+    "graft_deletions" -> (args => DeletionNeighborhood(args(0))),
     "graft_cell_cosines" -> (args => {
       require(args(1).foldable, "graft_cell_cosines centroid matrix must be a literal")
       val arr = args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -111,6 +112,7 @@ object GraftFunctions {
   def subword(text: Column, vocab: Seq[String], maxPieceLen: Int): Column =
     call_function("graft_subword", text,
       array(vocab.map(lit): _*), lit(maxPieceLen))
+  def deletionNeighborhood(s: Column): Column = call_function("graft_deletions", s)
   def cellCosines(vec: Column, cents: Array[Seq[Float]]): Column = {
     val dim = cents.map(_.length).max
     require(cents.forall(_.length == dim), "centroid cells must share one dimension")

@@ -161,26 +161,23 @@ object Dedup {
       maxKeyFreq: Long = 0
   ): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(strCol).as("s"))
-    val chars = split(col("s"), "")
-    val dels = when(
-      length(col("s")) > 0,
-      transform(
-        sequence(lit(0), length(col("s")) - 1),
-        i =>
-          concat_ws(
-            "",
-            concat(
-              slice(chars, lit(1), i),
-              slice(chars, i + 2, length(col("s")) - i - 1)))))
-      .otherwise(array().cast("array<string>"))
+    // identity + every single-code-point deletion, built by ONE codegen'd
+    // expression (graft_deletions) — the earlier slice/concat HOF chain
+    // cost ~20 Catalyst array allocations per deletion and dominated the
+    // whole operator's runtime
     val keyed = base
       .select(col("id"), col("s"),
-        explode(array_distinct(concat(array(col("s")), dels))).as("__dk"))
+        explode(graft.functions.GraftFunctions.deletionNeighborhood(col("s"))).as("__dk"))
     val capped =
       if (maxKeyFreq <= 0) keyed
       else {
-        val hot = keyed.groupBy("__dk").count().filter(col("count") > maxKeyFreq).select("__dk")
-        keyed.join(hot, Seq("__dk"), "left_anti")
+        // global key frequency via a window on the SAME shuffle key the
+        // pair join needs — no separate count job + anti-join round trip
+        import org.apache.spark.sql.expressions.Window
+        keyed
+          .withColumn("__kf", count(lit(1)).over(Window.partitionBy(col("__dk"))))
+          .filter(col("__kf") <= maxKeyFreq)
+          .drop("__kf")
       }
     // Materialize the neighborhood ONCE: without this the O(len²)
     // slice-transform explode is re-evaluated on BOTH sides of the
