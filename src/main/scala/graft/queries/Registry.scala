@@ -20,7 +20,8 @@ object Registry {
     StreamingQueries,
     ProfilingQueries,
     SequenceQueries,
-    LayoutQueries
+    LayoutQueries,
+    IngestQueries
   )
 
   lazy val all: Seq[GQuery] = {
