@@ -65,4 +65,45 @@ object TimeSeries {
         col("__v").isNull.as("was_gap")
       )
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) interval build from a keyed
+    * attribute changelog: compress consecutive identical attribute values
+    * per key, then emit one row per surviving version with its validity
+    * interval `[valid_from, valid_to)` — `valid_to` NULL (and `is_current`
+    * true) for the open latest version.
+    *
+    * This is the batch materialization of "attribute history" that a CTable
+    * keyed upsert (reference: callysto/src/table/table.rs:93-98) throws
+    * away: the upsert keeps only the latest value; SCD2 keeps every value
+    * with the time range it was current.
+    *
+    * Scale shape: two window passes over the SAME (key, order) partitioning
+    * — Catalyst plans ONE shuffle + sort and runs both windows on it. No
+    * self-join, no state; linear in the changelog.
+    *
+    * @param df      the changelog
+    * @param keyCol  entity key
+    * @param attrCol tracked attribute (null-safe change detection)
+    * @param seqCols total version order within a key (first column is the
+    *                version timestamp used for interval bounds; remaining
+    *                columns only break ties)
+    */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String, seqCols: Seq[String]): DataFrame = {
+    val ord = seqCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // row 1 always opens a version; later rows only when the attribute
+      // actually changed (null-safe: NULL -> x and x -> NULL are changes)
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+      .withColumn("valid_to", lead(col(seqCols.head), 1).over(w))
+      .select(
+        col(keyCol),
+        col(attrCol).as("state"),
+        col(seqCols.head).as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current")
+      )
+  }
 }

@@ -367,7 +367,45 @@ object StreamingQueries extends QuerySet {
       .orderBy($"k")
   }
 
+  /** SCD2 history from the event changelog ([[graft.operators.TimeSeries
+    * .scd2]]): per user, consecutive runs of the same event_type compress
+    * to one version row with `[valid_from, valid_to)` ns-epoch bounds and
+    * an `is_current` flag on the open version. The attribute history a
+    * keyed upsert discards, materialized as intervals — two window passes
+    * over ONE (key, time) sort, no self-join. Interval bounds ship as
+    * µs-since-epoch BIGINTs, and the version ORDER is µs too, so both
+    * engines sort identical keys (raw TIMESTAMP output is banned by
+    * oracle-parity rules, and DuckDB truncates parquet ns to µs on read —
+    * ns vs µs physics).
+    */
+  val qScd2: GQuery = GQuery(
+    "q_state_scd2",
+    Some("""
+      WITH c AS (
+        SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev,
+               ROW_NUMBER()   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+      f AS (SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      SELECT user_id, event_type AS state, tus AS valid_from,
+             lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to,
+             (lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL)
+               AS is_current
+      FROM f
+      ORDER BY user_id, valid_from""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.TimeSeries
+      .scd2(
+        t(spark, dir).events
+          .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_id", $"event_type"),
+        keyCol = "user_id",
+        attrCol = "event_type",
+        seqCols = Seq("ts_us", "event_id"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStateSnapshot, qTumbling, qSliding, qSession, qSessionDynamic, qAvroRoundtrip,
-      qAvroFileRoundtrip, qGapFill, qMergeUpsert)
+      qAvroFileRoundtrip, qGapFill, qMergeUpsert, qScd2)
 }
