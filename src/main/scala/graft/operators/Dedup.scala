@@ -653,4 +653,55 @@ object Dedup {
       .join(counts, idCol)
       .select(col(idCol), col("n_paras"), col("n_kept"), col("clean_text"))
   }
+
+  /** Canonical-document selection: given dup-cluster labels (the
+    * [[connectedComponents]] output) pick ONE representative per cluster —
+    * the highest-scoring doc, ties to the smallest id — and report cluster
+    * size. Docs in no cluster (the vast majority of a real corpus) are
+    * their own singleton representative via the left join + coalesce, so
+    * the output is a total keep-decision table: exactly one row per
+    * distinct component, `n_docs - 1` drops implied per row.
+    *
+    * The reference keeps only a latest-value CTable upsert
+    * (callysto/src/table/table.rs:93-98); "best of an equivalence class"
+    * is the corpus-dedup generalization a training pipeline needs (drop
+    * near-dups but keep the longest/cleanest copy).
+    *
+    * Scale shape: one left join on id (clusters frame is CC output — tiny
+    * next to the corpus, broadcastable) and one groupBy(component) with a
+    * struct-max — partial-aggregated map-side, so the shuffle carries one
+    * (score, id) pair per component per task, never the corpus. The
+    * argmax is `max(struct(score, -id))`: lexicographic struct ordering
+    * gives score-desc, id-asc in a single mergeable aggregate (a window
+    * row_number would sort whole partitions for rank 1 — same answer,
+    * strictly more work).
+    *
+    * @param docs       corpus with `idCol` and `scoreCol`
+    * @param components (id, component) labels from [[connectedComponents]]
+    * @param scoreCol   quality score to maximize (length, LM score, ...)
+    * @return (component, rep_id, rep_score, n_docs)
+    */
+  def clusterRepresentatives(
+      docs: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      scoreCol: String
+  ): DataFrame = {
+    val labeled = docs
+      .join(components.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+        col(scoreCol))
+    labeled
+      .groupBy(col("component"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("__best"),
+        count(lit(1)).as("n_docs"))
+      .select(
+        col("component"),
+        (-col("__best.negid")).as("rep_id"),
+        col("__best.s").as("rep_score"),
+        col("n_docs"))
+  }
 }

@@ -588,8 +588,70 @@ object DedupQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** End of the dedup pipeline: who do we KEEP? Exact-Jaccard pairs (same
+    * parameters as q_dedup_connected) → connected components → one
+    * representative per cluster: max n_chars, ties to the smallest doc_id,
+    * singletons representing themselves ([[Dedup.clusterRepresentatives]]).
+    * The oracle replays the whole chain — shingling, df-cap, Jaccard ≥ 0.5
+    * pairs, recursive-CTE components, then a window argmax — so the hash
+    * match proves the full keep-decision table, not just the clustering.
+    * (Spark side uses a mergeable struct-max aggregate instead of the
+    * oracle's window rank: same answer, map-side combinable.)
+    */
+  val qRepresentative: GQuery = GQuery(
+    "q_dedup_representative",
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      shf AS (SELECT * FROM sh WHERE s NOT IN (
+                SELECT s FROM sh GROUP BY s
+                HAVING COUNT(*) > (SELECT CAST(ceil(0.1 * COUNT(*)) AS BIGINT) FROM documents))),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      jp AS (SELECT id_a, id_b FROM (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+               FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2) p
+             JOIN sz sa ON sa.doc_id = p.id_a
+             JOIN sz sb ON sb.doc_id = p.id_b
+             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS component
+               FROM reach GROUP BY src),
+      lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+              FROM documents d LEFT JOIN comp c USING (doc_id))
+      SELECT component, doc_id AS rep_id, n_chars AS rep_score, n_docs FROM (
+        SELECT component, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_docs
+        FROM lab) r
+      WHERE rn = 1
+      ORDER BY component""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val cap = math.ceil(0.1 * docs.count()).toLong
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxDocFreq = cap)
+      .select($"id_a", $"id_b")
+    Dedup
+      .clusterRepresentatives(docs, "doc_id", Dedup.connectedComponents(pairs), "n_chars")
+      .orderBy($"component")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qMinhash, qSimhash,
       qEmbedding, qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSpan,
-      qSharedShingles)
+      qSharedShingles, qRepresentative)
 }
