@@ -124,5 +124,44 @@ object Subqueries extends QuerySet {
       ORDER BY s.s_suppkey""")
   }
 
-  override def queries: Seq[GQuery] = Seq(qScalarCorrelated, qExists, qIn, qLateral)
+  /** SQL-defined scalar UDFs (`CREATE TEMPORARY FUNCTION ... RETURN expr`)
+    * — the declarative end of the extension surface. Unlike a JVM closure
+    * UDF, the analyzer INLINES the SQL function body into the plan, so the
+    * expression stays inside whole-stage codegen and predicate
+    * pushdown/constant folding see through it; at 100 TB a SQL UDF costs
+    * exactly what writing the expression inline would, while a closure UDF
+    * is an opaque per-row call. The oracle runs the bodies inlined —
+    * matching results prove the expansion is semantically transparent.
+    *
+    * The reference's "UDF surface" is arbitrary Rust closures in agents
+    * (SURVEY.md §2.6 extension row); SQL UDFs are the engine-side analog
+    * for relational logic.
+    */
+  val qSqlUdf: GQuery = GQuery(
+    "q_fn_sql_udf",
+    Some(s"""
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  ) { (spark, dir) =>
+    withViews(spark, dir)
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+                 RETURNS DOUBLE RETURN p * (1.0 - d)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_is_bulk(q DOUBLE)
+                 RETURNS INT RETURN CASE WHEN q >= 25 THEN 1 ELSE 0 END""")
+    spark.sql("""
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(graft_disc_price(l_extendedprice, l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             CAST(SUM(graft_is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qScalarCorrelated, qExists, qIn, qLateral, qSqlUdf)
 }
