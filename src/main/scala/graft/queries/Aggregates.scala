@@ -268,6 +268,75 @@ object Aggregates extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Sketch SET OPERATIONS: estimated overlap between audience slices via
+    * HLL inclusion-exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), with
+    * the union estimated by MERGING the two slices' sketches (`hll_union`),
+    * never rescanning. At 100 TB this answers "how much do the `view` and
+    * `click` audiences overlap" from per-slice sketches a rollup already
+    * maintains — no pairwise distinct-expand over the fact table, and the
+    * same per-type sketch serves every pair.
+    *
+    * Plan shape: one distinct pass to (type, user); per-type sketch + exact
+    * count (5 rows); pairs by self-join of the 5-row aggregate; the EXACT
+    * union side (oracle ground truth) goes pair→explode to (pair_id, type)
+    * and equi-joins back — no OR-predicate BNLJ anywhere.
+    *
+    * Bound-encoded oracle: exact per-slice/union/intersection counts are
+    * replayed in SQL; the sketch estimate ships only as an in-bound boolean
+    * pinned TRUE (inclusion-exclusion stacks three estimates' errors, so
+    * the bound is vs the UNION size — the quantity the errors scale with).
+    */
+  val qHllIntersect: GQuery = GQuery(
+    "q_agg_hll_intersect",
+    Some("""
+      WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+                FROM (SELECT DISTINCT event_type FROM tu) a
+                JOIN (SELECT DISTINCT event_type FROM tu) b ON a.event_type < b.event_type),
+      nd AS (SELECT event_type, COUNT(DISTINCT user_id) AS nd FROM tu GROUP BY 1),
+      un AS (SELECT p.type_a, p.type_b, COUNT(DISTINCT t.user_id) AS exact_union
+             FROM pairs p JOIN tu t ON t.event_type IN (p.type_a, p.type_b)
+             GROUP BY 1, 2)
+      SELECT u.type_a, u.type_b,
+             na.nd AS exact_a, nb.nd AS exact_b,
+             u.exact_union,
+             na.nd + nb.nd - u.exact_union AS exact_inter,
+             TRUE AS est_in_bound
+      FROM un u
+      JOIN nd na ON na.event_type = u.type_a
+      JOIN nd nb ON nb.event_type = u.type_b
+      ORDER BY type_a, type_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tu = t(spark, dir).events.select($"event_type", $"user_id").distinct()
+    val perType = tu
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"), countDistinct($"user_id").as("nd"))
+    val pairs = perType.as("a")
+      .join(perType.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.nd").as("exact_a"), col("b.nd").as("exact_b"),
+        (col("a.nd") + col("b.nd") -
+          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))).as("est_inter"))
+    // exact union per pair: explode the pair list to (pair, type) and
+    // equi-join the distinct (type, user) pairs — no OR-join, no BNLJ
+    val pairTypes = pairs
+      .select($"type_a", $"type_b", explode(array($"type_a", $"type_b")).as("event_type"))
+    val exactUnion = pairTypes
+      .join(tu, "event_type")
+      .groupBy($"type_a", $"type_b")
+      .agg(countDistinct($"user_id").as("exact_union"))
+    pairs
+      .join(exactUnion, Seq("type_a", "type_b"))
+      .select(
+        $"type_a", $"type_b", $"exact_a", $"exact_b", $"exact_union",
+        ($"exact_a" + $"exact_b" - $"exact_union").as("exact_inter"),
+        (abs($"est_inter" - ($"exact_a" + $"exact_b" - $"exact_union")) <=
+          greatest(lit(5.0), $"exact_union" * 0.05)).as("est_in_bound"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Key-skew report ([[graft.operators.Diagnostics.skewReport]]) for
     * lineitem's part key — the pre-flight check for any shuffle on it.
     * Median over integer counts interpolates to .0/.5 midpoints (exactly
@@ -598,7 +667,7 @@ object Aggregates extends QuerySet {
 
   override def queries: Seq[GQuery] = Seq(
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct,
-    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode, qHllRollup, qDiagSkew,
-    qOutlierIqr, qBools
+    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode, qHllRollup,
+    qHllIntersect, qDiagSkew, qOutlierIqr, qBools
   )
 }
