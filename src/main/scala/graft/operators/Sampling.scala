@@ -220,4 +220,31 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(1), col("__n"))))
       .drop("__n")
   }
+
+  /** Deterministic negative-pair mining for contrastive training: pair row
+    * `i` with row `p(i) = (a·i + b) mod n` under an affine permutation of
+    * the DENSE id domain [0, n). With gcd(a, n) = 1 (enforced) `p` is a
+    * bijection, so every doc appears exactly once on each side — a
+    * 1-regular random-looking pairing — and the whole draw is one
+    * computed-key equi-self-join: no RNG state, no global sort, no
+    * row_number window, identical output on any partitioning/engine.
+    * Fixed points (p(i) = i) drop out; callers then EXCLUDE known
+    * positives (same normalized content, same source/domain, a near-dup
+    * pair set) to keep the pairs truly negative.
+    *
+    * Dense ids are a precondition (the usual ingest-time contract; a
+    * rank/zipWithIndex pass densifies otherwise), and a·n must stay
+    * inside Long — fine for a < 2^20 and n < 2^40.
+    *
+    * @return (id_a, id_b) with id_b = p(id_a), fixed points removed
+    */
+  def affinePairs(df: DataFrame, idCol: String, n: Long, a: Long, b: Long): DataFrame = {
+    require(n > 1, "need at least two rows to pair")
+    require(java.math.BigInteger.valueOf(a).gcd(java.math.BigInteger.valueOf(n)).longValueExact() == 1L,
+      s"multiplier $a shares a factor with n=$n: p would not be a bijection")
+    df.select(
+        col(idCol).as("id_a"),
+        pmod(col(idCol) * a + b, lit(n)).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+  }
 }

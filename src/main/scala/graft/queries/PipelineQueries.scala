@@ -324,7 +324,52 @@ object PipelineQueries extends QuerySet {
       .orderBy($"doc_id", $"copy")
   }
 
+  /** Contrastive negative-pair mining ([[graft.operators.Sampling
+    * .affinePairs]]): pair doc i with doc (48271·i + 173) mod n under an
+    * affine permutation of the dense id domain — a deterministic,
+    * RNG-free, 1-regular pairing that is one computed-key equi-join (no
+    * global sort, no row_number window) — then EXCLUDE pairs that are not
+    * negative: same normalized content hash (exact dups) or same source
+    * (domain positives). The same exclusion join would take the near-dup
+    * pair set where semantic negatives are needed. The oracle replays
+    * permutation, hashes, and exclusions exactly.
+    */
+  val qNegativePairs: GQuery = GQuery(
+    "q_sample_negative_pairs",
+    Some("""
+      WITH base AS (SELECT doc_id, source,
+                           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+                    FROM documents),
+      p AS (SELECT doc_id AS id_a,
+                   (doc_id * 48271 + 173) % (SELECT COUNT(*) FROM base) AS id_b
+            FROM base
+            WHERE (doc_id * 48271 + 173) % (SELECT COUNT(*) FROM base) <> doc_id)
+      SELECT p.id_a, p.id_b, a.source AS source_a, b.source AS source_b
+      FROM p
+      JOIN base a ON a.doc_id = p.id_a
+      JOIN base b ON b.doc_id = p.id_b
+      WHERE a.h <> b.h AND a.source <> b.source
+      ORDER BY id_a""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val n = docs.count()
+    val base = docs
+      .select(
+        $"doc_id",
+        $"source",
+        md5(encode(graft.operators.TextOps.normText($"text"), "UTF-8")).as("h"))
+      .localCheckpoint()
+    graft.operators.Sampling
+      .affinePairs(base, "doc_id", n, a = 48271L, b = 173L)
+      .join(base.select($"doc_id".as("id_a"), $"source".as("source_a"), $"h".as("h_a")), "id_a")
+      .join(base.select($"doc_id".as("id_b"), $"source".as("source_b"), $"h".as("h_b")), "id_b")
+      .filter($"h_a" =!= $"h_b" && $"source_a" =!= $"source_b")
+      .select($"id_a", $"id_b", $"source_a", $"source_b")
+      .orderBy($"id_a")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
-    qWeighted, qMix)
+    qWeighted, qMix, qNegativePairs)
 }

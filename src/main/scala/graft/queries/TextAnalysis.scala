@@ -683,8 +683,65 @@ object TextAnalysis extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Domain (source) similarity matrix: pairwise shingle-set Jaccard
+    * between sources — the corpus-composition diagnostic ("how much does
+    * src A's content overlap src B's") that decides mixing weights and
+    * flags mirror domains before near-dup removal even runs.
+    *
+    * Scale shape: ONE corpus-scale pass reduces text to distinct
+    * (source, shingle) pairs; everything after is domain-cardinality math
+    * — the inverted self-join fans out at most domains² per shingle, so
+    * cost is bounded by |domains|², never |docs|². (With very many
+    * domains, add the df-cap used by q_dedup_ngram_jaccard.) Pairs with
+    * zero shared shingles are omitted (inner join = sparse matrix).
+    * Jaccard is one IEEE division of exact integers — bit-equal
+    * cross-engine.
+    */
+  val qDomainSim: GQuery = GQuery(
+    "q_text_domain_sim",
+    Some("""
+      WITH t AS (SELECT source,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT DISTINCT source, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+      cm AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+             CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+      FROM cm
+      JOIN sz sa ON sa.source = cm.source_a
+      JOIN sz sb ON sb.source = cm.source_b
+      ORDER BY source_a, source_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val sh = t(spark, dir).documents
+      .select($"source", graft.functions.GraftFunctions.shingles($"text", 3))
+      .distinct()
+      .localCheckpoint()
+    val sz = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val cm = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cm
+      .join(sz.select($"source".as("source_a"), $"n".as("n_a")), "source_a")
+      .join(sz.select($"source".as("source_b"), $"n".as("n_b")), "source_b")
+      .select(
+        $"source_a", $"source_b", $"n_a", $"n_b", $"n_common",
+        ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common").cast("double"))
+          .as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
-      qSubword, qLmScore)
+      qSubword, qLmScore, qDomainSim)
 }

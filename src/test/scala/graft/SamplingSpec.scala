@@ -119,4 +119,30 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitAssign(events, "event_id", Seq("a" -> 0.5, "b" -> 0.4), 1)
     }
   }
+
+  test("affinePairs: 1-regular bijective pairing, fixed points dropped, repartition-invariant") {
+    val n = 1000L
+    val ids = spark.range(n).toDF("doc_id")
+    val pairs = Sampling.affinePairs(ids, "doc_id", n, a = 48271L, b = 173L)
+      .as[(Long, Long)].collect().toList
+
+    // every id appears at most once per side; with no fixed points both
+    // sides cover all n ids (a bijection minus fixed points)
+    assert(pairs.map(_._1).distinct.size == pairs.size, "left side repeated an id")
+    assert(pairs.map(_._2).distinct.size == pairs.size, "right side repeated an id")
+    assert(pairs.forall { case (a, b) => a != b }, "fixed point leaked")
+    assert(pairs.size >= n - 2, s"affine map has at most gcd-bounded fixed points; got ${pairs.size}")
+    assert(pairs.forall { case (i, p) => p == (i * 48271L + 173L) % n }, "not the declared map")
+
+    // purely computed — identical under repartitioning
+    val re = Sampling.affinePairs(ids.repartition(13), "doc_id", n, 48271L, 173L)
+      .as[(Long, Long)].collect().toSet
+    assert(re == pairs.toSet)
+  }
+
+  test("affinePairs rejects a multiplier sharing a factor with n") {
+    intercept[IllegalArgumentException] {
+      Sampling.affinePairs(spark.range(10).toDF("doc_id"), "doc_id", 10L, a = 15L, b = 0L)
+    }
+  }
 }
