@@ -55,4 +55,78 @@ object Materialize {
     merged.write.mode("overwrite").parquet(tmpPath.toString)
     graft.sources.Swap.publish(fs, fsPath, tmpPath)
   }
+
+  /** Writer for `GraftSink.ForeachBatch`: maintain `path` as an SCD2
+    * VERSION HISTORY of a keyed attribute changelog — the incremental form
+    * of [[graft.operators.TimeSeries.scd2]]. Where [[snapshotWriter]]
+    * keeps only each key's latest state, this keeps every state the key
+    * ever held with its `[valid_from, valid_to)` interval, maintained
+    * batch by batch:
+    *
+    *   1. the batch compresses to its own version candidates (scd2);
+    *   2. candidates at or before the key's OPEN version's start are
+    *      dropped — this absorbs foreachBatch's at-least-once replays
+    *      (re-merging a delivered batch is a no-op) and ignores
+    *      out-of-order stragglers older than the open version (the
+    *      watermark analog; feed watermarked input for bounded disorder);
+    *   3. a first candidate equal to the open version's state collapses
+    *      into it (runs never split across batch boundaries);
+    *   4. surviving candidates close the open version at their earliest
+    *      `valid_from` and append, the last one open.
+    *
+    * All joins are keyed on `keyCol` against the history's OPEN slice
+    * only — at 100 TB that slice is |live keys|, not |history|, and the
+    * closed slice is rewritten untouched (partition the history by
+    * `is_current` to skip even that rewrite; kept single-directory here
+    * for the atomic swap).
+    */
+  def scd2Writer(
+      path: String,
+      keyCol: String,
+      attrCol: String,
+      seqCols: Seq[String]
+  )(df: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(path + "__merging")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Swap.recover(fs, fsPath, tmpPath)
+    if (df.isEmpty) return
+    val cand = graft.operators.TimeSeries.scd2(df, keyCol, attrCol, seqCols)
+    if (!fs.exists(fsPath)) {
+      cand.write.mode("overwrite").parquet(tmpPath.toString)
+      graft.sources.Swap.publish(fs, fsPath, tmpPath)
+      return
+    }
+    val hist = spark.read.parquet(path).localCheckpoint()
+    val open = hist.filter(col("is_current"))
+      .select(col(keyCol), col("state").as("__open_state"), col("valid_from").as("__open_from"))
+    val fresh = cand
+      .join(open, Seq(keyCol), "left_outer")
+      .filter(col("__open_from").isNull || col("valid_from") > col("__open_from"))
+      .localCheckpoint() // consumed 3x below (first-per-key, keep, closeAt)
+    val first = fresh.groupBy(col(keyCol)).agg(min(col("valid_from")).as("__f0"))
+    // a first candidate continuing the open state collapses into it
+    val keep = fresh
+      .join(first, Seq(keyCol))
+      .filter(!(col("__open_from").isNotNull &&
+        col("valid_from") === col("__f0") && col("__open_state") <=> col("state")))
+      .localCheckpoint()
+    val closeAt = keep.groupBy(col(keyCol)).agg(min(col("valid_from")).as("__close"))
+    val openUpdated = hist.filter(col("is_current"))
+      .join(closeAt, Seq(keyCol), "left_outer")
+      .select(
+        col(keyCol),
+        col("state"),
+        col("valid_from"),
+        coalesce(col("__close"), col("valid_to")).as("valid_to"),
+        col("__close").isNull.as("is_current"))
+    val merged = hist.filter(!col("is_current"))
+      .unionByName(openUpdated)
+      .unionByName(keep.select(col(keyCol), col("state"), col("valid_from"),
+        col("valid_to"), col("is_current")))
+    merged.write.mode("overwrite").parquet(tmpPath.toString)
+    graft.sources.Swap.publish(fs, fsPath, tmpPath)
+  }
 }

@@ -88,4 +88,47 @@ class MaterializeSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(snap + "__backup")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(snap + "__merging")))
   }
+
+  test("scd2Writer maintains version history incrementally; replay is a no-op") {
+    val s = spark
+    import s.implicits._
+
+    val hist = Files.createTempDirectory("graft-scd2").resolve("history").toString
+    def write(rows: Seq[(Long, Long, Long, String)], batch: Long): Unit =
+      Materialize.scd2Writer(hist, "k", "attr", Seq("t", "seq"))(
+        rows.toDF("k", "t", "seq", "attr"), batch)
+    def state(): Set[(Long, String, Long, Option[Long], Boolean)] =
+      s.read.parquet(hist).collect().map(r => (
+        r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+
+    // batch 1: k1 holds X (with an in-batch duplicate run), then Y
+    write(Seq((1L, 10L, 1L, "X"), (1L, 20L, 2L, "X"), (1L, 30L, 3L, "Y")), 0L)
+    assert(state() === Set(
+      (1L, "X", 10L, Some(30L), false),
+      (1L, "Y", 30L, None, true)))
+
+    // batch 2: k1 re-reports Y (continuation — must NOT split the run),
+    // then moves to Z; k2 appears for the first time
+    val batch2 = Seq((1L, 40L, 4L, "Y"), (1L, 50L, 5L, "Z"), (2L, 45L, 6L, "W"))
+    write(batch2, 1L)
+    val expected = Set(
+      (1L, "X", 10L, Some(30L), false),
+      (1L, "Y", 30L, Some(50L), false),
+      (1L, "Z", 50L, None, true),
+      (2L, "W", 45L, None, true))
+    assert(state() === expected)
+
+    // at-least-once: the same batch redelivered changes nothing
+    write(batch2, 1L)
+    assert(state() === expected, "replayed batch must be absorbed")
+
+    // a straggler older than the open version is ignored (watermark analog)
+    write(Seq((1L, 35L, 7L, "Q")), 2L)
+    assert(state() === expected, "pre-open-version straggler must not rewrite history")
+
+    // a NULL attribute is a real state for a NEW key (no spurious collapse)
+    write(Seq((3L, 60L, 8L, null)), 3L)
+    assert(state().contains((3L, null, 60L, None, true)))
+  }
 }
