@@ -38,7 +38,7 @@ object ScaleStress {
     val names = Seq(
       "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_fuzzy_key",
       "q_dedup_connected", "q_dedup_simhash", "q_dedup_span",
-      "q_dedup_embedding_lsh")
+      "q_dedup_embedding_lsh", "q_dedup_representative", "q_text_domain_sim")
 
     // untimed warmup (JVM/codegen)
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()

@@ -180,6 +180,42 @@ object ScalarFns extends QuerySet {
       .orderBy($"vec_id")
   }
 
+  /** Array SET operations (intersect / union / except) over per-row token
+    * arrays, canonicalized by sort. Engines disagree on result ORDER and
+    * duplicate handling of native set ops, so both sides pin the same
+    * contract: distinct elements, membership-defined, sorted — the oracle
+    * spells it out with filter/contains instead of trusting DuckDB's
+    * list_intersect semantics to coincide. Pure row-local expressions; at
+    * 100 TB this is a map stage inside whole-stage codegen.
+    */
+  val qArraySetOps: GQuery = GQuery(
+    "q_fn_array_setops",
+    Some("""
+      WITH t AS (SELECT p_partkey,
+                        string_split(lower(p_type), ' ') AS a,
+                        string_split(lower(p_name), ' ') AS b
+                 FROM part)
+      SELECT p_partkey,
+             list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))) AS common,
+             list_sort(list_distinct(list_concat(a, b))) AS all_tokens,
+             list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS only_type,
+             CAST(len(list_filter(list_distinct(a), x -> list_contains(b, x))) AS INT) AS n_common
+      FROM t
+      ORDER BY p_partkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val a = split(lower($"p_type"), " ")
+    val b = split(lower($"p_name"), " ")
+    t(spark, dir).part
+      .select(
+        $"p_partkey",
+        array_sort(array_intersect(a, b)).as("common"),
+        array_sort(array_union(a, b)).as("all_tokens"),
+        array_sort(array_except(a, b)).as("only_type"),
+        size(array_intersect(a, b)).as("n_common"))
+      .orderBy($"p_partkey")
+  }
+
   /** JSON suite over the events props payload (from_json /
     * get_json_object analog of the reference's serde_json decoding).
     */
@@ -448,5 +484,6 @@ object ScalarFns extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qString, qRegex, qDate, qMath, qArray, qJson, qMap, qHof, qUrl, qBitwise, qVariant, qTry)
+    Seq(qString, qRegex, qDate, qMath, qArray, qArraySetOps, qJson, qMap, qHof, qUrl,
+      qBitwise, qVariant, qTry)
 }
