@@ -68,6 +68,7 @@ object GraftFunctions {
     "graft_subword" ->
       (args => SubwordTokenize(args(0), args(1), litInt(args(2), "graft_subword"))),
     "graft_deletions" -> (args => DeletionNeighborhood(args(0))),
+    "graft_html_strip" -> (args => HtmlStripText(args(0))),
     "graft_cell_cosines" -> (args => {
       require(args(1).foldable, "graft_cell_cosines centroid matrix must be a literal")
       val arr = args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -107,6 +108,7 @@ object GraftFunctions {
   def lshBuckets(vec: Column, nTables: Int, planesPerTable: Int, dim: Int): Column =
     call_function("graft_lsh_buckets", vec, lit(nTables), lit(planesPerTable), lit(dim))
   def stripAccents(s: Column): Column = call_function("graft_strip_accents", s)
+  def htmlStrip(s: Column): Column = call_function("graft_html_strip", s)
   def zorder(bits: Int, dims: Column*): Column =
     call_function("graft_zorder", (lit(bits) +: dims): _*)
   def subword(text: Column, vocab: Seq[String], maxPieceLen: Int): Column =

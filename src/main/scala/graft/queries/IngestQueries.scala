@@ -140,7 +140,12 @@ object IngestQueries extends QuerySet {
     * RE2-compatible subset: no lookaround, inline (?s) only).
     *
     * All regexp steps are codegen'd built-ins running in one projection —
-    * no UDF, no shuffle; at 100 TB this is a pure map stage.
+    * no UDF, no shuffle; at 100 TB this is a pure map stage. The
+    * REGISTERED query runs the production path — the staged-linear-scan
+    * expression [[graft.functions.HtmlStripText]] — against the regex
+    * chain replayed in the oracle, so the hash match proves the two
+    * implementations compute the identical function (ExtensionSpec
+    * additionally pins them equal on adversarial fragments).
     */
   val qHtmlStrip: GQuery = GQuery(
     "q_text_html_strip",
@@ -178,7 +183,7 @@ object IngestQueries extends QuerySet {
       lit(htmlMid),
       regexp_replace($"text", "\n", "</p>\n<p>"),
       lit(htmlTail))
-    val stripped = htmlToText(html)
+    val stripped = graft.functions.GraftFunctions.htmlStrip(html)
     t(spark, dir).documents
       .select(
         $"doc_id",

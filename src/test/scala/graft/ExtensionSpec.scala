@@ -360,4 +360,51 @@ class ExtensionSpec extends SparkSpec {
     intercept[Exception](
       Seq("x").toDF("t").select(GraftFunctions.unicodeNorm($"t", "NFX")).collect())
   }
+
+  test("HtmlStripText equals the regexp chain on the corpus and on adversarial fragments") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // wrap corpus text in varied markup, then require bit-equality between
+    // the staged-scan expression and the 11-step regexp chain it replaces
+    val wrapped = docs.select(
+      concat(
+        lit("<html><head><script>if (1 < 2) { x = 1; }</script><style>p{}</style></head><body><p>"),
+        regexp_replace($"text", "\n", "</p>\n<p>"),
+        lit("</p>&amp; &lt;b&gt;&nbsp;t&#39;s</body></html>")).as("h"))
+    val mismatches = wrapped
+      .select(
+        GraftFunctions.htmlStrip($"h").as("fast"),
+        graft.queries.IngestQueries.htmlToText($"h").as("chain"))
+      .filter(!($"fast" <=> $"chain"))
+      .count()
+    assert(mismatches == 0L, "expression diverged from the regexp chain on corpus HTML")
+
+    // adversarial: unclosed blocks, tags spliced by block removal, "<>",
+    // entities assembling from earlier decodes, whitespace-only, empty
+    val evil = Seq(
+      "<script>never closed <style>x</style> tail",
+      "<sty<script>le>x</script>y</style>z",
+      "a <> b < c > d",
+      "&amp;lt; &amp;amp; &&lt;",
+      "<p>a</p<p>b</p>",
+      " \t\n ", "",
+      "<style>a</script>b</style>c",
+      "<script unclosed tag never ends",
+      "x<SCRIPT>case sensitive</SCRIPT>y" // uppercase is NOT a script block
+    )
+    val pairs = evil.toDF("h")
+      .select(
+        $"h",
+        GraftFunctions.htmlStrip($"h").as("fast"),
+        graft.queries.IngestQueries.htmlToText($"h").as("chain"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"divergence on ${r.getString(0)}: fast=${r.getString(1)} chain=${r.getString(2)}")
+    }
+
+    // null-safe
+    assert(Seq[String](null).toDF("h").select(GraftFunctions.htmlStrip($"h"))
+      .collect().head.isNullAt(0))
+  }
 }
