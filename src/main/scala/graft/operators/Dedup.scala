@@ -86,20 +86,49 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5
+  ): DataFrame =
+    minhashGateFromIndex(
+      minhashSigTable(existing, idCol, textCol, shingleN, k),
+      minhashSigTable(incoming, idCol, textCol, shingleN, k),
+      k, bands, threshold)
+      .select(col("keep_id"))
+
+  /** Sketch a corpus slice to its persistable minhash signature table
+    * `(id, sig)` — the ~0.5 KB/doc artifact an incremental ingest keeps
+    * between runs so each run sketches ONLY its new batch.
+    */
+  def minhashSigTable(
+      d: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64
+  ): DataFrame = d
+    .select(
+      col(idCol).as("id"),
+      graft.functions.GraftFunctions.shingleHashes(col(textCol), shingleN).as("eh"))
+    .select(col("id"), minhashSignature(col("eh"), k).as("sig"))
+    .localCheckpoint()
+
+  /** The gate of [[minhashIncrementalNew]] over PRE-SKETCHED signature
+    * tables — the production streaming shape: the existing side is the
+    * persisted index from prior runs (text never re-read, never
+    * re-sketched), the incoming side is [[minhashSigTable]] of the new
+    * batch. Returns `(keep_id, sig)` so the caller appends the admitted
+    * signatures straight back to the index.
+    */
+  def minhashGateFromIndex(
+      sigE: DataFrame,
+      sigI: DataFrame,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    def sigsOf(d: DataFrame) = d
-      .select(
-        col(idCol).as("id"),
-        graft.functions.GraftFunctions.shingleHashes(col(textCol), shingleN).as("eh"))
-      .select(col("id"), minhashSignature(col("eh"), k).as("sig"))
-      .localCheckpoint()
     def bandsOf(s: DataFrame) = s
       .select(col("id"), explode(minhashBands(col("sig"), bands, r)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val sigE = sigsOf(existing)
-    val sigI = sigsOf(incoming)
     val bE = bandsOf(sigE)
     val bI = bandsOf(sigI)
     // candidates: incoming × existing, and incoming × SMALLER-id incoming
@@ -128,9 +157,8 @@ object Dedup {
       .distinct()
     val rejected = rejectedBy(candEI, sigE).union(rejectedBy(candII, sigI)).distinct()
     sigI
-      .select(col("id"))
       .join(rejected.withColumnRenamed("id_i", "id"), Seq("id"), "left_anti")
-      .select(col("id").as("keep_id"))
+      .select(col("id").as("keep_id"), col("sig"))
   }
 
   /** Edit-distance-1 fuzzy key pairs via FastSS deletion-neighborhood

@@ -105,4 +105,38 @@ class StreamFuzzyDedupSpec extends SparkSpec {
     assert(afterRestart === Set(1L, 2L, 4L),
       s"post-restart gate must remember pre-restart corpus; corpus = $afterRestart")
   }
+
+  test("signature-index gate: text is sketched once, the index alone carries the memory") {
+    val s = spark
+    import s.implicits._
+
+    val sigDir = Files.createTempDirectory("graft-fuzzy-sigs").resolve("sigs").toString
+    val sigSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sig", org.apache.spark.sql.types.ArrayType(LongType))))
+
+    // the production per-batch gate: sketch ONLY the batch, gate against
+    // the persisted signature table, append admitted signatures
+    def gate(rows: Seq[(Long, String)]): Set[Long] = {
+      val existing =
+        if (Files.list(Paths.get(sigDir).getParent).findFirst().isPresent &&
+            Files.exists(Paths.get(sigDir)))
+          s.read.schema(sigSchema).parquet(sigDir)
+        else
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSchema)
+      val sigI = Dedup.minhashSigTable(rows.toDF("doc_id", "text"), "doc_id", "text")
+      val admitted = Dedup.minhashGateFromIndex(existing, sigI).localCheckpoint()
+      admitted.select($"keep_id".as("id"), $"sig").write.mode("append").parquet(sigDir)
+      admitted.select($"keep_id").as[Long].collect().toSet
+    }
+
+    assert(gate(Seq((1L, textA), (2L, textB))) === Set(1L, 2L))
+    // near-dup of batch-1 doc rejected purely from the index; new doc admitted
+    assert(gate(Seq((3L, textA2), (4L, textC))) === Set(4L))
+    // exact and near re-arrivals of indexed docs: both rejected
+    assert(gate(Seq((5L, textB2), (6L, textA))) === Set.empty[Long])
+    // the index accumulated exactly the admitted signatures
+    val idx = s.read.parquet(sigDir).select($"id").as[Long].collect().toSet
+    assert(idx === Set(1L, 2L, 4L))
+  }
 }
