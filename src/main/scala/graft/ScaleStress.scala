@@ -30,11 +30,62 @@ object ScaleStress {
     }
   }
 
+  /** Synthesize a 10× tier above sf0.1 (500k-doc-equivalent territory is
+    * out of reach in this container; 50k docs / 150k customers / 20k
+    * embeddings extends the measured curve another decade). Each copy is
+    * PERTURBED so cross-copy rows are NOT near-duplicates — every token
+    * gets a copy tag, embedding signs flip per copy — keeping dup DENSITY
+    * constant as the corpus grows: without this, 10 verbatim copies make
+    * every doc a 10-clique and the measured growth is the (real, wanted)
+    * output pair set, not plan behavior.
+    */
+  private def synthesize(spark: org.apache.spark.sql.SparkSession, from: String): String = {
+    import org.apache.spark.sql.functions._
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf1syn"
+    if (new java.io.File(s"$dir/_SYNTH_OK").exists()) return dir
+    val docs = spark.read.parquet(s"$from/documents.parquet")
+    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val copies = spark.range(10).toDF("copy")
+    docs.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"), concat(lit("c"), col("copy"), lit("_$1"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cust = spark.read.parquet(s"$from/customer.parquet")
+    val nCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+    cust.crossJoin(copies)
+      .select(
+        (col("c_custkey") + col("copy") * nCust).as("c_custkey"),
+        when(col("copy") === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("#"), col("copy"))).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val emb = spark.read.parquet(s"$from/embeddings.parquet")
+    val nEmb = emb.agg(max("vec_id")).head.getLong(0) + 1
+    emb.crossJoin(copies)
+      .select(
+        (col("vec_id") + col("copy") * nEmb).as("vec_id"),
+        when(col("copy") === 0, col("embedding"))
+          .otherwise(zip_with(
+            col("embedding"),
+            transform(col("embedding"), (_, i) => pmod(xxhash64(col("copy"), i), lit(2))),
+            (x, flip) => when(flip === 0, x).otherwise(-x)))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK"), Array.empty[Byte])
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.session("graft-scale-stress")
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s -> s"/root/testdata/$s")
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s -> s"/root/testdata/$s") ++
+      Seq("sf1syn" -> synthesize(spark, "/root/testdata/sf0.1"))
     val names = Seq(
       "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_fuzzy_key",
       "q_dedup_connected", "q_dedup_simhash", "q_dedup_span",
@@ -78,9 +129,10 @@ object ScaleStress {
         val (rows, sec, bytes) = results((n, sf))
         s""""$sf":{"rows":$rows,"sec":$sec,"shuffle_bytes":$bytes}"""
       }.mkString(",")
-      val eT = exp(n, "sf0.01", "sf0.1", _._2)
-      val eB = exp(n, "sf0.01", "sf0.1", _._3.toDouble.max(1.0))
-      s""""$n":{$cells,"exp_time":$eT,"exp_shuffle":$eB}"""
+      val eT = exp(n, "sf0.1", "sf1syn", _._2)
+      val eB = exp(n, "sf0.1", "sf1syn", _._3.toDouble.max(1.0))
+      val eBmid = exp(n, "sf0.01", "sf0.1", _._3.toDouble.max(1.0))
+      s""""$n":{$cells,"exp_time":$eT,"exp_shuffle":$eB,"exp_shuffle_mid":$eBmid}"""
     }
     println(s"""{"metric":"dedup_scale_stress",${lines.mkString(",")}}""")
     System.out.flush()
