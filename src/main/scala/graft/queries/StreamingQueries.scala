@@ -405,7 +405,49 @@ object StreamingQueries extends QuerySet {
       .orderBy($"user_id", $"valid_from")
   }
 
+  /** TEMPORAL enrichment — the USE of an SCD2 history ([[qScd2]] builds
+    * it): answer "what state was current AT time t" by as-of-joining
+    * probe timestamps against version starts. Because SCD2 intervals tile
+    * each key's timeline, the backward as-of match on `valid_from` IS the
+    * temporal point-in-interval lookup — no range predicate, no interval
+    * explode; the custom sorted-merge as-of exec
+    * ([[graft.plans.AsofJoinPlan]]) gets its third consumer. Probes are
+    * each event time + 1µs (strictly inside the then-current version).
+    * The changelog collapses equal-µs events (arg-max by event_id) first,
+    * so versions have strictly increasing starts on both engines.
+    */
+  val qTemporal: GQuery = GQuery(
+    "q_join_temporal",
+    Some("""
+      WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+                        arg_max(event_type, event_id) AS et
+                 FROM events GROUP BY 1, 2),
+      c AS (SELECT user_id, et, tus,
+                   lag(et) OVER (PARTITION BY user_id ORDER BY tus) AS prev,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus) AS rn
+            FROM e),
+      v AS (SELECT user_id, et AS state, tus AS vt FROM c
+            WHERE rn = 1 OR prev IS DISTINCT FROM et),
+      p AS (SELECT user_id, tus + 1 AS vt FROM e)
+      SELECT p.user_id AS user_id, p.vt AS probe_ts, v.state
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.vt >= v.vt
+      ORDER BY p.user_id, probe_ts""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+      .groupBy($"user_id", expr("ts div 1000").as("tus"))
+      .agg(max_by($"event_type", $"event_id").as("et"))
+    val versions = graft.operators.TimeSeries
+      .scd2(e, keyCol = "user_id", attrCol = "et", seqCols = Seq("tus"))
+      .select($"user_id", $"state", $"valid_from".as("vt"))
+    val probes = e.select($"user_id", ($"tus" + 1).as("vt"))
+    graft.operators.Joins
+      .asOfJoinNative(probes, versions, key = "user_id", tsCol = "vt", payload = Seq("state"))
+      .select($"user_id", $"vt".as("probe_ts"), $"state")
+      .orderBy($"user_id", $"probe_ts")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStateSnapshot, qTumbling, qSliding, qSession, qSessionDynamic, qAvroRoundtrip,
-      qAvroFileRoundtrip, qGapFill, qMergeUpsert, qScd2)
+      qAvroFileRoundtrip, qGapFill, qMergeUpsert, qScd2, qTemporal)
 }

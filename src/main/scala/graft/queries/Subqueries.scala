@@ -163,5 +163,35 @@ object Subqueries extends QuerySet {
       ORDER BY l_returnflag""")
   }
 
-  override def queries: Seq[GQuery] = Seq(qScalarCorrelated, qExists, qIn, qLateral, qSqlUdf)
+  /** Custom graft EXPRESSIONS through the SQL PARSER — the registry
+    * ([[graft.functions.GraftFunctions.register]]) makes every codegen
+    * extension a first-class SQL function, so `spark.sql` users get the
+    * same surface as the Column API. The oracle replays each function
+    * with DuckDB's native counterpart (nfc_normalize / strip_accents) or
+    * the exact bit formula (z-order), proving the SQL-path results match
+    * an independent implementation — not just that the parser resolves.
+    */
+  val qGraftSql: GQuery = GQuery(
+    "q_fn_graft_sql",
+    Some(s"""
+      WITH d AS (SELECT doc_id, text, n_chars % 256 AS m FROM documents)
+      SELECT doc_id,
+             (nfc_normalize(text) = text) AS already_nfc,
+             CAST(length(strip_accents(text)) AS INT) AS n_stripped,
+             CAST(${graft.functions.ZOrder.oracleSql(Seq("doc_id", "m"), 8)} AS BIGINT) AS zkey
+      FROM d
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    t(spark, dir).documents.createOrReplaceTempView("documents")
+    spark.sql("""
+      SELECT doc_id,
+             (graft_unicode_norm(text, 'NFC') = text) AS already_nfc,
+             length(graft_strip_accents(text)) AS n_stripped,
+             graft_zorder(8, doc_id, n_chars % 256) AS zkey
+      FROM documents
+      ORDER BY doc_id""")
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qScalarCorrelated, qExists, qIn, qLateral, qSqlUdf, qGraftSql)
 }
