@@ -50,4 +50,57 @@ object Diagnostics {
   def qualityMetrics(cols: Seq[String]): Seq[Column] =
     count(lit(1)).as("n_rows") +:
       cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+
+  /** Declarative data-quality EXPECTATIONS (the dbt-test / Deequ shape):
+    * each row-level rule is a boolean expression counted in ONE shared
+    * aggregation pass over the table; uniqueness rules (not row-local —
+    * they need a groupBy) each add one bounded aggregate pass. Output is
+    * a violations report: `(rule, violations, total, pass)`, one row per
+    * rule — the artifact a pipeline gates a publish step on.
+    *
+    * Scale shape: N row-rules cost ONE scan regardless of N (conditional
+    * sums in a single partial-aggregated pass, exactly like
+    * [[qualityMetrics]] but reported as a table, not stream metrics);
+    * each uniqueness rule is a distinct-count pass on its key columns.
+    *
+    * @param rowRules    name → boolean Column that must hold per row
+    * @param uniqueRules name → key columns that must identify rows uniquely
+    */
+  def expectations(
+      df: DataFrame,
+      rowRules: Seq[(String, Column)],
+      uniqueRules: Seq[(String, Seq[String])] = Nil
+  ): DataFrame = {
+    require(rowRules.nonEmpty || uniqueRules.nonEmpty, "no rules given")
+    val rowReport: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else {
+        val aggs = rowRules.flatMap { case (name, rule) =>
+          Seq(
+            coalesce(sum(when(!coalesce(rule, lit(false)), 1L).otherwise(0L)), lit(0L))
+              .as(s"__v_$name"),
+            count(lit(1)).as(s"__t_$name"))
+        }
+        // one row; checkpointed so the per-rule selects below don't each
+        // re-run the shared aggregation scan
+        val wide = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+        Some(rowRules.map { case (name, _) =>
+          wide.select(
+            lit(name).as("rule"),
+            col(s"__v_$name").as("violations"),
+            col(s"__t_$name").as("total"),
+            (col(s"__v_$name") === 0L).as("pass"))
+        }.reduce(_.unionByName(_)))
+      }
+    val uniqReports = uniqueRules.map { case (name, keys) =>
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .agg(
+          sum(when(col("__c") > 1L, col("__c")).otherwise(0L)).as("violations"),
+          sum(col("__c")).as("total"),
+          (max(col("__c")) <= 1L).as("pass"))
+        .select(lit(name).as("rule"), col("violations"), col("total"), col("pass"))
+    }
+    (rowReport.toSeq ++ uniqReports).reduce(_.unionByName(_))
+  }
 }

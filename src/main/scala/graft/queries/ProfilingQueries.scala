@@ -213,5 +213,64 @@ object ProfilingQueries extends QuerySet {
       max(abs($"pa" - $"pb")).as("max_share_delta"))
   }
 
-  override def queries: Seq[GQuery] = Seq(qProfile, qHistogram, qZscore, qDrift)
+  /** Declarative data-quality expectations ([[graft.operators.Diagnostics
+    * .expectations]]): dbt-test-shaped rules over lineitem — row-level
+    * domain/null/consistency rules (ONE shared scan for all of them) plus
+    * a composite-key uniqueness rule (one distinct-count pass) — reported
+    * as the (rule, violations, total, pass) table a pipeline gates its
+    * publish step on. Rules are chosen so both outcomes appear: the data
+    * satisfies most, and the deliberately-too-tight discount cap fails
+    * with a nonzero violation count the oracle reproduces exactly.
+    */
+  val qExpectations: GQuery = GQuery(
+    "q_diag_expectations",
+    Some("""
+      SELECT * FROM (
+        SELECT 'quantity_in_domain' AS rule,
+               CAST(SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+               COUNT(*) AS total,
+               SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) = 0 AS pass
+        FROM lineitem
+        UNION ALL
+        SELECT 'orderkey_not_null',
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*),
+               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_under_8pct',
+               CAST(SUM(CASE WHEN NOT (l_discount < 0.08) THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*),
+               SUM(CASE WHEN NOT (l_discount < 0.08) THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'charge_consistent',
+               CAST(SUM(CASE WHEN NOT (l_extendedprice * (1 - l_discount) >= 0) THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*),
+               SUM(CASE WHEN NOT (l_extendedprice * (1 - l_discount) >= 0) THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'order_line_unique',
+               CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT),
+               CAST(SUM(c) AS BIGINT),
+               MAX(c) <= 1
+        FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber))
+      ORDER BY rule""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Diagnostics
+      .expectations(
+        t(spark, dir).lineitem,
+        rowRules = Seq(
+          "quantity_in_domain" -> ($"l_quantity" >= 1 && $"l_quantity" <= 50),
+          "orderkey_not_null" -> $"l_orderkey".isNotNull,
+          "discount_under_8pct" -> ($"l_discount" < 0.08),
+          "charge_consistent" -> ($"l_extendedprice" * (lit(1) - $"l_discount") >= 0)),
+        uniqueRules = Seq(
+          "order_line_unique" -> Seq("l_orderkey", "l_linenumber")))
+      .orderBy($"rule")
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations)
 }

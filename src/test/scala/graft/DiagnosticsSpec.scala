@@ -59,4 +59,28 @@ class DiagnosticsSpec extends SparkSpec {
     assert(gate.get.getAs[Long]("name_nulls") === 1L)
     app.stop("audited")
   }
+
+  test("expectations: NULL rule results count as violations; uniqueness counts dup rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some(5.0), "a"),
+      (2L, Some(-1.0), "b"), // violates positive
+      (3L, None, "c"),       // NULL -> rule unknown -> counted as violation
+      (3L, Some(2.0), "d")   // duplicate id
+    ).toDF("id", "v", "tag")
+
+    val report = Diagnostics.expectations(
+      df,
+      rowRules = Seq(
+        "v_positive" -> ($"v" > 0),
+        "tag_not_null" -> $"tag".isNotNull),
+      uniqueRules = Seq("id_unique" -> Seq("id"))
+    ).collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+    assert(report("v_positive") === ((2L, 4L, false)), "NULL must fail a row rule")
+    assert(report("tag_not_null") === ((0L, 4L, true)))
+    // both rows of the duplicated key count as violating rows
+    assert(report("id_unique") === ((2L, 4L, false)))
+  }
 }
