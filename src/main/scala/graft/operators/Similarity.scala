@@ -471,4 +471,47 @@ object Similarity {
       )
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Product-quantization codebooks: split the vector into `m` contiguous
+    * subspaces and train one codebook per subspace (deterministic
+    * fixed-point label-means, like [[labelCodebook]] — the 100 TB recipe
+    * is identical: train on an aggregate/sample, stream the corpus only
+    * through the encode map).
+    *
+    * PQ is the COMPRESSION leg of the ANN family: where
+    * [[graft.operators.Embeddings]]' int8 quantization stores dim bytes,
+    * PQ stores `m` SMALL INTS (here m=4 → 4 bytes for a 64-dim float
+    * vector, 64×), paying with subspace-level (not element-level)
+    * reconstruction error. Codes are also the memory layout ADC-style
+    * scoring scans at query time.
+    */
+  def pqCodebooks(
+      vectors: DataFrame,
+      labelCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int
+  ): Array[Array[Seq[Float]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      labelCodebook(
+        vectors.select(col(labelCol), slice(col(vecCol), s * sub + 1, sub).as("__sub")),
+        labelCol, "__sub", dim = sub)
+    }
+  }
+
+  /** PQ-encode a vector: per subspace, the argmax-cosine cell id against
+    * that subspace's codebook ([[ivfCell]] semantics per subspace: ties
+    * to the smallest cell, NaN-degenerate rows deterministic) — returned
+    * as an `array<int>` of length m. A narrow codegen'd map over the
+    * corpus: m CellCosines passes, no shuffle, no UDF.
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Seq[Float]]], dim: Int): Column = {
+    val m = codebooks.length
+    val sub = dim / m
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      ivfCell(slice(vec, s * sub + 1, sub), cb)
+    }: _*)
+  }
 }

@@ -238,5 +238,74 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"vec_id")
   }
 
-  override def queries: Seq[GQuery] = Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize)
+  /** Product-quantization encode ([[Similarity.pqCodebooks]]/`pqEncode`):
+    * 64-dim float vectors compressed to FOUR small ints (one
+    * argmax-cosine cell per 16-dim subspace against that subspace's
+    * fixed-point label-mean codebook) — 64× smaller than the raw floats,
+    * the storage/ADC-scan leg of the ANN family next to int8 scalar
+    * quantization (8×). The oracle replays the ENTIRE pipeline —
+    * per-subspace fixed-point training, slicing, cosine argmax with the
+    * smallest-cell tie rule — so every code of every vector is
+    * hash-checked, exactly like q_dedup_embedding_ivf. At 100 TB the
+    * corpus flows only through the m CellCosines encode maps; training
+    * touches one aggregate.
+    */
+  val qPq: GQuery = GQuery(
+    "q_embed_pq",
+    Some("""
+      WITH ss AS (SELECT unnest([0, 1, 2, 3]) AS s),
+      sub AS (SELECT e.vec_id, e.label, ss.s,
+                     e.embedding[(ss.s*16+1):(ss.s*16+16)] AS sv
+              FROM embeddings e CROSS JOIN ss),
+      flat AS (SELECT label, s, i,
+                      CAST(CAST((CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                                 / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
+               FROM (SELECT label, s, unnest(sv) AS x,
+                            unnest(generate_series(1, len(sv))) AS i
+                     FROM sub)
+               GROUP BY label, s, i),
+      cents AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY label) - 1 AS cell,
+                       list(cv ORDER BY i) AS c
+                FROM flat GROUP BY s, label),
+      cn AS (SELECT s, cell, c,
+                    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm
+             FROM cents),
+      v AS (SELECT vec_id, s,
+                   list_transform(sv, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM sub),
+      assigned AS (
+        SELECT vec_id, s, cell FROM (
+          SELECT v.vec_id, v.s, cn.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                                    ORDER BY list_sum(list_transform(generate_series(1, 16),
+                                             i -> v.e[i] * cn.c[i])) / (v.nrm * cn.cnrm) DESC,
+                                             cn.cell) AS rn
+          FROM v JOIN cn ON v.s = cn.s)
+        WHERE rn = 1)
+      SELECT vec_id,
+             CAST(MAX(CASE WHEN s = 0 THEN cell END) AS INT) AS code_0,
+             CAST(MAX(CASE WHEN s = 1 THEN cell END) AS INT) AS code_1,
+             CAST(MAX(CASE WHEN s = 2 THEN cell END) AS INT) AS code_2,
+             CAST(MAX(CASE WHEN s = 3 THEN cell END) AS INT) AS code_3
+      FROM assigned
+      GROUP BY vec_id
+      ORDER BY vec_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val cbs = Similarity.pqCodebooks(emb, "label", "embedding", dim = 64, m = 4)
+    val codes = Similarity.pqEncode($"embedding", cbs, dim = 64)
+    emb
+      .select(
+        $"vec_id",
+        element_at(codes, 1).as("code_0"),
+        element_at(codes, 2).as("code_1"),
+        element_at(codes, 3).as("code_2"),
+        element_at(codes, 4).as("code_3"))
+      .orderBy($"vec_id")
+  }
+
+  override def queries: Seq[GQuery] =
+    Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq)
 }
