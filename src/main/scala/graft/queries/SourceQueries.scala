@@ -197,6 +197,50 @@ object SourceQueries extends QuerySet {
       .orderBy($"lang")
   }
 
+  /** Resilient parsing of DIRTY CSV (the sibling of [[qDirtyJson]] for the
+    * other ubiquitous text format): a deterministic subset of lines gets a
+    * type-corrupt numeric field, and `from_csv` in PERMISSIVE mode must
+    * degrade FIELD-wise — the corrupt column nulls out, the remaining
+    * columns of the same row still parse, the job never fails. The oracle
+    * replays the corruption rule (it knows which rows were damaged) while
+    * the engine side exercises the real parser, exactly the dirty-json
+    * contract.
+    */
+  val qDirtyCsv: GQuery = GQuery(
+    "q_source_dirty_csv",
+    Some("""
+      WITH raw AS (SELECT doc_id, lang, n_chars,
+                          CASE WHEN doc_id % 7 = 0
+                               THEN doc_id || ',' || lang || ',' || n_chars || 'x'
+                               ELSE doc_id || ',' || lang || ',' || n_chars END AS line
+                   FROM documents)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids_all,
+             CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars_valid
+      FROM raw GROUP BY 1 ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val lines = t(spark, dir).documents.select(
+      $"lang",
+      concat(
+        $"doc_id", lit(","), $"lang", lit(","), $"n_chars",
+        when($"doc_id" % 7 === 0, lit("x")).otherwise(lit(""))).as("line"))
+    lines
+      .withColumn("c",
+        from_csv($"line", org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, lang STRING, n LONG"), Map("mode" -> "PERMISSIVE")))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"c.n".isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        // field-wise degradation: the OTHER columns of a corrupt row parse
+        sum($"c.doc_id").as("sum_ids_all"),
+        sum(coalesce($"c.n", lit(0L))).as("sum_chars_valid"))
+      .orderBy($"lang")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qJson, qCsv, qOrc, qDirtyJson, qPartitioned, qPartitionedDpp)
+    Seq(qJson, qCsv, qOrc, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp)
 }
