@@ -514,4 +514,66 @@ object Similarity {
       ivfCell(slice(vec, s * sub + 1, sub), cb)
     }: _*)
   }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: queries
+    * stay full-precision, the corpus exists ONLY as its m-int codes. Per
+    * query, the partial dot of each (subspace, cell) centroid is computed
+    * once into a tiny lookup table (n_queries × m × k rows); scoring a
+    * corpus vector is then m table lookups and an add — never a d-dim
+    * float scan. The returned score equals cos(query, reconstruction):
+    * exactly the geometry PQ stores.
+    *
+    * Scale shape: the table is broadcast; codes posexplode to (id, s,
+    * cell) — m small-int rows per vector, no floats — equi-join the
+    * table, re-aggregate by (query, id), window top-k per query. At
+    * 100 TB this is THE standard IVF-PQ scan shape (compose with
+    * [[ivfCell]] blocking to touch only probed cells' codes).
+    */
+  def pqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      qidCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Seq[Float]]],
+      dim: Int,
+      k: Int,
+      codesCol: String = "codes"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / codebooks.length
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, cell) => (s, cell, c) }
+    }.toSeq.toDF("s", "cell", "cvec")
+    val qn = queries.select(
+      col(qidCol).as("qid"),
+      col(vecCol).as("qvec"),
+      sqrt(aggregate(
+        transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x)).as("qnorm"))
+    val table = qn
+      .crossJoin(broadcast(cents))
+      .select(
+        $"qid", $"qnorm", $"s", $"cell",
+        aggregate(
+          zip_with(slice($"qvec", $"s" * sub + lit(1), lit(sub)), $"cvec",
+            (x, c) => x.cast("double") * c.cast("double")),
+          lit(0.0), (a, x) => a + x).as("pdot"),
+        aggregate(
+          transform($"cvec", c => c.cast("double") * c.cast("double")),
+          lit(0.0), (a, x) => a + x).as("cnorm2"))
+    val exploded = codes.select(col(idCol).as("id"), posexplode(col(codesCol)).as(Seq("s", "cell")))
+    val scored = exploded
+      .join(broadcast(table), Seq("s", "cell"))
+      .groupBy($"qid", $"id")
+      .agg(
+        (sum($"pdot") / (first($"qnorm") * sqrt(sum($"cnorm2")))).as("adc_score"))
+    val w = Window.partitionBy($"qid").orderBy($"adc_score".desc, $"id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"id", $"adc_score", $"rank")
+  }
 }
