@@ -538,7 +538,8 @@ object Similarity {
       codebooks: Array[Array[Seq[Float]]],
       dim: Int,
       k: Int,
-      codesCol: String = "codes"
+      codesCol: String = "codes",
+      exactSums: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sub = dim / codebooks.length
@@ -565,11 +566,17 @@ object Similarity {
           transform($"cvec", c => c.cast("double") * c.cast("double")),
           lit(0.0), (a, x) => a + x).as("cnorm2"))
     val exploded = codes.select(col(idCol).as("id"), posexplode(col(codesCol)).as(Seq("s", "cell")))
+    // summing m doubles is addition-order-sensitive in the last ulp;
+    // exactSums routes the two sums through DECIMAL(38,12) (exact,
+    // order-insensitive) so an oracle can replay the score bit-for-bit
+    val dsum12: Column => Column =
+      if (!exactSums) sum(_)
+      else c => sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
     val scored = exploded
       .join(broadcast(table), Seq("s", "cell"))
       .groupBy($"qid", $"id")
       .agg(
-        (sum($"pdot") / (first($"qnorm") * sqrt(sum($"cnorm2")))).as("adc_score"))
+        (dsum12($"pdot") / (first($"qnorm") * sqrt(dsum12($"cnorm2")))).as("adc_score"))
     val w = Window.partitionBy($"qid").orderBy($"adc_score".desc, $"id".asc)
     scored
       .withColumn("rank", row_number().over(w))
