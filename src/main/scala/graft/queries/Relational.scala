@@ -643,11 +643,107 @@ object Relational extends QuerySet {
       .orderBy($"l_returnflag")
   }
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer —
+    * 4-way join (customer × nation × orders × lineitem), returnflag
+    * filter pushed to the lineitem scan, top-20 by revenue. The classic
+    * "big fact filtered then joined up a dimension chain" plan: nation
+    * and customer broadcast, one shuffle on the order key.
+    */
+  val q10ReturnedRevenue: GQuery = GQuery(
+    "q10_returned_revenue",
+    Some(s"""
+      SELECT c_custkey, c_name, n_name,
+             ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.customer
+      .join(tt.nation, $"c_nationkey" === $"n_nationkey")
+      .join(tt.orders, $"o_custkey" === $"c_custkey")
+      .join(tt.lineitem.filter($"l_returnflag" === "R"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape: promo revenue share — a conditional-aggregate RATIO
+    * over a fact × dimension join in one pass (no second scan for the
+    * denominator). Exact decimal sums divided once in double keep the
+    * ratio bit-reproducible cross-engine.
+    */
+  val q14PromoShare: GQuery = GQuery(
+    "q14_promo_share",
+    Some(s"""
+      SELECT ${sqlSum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+               / ${sqlSum("l_extendedprice * (1 - l_discount)")} AS promo_share,
+             COUNT(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val rev = $"l_extendedprice" * (lit(1) - $"l_discount")
+    tt.lineitem
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-07-01").cast("timestamp"))
+      .join(tt.part, $"l_partkey" === $"p_partkey")
+      .agg(
+        (dsum(when($"p_type".startsWith("PROMO"), rev).otherwise(lit(0.0))) /
+          dsum(rev)).as("promo_share"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q19 shape: DISJUNCTIVE join predicate — an OR of AND-brackets
+    * mixing both sides' columns. The planner must still run an equi-join
+    * on the part key (the OR brackets share it) and evaluate the residual
+    * disjunction post-join; the common-key extraction is exactly what
+    * keeps this off a nested-loop plan. Brackets adapted to this
+    * corpus's columns (brand/size/quantity bands).
+    */
+  val q19Disjunctive: GQuery = GQuery(
+    "q19_disjunctive_pushdown",
+    Some(s"""
+      SELECT ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+             COUNT(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.lineitem
+      .join(tt.part, $"p_partkey" === $"l_partkey" && (
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 20)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) && $"l_quantity".between(10, 35)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(20, 50) && $"l_quantity".between(20, 50))))
+      .agg(
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   override def queries: Seq[GQuery] = Seq(
     q1PricingSummary,
     q6Revenue,
     q3ShippingPriority,
     q5LocalSupplier,
+    q10ReturnedRevenue,
+    q14PromoShare,
+    q19Disjunctive,
     qJoinBroadcast,
     qJoinLeft,
     qJoinSemi,
