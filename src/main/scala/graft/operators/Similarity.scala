@@ -472,6 +472,44 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Approximate kNN GRAPH construction — the input artifact of
+    * SemDeDup-style semantic clustering and graph-based dedup: for every
+    * corpus vector, its top-k cosine neighbors AMONG vectors sharing its
+    * IVF cell (the same candidate restriction as [[ivfCellPairs]],
+    * directed both ways so each node ranks its own neighborhood).
+    *
+    * Scale shape: cell assignment is a narrow codegen'd map; candidate
+    * generation is the per-cell equi-self-join (quadratic only in the
+    * largest cell — codebook sized ~√n keeps cells bounded); ranking is a
+    * per-source window over candidate lists of at most |cell| entries.
+    * Vectors in singleton cells yield no edges — at corpus scale the
+    * codebook (or multi-probe assignment) sizes cells to make that rare.
+    *
+    * Deterministic: ties rank by (cos DESC, dst ASC), so the whole graph
+    * is oracle-replayable (q_graph_knn hash-checks every edge).
+    */
+  def knnGraph(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Array[Seq[Float]],
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = vectors.select(
+      col(idCol),
+      col(vecCol),
+      ivfCell(col(vecCol), codebook).as("__cell"))
+    val a = assigned.select(col("__cell"), col(idCol).as("src"), col(vecCol).as("__va"))
+    val b = assigned.select(col("__cell"), col(idCol).as("dst"), col(vecCol).as("__vb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst").asc)
+    a.join(b, Seq("__cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Product-quantization codebooks: split the vector into `m` contiguous
     * subspaces and train one codebook per subspace (deterministic
     * fixed-point label-means, like [[labelCodebook]] — the 100 TB recipe

@@ -384,6 +384,64 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"qid", $"rank")
   }
 
+  /** Approximate kNN graph ([[Similarity.knnGraph]]): every vector's
+    * top-3 cosine neighbors within its IVF cell — the SemDeDup-style
+    * clustering input, every edge hash-checked: the oracle replays
+    * fixed-point codebook training, cell assignment, both-direction
+    * candidate edges, and the (cos DESC, dst) per-source ranking.
+    */
+  val qKnnGraph: GQuery = GQuery(
+    "q_graph_knn",
+    Some("""
+      WITH flat AS (
+        SELECT label, i,
+               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
+        FROM (SELECT label, unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY label) - 1 AS cell, list(cv ORDER BY i) AS c
+        FROM flat GROUP BY label),
+      cn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cents),
+      v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, cn.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                             i -> v.e[i] * cn.c[i])) / (v.nrm * cn.cnrm) DESC,
+                                             cn.cell) AS rn
+          FROM v CROSS JOIN cn)
+        WHERE rn = 1),
+      edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id)
+      SELECT src, dst, round(s, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rank
+        FROM edges) r
+      WHERE rank <= 3
+      ORDER BY src, rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
+    Similarity
+      .knnGraph(emb, "vec_id", "embedding", codebook, k = 3)
+      .select($"src", $"dst", round($"cos_sim", 6).as("cos_sim"), $"rank")
+      .orderBy($"src", $"rank")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq)
+    Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph)
 }
