@@ -91,6 +91,43 @@ object Subqueries extends QuerySet {
       ORDER BY c_nationkey""")
   }
 
+  /** NOT IN over a subquery — the null-aware anti join, SQL's trickiest
+    * join shape: if the subquery produces ANY null, NOT IN returns no
+    * rows at all, and a null probe value never qualifies. Spark must plan
+    * a null-aware anti join (broadcast-only) rather than a plain
+    * left-anti. Nulls are injected on the PROBE side (every 17th
+    * customer), which a plain anti join would wrongly admit — under
+    * NOT IN a null probe is 'unknown', never true; the build side stays
+    * null-free so the result is non-trivial (an any-null build returns
+    * zero rows, which would gate nothing). DuckDB implements the same
+    * standard independently — the hash match proves the semantics.
+    */
+  val qNotIn: GQuery = GQuery(
+    "q_subquery_not_in",
+    Some("""
+      WITH probe AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_nationkey END AS nk
+        FROM customer),
+      sup AS (SELECT s_nationkey AS snk FROM supplier WHERE s_nationkey < 20)
+      SELECT COUNT(*) AS n_outside,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+      FROM probe
+      WHERE nk NOT IN (SELECT snk FROM sup)""")
+  ) { (spark, dir) =>
+    withViews(spark, dir)
+    spark.sql("""
+      WITH probe AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_nationkey END AS nk
+        FROM customer),
+      sup AS (SELECT s_nationkey AS snk FROM supplier WHERE s_nationkey < 20)
+      SELECT COUNT(*) AS n_outside,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+      FROM probe
+      WHERE nk NOT IN (SELECT snk FROM sup)""")
+  }
+
   /** Correlated LATERAL subquery in FROM: per supplier, its top part by
     * shipped quantity. Catalyst decorrelates the lateral into a ranked
     * join (DecorrelateInnerQuery), so the 100 TB plan is one shuffle on
@@ -193,5 +230,5 @@ object Subqueries extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qScalarCorrelated, qExists, qIn, qLateral, qSqlUdf, qGraftSql)
+    Seq(qScalarCorrelated, qExists, qIn, qNotIn, qLateral, qSqlUdf, qGraftSql)
 }
