@@ -103,4 +103,46 @@ object Diagnostics {
     }
     (rowReport.toSeq ++ uniqReports).reduce(_.unionByName(_))
   }
+
+  /** Keyed dataset DIFF — the data-CI primitive for corpus versioning:
+    * given two versions of a table and a key, report per row-fate counts
+    * (added / removed / changed / unchanged) plus, for each compared
+    * column, how many surviving keys changed in THAT column — the
+    * "what did this pipeline change" artifact reviewed before promoting
+    * a new corpus snapshot.
+    *
+    * One full-outer join on the key, everything else conditional
+    * aggregation on the joined row — a single shuffle regardless of how
+    * many columns are compared. Null-safe equality (`<=>`) so null→value
+    * and value→null both count as changes.
+    *
+    * @return one row: (n_added, n_removed, n_changed, n_unchanged,
+    *         chg_<col>... for each compared column)
+    */
+  def diff(
+      before: DataFrame,
+      after: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty, "need keys and compare columns")
+    val b = before.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__b", lit(1))
+    val a = after.select((keyCols ++ compareCols).map(c => col(c).as(s"${c}__a")): _*)
+      .withColumn("__a", lit(1))
+    val joined = b.join(
+      a, keyCols.map(k => col(k) <=> col(s"${k}__a")).reduce(_ && _), "full_outer")
+    val inBoth = col("__b").isNotNull && col("__a").isNotNull
+    val anyChange = compareCols
+      .map(c => !(col(c) <=> col(s"${c}__a")))
+      .reduce(_ || _)
+    val perCol = compareCols.map(c =>
+      sum(when(inBoth && !(col(c) <=> col(s"${c}__a")), 1L).otherwise(0L)).as(s"chg_$c"))
+    joined.agg(
+      sum(when(col("__b").isNull, 1L).otherwise(0L)).as("n_added"),
+      (sum(when(col("__a").isNull, 1L).otherwise(0L)).as("n_removed") +:
+        sum(when(inBoth && anyChange, 1L).otherwise(0L)).as("n_changed") +:
+        sum(when(inBoth && !anyChange, 1L).otherwise(0L)).as("n_unchanged") +:
+        perCol): _*)
+  }
 }

@@ -271,6 +271,56 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"rule")
   }
 
+  /** Keyed dataset diff ([[graft.operators.Diagnostics.diff]]) between the
+    * documents table and a deterministically perturbed "next version":
+    * every doc_id % 11 == 0 is dropped (removed), % 7 == 0 gets its lang
+    * rewritten (changed), % 5 == 0 gets n_chars bumped (changed), and a
+    * shifted-id copy of the first 30 docs is appended (added). The oracle
+    * recomputes every fate count from the same perturbation rules — one
+    * full-outer join + conditional aggregation on the engine side.
+    */
+  val qDiff: GQuery = GQuery(
+    "q_diag_diff",
+    Some("""
+      WITH aft AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id < 30),
+      j AS (SELECT b.doc_id AS bk, a.doc_id AS ak,
+                   b.lang AS bl, a.lang AS al,
+                   b.n_chars AS bn, a.n_chars AS an
+            FROM documents b FULL OUTER JOIN aft a ON b.doc_id = a.doc_id)
+      SELECT CAST(SUM(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(SUM(CASE WHEN ak IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(SUM(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+                            AND (bl IS DISTINCT FROM al OR bn IS DISTINCT FROM an)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             CAST(SUM(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+                            AND bl IS NOT DISTINCT FROM al AND bn IS NOT DISTINCT FROM an
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+             CAST(SUM(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+                            AND bl IS DISTINCT FROM al THEN 1 ELSE 0 END) AS BIGINT) AS chg_lang,
+             CAST(SUM(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+                            AND bn IS DISTINCT FROM an THEN 1 ELSE 0 END) AS BIGINT) AS chg_n_chars
+      FROM j""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val after = docs
+      .filter($"doc_id" % 11 =!= 0)
+      .select(
+        $"doc_id",
+        when($"doc_id" % 7 === 0, lit("xx")).otherwise($"lang").as("lang"),
+        when($"doc_id" % 5 === 0, $"n_chars" + 1).otherwise($"n_chars").as("n_chars"))
+      .unionByName(docs.filter($"doc_id" < 30)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"n_chars"))
+    graft.operators.Diagnostics
+      .diff(docs, after, keyCols = Seq("doc_id"), compareCols = Seq("lang", "n_chars"))
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations)
+    Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff)
 }
