@@ -442,6 +442,88 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"src", $"rank")
   }
 
+  /** SemDeDup-shape SEMANTIC clustering, end to end: kNN graph within IVF
+    * cells → keep edges with cosine ≥ 0.3 → connected components → the
+    * cluster table (component = min member id, size per cluster,
+    * singletons self-clustered). The full chain — codebook training, cell
+    * assignment, candidate edges, per-source top-3 ranking, thresholding,
+    * recursive-CTE components, singleton fill — is replayed by the
+    * oracle, so the SEMANTIC dedup decision itself is hash-checked, like
+    * its lexical siblings (q_dedup_connected/q_dedup_representative).
+    */
+  val qSemCluster: GQuery = GQuery(
+    "q_pipeline_semdedup",
+    Some("""
+      WITH RECURSIVE flat AS (
+        SELECT label, i,
+               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
+        FROM (SELECT label, unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY label) - 1 AS cell, list(cv ORDER BY i) AS c
+        FROM flat GROUP BY label),
+      cn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cents),
+      v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, cn.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                             i -> v.e[i] * cn.c[i])) / (v.nrm * cn.cnrm) DESC,
+                                             cn.cell) AS rn
+          FROM v CROSS JOIN cn)
+        WHERE rn = 1),
+      edges0 AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id),
+      kept AS (
+        SELECT src, dst FROM (
+          SELECT src, dst, s,
+                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rank
+          FROM edges0) r
+        WHERE rank <= 3 AND s >= 0.3),
+      ed AS (SELECT src, dst FROM kept UNION SELECT dst, src FROM kept),
+      reach(src, dst) AS (
+        SELECT src, dst FROM ed
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src),
+      comp AS (SELECT src AS vec_id, least(src, MIN(dst)) AS component
+               FROM reach GROUP BY src),
+      lab AS (SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component
+              FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id)
+      SELECT component, COUNT(*) AS n_vecs
+      FROM lab GROUP BY 1 ORDER BY component""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
+    val edges = Similarity
+      .knnGraph(emb, "vec_id", "embedding", codebook, k = 3)
+      .filter($"cos_sim" >= 0.3)
+      .select($"src".as("id_a"), $"dst".as("id_b"))
+    graft.operators.Dedup
+      .clusterRepresentatives(
+        emb.select($"vec_id", lit(0L).as("__score")),
+        "vec_id",
+        graft.operators.Dedup.connectedComponents(edges),
+        "__score")
+      .select($"component", $"n_docs".as("n_vecs"))
+      .orderBy($"component")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph)
+    Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
+      qSemCluster)
 }
