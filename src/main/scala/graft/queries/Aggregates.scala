@@ -268,6 +268,38 @@ object Aggregates extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** SQL-standard FILTER clause on aggregates — the declarative form of
+    * the CASE-WHEN conditional aggregation q_agg_conditional exercises:
+    * each aggregate sees only its own filtered rows, all in ONE pass
+    * (Catalyst compiles both spellings to the same conditional
+    * aggregation; the parser surface is what this query pins).
+    */
+  val qFilterClause: GQuery = GQuery(
+    "q_agg_filter_clause",
+    Some(s"""
+      SELECT l_returnflag,
+             COUNT(*) AS n_all,
+             COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+             ${sqlSum("l_extendedprice")} AS rev_all,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted,
+             CAST(MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS max_qty_f
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  ) { (spark, dir) =>
+    t(spark, dir).lineitem.createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT l_returnflag,
+             COUNT(*) AS n_all,
+             COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev_all,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted,
+             CAST(MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS max_qty_f
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
   /** Sketch SET OPERATIONS: estimated overlap between audience slices via
     * HLL inclusion-exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), with
     * the union estimated by MERGING the two slices' sketches (`hll_union`),
@@ -666,8 +698,8 @@ object Aggregates extends QuerySet {
   }
 
   override def queries: Seq[GQuery] = Seq(
-    qDistinct, qRollup, qCube, qGroupingSets, qConditional, qCollect, qApproxDistinct,
-    qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode, qHllRollup,
-    qHllIntersect, qDiagSkew, qOutlierIqr, qBools
+    qDistinct, qRollup, qCube, qGroupingSets, qConditional, qFilterClause, qCollect,
+    qApproxDistinct, qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode,
+    qHllRollup, qHllIntersect, qDiagSkew, qOutlierIqr, qBools
   )
 }

@@ -229,6 +229,44 @@ object SequenceQueries extends QuerySet {
       .orderBy($"day")
   }
 
+  /** Market-basket triangle census ([[graft.operators.Graphs]]): parts
+    * co-purchased within an order become canonical weighted edges; edges
+    * seen in ≥2 orders (the noise cut that also bounds the join — the
+    * raw co-occurrence graph is 1000× denser) feed the node-ordered
+    * two-join triangle enumeration; output is each node's triangle
+    * membership count. Triangle structure is the strength-of-community
+    * signal one level above the pairwise edges the dedup family uses.
+    * The oracle replays edge building, the weight cut, and the canonical
+    * (a < b < c) enumeration.
+    */
+  val qTriangles: GQuery = GQuery(
+    "q_graph_triangles",
+    Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS w
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2),
+      e2 AS (SELECT src, dst FROM e WHERE w >= 2),
+      tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+              FROM e2 ab
+              JOIN e2 bc ON ab.dst = bc.src
+              JOIN e2 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+      nodes AS (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+      SELECT node, COUNT(*) AS n_triangles
+      FROM nodes GROUP BY node
+      ORDER BY node""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+    graft.operators.Graphs
+      .triangleCounts(edges)
+      .orderBy($"node")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll)
+    Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles)
 }

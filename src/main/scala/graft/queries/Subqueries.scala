@@ -229,6 +229,39 @@ object Subqueries extends QuerySet {
       ORDER BY doc_id""")
   }
 
+  /** TWO correlated existence subqueries with opposite polarity in ONE
+    * predicate (TPC-H Q21's signature shape): orders that have at least
+    * one returned lineitem AND no high-discount lineitem. Catalyst plans
+    * a left-semi AND a left-anti join against the same fact table in one
+    * query — the shape that catches planners double-scanning or
+    * mis-merging correlated predicates.
+    */
+  val qExistsNotExists: GQuery = GQuery(
+    "q_subquery_exists_notexists",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        AND NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  ) { (spark, dir) =>
+    withViews(spark, dir)
+    spark.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        AND NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qScalarCorrelated, qExists, qIn, qNotIn, qLateral, qSqlUdf, qGraftSql)
+    Seq(qScalarCorrelated, qExists, qIn, qNotIn, qExistsNotExists, qLateral, qSqlUdf, qGraftSql)
 }
