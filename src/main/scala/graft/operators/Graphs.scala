@@ -66,4 +66,51 @@ object Graphs {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-iteration PageRank over canonical (src < dst) edges, treated
+    * undirected (contributions flow both ways). Deterministic to the
+    * BIT across engines and partitionings: per-node contribution sums go
+    * through 1e-15 FIXED-POINT integers (floor(x·1e15) summed as longs —
+    * exact and order-insensitive, where a plain double sum varies with
+    * aggregation order and a double→DECIMAL cast rounds differently per
+    * engine: Spark casts via the shortest decimal string), and every
+    * other step is a single IEEE op on identical inputs — so an oracle
+    * can replay K iterations as K chained aggregations and hash-match
+    * every score.
+    *
+    * Scale shape: the textbook iterative join — each round is one
+    * (edges ⋈ ranks) shuffle on node id plus a map-side-combined sum;
+    * ranks localCheckpoint per round (the iterative-lineage rule);
+    * dangling mass is handled by the standard (1-d)/n floor since the
+    * symmetrized graph has no zero-degree nodes by construction.
+    *
+    * @param k damping iterations (fixed count — convergence-check-free,
+    *          so the result is a pure function of the graph)
+    */
+  def pagerank(edges: DataFrame, k: Int, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    val base = lit(1.0 - damping) / n
+    var ranks = deg.select(col("node"), (lit(1.0) / n).as("pr"), col("deg"))
+      .localCheckpoint()
+    for (_ <- 1 to k) {
+      val contrib = sym
+        .join(ranks, sym("src") === ranks("node"))
+        .select(col("dst").as("node"), floor((col("pr") / col("deg")) * 1e15).as("c"))
+        .groupBy(col("node"))
+        .agg((sum(col("c")).cast("double") / 1e15).as("acc"))
+      ranks = deg
+        .join(contrib, Seq("node"), "left_outer")
+        .select(
+          col("node"),
+          (base + lit(damping) * coalesce(col("acc"), lit(0.0))).as("pr"),
+          col("deg"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("pr"))
+  }
 }

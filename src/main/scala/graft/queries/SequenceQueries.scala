@@ -267,6 +267,63 @@ object SequenceQueries extends QuerySet {
       .orderBy($"node")
   }
 
+  /** PageRank (3 damped iterations) on the same co-purchase graph —
+    * [[graft.operators.Graphs.pagerank]]'s every score hash-checked: the
+    * oracle chains the iterations as plain aggregations (no recursion
+    * needed at fixed k) with the SAME decimal-exact contribution sums and
+    * the SAME IEEE constant arithmetic (1 − 0.85 is computed in double on
+    * both engines, never as a decimal literal — the one base-10 trap in
+    * cross-engine float parity).
+    */
+  val qPagerank: GQuery = GQuery(
+    "q_graph_pagerank",
+    Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS w
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2),
+      e2 AS (SELECT src, dst FROM e WHERE w >= 2),
+      sym AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM deg),
+      p0 AS (SELECT d.node, CAST(1 AS DOUBLE) / nn.n AS pr, d.deg
+             FROM deg d CROSS JOIN nn),
+      c1 AS (SELECT s.dst AS node,
+                    CAST(SUM(CAST(floor((p.pr / p.deg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS acc
+             FROM sym s JOIN p0 p ON p.node = s.src GROUP BY 1),
+      p1 AS (SELECT d.node,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c1.acc, CAST(0 AS DOUBLE)) AS pr,
+                    d.deg
+             FROM deg d CROSS JOIN nn LEFT JOIN c1 ON c1.node = d.node),
+      c2 AS (SELECT s.dst AS node,
+                    CAST(SUM(CAST(floor((p.pr / p.deg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS acc
+             FROM sym s JOIN p1 p ON p.node = s.src GROUP BY 1),
+      p2 AS (SELECT d.node,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c2.acc, CAST(0 AS DOUBLE)) AS pr,
+                    d.deg
+             FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.node = d.node),
+      c3 AS (SELECT s.dst AS node,
+                    CAST(SUM(CAST(floor((p.pr / p.deg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS acc
+             FROM sym s JOIN p2 p ON p.node = s.src GROUP BY 1),
+      p3 AS (SELECT d.node,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c3.acc, CAST(0 AS DOUBLE)) AS pr,
+                    d.deg
+             FROM deg d CROSS JOIN nn LEFT JOIN c3 ON c3.node = d.node)
+      SELECT node, pr FROM p3 ORDER BY node""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+    graft.operators.Graphs
+      .pagerank(edges, k = 3)
+      .orderBy($"node")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles)
+    Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
+      qPagerank)
 }
