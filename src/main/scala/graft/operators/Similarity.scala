@@ -510,6 +510,93 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ top-k — the production ANN architecture (coarse quantizer
+    * restricts WHICH vectors are scored, product quantization restricts
+    * WHAT is read per vector): queries probe their `nProbe` nearest
+    * coarse cells, and only those cells' vectors are ADC-scored from
+    * their m-int codes. At 100 TB the corpus is stored cell-partitioned
+    * as codes (m bytes/vector); a query touches nProbe/nlist of the data
+    * and never reads a float vector.
+    *
+    * Determinism end to end: coarse probe ranks by (cosine DESC, cell
+    * ASC); encode and ADC are [[pqEncode]]/[[pqTopK]]'s (exactSums mode);
+    * so the whole pipeline — including its sub-1 recall — is a pure
+    * function of the data that an oracle replays bit-for-bit
+    * (q_ann_ivfpq).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      qidCol: String,
+      vecCol: String,
+      coarse: Array[Seq[Float]],
+      codebooks: Array[Array[Seq[Float]]],
+      dim: Int,
+      k: Int,
+      nProbe: Int,
+      exactSums: Boolean = false
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val sub = dim / codebooks.length
+    // corpus: one (cell, id, codes) row per vector — the stored layout
+    val coded = corpus.select(
+      ivfCell(col(vecCol), coarse).as("cell"),
+      col(idCol).as("id"),
+      pqEncode(col(vecCol), codebooks, dim).as("codes"))
+    // probe list: each query's nProbe best coarse cells (cos DESC, cell ASC)
+    val cellScores = graft.functions.GraftFunctions.cellCosines(col(vecCol), coarse)
+    val probes = queries
+      .select(
+        col(qidCol).as("qid"),
+        col(vecCol).as("qvec"),
+        explode(slice(
+          sort_array(
+            transform(cellScores, (s, i) => struct(s.as("s"), (-i).as("negcell"))),
+            asc = false),
+          1, nProbe)).as("pc"))
+      .select($"qid", $"qvec", (-$"pc.negcell").cast("int").as("cell"))
+    // candidates: probed cells' codes only
+    val cand = probes.select($"qid", $"cell")
+      .join(coded, Seq("cell"))
+      .select($"qid", $"id", posexplode($"codes").as(Seq("s", "pqcell")))
+    // per-query ADC table, exactly as pqTopK builds it
+    val cents = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, cell) => (s, cell, c) }
+    }.toSeq.toDF("s", "pqcell", "cvec")
+    val qn = queries.select(
+      col(qidCol).as("qid"),
+      col(vecCol).as("qvec"),
+      sqrt(aggregate(
+        transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x)).as("qnorm"))
+    val table = qn
+      .crossJoin(broadcast(cents))
+      .select(
+        $"qid", $"qnorm", $"s", $"pqcell",
+        aggregate(
+          zip_with(slice($"qvec", $"s" * sub + lit(1), lit(sub)), $"cvec",
+            (x, c) => x.cast("double") * c.cast("double")),
+          lit(0.0), (a, x) => a + x).as("pdot"),
+        aggregate(
+          transform($"cvec", c => c.cast("double") * c.cast("double")),
+          lit(0.0), (a, x) => a + x).as("cnorm2"))
+    val dsum12: Column => Column =
+      if (!exactSums) sum(_)
+      else c => sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
+    val scored = cand
+      .join(broadcast(table), Seq("qid", "s", "pqcell"))
+      .groupBy($"qid", $"id")
+      .agg((dsum12($"pdot") / (first($"qnorm") * sqrt(dsum12($"cnorm2")))).as("adc_score"))
+    val w = Window.partitionBy($"qid").orderBy($"adc_score".desc, $"id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"id", $"adc_score", $"rank")
+  }
+
   /** Product-quantization codebooks: split the vector into `m` contiguous
     * subspaces and train one codebook per subspace (deterministic
     * fixed-point label-means, like [[labelCodebook]] — the 100 TB recipe

@@ -523,7 +523,123 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"component")
   }
 
+  /** IVF-PQ top-k ([[Similarity.ivfPqTopK]]) — the FAISS-style production
+    * architecture composed from the engine's two quantizers and, like its
+    * pieces, FULLY hash-checked: the oracle replays coarse training,
+    * cell assignment, the (cos DESC, cell) 3-probe ranking, per-subspace
+    * PQ training + encode, the candidate restriction, the decimal-exact
+    * ADC score, and the final ranking. Sub-1 recall is part of the
+    * replayed function, not an excuse for a weaker gate.
+    */
+  val qIvfPq: GQuery = GQuery(
+    "q_ann_ivfpq",
+    Some("""
+      WITH cflat AS (
+        SELECT label, i,
+               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
+        FROM (SELECT label, unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      ccents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY label) - 1 AS cell, list(cv ORDER BY i) AS c
+        FROM cflat GROUP BY label),
+      ccn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM ccents),
+      cv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      cassigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT cv.vec_id, ccn.cell,
+                 ROW_NUMBER() OVER (PARTITION BY cv.vec_id
+                                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                             i -> cv.e[i] * ccn.c[i])) / (cv.nrm * ccn.cnrm) DESC,
+                                             ccn.cell) AS rn
+          FROM cv CROSS JOIN ccn)
+        WHERE rn = 1),
+      probe AS (
+        SELECT qid, cell FROM (
+          SELECT cv.vec_id AS qid, ccn.cell,
+                 ROW_NUMBER() OVER (PARTITION BY cv.vec_id
+                                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                             i -> cv.e[i] * ccn.c[i])) / (cv.nrm * ccn.cnrm) DESC,
+                                             ccn.cell) AS rn
+          FROM cv CROSS JOIN ccn WHERE cv.vec_id < 4) r
+        WHERE rn <= 3),
+      candv AS (SELECT p.qid, a.vec_id AS id
+                FROM probe p JOIN cassigned a ON a.cell = p.cell),
+      ss AS (SELECT unnest([0, 1, 2, 3]) AS s),
+      sub AS (SELECT e.vec_id, e.label, ss.s,
+                     e.embedding[(ss.s*16+1):(ss.s*16+16)] AS sv
+              FROM embeddings e CROSS JOIN ss),
+      flat AS (SELECT label, s, i,
+                      CAST(CAST((CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                                 / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cvv
+               FROM (SELECT label, s, unnest(sv) AS x,
+                            unnest(generate_series(1, len(sv))) AS i
+                     FROM sub)
+               GROUP BY label, s, i),
+      cents AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY label) - 1 AS cell,
+                       list(cvv ORDER BY i) AS c
+                FROM flat GROUP BY s, label),
+      cn AS (SELECT s, cell, c,
+                    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm,
+                    list_sum(list_transform(c, x -> x * x)) AS cnorm2
+             FROM cents),
+      v AS (SELECT vec_id, s,
+                   list_transform(sv, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM sub),
+      assigned AS (
+        SELECT vec_id, s, cell FROM (
+          SELECT v.vec_id, v.s, cn.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                                    ORDER BY list_sum(list_transform(generate_series(1, 16),
+                                             i -> v.e[i] * cn.c[i])) / (v.nrm * cn.cnrm) DESC,
+                                             cn.cell) AS rn
+          FROM v JOIN cn ON v.s = cn.s)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, s, e AS qe FROM v WHERE vec_id < 4),
+      qn AS (SELECT vec_id AS qid,
+                    sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+             FROM embeddings WHERE vec_id < 4),
+      pd AS (SELECT cd.qid, cd.id,
+                    CAST(SUM(CAST(list_sum(list_transform(generate_series(1, 16),
+                             i -> q.qe[i] * r.c[i])) AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+                    CAST(SUM(CAST(r.cnorm2 AS DECIMAL(38,12))) AS DOUBLE) AS rn2
+             FROM candv cd
+             JOIN assigned a ON a.vec_id = cd.id
+             JOIN q ON q.qid = cd.qid AND q.s = a.s
+             JOIN cn r ON r.s = a.s AND r.cell = a.cell
+             GROUP BY 1, 2),
+      scored AS (SELECT pd.qid, pd.id,
+                        pd.dot / (qn.qnorm * sqrt(pd.rn2)) AS adc_score
+                 FROM pd JOIN qn ON qn.qid = pd.qid)
+      SELECT qid, id, adc_score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adc_score DESC, id) AS rank
+        FROM scored) r
+      WHERE rank <= 5
+      ORDER BY qid, rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val coarse = Similarity.labelCodebook(emb, "label", "embedding")
+    val cbs = Similarity.pqCodebooks(emb, "label", "embedding", dim = 64, m = 4)
+    Similarity
+      .ivfPqTopK(
+        emb, emb.filter($"vec_id" < 4).select($"vec_id".as("qid"), $"embedding"),
+        "vec_id", "qid", "embedding", coarse, cbs,
+        dim = 64, k = 5, nProbe = 3, exactSums = true)
+      .select($"qid", $"id", $"adc_score", $"rank")
+      .orderBy($"qid", $"rank")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
-      qSemCluster)
+      qSemCluster, qIvfPq)
 }
