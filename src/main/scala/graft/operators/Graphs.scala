@@ -67,6 +67,30 @@ object Graphs {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node: 2·triangles /
+    * (deg·(deg−1)) — how close each node's neighborhood is to a clique,
+    * the standard community-tightness signal one level above
+    * [[triangleCounts]]. Nodes of degree < 2 (coefficient undefined) are
+    * omitted; nodes in no triangle report 0. One IEEE division on exact
+    * integers — bit-reproducible cross-engine.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    deg
+      .filter(col("deg") >= 2)
+      .join(triangleCounts(e), Seq("node"), "left_outer")
+      .select(
+        col("node"),
+        col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        ((coalesce(col("n_triangles"), lit(0L)) * lit(2.0)) /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("clustering_coeff"))
+  }
+
   /** Fixed-iteration PageRank over canonical (src < dst) edges, treated
     * undirected (contributions flow both ways). Deterministic to the
     * BIT across engines and partitionings: per-node contribution sums go

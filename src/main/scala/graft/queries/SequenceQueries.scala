@@ -323,7 +323,49 @@ object SequenceQueries extends QuerySet {
       .orderBy($"node")
   }
 
+  /** Local clustering coefficient on the same co-purchase graph
+    * ([[graft.operators.Graphs.clusteringCoefficient]]): 2T/(d(d−1)) per
+    * node of degree ≥ 2, zero-filled for triangle-free nodes — exact
+    * integers into one IEEE division, so the whole column hash-matches.
+    */
+  val qClustering: GQuery = GQuery(
+    "q_graph_clustering",
+    Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS w
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2),
+      e2 AS (SELECT src, dst FROM e WHERE w >= 2),
+      deg AS (SELECT node, COUNT(*) AS deg FROM (
+                SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2) n
+              GROUP BY 1),
+      tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+              FROM e2 ab
+              JOIN e2 bc ON ab.dst = bc.src
+              JOIN e2 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+      tc AS (SELECT node, COUNT(*) AS n_triangles FROM (
+               SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) n
+             GROUP BY 1)
+      SELECT d.node, d.deg,
+             COALESCE(tc.n_triangles, 0) AS n_triangles,
+             (COALESCE(tc.n_triangles, 0) * CAST(2 AS DOUBLE))
+               / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS clustering_coeff
+      FROM deg d LEFT JOIN tc ON tc.node = d.node
+      WHERE d.deg >= 2
+      ORDER BY d.node""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+    graft.operators.Graphs
+      .clusteringCoefficient(edges)
+      .orderBy($"node")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
-      qPagerank)
+      qPagerank, qClustering)
 }
