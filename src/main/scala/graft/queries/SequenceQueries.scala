@@ -365,7 +365,94 @@ object SequenceQueries extends QuerySet {
       .orderBy($"node")
   }
 
+  /** Time-to-convert: per user, latency from first signup to the first
+    * STRICTLY-later purchase, summarized per signup-day cohort — the
+    * funnel's time dimension (q_seq_funnel counts who converts; this
+    * measures how fast). Latencies are µs-integer subtraction; the mean
+    * is an exact BIGINT sum divided in double — NOT the decimal-sum
+    * convention: at ~1e17 micro-unit magnitudes DuckDB's DECIMAL→DOUBLE
+    * conversion lands one ulp off Spark's correctly-rounded one, while
+    * int64→double is correctly rounded in both engines.
+    */
+  val qTimeToConvert: GQuery = GQuery(
+    "q_seq_time_to_convert",
+    Some(s"""
+      WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+                 WHERE event_type = 'signup' GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t1
+            FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s.t0 GROUP BY 1),
+      lat AS (SELECT s.user_id,
+                     strftime(date_trunc('day', s.t0), '%Y-%m-%d') AS cohort_day,
+                     CAST(epoch_us(p.t1) - epoch_us(s.t0) AS BIGINT) AS us
+              FROM s JOIN p USING (user_id))
+      SELECT cohort_day,
+             COUNT(*) AS n_converted,
+             MIN(us) AS min_us,
+             MAX(us) AS max_us,
+             CAST(CAST(SUM(us) AS BIGINT) AS DOUBLE) / CAST(COUNT(us) AS DOUBLE) AS avg_us
+      FROM lat GROUP BY 1 ORDER BY cohort_day""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    // truncate to µs FIRST: the oracle's view sees µs timestamps, so the
+    // strictly-after comparison must run on identical values (an event
+    // <1µs after signup is a tie in µs, not 'after')
+    val e = t(spark, dir).events
+      .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+    val s = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"tus").as("t0"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(s, "user_id").filter($"tus" > $"t0")
+      .groupBy($"user_id").agg(min($"tus").as("t1"))
+    s.join(p, "user_id")
+      .select(
+        date_format(
+          date_trunc("day", timestamp_micros($"t0")),
+          "yyyy-MM-dd").as("cohort_day"),
+        ($"t1" - $"t0").as("us"))
+      .groupBy($"cohort_day")
+      .agg(
+        count(lit(1)).as("n_converted"),
+        min($"us").as("min_us"),
+        max($"us").as("max_us"),
+        (sum($"us").cast("double") / count($"us").cast("double")).as("avg_us"))
+      .orderBy($"cohort_day")
+  }
+
+  /** Connected components on the co-purchase graph — the SAME
+    * [[graft.operators.Dedup.connectedComponents]] the dedup family uses,
+    * shown generic: substitute clusters among parts bought together.
+    * Oracle = recursive-CTE reachability, as for q_dedup_connected.
+    */
+  val qGraphComponents: GQuery = GQuery(
+    "q_graph_components",
+    Some("""
+      WITH RECURSIVE g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS w
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2),
+      e2 AS (SELECT src, dst FROM e WHERE w >= 3),
+      ed AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      reach(src, dst) AS (
+        SELECT src, dst FROM ed
+        UNION
+        SELECT r.src, x.dst FROM reach r JOIN ed x ON r.dst = x.src)
+      SELECT src AS node, least(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+      ORDER BY node""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 3)
+      .select($"src".as("id_a"), $"dst".as("id_b"))
+    graft.operators.Dedup
+      .connectedComponents(edges)
+      .select($"id".as("node"), $"component")
+      .orderBy($"node")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
-      qPagerank, qClustering)
+      qPagerank, qClustering, qTimeToConvert, qGraphComponents)
 }
