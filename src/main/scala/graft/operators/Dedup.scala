@@ -57,6 +57,47 @@ object Dedup {
       .join(index, Seq("content_hash"), "left_anti")
   }
 
+  /** Bloom-gated variant of [[incrementalNew]] — the shuffle-reduction
+    * composition for the common 100 TB regime where MOST of a new batch
+    * is genuinely new: a bloom filter over the corpus hash index splits
+    * the batch row-locally. "Definitely absent" hashes (no false
+    * negatives — they are provably new) bypass the anti-join entirely;
+    * only the bloom-POSITIVE sliver (true dups + ~fpp of the new) rides
+    * the shuffle to be checked exactly. Results are IDENTICAL to the
+    * plain path (DedupSpec asserts equality); what changes is that the
+    * anti-join's probe side shrinks from |batch| to
+    * |dups| + fpp·|batch|.
+    *
+    * The bloom costs one pass over the index (~1.2 bytes/hash at 1%
+    * fpp); persist it next to the index and this becomes a pure
+    * broadcast-side artifact, exactly like [[Joins.bloomSemiJoin]]'s.
+    */
+  def incrementalNewBloomGated(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    def hashed(d: DataFrame) =
+      d.select(col(idCol), md5(encode(normText(col(textCol)), "UTF-8")).as("content_hash"))
+    val index = hashed(existing).select(col("content_hash")).distinct().localCheckpoint()
+    val bf = index.stat.bloomFilter("content_hash", math.max(expectedItems, 1L), fpp)
+    val might = org.apache.spark.sql.graftshim.GraftSql.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graftshim.GraftSql.expression(col("content_hash")), bf))
+    val batch = hashed(incoming)
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .withColumn("__maybe", might)
+      .localCheckpoint() // consumed twice (the two branches below)
+    val definitelyNew = batch.filter(!col("__maybe")).drop("__maybe")
+    val checkedNew = batch.filter(col("__maybe")).drop("__maybe")
+      .join(index, Seq("content_hash"), "left_anti")
+    definitelyNew.unionByName(checkedNew)
+  }
+
   /** Incremental FUZZY dedup — the near-dup gate for rolling ingest (the
     * fuzzy sibling of [[incrementalNew]]): a new batch is admitted
     * against the ALREADY-ACCEPTED corpus's minhash signature index, so a

@@ -159,4 +159,28 @@ class DedupSpec extends SparkSpec {
     assert(total == docs.count())
     assert(d.count() == d.select($"content_hash").distinct().count())
   }
+
+  test("bloom-gated incremental dedup equals the plain path exactly") {
+    // corpus = even ids, batch = a mix of re-crawls (dups) and new docs
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text")
+      .unionByName(existing.limit(40).select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+
+    val plain = Dedup.incrementalNew(existing, incoming, "doc_id", "text")
+      .as[(String, Long)].collect().toSet
+    val gated = Dedup.incrementalNewBloomGated(
+        existing, incoming, "doc_id", "text", expectedItems = 1000L)
+      .as[(String, Long)].collect().toSet
+    assert(gated == plain,
+      s"bloom gate changed the decision: only-gated=${gated -- plain}, only-plain=${plain -- gated}")
+    assert(plain.nonEmpty, "fixture degenerate: nothing admitted")
+
+    // an aggressive fpp still cannot change results (false POSITIVES only
+    // add rows to the exact check; false negatives do not exist)
+    val sloppy = Dedup.incrementalNewBloomGated(
+        existing, incoming, "doc_id", "text", expectedItems = 10L, fpp = 0.5)
+      .as[(String, Long)].collect().toSet
+    assert(sloppy == plain, "undersized bloom must degrade performance, never correctness")
+  }
 }
