@@ -662,6 +662,76 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Prefix-filtering exact similarity join (the AllPairs/PPJoin family —
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08): exact shingle-set Jaccard
+    * ≥ `threshold` with RECALL 1, the lossless alternative to
+    * [[jaccardPairs]]'s df-cap. Rank every shingle by global rarity
+    * (ascending document frequency, ties on the shingle itself); a set of
+    * size n only needs its first `n − ⌈t·n⌉ + 1` rarest shingles indexed:
+    * if J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and the globally
+    * SMALLEST shared shingle must sit inside both prefixes (everything
+    * before it in either list is unshared, and the intersection can't fit
+    * behind it) — so the prefix equi-join finds every qualifying pair.
+    *
+    * Scale shape: the inverted index shrinks from every posting to the
+    * prefix postings, and because ranking is by ASCENDING df the prefixes
+    * are made of the rarest shingles — exactly the ones with short
+    * posting lists. Hot boilerplate shingles (the ones the df-cap
+    * discards, changing the answer) land in suffixes and never generate a
+    * candidate, yet still count in the exact verify. Candidates are
+    * id-pairs only, deduped before the payload join; the verify is one
+    * count-shared-shingles join restricted to candidates. Each stage is a
+    * plain equi-join/aggregate — linear in postings, never all-pairs.
+    */
+  def prefixFilterPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    // Same exploded (id, shingle) front end as jaccardPairs; materialized
+    // once — it feeds df-ranking, the prefix join, sizes, and the verify.
+    val sh = docs
+      .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
+      .select(col("id"), col("shingle").as("s"))
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = sh
+      .join(dfreq, "s")
+      .withColumn(
+        "pos",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id"))
+            .orderBy(col("df"), col("s"))))
+    val prefix = ranked
+      .join(sizes, "id")
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("id"), col("s"))
+      .localCheckpoint()
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verify: shared-shingle count restricted to candidate pairs.
+    val shared = cands
+      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Paragraph-level exact dedup (Dolma/RefinedWeb-style): documents are
     * segmented into paragraphs, each paragraph is kept only at its FIRST
     * occurrence corpus-wide (lowest (doc, position)), and surviving

@@ -106,4 +106,126 @@ object TimeSeries {
         col("valid_to").isNull.as("is_current")
       )
   }
+
+  /** Batch sessionization with PER-EVENT session assignment: a new session
+    * opens at each key's first event and wherever the gap from the
+    * previous event exceeds `gapUs`; the session index is the running
+    * count of such openings. This is the row-level complement of the
+    * `session_window` AGGREGATE (q_window_session collapses each session
+    * to one row; here every event keeps its session id — the shape
+    * feature pipelines and funnel-within-session analyses need).
+    *
+    * Reference analog: callysto would hold "last seen ts" in a CTable and
+    * emit a counter bump per message (timer.rs idle-close is the
+    * streaming twin — graft has BOTH, [[graft.streaming.Timers]] for
+    * streams and this for backfill). One sort per key partition, two
+    * window passes on the same sort (Catalyst reuses the exchange+sort),
+    * all integer µs arithmetic.
+    *
+    * @return one row per (key, session_idx): event count, µs bounds/span.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      tieCol: String,
+      gapUs: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    df
+      .withColumn("__prev", lag(col(tsUsCol), 1).over(w))
+      .withColumn(
+        "__new",
+        when(col("__prev").isNull || col(tsUsCol) - col("__prev") > gapUs, 1).otherwise(0))
+      .withColumn(
+        "session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsUsCol)).as("start_us"),
+        max(col(tsUsCol)).as("end_us"),
+        (max(col(tsUsCol)) - min(col(tsUsCol))).as("duration_us")
+      )
+  }
+
+  /** Halving-weight decayed moving average (the batch twin of
+    * [[graft.streaming.DecayCounter]]'s exponential decay): over each
+    * key's last `depth` events, newest weighted 1, each step back halved.
+    * Computed as a Horner chain over lagged values — `acc·0.5 + x` from
+    * oldest to newest — so every multiply is an EXACT power-of-two scale
+    * and the additions happen in one fixed order: the result is
+    * bit-reproducible on any IEEE engine, no decimal detour needed.
+    * Missing leading lags coalesce to 0.0, which the chain preserves
+    * exactly, so short histories need no special case; the normalizer
+    * 2 − 2^−(n−1) uses the actual window population n.
+    *
+    * One window sort serves all `depth` lags and the population count.
+    */
+  def decayAvg(
+      df: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      tieCol: String,
+      valueCol: String,
+      depth: Int = 8
+  ): DataFrame = {
+    require(depth >= 1 && depth <= 32, s"depth $depth out of (1,32]")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    val horner = (depth - 1 to 1 by -1).foldLeft(lit(0.0)) { (acc, k) =>
+      acc * 0.5 + coalesce(lag(col(valueCol), k).over(w), lit(0.0))
+    }
+    val n = least(row_number().over(w), lit(depth))
+    df.select(
+      col(keyCol),
+      col(tieCol),
+      col(tsUsCol),
+      col(valueCol),
+      ((horner * 0.5 + col(valueCol)) /
+        (lit(2.0) - pow(lit(0.5), (n - 1).cast("double")))).as("decay_avg")
+    )
+  }
+
+  /** Rolling z-score anomaly screen: each event judged against the mean /
+    * variance of its key's PRIOR `lookback` values (frame excludes the
+    * current row — an outlier must not mask itself). Sums run through
+    * exact DECIMAL(38,6) so mean/variance are order-insensitive; the
+    * variance subtraction and the squared-deviation comparison are then
+    * single IEEE operations, identical cross-engine (comparing squared
+    * deviation to `sigmas²·var` avoids sqrt on a rounding-negative
+    * variance). Events with fewer than `minPrior` antecedents are never
+    * flagged — a z-score against two points is noise.
+    */
+  def rollingAnomaly(
+      df: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      tieCol: String,
+      valueCol: String,
+      lookback: Int = 10,
+      minPrior: Int = 5,
+      sigmas: Double = 2.0
+  ): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 6)
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val nPrior = count(col(valueCol)).over(w)
+    val mean = sum(col(valueCol).cast(D)).over(w).cast("double") / nPrior.cast("double")
+    val m2 = sum((col(valueCol) * col(valueCol)).cast(D)).over(w).cast("double") /
+      nPrior.cast("double")
+    val dev = col(valueCol) - mean
+    df.select(
+      col(keyCol),
+      col(tieCol),
+      col(tsUsCol),
+      col(valueCol),
+      nPrior.as("n_prior"),
+      mean.as("mean_prior"),
+      (nPrior >= minPrior &&
+        dev * dev > lit(sigmas * sigmas) * greatest(m2 - mean * mean, lit(0.0)))
+        .as("is_anomaly")
+    )
+  }
 }

@@ -132,6 +132,43 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Prefix-filtering exact Jaccard join ([[Dedup.prefixFilterPairs]] —
+    * AllPairs/PPJoin blocking). The oracle is the UNCAPPED exact 3-gram
+    * Jaccard ≥ 0.5 pair relation (same normalization and short-doc
+    * fallback as q_dedup_ngram_jaccard, no df-cap stage): prefix
+    * filtering has recall 1 by construction, so the hash match proves the
+    * rarity-ranked prefix index loses NOTHING — the lossless counterpart
+    * to the df-cap's answer-changing truncation.
+    */
+  val qPrefixFilter: GQuery = GQuery(
+    "q_dedup_prefix_filter",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             c * 1.0 / (sa.n + sb.n - c) AS jaccard
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Dedup
+      .prefixFilterPairs(t(spark, dir).documents, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Exact 3-gram Jaccard near-dup pairs (inverted-index join).
     *
     * The oracle mirrors the Spark side exactly: same normalization (lower,
@@ -651,7 +688,7 @@ object DedupQueries extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qMinhash, qSimhash,
+    Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qPrefixFilter, qMinhash, qSimhash,
       qEmbedding, qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSpan,
       qSharedShingles, qRepresentative)
 }

@@ -736,14 +736,174 @@ object Relational extends QuerySet {
         count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q13 shape: customer order-count DISTRIBUTION — a left-outer
+    * join whose ON clause carries a right-side-only filter (so customers
+    * with zero qualifying orders still appear, counted as 0), then a
+    * second aggregation over the first's result. The two groupBys shuffle
+    * on different keys (custkey, then c_count) but the second input is one
+    * row per customer — at 100 TB the first aggregate has already
+    * collapsed the fact table, so the distribution step is tiny.
+    */
+  val q13CustDist: GQuery = GQuery(
+    "q13_custdist",
+    Some("""
+      WITH co AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      SELECT c_count, COUNT(*) AS custdist
+      FROM co
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.customer
+      .join(
+        tt.orders.filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey",
+        "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q22 shape: GLOBAL-scalar threshold + anti join — customers
+    * above the positive-balance average with no URGENT order (every
+    * customer in this corpus has ordered, so the anti-join arm is pinned
+    * to the urgent subset to stay non-vacuous), bucketed by a derived
+    * country code. The scalar average is a one-row broadcast (exact
+    * decimal sum ÷ count, divided once in double so the threshold
+    * comparison is bit-identical cross-engine); the "no urgent order"
+    * gate is a left-anti join on the filtered orders key set.
+    */
+  val q22NoOrders: GQuery = GQuery(
+    "q22_global_threshold_anti",
+    Some(s"""
+      WITH avg_bal AS (
+        SELECT ${sqlAvg("c_acctbal")} AS a FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_nationkey % 5 AS cntrycode,
+             COUNT(*) AS numcust,
+             ${sqlSum("c_acctbal")} AS totacctbal
+      FROM customer, avg_bal
+      WHERE c_acctbal > a
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      GROUP BY 1
+      ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val avgBal = tt.customer.filter($"c_acctbal" > 0.0).agg(davg($"c_acctbal").as("a"))
+    tt.customer
+      .join(broadcast(avgBal))
+      .filter($"c_acctbal" > $"a")
+      .join(
+        tt.orders.filter($"o_orderpriority" === "1-URGENT"),
+        $"o_custkey" === $"c_custkey",
+        "left_anti")
+      .groupBy(($"c_nationkey" % 5).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"cntrycode")
+  }
+
+  /** TPC-H Q11 shape: value CONCENTRATION — per-supplier revenue kept only
+    * where it exceeds a fraction of the GLOBAL total. Per-group sums stay
+    * exact DECIMAL(38,6) through both aggregation levels (summing the
+    * already-cast doubles would reintroduce order-dependence); the single
+    * double division happens once, identically, on both engines. The
+    * global total is a one-row broadcast against the per-supplier
+    * aggregate — no second fact-table scan.
+    */
+  val q11ValueShare: GQuery = GQuery(
+    "q11_value_concentration",
+    Some("""
+      WITH sup AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev_d
+        FROM lineitem
+        GROUP BY l_suppkey),
+      tot AS (SELECT CAST(SUM(rev_d) AS DOUBLE) AS total FROM sup)
+      SELECT l_suppkey, CAST(rev_d AS DOUBLE) AS revenue
+      FROM sup, tot
+      WHERE CAST(rev_d AS DOUBLE) > total * CAST(0.001 AS DOUBLE)
+      ORDER BY revenue DESC, l_suppkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val sup = tt.lineitem
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast(D)).as("rev_d"))
+    val total = sup.agg(sum($"rev_d").cast("double").as("total"))
+    sup
+      .join(broadcast(total))
+      .filter($"rev_d".cast("double") > $"total" * lit(0.001))
+      .select($"l_suppkey", $"rev_d".cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_suppkey")
+  }
+
+  /** TPC-H Q18 shape: large-quantity orders — a HAVING-gated key set
+    * (orders whose total quantity clears a threshold) semi-joins the
+    * orders table BEFORE the customer/lineitem joins, so only qualifying
+    * orders flow through the wide join. The threshold comparison is exact
+    * (DECIMAL sum vs integer literal); ties in the final ordering are
+    * broken by the unique order key.
+    */
+  val q18LargeOrders: GQuery = GQuery(
+    "q18_large_orders",
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 95)
+      SELECT c_custkey, o_orderkey,
+             o_totalprice AS totalprice,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+      GROUP BY c_custkey, o_orderkey, o_totalprice
+      ORDER BY totalprice DESC, o_orderkey
+      LIMIT 50""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val big = tt.lineitem
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast(D)).as("q"))
+      .filter($"q" > 95)
+      .select($"l_orderkey".as("o_orderkey"))
+    tt.orders
+      .join(big, Seq("o_orderkey"), "left_semi")
+      .join(tt.customer, $"c_custkey" === $"o_custkey")
+      .join(tt.lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_custkey", $"o_orderkey", $"o_totalprice")
+      .agg(sum($"l_quantity".cast(D)).cast("double").as("total_qty"))
+      .select(
+        $"c_custkey", $"o_orderkey",
+        $"o_totalprice".as("totalprice"), $"total_qty")
+      .orderBy($"totalprice".desc, $"o_orderkey")
+      .limit(50)
+  }
+
   override def queries: Seq[GQuery] = Seq(
     q1PricingSummary,
     q6Revenue,
     q3ShippingPriority,
     q5LocalSupplier,
     q10ReturnedRevenue,
+    q13CustDist,
     q14PromoShare,
+    q18LargeOrders,
     q19Disjunctive,
+    q11ValueShare,
+    q22NoOrders,
     qJoinBroadcast,
     qJoinLeft,
     qJoinSemi,

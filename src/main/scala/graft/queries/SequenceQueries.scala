@@ -452,7 +452,120 @@ object SequenceQueries extends QuerySet {
       .orderBy($"node")
   }
 
+  /** Batch sessionization ([[graft.operators.TimeSeries.sessionize]]):
+    * per-event session ids from a 30-minute inactivity gap, rolled up to
+    * one row per session. All arithmetic is integer µs; the session index
+    * is a running count over the same per-key sort the gap test uses.
+    */
+  val qSessionize: GQuery = GQuery(
+    "q_seq_sessionize",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      g AS (SELECT user_id, event_id, tus,
+              CASE WHEN lag(tus) OVER w IS NULL
+                     OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      s AS (SELECT user_id, tus,
+              SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sidx
+            FROM g)
+      SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+             COUNT(*) AS n_events,
+             MIN(tus) AS start_us, MAX(tus) AS end_us,
+             MAX(tus) - MIN(tus) AS duration_us
+      FROM s
+      GROUP BY user_id, sidx
+      ORDER BY user_id, session_idx""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tus"))
+    graft.operators.TimeSeries
+      .sessionize(e, "user_id", "tus", "event_id", gapUs = 1800000000L)
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  /** Halving-weight decayed moving average
+    * ([[graft.operators.TimeSeries.decayAvg]]). The oracle replays the
+    * IDENTICAL Horner chain — every multiply an exact power-of-two scale,
+    * additions in one fixed order — so the doubles hash-match with no
+    * decimal detour: the gate proves bit-reproducible smoothing across
+    * engines, the property that makes the score safe to join across
+    * recomputations at 100 TB.
+    */
+  val qDecayAvg: GQuery = GQuery(
+    "q_ts_decay_avg",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+      SELECT user_id, event_id, tus, value,
+             ((((((((CAST(0.0 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+               + coalesce(lag(value, 7) OVER w, CAST(0.0 AS DOUBLE))) * CAST(0.5 AS DOUBLE)
+               + coalesce(lag(value, 6) OVER w, CAST(0.0 AS DOUBLE))) * CAST(0.5 AS DOUBLE)
+               + coalesce(lag(value, 5) OVER w, CAST(0.0 AS DOUBLE))) * CAST(0.5 AS DOUBLE)
+               + coalesce(lag(value, 4) OVER w, CAST(0.0 AS DOUBLE))) * CAST(0.5 AS DOUBLE)
+               + coalesce(lag(value, 3) OVER w, CAST(0.0 AS DOUBLE))) * CAST(0.5 AS DOUBLE)
+               + coalesce(lag(value, 2) OVER w, CAST(0.0 AS DOUBLE))) * CAST(0.5 AS DOUBLE)
+               + coalesce(lag(value, 1) OVER w, CAST(0.0 AS DOUBLE))) * CAST(0.5 AS DOUBLE)
+               + value)
+             / (CAST(2.0 AS DOUBLE)
+                - pow(CAST(0.5 AS DOUBLE),
+                      CAST(least(row_number() OVER w, 8) - 1 AS DOUBLE))) AS decay_avg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      ORDER BY user_id, tus, event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tus"), $"value")
+    graft.operators.TimeSeries
+      .decayAvg(e, "user_id", "tus", "event_id", "value", depth = 8)
+      .orderBy($"user_id", $"tus", $"event_id")
+  }
+
+  /** Rolling z-score anomaly screen
+    * ([[graft.operators.TimeSeries.rollingAnomaly]]): each event vs the
+    * mean/variance of its 10 PRIOR values (frame excludes the current
+    * row), flagged beyond 2σ once at least 5 antecedents exist. DECIMAL
+    * sums make the moments order-insensitive; the flag comparison is a
+    * handful of IEEE ops replayed identically by the oracle.
+    */
+  val qAnomaly: GQuery = GQuery(
+    "q_ts_anomaly",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+      SELECT user_id, event_id, tus, value,
+             COUNT(value) OVER wf AS n_prior,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wf AS DOUBLE)
+               / CAST(COUNT(value) OVER wf AS DOUBLE) AS mean_prior,
+             (COUNT(value) OVER wf >= 5 AND
+              (value - CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wf AS DOUBLE)
+                         / CAST(COUNT(value) OVER wf AS DOUBLE))
+              * (value - CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wf AS DOUBLE)
+                           / CAST(COUNT(value) OVER wf AS DOUBLE))
+              > CAST(4.0 AS DOUBLE) * greatest(
+                  CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER wf AS DOUBLE)
+                    / CAST(COUNT(value) OVER wf AS DOUBLE)
+                  - (CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wf AS DOUBLE)
+                       / CAST(COUNT(value) OVER wf AS DOUBLE))
+                    * (CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wf AS DOUBLE)
+                         / CAST(COUNT(value) OVER wf AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE))) AS is_anomaly
+      FROM e
+      WINDOW wf AS (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+      ORDER BY user_id, tus, event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tus"), $"value")
+    graft.operators.TimeSeries
+      .rollingAnomaly(e, "user_id", "tus", "event_id", "value",
+        lookback = 10, minPrior = 5, sigmas = 2.0)
+      .orderBy($"user_id", $"tus", $"event_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
-      qPagerank, qClustering, qTimeToConvert, qGraphComponents)
+      qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
+      qAnomaly)
 }

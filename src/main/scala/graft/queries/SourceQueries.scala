@@ -64,6 +64,22 @@ object SourceQueries extends QuerySet {
     roundtrip(spark, dir, "orc")
   }
 
+  /** XML round-trip (Spark 4's built-in `xml` source — one `<event>`
+    * element per row under a `rowTag`). Same explicit-schema, lossless-
+    * aggregate proof as the other text formats: doubles survive because
+    * the writer emits shortest round-trip representations. XML is the
+    * slowest and bulkiest of the text formats (angle-bracket overhead per
+    * FIELD, multi-line records so splittability needs the multiLine
+    * reader) — it exists for ingesting feeds that arrive as XML, never as
+    * an interchange choice.
+    */
+  val qXml: GQuery = GQuery("q_source_xml_roundtrip", Some(aggSql)) { (spark, dir) =>
+    val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
+    val out = Files.createTempDirectory("graft_src_xml").resolve("events").toString
+    payload.write.mode("overwrite").option("rowTag", "event").format("xml").save(out)
+    agg(spark.read.schema(payload.schema).option("rowTag", "event").format("xml").load(out))
+  }
+
   /** Hive-style partitioned-layout round-trip ([[graft.sources.Partitioned]]):
     * events written as `event_type=<v>/` directories, read back through
     * directory-partition discovery, same lossless-aggregate proof. The
@@ -242,5 +258,5 @@ object SourceQueries extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qJson, qCsv, qOrc, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp)
+    Seq(qJson, qCsv, qOrc, qXml, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp)
 }

@@ -262,6 +262,52 @@ object Subqueries extends QuerySet {
       ORDER BY o_orderpriority""")
   }
 
+  /** Recursive CTE (`WITH RECURSIVE`, Spark 4's UnionLoop): transitive
+    * closure over a decimal-digit part hierarchy (parent = key ÷ 10, roots
+    * are single-digit keys) — every part reached exactly once at depth =
+    * digits−1, rolled up per level. The recursion runs O(depth) JOBS, not
+    * O(depth) self-joins materialized at once: each iteration equi-joins
+    * the frontier against the (pruned, pushed-down) part scan, so at
+    * 100 TB the cost is depth × one hash join on the frontier — the same
+    * shape as [[graft.operators.Dedup.connectedComponents]]'s hand-rolled
+    * loop but expressed declaratively through the parser. The frontier
+    * join is non-monotonic in size only if the hierarchy branches, which a
+    * digit-tree does 10-fold — exactly the fan-out Catalyst's per-
+    * iteration re-plan (AQE) is allowed to re-broadcast.
+    *
+    * Only the divide operator differs cross-dialect (Spark `DIV`, DuckDB
+    * `//`); both are exact integer division, and SUM(node) is pinned to
+    * BIGINT against DuckDB's HUGEINT default.
+    */
+  val qRecursiveCte: GQuery = GQuery(
+    "q_sql_recursive_cte",
+    Some("""
+      WITH RECURSIVE anc AS (
+        SELECT p_partkey AS node, 0 AS depth FROM part WHERE p_partkey < 10
+        UNION ALL
+        SELECT p.p_partkey AS node, a.depth + 1 AS depth
+        FROM part p JOIN anc a ON p.p_partkey // 10 = a.node
+        WHERE p.p_partkey >= 10)
+      SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS sum_node
+      FROM anc
+      GROUP BY depth
+      ORDER BY depth""")
+  ) { (spark, dir) =>
+    withViews(spark, dir)
+    spark.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT p_partkey AS node, 0 AS depth FROM part WHERE p_partkey < 10
+        UNION ALL
+        SELECT p.p_partkey AS node, a.depth + 1 AS depth
+        FROM part p JOIN anc a ON p.p_partkey DIV 10 = a.node
+        WHERE p.p_partkey >= 10)
+      SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS sum_node
+      FROM anc
+      GROUP BY depth
+      ORDER BY depth""")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qScalarCorrelated, qExists, qIn, qNotIn, qExistsNotExists, qLateral, qSqlUdf, qGraftSql)
+    Seq(qScalarCorrelated, qExists, qIn, qNotIn, qExistsNotExists, qLateral, qSqlUdf,
+      qGraftSql, qRecursiveCte)
 }

@@ -26,6 +26,50 @@ class DedupSpec extends SparkSpec {
     assert(exactPairs.nonEmpty)
   }
 
+  test("prefix-filter join equals uncapped exact jaccard — recall 1, same scores") {
+    val exact = Dedup
+      .jaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+    val viaPrefix = Dedup
+      .prefixFilterPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+    assert(viaPrefix == exact,
+      s"prefix filter lost ${(exact -- viaPrefix).size} / gained ${(viaPrefix -- exact).size}")
+  }
+
+  test("prefix-filter candidate volume is below the full inverted-index join's") {
+    // The point of prefix filtering: fewer candidate pairs than joining
+    // every posting. Compare candidate counts directly (both lossless).
+    val sh = docs
+      .select($"doc_id".as("id"), graft.functions.GraftFunctions.shingles($"text", 3))
+      .select($"id", $"shingle".as("s"))
+    val fullCands = sh.as("a")
+      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.id" < $"b.id")
+      .select($"a.id", $"b.id").distinct().count()
+    val prefixCands = {
+      val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n"))
+      val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+      val ranked = sh.join(dfreq, "s").withColumn(
+        "pos",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"id").orderBy($"df", $"s")))
+      val prefix = ranked.join(sizes, "id")
+        .filter($"pos" <= $"n" - ceil(lit(0.5) * $"n") + 1)
+        .select($"id", $"s")
+      prefix.as("a")
+        .join(prefix.as("b"), $"a.s" === $"b.s" && $"a.id" < $"b.id")
+        .select($"a.id", $"b.id").distinct().count()
+    }
+    assert(prefixCands < fullCands,
+      s"prefix candidates $prefixCands not below full-join candidates $fullCands")
+  }
+
   test("minhash-LSH finds at least 90% of exact jaccard>=0.5 pairs") {
     val found = Dedup
       .minhashPairs(docs, "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.4)

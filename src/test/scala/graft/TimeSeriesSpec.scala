@@ -102,4 +102,69 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("sessionize splits on gap > threshold, keys independent, exact bounds") {
+    val gap = 1000L // µs
+    val df = Seq(
+      // key 1: [10, 500, 1400] then jump to [5000, 5100]
+      (1L, 10L, 100L), (1L, 500L, 101L), (1L, 1400L, 102L),
+      (1L, 5000L, 103L), (1L, 5100L, 104L),
+      // key 2: single event
+      (2L, 7L, 200L)
+    ).toDF("user_id", "tus", "event_id")
+    val out = TimeSeries
+      .sessionize(df, "user_id", "tus", "event_id", gapUs = gap)
+      .orderBy($"user_id", $"session_idx")
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .toList
+    assert(out == List(
+      (1L, 1L, 3L, 10L, 1400L, 1390L), // 500-10 and 1400-500 are <= gap
+      (1L, 2L, 2L, 5000L, 5100L, 100L), // 5000-1400 > gap opens session 2
+      (2L, 1L, 1L, 7L, 7L, 0L)
+    ))
+  }
+
+  test("sessionize: gap exactly equal to threshold does NOT split") {
+    val df = Seq((1L, 0L, 1L), (1L, 1000L, 2L)).toDF("user_id", "tus", "event_id")
+    val out = TimeSeries.sessionize(df, "user_id", "tus", "event_id", gapUs = 1000L)
+    assert(out.count() == 1)
+  }
+
+  test("decayAvg: halving weights, short-history normalizer, newest dominates") {
+    val df = Seq(
+      (1L, 1L, 10L, 4.0), (1L, 2L, 20L, 8.0), (1L, 3L, 30L, 2.0)
+    ).toDF("user_id", "event_id", "tus", "value")
+    val out = TimeSeries
+      .decayAvg(df, "user_id", "tus", "event_id", "value", depth = 8)
+      .orderBy($"tus")
+      .select($"decay_avg")
+      .as[Double]
+      .collect()
+      .toList
+    // row 1: 4/1 = 4; row 2: (4*0.5+8)/1.5 ; row 3: ((4*.25)+(8*.5)+2)/1.75
+    assert(out(0) == 4.0)
+    assert(out(1) == (4.0 * 0.5 + 8.0) / 1.5)
+    assert(out(2) == (4.0 * 0.25 + 8.0 * 0.5 + 2.0) / 1.75)
+  }
+
+  test("rollingAnomaly: spike flagged, warmup rows never flagged, frame excludes self") {
+    // 9 steady values then a spike; minPrior=5 means rows 1-5 are warmup
+    val rows = (1 to 9).map(i => (1L, i.toLong, i.toLong * 100, 10.0)) :+
+      (1L, 10L, 1000L, 50.0)
+    val df = rows.toDF("user_id", "event_id", "tus", "value")
+    val out = TimeSeries
+      .rollingAnomaly(df, "user_id", "tus", "event_id", "value",
+        lookback = 10, minPrior = 5, sigmas = 2.0)
+      .orderBy($"tus")
+      .as[(Long, Long, Long, Double, Long, Option[Double], Boolean)]
+      .collect()
+      .toList
+    assert(out.head._5 == 0L && out.head._6.isEmpty && !out.head._7) // no priors
+    assert(out.take(5).forall(!_._7)) // warmup: n_prior < minPrior
+    // steady rows among identical priors: zero variance, zero deviation -> not flagged
+    assert(!out(8)._7 && out(8)._6.contains(10.0))
+    // the spike: priors all 10.0, var 0, deviation 40 -> flagged
+    assert(out.last._7 && out.last._6.contains(10.0) && out.last._5 == 9L)
+  }
 }
