@@ -64,6 +64,48 @@ object SourceQueries extends QuerySet {
     roundtrip(spark, dir, "orc")
   }
 
+  /** Manifest-committed versioning + time travel
+    * ([[graft.sources.Versioned]]): v1 snapshots the even event ids, v2
+    * APPENDS the odds (carrying v1's files by reference, rewriting
+    * nothing), then BOTH versions are read back — v1 through time travel
+    * after v2 exists — and aggregated under a version column. The oracle
+    * recomputes both version contents from the raw table, so a hash match
+    * proves commits are complete, append carried the old files, and
+    * history stayed intact after later writes.
+    */
+  val qVersioned: GQuery = GQuery(
+    "q_source_versioned_time_travel",
+    Some(s"""
+      SELECT 1 AS version, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(event_id) AS BIGINT) AS sum_id,
+             ${sqlSum("value")} AS total
+      FROM events WHERE event_id % 2 = 0
+      GROUP BY event_type
+      UNION ALL
+      SELECT 2 AS version, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(event_id) AS BIGINT) AS sum_id,
+             ${sqlSum("value")} AS total
+      FROM events
+      GROUP BY event_type
+      ORDER BY version, event_type""")
+  ) { (spark, dir) =>
+    val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
+    val out = Files.createTempDirectory("graft_src_versioned").resolve("events").toString
+    graft.sources.Versioned.publish(payload.filter(col("event_id") % 2 === 0), out)
+    graft.sources.Versioned.append(payload.filter(col("event_id") % 2 =!= 0), out)
+    def aggV(v: Int): DataFrame =
+      graft.sources.Versioned.read(spark, out, Some(v))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          dsum(col("value")).as("total"))
+        .select(lit(v).as("version"), col("event_type"), col("n"), col("sum_id"), col("total"))
+    aggV(1).unionAll(aggV(2)).orderBy(col("version"), col("event_type"))
+  }
+
   /** XML round-trip (Spark 4's built-in `xml` source — one `<event>`
     * element per row under a `rowTag`). Same explicit-schema, lossless-
     * aggregate proof as the other text formats: doubles survive because
@@ -258,5 +300,6 @@ object SourceQueries extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qJson, qCsv, qOrc, qXml, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp)
+    Seq(qJson, qCsv, qOrc, qXml, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp,
+      qVersioned)
 }

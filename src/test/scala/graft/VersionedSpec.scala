@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.Versioned
+
+/** Manifest-committed versioning: snapshot/append commits, time travel,
+  * crash-orphan invisibility, and reference-counted vacuum.
+  */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_versioned").resolve("t").toString
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select($"id").as[Long].collect().toSet
+
+  test("publish/append commit monotonic versions; every version stays readable") {
+    val path = freshTable()
+    val v1 = Versioned.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    val v2 = Versioned.append(Seq((3L, "c")).toDF("id", "s"), path)
+    val v3 = Versioned.publish(Seq((9L, "z")).toDF("id", "s"), path)
+    assert((v1, v2, v3) == (1, 2, 3))
+    assert(Versioned.versions(spark, path) == Seq(1, 2, 3))
+    assert(ids(Versioned.read(spark, path, Some(1))) == Set(1L, 2L))
+    assert(ids(Versioned.read(spark, path, Some(2))) == Set(1L, 2L, 3L)) // append carried v1
+    assert(ids(Versioned.read(spark, path, Some(3))) == Set(9L))         // snapshot replaced
+    assert(ids(Versioned.read(spark, path)) == Set(9L))                  // latest default
+  }
+
+  test("uncommitted data directory is invisible to readers") {
+    val path = freshTable()
+    Versioned.publish(Seq((1L, "a")).toDF("id", "s"), path)
+    // simulate a crashed writer: data files exist, no manifest
+    Seq((99L, "junk")).toDF("id", "s")
+      .write.parquet(new Path(path, "data/v00099").toString)
+    assert(Versioned.versions(spark, path) == Seq(1))
+    assert(ids(Versioned.read(spark, path)) == Set(1L))
+  }
+
+  test("vacuum drops old versions and orphans but keeps files shared via append") {
+    val path = freshTable()
+    Versioned.publish(Seq((1L, "a")).toDF("id", "s"), path) // v1
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), path)  // v2 = v1 files + new
+    Seq((99L, "junk")).toDF("id", "s")                       // orphan (no manifest)
+      .write.parquet(new Path(path, "data/v00099").toString)
+    Versioned.vacuum(spark, path, keepLast = 1)
+    assert(Versioned.versions(spark, path) == Seq(2))
+    // v2 still reads BOTH rows: its manifest references v1's data files,
+    // so vacuum must not have deleted them
+    assert(ids(Versioned.read(spark, path)) == Set(1L, 2L))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(path, "data/v00099")), "orphan dir survived vacuum")
+    intercept[java.io.IOException](Versioned.read(spark, path, Some(1)))
+  }
+
+  test("vacuum keeping all versions deletes nothing") {
+    val path = freshTable()
+    Versioned.publish(Seq((1L, "a")).toDF("id", "s"), path)
+    Versioned.publish(Seq((2L, "b")).toDF("id", "s"), path)
+    Versioned.vacuum(spark, path, keepLast = 5)
+    assert(Versioned.versions(spark, path) == Seq(1, 2))
+    assert(ids(Versioned.read(spark, path, Some(1))) == Set(1L))
+  }
+
+  test("reading an empty or missing version fails loudly") {
+    val path = freshTable()
+    intercept[java.io.IOException](Versioned.read(spark, path))
+    Versioned.publish(Seq((1L, "a")).toDF("id", "s"), path)
+    intercept[java.io.IOException](Versioned.read(spark, path, Some(7)))
+  }
+}
