@@ -321,6 +321,66 @@ object ProfilingQueries extends QuerySet {
       .diff(docs, after, keyCols = Seq("doc_id"), compareCols = Seq("lang", "n_chars"))
   }
 
+  /** Two-sample proportion z-test (experiment readout): users split into
+    * variants by a deterministic hash of their id, conversion = a
+    * high-value purchase event; the z statistic compares conversion rates under the
+    * pooled standard error. Everything derives from four exact integers
+    * (per-variant users and converters), so the rates, pooled proportion,
+    * and z are each a fixed chain of IEEE ops the oracle replays
+    * identically — the engine ships the statistic, not a p-value table
+    * (the caller compares |z| to their chosen critical value).
+    */
+  val qAbTest: GQuery = GQuery(
+    "q_stat_ab_test",
+    Some("""
+      WITH u AS (SELECT user_id, user_id % 2 AS variant,
+                        MAX(CASE WHEN event_type = 'purchase' AND value > 90.0 THEN 1 ELSE 0 END) AS converted
+                 FROM events GROUP BY user_id),
+      v AS (SELECT variant, COUNT(*) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM u GROUP BY variant),
+      w AS (SELECT
+              MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+              MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+              MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+              MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+            FROM v)
+      SELECT n0, c0, n1, c1,
+             CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+             CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+             (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+               - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (CAST(1.0 AS DOUBLE)
+                       - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (CAST(1.0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                       + CAST(1.0 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS z
+      FROM w""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val u = t(spark, dir).events
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > 90.0, 1).otherwise(0)).as("converted"))
+      .withColumn("variant", $"user_id" % 2)
+    val v = u.groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_converted"))
+    val w = v.agg(
+      max(when($"variant" === 0, $"n_users")).as("n0"),
+      max(when($"variant" === 0, $"n_converted")).as("c0"),
+      max(when($"variant" === 1, $"n_users")).as("n1"),
+      max(when($"variant" === 1, $"n_converted")).as("c1"))
+    val rate0 = $"c0".cast("double") / $"n0".cast("double")
+    val rate1 = $"c1".cast("double") / $"n1".cast("double")
+    val pooled = ($"c0" + $"c1").cast("double") / ($"n0" + $"n1").cast("double")
+    w.select(
+      $"n0", $"c0", $"n1", $"c1",
+      rate0.as("rate0"),
+      rate1.as("rate1"),
+      ((rate0 - rate1) /
+        sqrt(pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / $"n0".cast("double") + lit(1.0) / $"n1".cast("double")))).as("z"))
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff)
+    Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest)
 }

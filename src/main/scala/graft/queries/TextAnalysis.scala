@@ -127,6 +127,47 @@ object TextAnalysis extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Blocklist screening (C4-style badwords filter): per document, how
+    * many DISTINCT blocked terms appear, how many token occurrences are
+    * blocked, and a flag once blocked mass exceeds 2% of the document.
+    * The list rides as an array literal (broadcast-sized by definition);
+    * matching is exact token equality after the corpus-wide whitespace
+    * tokenization — a pure map stage, no shuffle at any scale. Real
+    * pipelines swap the literal for a broadcast dimension or an
+    * Aho-Corasick expression when the list grows to thousands of terms.
+    */
+  val qBlocklist: GQuery = GQuery(
+    "q_text_blocklist",
+    Some("""
+      SELECT doc_id,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                ['slow', 'error', 'vector'])) AS n_blocked_terms,
+             len(list_filter(string_split(text, ' '),
+                             t -> list_contains(['slow', 'error', 'vector'], t)))
+               AS n_blocked_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains(['slow', 'error', 'vector'], t)))
+                  AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               > CAST(0.02 AS DOUBLE) AS flagged
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val blocked = array(lit("slow"), lit("error"), lit("vector"))
+    val toks = split($"text", " ")
+    val nBlockedTokens = size(filter(toks, tk => array_contains(blocked, tk)))
+    t(spark, dir).documents
+      .select(
+        $"doc_id",
+        size(array_intersect(array_distinct(toks), blocked)).as("n_blocked_terms"),
+        nBlockedTokens.as("n_blocked_tokens"),
+        (nBlockedTokens.cast("double") / size(toks).cast("double") > lit(0.02))
+          .as("flagged")
+      )
+      .orderBy($"doc_id")
+  }
+
   /** Token counting, whitespace + BPE-ish regex variants. */
   val qTokenCount: GQuery = GQuery(
     "q_text_token_count",
@@ -741,7 +782,7 @@ object TextAnalysis extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qStats, qQuality, qLangId, qTokenCount, qFingerprint, qTokenFreq, qShingleExplode,
+    Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim)
 }
