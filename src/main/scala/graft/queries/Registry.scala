@@ -6,6 +6,7 @@ package graft.queries
 object Registry {
   def sets: Seq[QuerySet] = Seq(
     Relational,
+    TpchShapes,
     Aggregates,
     Windows,
     SetOps,

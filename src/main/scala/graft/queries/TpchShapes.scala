@@ -1,0 +1,420 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+
+/** The remaining TPC-H plan shapes (Q2/Q7/Q8/Q9/Q12/Q15/Q16/Q20/Q21),
+  * adapted to this corpus' schema: there is no `partsupp` table and no
+  * commit/receipt dates, so supply cost is derived from lineitem unit
+  * prices, "late shipment" from shipdate vs orderdate, and "failed
+  * delivery" from the return flag. Each adaptation preserves the shape
+  * that makes the original query a planner benchmark — the min-per-group
+  * correlated join-back (Q2), bidirectional dimension pair (Q7), ratio of
+  * conditional sums (Q8), multi-dim star profit rollup (Q9), non-equi
+  * join predicate + two-way conditional counts (Q12), view + global-max
+  * equality (Q15), count-distinct with NOT IN exclusion (Q16), nested IN
+  * with HAVING (Q20), and the self-correlated opposite-polarity existence
+  * pair over a `<>` key predicate (Q21).
+  *
+  * Scale notes: every dimension (part/supplier/nation/region, and each
+  * derived one-row scalar) broadcasts; only lineitem x orders shuffles,
+  * once, on the join key. Money sums go through DECIMAL(38,6) (see
+  * [[Common]]) so the oracle hash-matches bit-for-bit.
+  *
+  * The reference has no relational planner at all — its users hand-roll
+  * these shapes in consumer closures (callysto/src/app.rs:98-143); this
+  * file is the declarative inventory Catalyst optimizes for free.
+  */
+object TpchShapes extends QuerySet {
+
+  /** Q2 shape: minimum-cost supplier per part. `partsupp.ps_supplycost`
+    * is derived as MIN(unit price) per (part, supplier) observed in
+    * lineitem; the correlated "= (SELECT MIN...)" becomes a min-per-part
+    * aggregate joined back on exact double equality (both engines compute
+    * the identical IEEE division then an order-insensitive MIN).
+    */
+  val q2MinCostSupplier: GQuery = GQuery(
+    "q2_min_cost_supplier",
+    Some("""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ucost
+        FROM lineitem GROUP BY 1, 2),
+      mn AS (SELECT l_partkey, MIN(ucost) AS min_ucost FROM ps GROUP BY 1)
+      SELECT s_acctbal, s_name, n_name, p_partkey, ucost AS supplycost
+      FROM ps
+      JOIN mn USING (l_partkey)
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE ucost = min_ucost AND p_size = 15 AND r_name = 'EUROPE'
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val ps = tt.lineitem
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("ucost"))
+    val mn = ps.groupBy($"l_partkey").agg(min($"ucost").as("min_ucost"))
+    ps.join(mn, Seq("l_partkey"))
+      .filter($"ucost" === $"min_ucost")
+      .join(broadcast(tt.part.filter($"p_size" === 15)), $"p_partkey" === $"l_partkey")
+      .join(broadcast(tt.supplier), $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(tt.nation), $"n_nationkey" === $"s_nationkey")
+      .join(broadcast(tt.region.filter($"r_name" === "EUROPE")), $"r_regionkey" === $"n_regionkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"ucost".as("supplycost"))
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** Q7 shape: volume shipped between two specific nations, in BOTH
+    * directions, by year — the bidirectional dimension-pair predicate
+    * `(n1=A AND n2=B) OR (n1=B AND n2=A)` that defeats naive single-sided
+    * pushdown. Supplier nation comes off lineitem, customer nation off
+    * orders; both nation copies broadcast.
+    */
+  val q7VolumeShipping: GQuery = GQuery(
+    "q7_volume_shipping",
+    Some(s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val n1 = tt.nation.select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+    val n2 = tt.nation.select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+    tt.lineitem
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(tt.supplier), $"s_suppkey" === $"l_suppkey")
+      .join(tt.orders, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(tt.customer), $"c_custkey" === $"o_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"n1_key")
+      .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+      .filter(
+        ($"supp_nation" === "NATION_13" && $"cust_nation" === "NATION_19") ||
+          ($"supp_nation" === "NATION_19" && $"cust_nation" === "NATION_13"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").cast("int").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** Q8 shape: national market share — the RATIO of a conditional sum to
+    * the total, per year. Both sums stay exact DECIMAL through
+    * aggregation; the single division happens once in double, identically
+    * on both engines.
+    */
+  val q8MarketShare: GQuery = GQuery(
+    "q8_market_share",
+    Some("""
+      WITH volumes AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
+      SELECT o_year,
+             CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END
+                           AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+      FROM volumes
+      GROUP BY o_year
+      ORDER BY o_year""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val n1 = tt.nation.select($"n_nationkey".as("n1_key"), $"n_regionkey".as("n1_region"))
+    val n2 = tt.nation.select($"n_nationkey".as("n2_key"), $"n_name".as("supp_nation"))
+    val volume = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    tt.lineitem
+      .join(broadcast(tt.part.filter($"p_type" === "PROMO")), $"p_partkey" === $"l_partkey")
+      .join(broadcast(tt.supplier), $"s_suppkey" === $"l_suppkey")
+      .join(tt.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(tt.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"c_nationkey" === $"n1_key")
+      .join(broadcast(tt.region.filter($"r_name" === "AMERICA")), $"n1_region" === $"r_regionkey")
+      .join(broadcast(n2), $"s_nationkey" === $"n2_key")
+      .groupBy(year($"o_orderdate").cast("int").as("o_year"))
+      .agg(
+        (sum(when($"supp_nation" === "NATION_3", volume).otherwise(lit(0.0)).cast(D))
+          .cast("double") / sum(volume.cast(D)).cast("double")).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** Q9 shape: product-type profit by supplier nation and year. With no
+    * `ps_supplycost`, cost is proxied as 60% of the part's retail price
+    * per unit — per-row IEEE arithmetic, safe for exact-decimal
+    * aggregation on both engines.
+    */
+  val q9ProductProfit: GQuery = GQuery(
+    "q9_product_profit",
+    Some(s"""
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             ${sqlSum("l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity")}
+               AS sum_profit
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+      GROUP BY 1, 2
+      ORDER BY 1, 2 DESC""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val profit =
+      $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        lit(0.6) * $"p_retailprice" * $"l_quantity"
+    tt.lineitem
+      .join(broadcast(tt.part.filter($"p_name".like("%gear%"))), $"p_partkey" === $"l_partkey")
+      .join(broadcast(tt.supplier), $"s_suppkey" === $"l_suppkey")
+      .join(tt.orders, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(tt.nation), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("int").as("o_year"))
+      .agg(dsum(profit).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** Q12 shape: late-shipment priority audit — an equi join carrying an
+    * additional NON-equi predicate (shipped ≥30 days after ordering, the
+    * receipt-vs-commit proxy), then two-way conditional counts per line
+    * status. Exercises join-condition splitting: the equi part hashes,
+    * the range part filters post-join.
+    */
+  val q12LateShipments: GQuery = GQuery(
+    "q12_late_shipment_priority",
+    Some("""
+      SELECT l_linestatus AS ship_class,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+                   AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      GROUP BY 1
+      ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val highPriority = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    tt.orders
+      .join(
+        tt.lineitem,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+      .groupBy($"l_linestatus".as("ship_class"))
+      .agg(
+        sum(when(highPriority, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!highPriority, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy($"ship_class")
+  }
+
+  /** Q15 shape: top supplier — a revenue view probed by a GLOBAL-max
+    * scalar subquery on exact-equality. The max is taken over the exact
+    * DECIMAL sums (never the rounded doubles), so the equality is
+    * deterministic on both engines; ties all surface, ordered by key.
+    */
+  val q15TopSupplier: GQuery = GQuery(
+    "q15_top_supplier",
+    Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      FROM supplier
+      JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      ORDER BY s_suppkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val revenue = tt.lineitem
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey".as("supplier_no"))
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(D)).as("total_rev"))
+    val maxRev = revenue.agg(max($"total_rev").as("max_rev"))
+    revenue
+      .join(broadcast(maxRev))
+      .filter($"total_rev" === $"max_rev")
+      .join(broadcast(tt.supplier), $"s_suppkey" === $"supplier_no")
+      .select($"s_suppkey", $"s_name", $"total_rev".cast("double").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q16 shape: supplier variety per part attribute triple — COUNT
+    * DISTINCT suppliers observed in lineitem (the partsupp proxy), with a
+    * brand/type/size exclusion list AND a NOT IN supplier blocklist
+    * (negative balances standing in for Q16's complaint scan). The NOT IN
+    * subquery column is non-null, so the null-aware anti join degenerates
+    * to a plain broadcast anti — the planner must still prove it.
+    */
+  val q16SupplierVariety: GQuery = GQuery(
+    "q16_supplier_variety",
+    Some("""
+      SELECT p_brand, p_type, p_size,
+             COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_type NOT IN ('MEDIUM', 'ECONOMY')
+        AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.lineitem.createOrReplaceTempView("lineitem")
+    tt.part.createOrReplaceTempView("part")
+    tt.supplier.createOrReplaceTempView("supplier")
+    spark.sql("""
+      SELECT p_brand, p_type, p_size,
+             COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_type NOT IN ('MEDIUM', 'ECONOMY')
+        AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
+  /** Q20 shape: qualified promotion suppliers — nested IN subqueries
+    * (supplier ← heavy shippers ← promo parts) with a HAVING threshold on
+    * the inner aggregate. Both INs plan as semi joins; the part probe
+    * broadcasts into the lineitem scan.
+    */
+  val q20QualifiedSuppliers: GQuery = GQuery(
+    "q20_qualified_suppliers",
+    Some("""
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 40)
+      ORDER BY s_suppkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    val promoParts = tt.part.filter($"p_name".like("small%")).select($"p_partkey")
+    val heavyShippers = tt.lineitem
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(promoParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_quantity".cast(D)).as("qty"))
+      .filter($"qty" > 40)
+      .select($"l_suppkey")
+    tt.supplier
+      .join(broadcast(heavyShippers), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q21 shape: suppliers who solely spoiled multi-supplier orders — the
+    * SELF-correlated opposite-polarity existence pair over a `<>` key
+    * predicate: for a returned lineitem, ANOTHER supplier must exist on
+    * the same order (EXISTS, l2.supp <> l1.supp) but NO other supplier may
+    * also have returned (NOT EXISTS, same `<>` correlation). The return
+    * flag stands in for the missing receipt-vs-commit lateness. Catalyst
+    * must plan two differently-keyed semi/anti joins against the same
+    * fact table without collapsing them.
+    */
+  val q21WaitingSuppliers: GQuery = GQuery(
+    "q21_sole_spoiler_suppliers",
+    Some("""
+      WITH l1 AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier
+      JOIN l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.lineitem.createOrReplaceTempView("lineitem")
+    tt.supplier.createOrReplaceTempView("supplier")
+    tt.orders.createOrReplaceTempView("orders")
+    spark.sql("""
+      WITH l1 AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier
+      JOIN l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20""")
+  }
+
+  override def queries: Seq[GQuery] = Seq(
+    q2MinCostSupplier,
+    q7VolumeShipping,
+    q8MarketShare,
+    q9ProductProfit,
+    q12LateShipments,
+    q15TopSupplier,
+    q16SupplierVariety,
+    q20QualifiedSuppliers,
+    q21WaitingSuppliers
+  )
+}
