@@ -221,6 +221,52 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Temperature-scaled source mixing (the UniMax/multilingual-sampling
+    * recipe): stratum `s` with `n_s` rows gets mixing probability
+    * `p_s = n_s^alpha / Σ n_t^alpha`, and the corpus is thinned toward
+    * `targetFraction · N` total rows by keeping each stratum at fraction
+    * `min(1, targetFraction · N · p_s / n_s)` — alpha < 1 flattens the
+    * size distribution so mega-sources stop drowning the tail, alpha = 1
+    * is proportional (plain thinning), alpha = 0 is uniform-over-sources.
+    *
+    * Determinism: stratum counts are exact (BIGINT); each `n^alpha` is one
+    * IEEE `pow` on an exact input; the normalizer sums those doubles
+    * through DECIMAL(38,6) (order-insensitive, replayable in SQL); the
+    * final fraction feeds the same md5/2^16 gate as [[bernoulliPortable]].
+    * The per-stratum fraction table is a ≤|strata|-row broadcast joined
+    * back to the corpus — one aggregate + one broadcast join at any scale.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      alpha: Double,
+      targetFraction: Double,
+      seed: Int
+  ): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    require(
+      targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val powed = counts.withColumn("__pw", pow(col("__n").cast("double"), lit(alpha)))
+    val z = powed.agg(
+      sum(col("__pw").cast(graft.queries.Common.D)).cast("double").as("__z"),
+      sum(col("__n")).cast("double").as("__grand"))
+    val frac = powed
+      .join(broadcast(z))
+      .withColumn(
+        "__frac",
+        least(
+          lit(1.0),
+          lit(targetFraction) * col("__grand") * (col("__pw") / col("__z")) /
+            col("__n").cast("double")))
+      .select(col(strataCol), col("__frac"))
+    df.join(broadcast(frac), strataCol)
+      .filter(col("__frac") >= 1.0 || md5Prefix(keyCol, seed) < hexThresholdCol(col("__frac")))
+      .drop("__frac")
+  }
+
   /** Deterministic negative-pair mining for contrastive training: pair row
     * `i` with row `p(i) = (a·i + b) mod n` under an affine permutation of
     * the DENSE id domain [0, n). With gcd(a, n) = 1 (enforced) `p` is a

@@ -510,6 +510,120 @@ object Aggregates extends QuerySet {
       .orderBy($"l_returnflag")
   }
 
+  /** Count-min sketch frequency estimation over the fact table's part
+    * key, bound-encoded (see q_agg_approx_distinct): the query emits the
+    * EXACT count of the 20 hottest keys plus two per-key contract
+    * booleans — CMS never undercounts (est ≥ exact), and overcounts by at
+    * most ε·N with the sketch's confidence (est ≤ exact + ⌈ε·N⌉) — and
+    * the oracle recomputes the exact counts with the booleans pinned
+    * TRUE, making the hash match the sketch-accuracy check.
+    *
+    * Scale shape: the sketch build is one `TreeAggregate` over the fact
+    * table (mergeable W×D counter arrays, KBs on the driver — the same
+    * bounded-summary exemption as centroid/codebook training); the probe
+    * set is the top-20 aggregate, collected bounded. ε = 0.001 / δ =
+    * 0.001 → 2719×10 counters; the Bench SF never pushes a hot key's
+    * collision mass past the decoded bound.
+    */
+  val qCountMin: GQuery = GQuery(
+    "q_agg_count_min",
+    Some("""
+      WITH c AS (
+        SELECT l_partkey, COUNT(*) AS exact_cnt
+        FROM lineitem GROUP BY 1
+        ORDER BY exact_cnt DESC, l_partkey LIMIT 20)
+      SELECT l_partkey, exact_cnt, TRUE AS est_ge_exact, TRUE AS est_within_eps
+      FROM c
+      ORDER BY exact_cnt DESC, l_partkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val li = t(spark, dir).lineitem
+    val n = li.count()
+    val eps = 0.001
+    val sketch = li.stat.countMinSketch($"l_partkey", eps, 0.999, 42)
+    val bound = math.ceil(eps * n).toLong
+    val topk = li
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"l_partkey")
+      .limit(20)
+      .collect() // bounded: exactly 20 rows
+      .map { r =>
+        val key = r.getLong(0)
+        val exact = r.getLong(1)
+        val est = sketch.estimateCount(key)
+        (key, exact, est >= exact, est <= exact + bound)
+      }
+      .toSeq
+    spark
+      .createDataFrame(topk)
+      .toDF("l_partkey", "exact_cnt", "est_ge_exact", "est_within_eps")
+      .orderBy($"exact_cnt".desc, $"l_partkey")
+  }
+
+  /** Linear-regression aggregates (regr_slope / regr_intercept / R²) from
+    * the same explicit decimal moment sums as [[qStats]] — one map-side-
+    * combinable pass, no Welford order-dependence. The compound divisions
+    * round to 9dp on both engines (the corr lesson: last-ulp drift);
+    * the raw slope feeds the intercept and R² BEFORE rounding, computed
+    * from an identical CTE expression on both sides, so rounding never
+    * compounds.
+    */
+  val qRegression: GQuery = GQuery(
+    "q_agg_regression",
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ${sqlSum("l_quantity")} AS sq,
+               ${sqlSum("l_quantity * l_quantity")} AS sqq,
+               ${sqlSum("l_extendedprice")} AS sp,
+               ${sqlSum("l_extendedprice * l_extendedprice")} AS spp,
+               ${sqlSum("l_quantity * l_extendedprice")} AS sqp
+        FROM lineitem GROUP BY l_returnflag),
+      s AS (
+        SELECT l_returnflag, n, sq, sp, sqq, spp,
+               (sqp - sq * sp / n) / (sqq - sq * sq / n) AS slope_raw
+        FROM m)
+      SELECT l_returnflag, n,
+             round(slope_raw, 9) AS regr_slope,
+             round((sp - slope_raw * sq) / n, 9) AS regr_intercept,
+             round(slope_raw * slope_raw * (sqq - sq * sq / n) / (spp - sp * sp / n), 9)
+               AS regr_r2
+      FROM s
+      ORDER BY l_returnflag""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val n = count(lit(1)).cast("double")
+    val sq = dsum($"l_quantity")
+    val sqq = dsum($"l_quantity" * $"l_quantity")
+    val sp = dsum($"l_extendedprice")
+    val spp = dsum($"l_extendedprice" * $"l_extendedprice")
+    val sqp = dsum($"l_quantity" * $"l_extendedprice")
+    t(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sq.as("__sq"), sp.as("__sp"), sqq.as("__sqq"), spp.as("__spp"), sqp.as("__sqp"))
+      .withColumn(
+        "__slope_raw",
+        ($"__sqp" - $"__sq" * $"__sp" / $"n".cast("double")) /
+          ($"__sqq" - $"__sq" * $"__sq" / $"n".cast("double")))
+      .select(
+        $"l_returnflag",
+        $"n",
+        round($"__slope_raw", 9).as("regr_slope"),
+        round(($"__sp" - $"__slope_raw" * $"__sq") / $"n".cast("double"), 9)
+          .as("regr_intercept"),
+        round(
+          $"__slope_raw" * $"__slope_raw" *
+            ($"__sqq" - $"__sq" * $"__sq" / $"n".cast("double")) /
+            ($"__spp" - $"__sp" * $"__sp" / $"n".cast("double")),
+          9).as("regr_r2")
+      )
+      .orderBy($"l_returnflag")
+  }
+
   /** Pivot (long → wide): per-customer-segment event... here, per order
     * priority, lineitem quantity mass by return flag as columns. Spark's
     * `pivot` with an explicit value list keeps the schema static and the
@@ -700,6 +814,6 @@ object Aggregates extends QuerySet {
   override def queries: Seq[GQuery] = Seq(
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qFilterClause, qCollect,
     qApproxDistinct, qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode,
-    qHllRollup, qHllIntersect, qDiagSkew, qOutlierIqr, qBools
+    qHllRollup, qHllIntersect, qDiagSkew, qOutlierIqr, qBools, qRegression, qCountMin
   )
 }

@@ -324,6 +324,43 @@ object PipelineQueries extends QuerySet {
       .orderBy($"doc_id", $"copy")
   }
 
+  /** Temperature-scaled source mixing ([[graft.operators.Sampling
+    * .temperatureMix]], α = 0.5, target = half the corpus): stratum keep
+    * fractions derived from exact per-source counts via `n^α`
+    * normalization, gated per row by the portable md5/2^16 gate. The
+    * oracle rebuilds the identical count → pow → decimal-summed
+    * normalizer → fraction → threshold chain, so the hash match proves
+    * the whole mixing computation equal cross-engine.
+    */
+  val qTemperature: GQuery = GQuery(
+    "q_sample_temperature",
+    Some("""
+      WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      p AS (SELECT source, n, POWER(CAST(n AS DOUBLE), 0.5) AS pw FROM c),
+      z AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(38,6))) AS DOUBLE) AS zn,
+                   CAST(SUM(n) AS DOUBLE) AS grand FROM p),
+      f AS (SELECT source, least(1.0, 0.5 * grand * (pw / zn) / CAST(n AS DOUBLE)) AS frac
+            FROM p, z)
+      SELECT d.doc_id, d.source FROM documents d JOIN f USING (source)
+      WHERE frac >= 1.0
+         OR substr(md5(d.doc_id::VARCHAR || ':37'), 1, 4)
+            < printf('%04x', CAST(least(floor(frac * 65536), 65535) AS INT))
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Sampling
+      .temperatureMix(
+        t(spark, dir).documents,
+        strataCol = "source",
+        keyCol = "doc_id",
+        alpha = 0.5,
+        targetFraction = 0.5,
+        seed = 37
+      )
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** Contrastive negative-pair mining ([[graft.operators.Sampling
     * .affinePairs]]): pair doc i with doc (48271·i + 173) mod n under an
     * affine permutation of the dense id domain — a deterministic,
@@ -371,5 +408,5 @@ object PipelineQueries extends QuerySet {
 
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
-    qWeighted, qMix, qNegativePairs)
+    qWeighted, qMix, qTemperature, qNegativePairs)
 }

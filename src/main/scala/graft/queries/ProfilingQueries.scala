@@ -381,6 +381,47 @@ object ProfilingQueries extends QuerySet {
           (lit(1.0) / $"n0".cast("double") + lit(1.0) / $"n1".cast("double")))).as("z"))
   }
 
+  /** Distribution-shape profile per source: Shannon entropy (bits) and
+    * Gini impurity of the language mix — the "is this source diverse or
+    * monoculture" signal a corpus curator reads before weighting it into
+    * a training mix. Counts are exact BIGINTs; each p·log₂p / p² term is
+    * one IEEE expression on an exact ratio; the term sums go through
+    * DECIMAL(38,6) (order-insensitive, and the 1e-6 rounding absorbs any
+    * last-ulp log2 divergence between libm and the JVM). One groupBy +
+    * one broadcast-joined total per source — two exchanges at any scale.
+    */
+  val qEntropy: GQuery = GQuery(
+    "q_profile_entropy",
+    Some("""
+      WITH c AS (SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+      t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+      p AS (SELECT c.source, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+            FROM c JOIN t ON c.source = t.source)
+      SELECT source,
+             -CAST(SUM(CAST(p * log2(p) AS DECIMAL(38,6))) AS DOUBLE) AS entropy_bits,
+             1.0 - CAST(SUM(CAST(p * p AS DECIMAL(38,6))) AS DOUBLE) AS gini_impurity,
+             COUNT(*) AS n_values
+      FROM p
+      GROUP BY source
+      ORDER BY source""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    val c = t(spark, dir).documents
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy($"source").agg(sum($"cnt").cast("long").as("tot"))
+    val p = c
+      .join(broadcast(tot), "source")
+      .select($"source", ($"cnt".cast("double") / $"tot".cast("double")).as("p"))
+    p.groupBy($"source")
+      .agg(
+        (-sum(($"p" * log2($"p")).cast(D)).cast("double")).as("entropy_bits"),
+        (lit(1.0) - sum(($"p" * $"p").cast(D)).cast("double")).as("gini_impurity"),
+        count(lit(1)).as("n_values"))
+      .orderBy($"source")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest)
+    Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy)
 }

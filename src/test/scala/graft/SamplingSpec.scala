@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Sampling
 import graft.sources.Tables
+import org.apache.spark.sql.functions.when
 
 /** Hash-gated sampling: determinism under repartitioning (the property
   * RNG-stream sampling lacks) and proportion bounds.
@@ -143,6 +144,42 @@ class SamplingSpec extends SparkSpec {
   test("affinePairs rejects a multiplier sharing a factor with n") {
     intercept[IllegalArgumentException] {
       Sampling.affinePairs(spark.range(10).toDF("doc_id"), "doc_id", 10L, a = 15L, b = 0L)
+    }
+  }
+
+  test("temperatureMix: repartition-invariant, flattens toward small sources, alpha=1 is plain thinning") {
+    // Skewed synthetic strata (the sf corpus has uniform source sizes,
+    // which makes every alpha degenerate): big=4000, mid=800, small=200.
+    val skewed = spark
+      .range(5000)
+      .toDF("doc_id")
+      .withColumn(
+        "source",
+        when($"doc_id" < 4000, "big").when($"doc_id" < 4800, "mid").otherwise("small"))
+    val a = Sampling.temperatureMix(skewed, "source", "doc_id", alpha = 0.5, targetFraction = 0.5, seed = 37)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureMix(skewed.repartition(7), "source", "doc_id", alpha = 0.5, targetFraction = 0.5, seed = 37)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b, "mix changed under repartitioning")
+
+    // alpha < 1 must RAISE the small source's output share above its input share
+    val in = skewed.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val out = Sampling.temperatureMix(skewed, "source", "doc_id", 0.5, 0.5, 37)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val inShare = in("small").toDouble / in.values.sum
+    val outShare = out("small").toDouble / out.values.sum
+    assert(outShare > inShare * 1.5, s"alpha=0.5 should boost the small source: $inShare -> $outShare")
+    // ...without exceeding its full size (fraction capped at 1)
+    assert(out("small") <= in("small"))
+
+    // alpha = 1: p_s = n_s / N, so every stratum keeps ~targetFraction
+    // (md5-gate variance on a stratum of n rows is ~sqrt(.25/n))
+    val flat = Sampling.temperatureMix(skewed, "source", "doc_id", 1.0, 0.5, 37)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    flat.foreach { case (s, kept) =>
+      val rate = kept.toDouble / in(s)
+      val tol = 4 * math.sqrt(0.25 / in(s))
+      assert(math.abs(rate - 0.5) < tol, s"alpha=1 keep-rate for $s is $rate, expected 0.5±$tol")
     }
   }
 }
