@@ -137,4 +137,46 @@ object Graphs {
     }
     ranks.select(col("node"), col("pr"))
   }
+
+  /** Unweighted single-source shortest paths (BFS hop counts) from
+    * `source` over the symmetrized edge set. Classic iterative frontier
+    * expansion: each round joins the CURRENT frontier (not the whole
+    * visited set) against the edges, anti-joins out already-settled
+    * nodes, and settles the remainder at distance d+1 — so a round's
+    * shuffle is proportional to the frontier fringe, and the loop runs
+    * O(eccentricity) jobs, not O(V). Frontier and settled sets
+    * localCheckpoint per round (the iterative-lineage rule). Unreachable
+    * nodes are absent from the result, by construction.
+    *
+    * Fail-LOUD on hitting `maxIter` with a non-empty frontier: a
+    * truncated BFS would silently report some nodes unreachable.
+    */
+  def bfsHops(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var settled = Seq((source, 0)).toDF("node", "hops").localCheckpoint()
+    var frontier = settled
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      val next = sym
+        .join(frontier, sym("src") === frontier("node"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(iter + 1).as("hops"))
+        .localCheckpoint()
+      settled = settled.unionAll(next).localCheckpoint()
+      frontier = next
+      iter += 1
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"bfsHops did not exhaust the frontier within $maxIter iterations; " +
+          "raise maxIter (graph eccentricity exceeds it)")
+    settled
+  }
 }

@@ -564,8 +564,47 @@ object SequenceQueries extends QuerySet {
       .orderBy($"user_id", $"tus", $"event_id")
   }
 
+  /** Single-source BFS hop counts ([[graft.operators.Graphs.bfsHops]])
+    * over the same thresholded co-purchase graph as [[qGraphComponents]],
+    * from the graph's minimum node id (computed, not hardcoded — the same
+    * source on every engine and SF). The oracle replays the BFS as a
+    * depth-capped recursive walk whose (node, d) pairs dedup through
+    * UNION, then takes MIN(d) per node — equal to the frontier BFS
+    * whenever the true eccentricity is under the cap, which the Spark
+    * side enforces by failing loud at the same bound.
+    */
+  val qGraphBfs: GQuery = GQuery(
+    "q_graph_bfs",
+    Some("""
+      WITH RECURSIVE g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS w
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2),
+      e2 AS (SELECT src, dst FROM e WHERE w >= 3),
+      ed AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      s AS (SELECT MIN(src) AS s0 FROM ed),
+      walk(node, d) AS (
+        SELECT s0, 0 FROM s
+        UNION
+        SELECT x.dst, w.d + 1 FROM walk w JOIN ed x ON w.node = x.src WHERE w.d < 30)
+      SELECT node, CAST(MIN(d) AS INT) AS hops
+      FROM walk GROUP BY node
+      ORDER BY node""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 3)
+      .select($"src", $"dst")
+    val source = edges.agg(min($"src")).as[Long].head() // one driver scalar
+    graft.operators.Graphs
+      .bfsHops(edges, source, maxIter = 30)
+      .select($"node", $"hops".cast("int").as("hops"))
+      .orderBy($"node")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
-      qAnomaly)
+      qAnomaly, qGraphBfs)
 }

@@ -299,7 +299,52 @@ object SourceQueries extends QuerySet {
       .orderBy($"lang")
   }
 
+  /** Change-data feed over the versioned table ([[graft.sources.Versioned
+    * .changesBetween]]): v1 publishes the even events, v2 APPENDS the
+    * odds, v3 REWRITES to only the high-value rows. The v1→v2 feed must
+    * contain exactly the odd rows as inserts (append reads only the new
+    * files — the incremental-consumer contract); the v2→v3 feed must
+    * emit the whole pre-rewrite table as deletes plus the v3 snapshot as
+    * inserts. The oracle restates all three legs from the base table.
+    */
+  val qVersionedChanges: GQuery = GQuery(
+    "q_source_versioned_changes",
+    Some(s"""
+      SELECT * FROM (
+        SELECT '1->2' AS span, 'insert' AS change_type, event_type,
+               COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+        FROM events WHERE event_id % 2 = 1
+        GROUP BY event_type
+        UNION ALL
+        SELECT '2->3', 'delete', event_type, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        FROM events
+        GROUP BY event_type
+        UNION ALL
+        SELECT '2->3', 'insert', event_type, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        FROM events WHERE value > 90.0
+        GROUP BY event_type)
+      ORDER BY span, change_type, event_type""")
+  ) { (spark, dir) =>
+    val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
+    val out = Files.createTempDirectory("graft_src_cdc").resolve("events").toString
+    graft.sources.Versioned.publish(payload.filter(col("event_id") % 2 === 0), out)
+    graft.sources.Versioned.append(payload.filter(col("event_id") % 2 =!= 0), out)
+    graft.sources.Versioned.publish(payload.filter(col("value") > 90.0), out)
+    def leg(fromV: Int, toV: Int): DataFrame =
+      graft.sources.Versioned
+        .changesBetween(spark, out, fromV, toV)
+        .groupBy(col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .select(
+          lit(s"$fromV->$toV").as("span"),
+          col("_change_type").as("change_type"),
+          col("event_type"), col("n"), col("sum_id"))
+    leg(1, 2)
+      .unionAll(leg(2, 3))
+      .orderBy(col("span"), col("change_type"), col("event_type"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qJson, qCsv, qOrc, qXml, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp,
-      qVersioned)
+      qVersioned, qVersionedChanges)
 }

@@ -142,6 +142,43 @@ object Versioned {
     spark.read.parquet(files: _*)
   }
 
+  /** File-granular change feed between two committed versions (the
+    * Delta-CDF-shaped read): rows in files the `to` manifest added are
+    * emitted as `insert`, rows in files it dropped as `delete`, under a
+    * `_change_type` column. Because [[append]] carries prior files
+    * forward by reference, an append version's change feed reads ONLY
+    * the new files — the incremental-consumer contract: cost scales with
+    * the delta, never the table. A [[publish]] rewrite shows up as
+    * full-table delete + full-snapshot insert, which is exactly what a
+    * downstream sync must apply when lineage was broken by a rewrite.
+    *
+    * File-set diff on manifest STRINGS (driver-side, KBs); no data file
+    * is opened for the diff itself.
+    */
+  def changesBetween(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val from = readManifest(spark, path, fromV).toSet
+    val to = readManifest(spark, path, toV).toSet
+    def side(files: Seq[String], kind: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else
+        Some(
+          spark.read
+            .parquet(files.map(f => new Path(path, f).toString): _*)
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit(kind)))
+    val parts =
+      side((to -- from).toSeq.sorted, "insert").toSeq ++
+        side((from -- to).toSeq.sorted, "delete").toSeq
+    parts match {
+      case Seq() =>
+        // identical manifests: empty frame, but with the table's schema
+        read(spark, path, Some(toV))
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+          .limit(0)
+      case seq => seq.reduce(_ unionAll _)
+    }
+  }
+
   /** Drop all but the last `keepLast` versions, then delete every data
     * file referenced by NO surviving manifest (incl. orphans from crashed
     * writes). Referenced-set first, delete second — files shared across

@@ -73,4 +73,37 @@ class VersionedSpec extends SparkSpec {
     Versioned.publish(Seq((1L, "a")).toDF("id", "s"), path)
     intercept[java.io.IOException](Versioned.read(spark, path, Some(7)))
   }
+
+  test("changesBetween: append feeds only the delta, rewrite feeds delete+insert, no-op feeds nothing") {
+    val path = freshTable()
+    Versioned.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), path)
+    // append leg: ONLY the appended row, as insert — and only the new
+    // files are scanned (the plan's read path lists exactly the v2 delta)
+    val feed12 = Versioned.changesBetween(spark, path, 1, 2)
+    assert(
+      feed12.select($"id", $"_change_type").as[(Long, String)].collect().toSet ==
+        Set((3L, "insert")))
+    val scanned = feed12.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("data/v00002")),
+      s"append feed scanned beyond the delta: $scanned")
+
+    // rewrite leg: everything deleted, new snapshot inserted
+    Versioned.publish(Seq((2L, "b"), (9L, "z")).toDF("id", "s"), path)
+    val feed23 = Versioned.changesBetween(spark, path, 2, 3)
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(feed23 == Set((1L, "delete"), (2L, "delete"), (3L, "delete"),
+      (2L, "insert"), (9L, "insert")))
+
+    // identical manifests (self-diff span): empty with the table schema
+    Versioned.append(spark.emptyDataset[(Long, String)].toDF("id", "s"), path)
+    val feed34 = Versioned.changesBetween(spark, path, 3, 4)
+    assert(feed34.count() == 0)
+    assert(feed34.columns.toSeq == Seq("id", "s", "_change_type"))
+
+    intercept[IllegalArgumentException](Versioned.changesBetween(spark, path, 2, 2))
+  }
 }
