@@ -191,6 +191,177 @@ object TextOps {
         (row_number().over(Window.orderBy(col("freq").desc, col("token").asc)) - 1).cast("long"))
   }
 
+  /** BM25 ranked retrieval: top-`k` documents for a bag-of-terms query —
+    * the search primitive a corpus pipeline uses for decontamination
+    * probes, RAG candidate generation, and relevance-weighted sampling.
+    * Okapi BM25 (Robertson & Zaragoza, "The Probabilistic Relevance
+    * Framework: BM25 and Beyond", FnTIR 2009 §3.3):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *
+    * with the same log-free idf ratio as [[tfidfTopK]] (every op exactly
+    * rounded under IEEE 754 → bit-identical scores across engines; `ln`'s
+    * last-ulp wobble would break hash-exact oracles, and the ranking is
+    * monotone-identical either way).
+    *
+    * Shape at scale: tokens are filtered to the query's terms BEFORE the
+    * explode (an array `filter` inside the row), so the per-doc shuffle
+    * carries only query-term hits, never the corpus vocabulary; df over
+    * those hits is a |queryTerms|-row aggregate broadcast back; corpus
+    * stats (N, Σ|d|) are one map-side-combined aggregate broadcast as a
+    * single row. The final top-k is a TakeOrdered over per-doc scores —
+    * no window, no global sort materialization.
+    *
+    * Per-term scores cross engines bit-identically, and the per-doc sum
+    * goes through DECIMAL(38,6) (order-insensitive exact arithmetic, the
+    * [[graft.queries.Common]] convention), so the whole ranking is
+    * hash-exact against a SQL replay.
+    *
+    * Output: (idCol, n_hits, dl, score), top `k` by (score desc, id asc).
+    */
+  def bm25TopK(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val D = org.apache.spark.sql.types.DecimalType(38, 6)
+    val toks = split(col(textCol), " ")
+    val withDl = docs.select(
+      col(idCol),
+      size(toks).as("dl"),
+      filter(toks, t => t.isin(queryTerms.map(x => x: Any): _*)).as("__hits"))
+    val stats = withDl
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+      .withColumn("__avgdl", col("__sumdl").cast("double") / col("__n").cast("double"))
+    val tf = withDl
+      .select(col(idCol), col("dl"), explode(col("__hits")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats.select(col("__n"), col("__avgdl"))))
+      .withColumn(
+        "__idf",
+        (col("__n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn(
+        "__score_t",
+        // tf·(k1+1) written as tf·k1 + tf: a SQL replay folds `k1 + 1`
+        // in DECIMAL (exact 2.2) while the JVM folds it in binary
+        // (double(1.2)+1.0), and the two sit a near-tie apart — this form
+        // keeps every constant a directly-parsed literal on both engines
+        col("__idf") * ((col("tf").cast("double") * lit(k1) + col("tf").cast("double")) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("__avgdl"))))))
+    scored
+      .groupBy(col(idCol), col("dl"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        sum(col("__score_t").cast(D)).cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_hits"), col("dl"), col("score"))
+  }
+
+  /** Hashed-feature linear classifier inference — the fastText-style
+    * quality-gate scoring pass (Joulin et al., "Bag of Tricks for
+    * Efficient Text Classification", EACL 2017: hashed uni+bigram
+    * features, linear model, mean pooling). The plan IS production model
+    * inference at 100 TB: per-row feature extraction (unigrams + bigram
+    * conjunctions), the hashing trick into `buckets` weight slots, a
+    * BROADCAST join against the weight table (the model is KBs–MBs;
+    * corpus never shuffles), and a per-doc mean-pool — one scan, one
+    * keyed re-group on the id the explode preserved.
+    *
+    * Weights here are derived from a portable md5 family so a SQL oracle
+    * can replay inference end-to-end (a trained model would load the same
+    * (bucket, weight) table from a file — the plan does not change).
+    * Weights are INTEGERS in [-1000, 1000] and the margin is an exact
+    * BIGINT sum, so score = margin / (1000·n_features) is one exactly-
+    * rounded division — bit-identical across engines, hash-exact oracle.
+    *
+    * Output: (idCol, n_features, margin, score, keep = margin > 0).
+    */
+  def hashedLinearScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      seed: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = docs.sparkSession
+    val toks = split(col(textCol), " ")
+    // unigrams ++ adjacent-pair conjunctions ("a_b") — fastText's n-gram trick
+    val feats = concat(
+      toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit("_"), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
+    // portable bucket: first 8 md5 hex digits of "feat:seed" as an int, mod buckets
+    val bucketOf: Column => Column = f =>
+      conv(substring(md5(concat(f, lit(s":$seed"))), 1, 8), 16, 10).cast("long") % buckets
+    // deterministic weight table: w(bucket) = md5-int("w:bucket:seed") % 2001 - 1000
+    val weights = spark
+      .range(buckets).withColumnRenamed("id", "bucket")
+      .withColumn(
+        "w",
+        conv(substring(md5(concat(lit("w:"), col("bucket").cast("string"), lit(s":$seed"))), 1, 8),
+          16, 10).cast("long") % 2001 - 1000)
+    docs
+      .select(col(idCol), explode(feats).as("__feat"))
+      .withColumn("bucket", bucketOf(col("__feat")))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"), sum(col("w")).as("margin"))
+      .withColumn(
+        "score",
+        col("margin").cast("double") / (lit(1000.0) * col("n_features").cast("double")))
+      .withColumn("keep", col("margin") > 0)
+  }
+
+  /** Inverted-index export: per term, document frequency and the full
+    * posting list (parallel doc-id / tf arrays, doc-id-sorted) — the
+    * materialized search-index table [[bm25TopK]] would probe at serving
+    * time, and the artifact a corpus ships alongside itself for exact-
+    * match decontamination probes by third parties.
+    *
+    * Scale: one (doc, term) shuffle for tf, one term shuffle for the
+    * posting assembly. Posting lists are bounded by `maxDf` — a term in
+    * half the corpus is a stopword, and its posting row would be a
+    * single-key straggler holding |corpus| entries (same hot-key
+    * discipline as the shingle df-cap in [[graft.operators.Dedup]]).
+    * Arrays are sorted in-row after collect, so the output is
+    * partitioning-independent.
+    */
+  def invertedIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Long
+  ): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_sort(collect_list(struct(col(idCol), col("tf")))).as("__p"))
+      .filter(col("df") <= maxDf)
+      .select(
+        col("term"),
+        col("df"),
+        transform(col("__p"), p => p.getField(idCol)).as("posting_docs"),
+        transform(col("__p"), p => p.getField("tf")).as("posting_tfs"))
+  }
+
   /** Per-document vocabulary-coverage score against a [[buildVocab]] table:
     * token count, out-of-vocabulary token count, and OOV rate — the
     * rational (division-only, engine-exact) stand-in for an LM perplexity

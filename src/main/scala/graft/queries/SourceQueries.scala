@@ -344,7 +344,52 @@ object SourceQueries extends QuerySet {
       .orderBy(col("span"), col("change_type"), col("event_type"))
   }
 
+  /** Schema evolution across parquet generations: generation 1 wrote
+    * `(event_id, event_type)` (the even ids), generation 2 added a
+    * `value` column (the odds). A `mergeSchema` read unions the file
+    * schemas — legacy rows surface the added column as NULL, the lake
+    * contract every long-lived 100 TB table depends on (columns are only
+    * ever ADDED; readers reconcile). The aggregate counts legacy rows via
+    * that NULL and sums the new column, so the oracle (recomputing both
+    * generations from the raw table) proves no row was dropped, no value
+    * leaked into legacy rows, and the added column round-tripped.
+    *
+    * (`mergeSchema` lists every file's footer at planning time — fine per
+    * query here; at real scale you pin the evolved schema in a metastore
+    * or read with an explicit schema instead of paying the listing.)
+    */
+  val qSchemaEvolution: GQuery = GQuery(
+    "q_source_schema_evolution",
+    Some(s"""
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(event_id) AS BIGINT) AS sum_id,
+             CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+             ${sqlSum("CASE WHEN event_id % 2 = 1 THEN value END")} AS total
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    val ev = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
+    val out = Files.createTempDirectory("graft_src_evolve").toString
+    val gen1 = s"$out/batch1"
+    val gen2 = s"$out/batch2"
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"))
+      .write.mode("overwrite").parquet(gen1)
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("overwrite").parquet(gen2)
+    spark.read.option("mergeSchema", "true").parquet(gen1, gen2)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        count(when(col("value").isNull, 1)).as("n_legacy"),
+        dsum(col("value")).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qJson, qCsv, qOrc, qXml, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp,
-      qVersioned, qVersionedChanges)
+      qVersioned, qVersionedChanges, qSchemaEvolution)
 }

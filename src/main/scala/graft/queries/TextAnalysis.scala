@@ -781,8 +781,120 @@ object TextAnalysis extends QuerySet {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** BM25 ranked retrieval ([[graft.operators.TextOps.bm25TopK]]): top-10
+    * documents for a three-term query. The oracle replays tokenize → dl/
+    * avgdl stats → query-term tf/df → per-term Okapi score → exact
+    * DECIMAL(38,6) per-doc sum → top-k, with every floating-point
+    * operation in the identical order (log-free idf; tf·k1 + tf instead
+    * of tf·(k1+1) so no engine constant-folds differently), so the full
+    * ranking is hash-exact.
+    */
+  val qBm25: GQuery = GQuery(
+    "q_text_bm25",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      dl AS (
+        SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+               list_filter(toks, t -> t IN ('dup', 'spark', 'window')) AS hits
+        FROM d),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(hits) AS term FROM dl)
+        GROUP BY 1, 2, 3),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id, tf.dl,
+               ((CAST(s.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+               ((CAST(tf.tf AS DOUBLE) * 1.2 + CAST(tf.tf AS DOUBLE)) /
+                (CAST(tf.tf AS DOUBLE) +
+                 1.2 * (1.0 - 0.75 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl)))) AS score_t
+        FROM tf JOIN df USING (term) CROSS JOIN stats s)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, dl,
+             CAST(SUM(CAST(score_t AS DECIMAL(38, 6))) AS DOUBLE) AS score
+      FROM scored
+      GROUP BY doc_id, dl
+      ORDER BY score DESC, doc_id
+      LIMIT 10""")
+  ) { (spark, dir) =>
+    graft.operators.TextOps.bm25TopK(
+      t(spark, dir).documents, "doc_id", "text",
+      queryTerms = Seq("dup", "spark", "window"), k = 10)
+  }
+
+  /** Hashed-feature linear classifier inference
+    * ([[graft.operators.TextOps.hashedLinearScore]]): fastText-style
+    * uni+bigram hashing-trick scoring with a broadcast weight table. The
+    * oracle replays feature extraction, the md5 bucket/weight derivation,
+    * and the exact integer margin — model inference end-to-end under the
+    * hash-exact gate.
+    */
+  val qClassifier: GQuery = GQuery(
+    "q_text_classifier",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      feats AS (
+        SELECT doc_id,
+               unnest(list_concat(t,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+                      ELSE CAST([] AS VARCHAR[]) END)) AS feat
+        FROM toks),
+      w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('w:' ||
+                 CAST(CAST(('0x' || substr(md5(feat || ':11'), 1, 8))::UBIGINT % 4096 AS BIGINT)
+                   AS VARCHAR) || ':11'), 1, 8))::UBIGINT % 2001 AS BIGINT) - 1000 AS w
+        FROM feats)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_features,
+             CAST(SUM(w) AS BIGINT) AS margin,
+             CAST(SUM(w) AS DOUBLE) / (1000.0 * CAST(COUNT(*) AS DOUBLE)) AS score,
+             (SUM(w) > 0) AS keep
+      FROM w
+      GROUP BY doc_id
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    graft.operators.TextOps
+      .hashedLinearScore(t(spark, dir).documents, "doc_id", "text", buckets = 4096, seed = 11)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Inverted-index export ([[graft.operators.TextOps.invertedIndex]]):
+    * per-term posting lists (doc-id-sorted parallel arrays) with the
+    * stopword df-cap. The oracle rebuilds every posting list with
+    * `list(... ORDER BY doc_id)`, so the hash match covers list contents
+    * AND order.
+    */
+  val qInvertedIndex: GQuery = GQuery(
+    "q_text_inverted_index",
+    Some("""
+      WITH tf AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1, 2),
+      idx AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               list(doc_id ORDER BY doc_id) AS posting_docs,
+               list(tf ORDER BY doc_id) AS posting_tfs
+        FROM tf GROUP BY term)
+      SELECT term, df, posting_docs, posting_tfs
+      FROM idx
+      WHERE df <= 390
+      ORDER BY term""")
+  ) { (spark, dir) =>
+    graft.operators.TextOps
+      .invertedIndex(t(spark, dir).documents, "doc_id", "text", maxDf = 390L)
+      .orderBy(col("term"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
-      qSubword, qLmScore, qDomainSim)
+      qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qInvertedIndex)
 }

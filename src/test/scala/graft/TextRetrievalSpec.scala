@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Retrieval/inference layer: BM25 ranked retrieval, hashed-linear
+  * classifier inference, inverted-index export. The registered queries
+  * hash-check these against DuckDB replays; here we pin the semantic
+  * contracts on hand-checkable fixtures (ranking order, exact margins,
+  * posting-list shape) and partitioning-independence.
+  */
+class TextRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "rare common common common"),
+    (2L, "rare rare common common"),
+    (3L, "common common common common"),
+    (4L, "other words only here")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK ranks by term rarity and tf; docs without hits are absent") {
+    val top = TextOps.bm25TopK(corpus, "doc_id", "text", Seq("rare", "common"), k = 10)
+      .collect()
+    val ids = top.map(_.getLong(0)).toSeq
+    // doc 4 has no query term: excluded entirely
+    assert(!ids.contains(4L))
+    assert(ids.length == 3)
+    // doc 2 (two hits of the rare high-idf term) beats doc 1 (one hit)
+    // beats doc 3 (only the common, low-idf term)
+    assert(ids == Seq(2L, 1L, 3L))
+    val byId = top.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getAs[Long]("n_hits") == 2) // two distinct terms matched
+    assert(byId(3L).getAs[Long]("n_hits") == 1)
+    assert(byId(3L).getAs[Int]("dl") == 4)
+    // scores strictly ordered (no accidental ties from the fixture)
+    val scores = top.map(_.getAs[Double]("score")).toSeq
+    assert(scores.sliding(2).forall(p => p.head > p.last))
+  }
+
+  test("bm25TopK respects k and is repartition-invariant") {
+    val k1 = TextOps.bm25TopK(corpus, "doc_id", "text", Seq("rare", "common"), k = 1).collect()
+    assert(k1.length == 1 && k1.head.getLong(0) == 2L)
+    val shuffled = TextOps
+      .bm25TopK(corpus.repartition(7), "doc_id", "text", Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("score"))).toSeq
+    val base = TextOps.bm25TopK(corpus, "doc_id", "text", Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("score"))).toSeq
+    assert(shuffled == base) // DECIMAL per-doc sum: bit-identical across partitionings
+  }
+
+  test("hashedLinearScore: feature count, exact margin arithmetic, keep gate") {
+    val df = TextOps.hashedLinearScore(corpus, "doc_id", "text", buckets = 64, seed = 3)
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    // 4 tokens → 4 unigrams + 3 bigrams = 7 features
+    assert(rows.values.forall(_.getAs[Long]("n_features") == 7L))
+    rows.values.foreach { r =>
+      val margin = r.getAs[Long]("margin")
+      val n = r.getAs[Long]("n_features")
+      assert(r.getAs[Double]("score") == margin.toDouble / (1000.0 * n.toDouble))
+      assert(r.getAs[Boolean]("keep") == margin > 0)
+    }
+    // identical text ⇒ identical features ⇒ identical margin
+    val twin = Seq((10L, "rare common common common")).toDF("doc_id", "text")
+    val twinMargin = TextOps.hashedLinearScore(twin, "doc_id", "text", 64, 3)
+      .collect().head.getAs[Long]("margin")
+    assert(twinMargin == rows(1L).getAs[Long]("margin"))
+  }
+
+  test("hashedLinearScore single-token doc has no bigrams") {
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = TextOps.hashedLinearScore(one, "doc_id", "text", 64, 3).collect().head
+    assert(r.getAs[Long]("n_features") == 1L)
+  }
+
+  test("invertedIndex: sorted postings, correct tf, df cap") {
+    val idx = TextOps.invertedIndex(corpus, "doc_id", "text", maxDf = 3L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // "common" appears in docs 1,2,3 (df=3, kept at cap); tf 3,2,4
+    val c = idx("common")
+    assert(c.getAs[Long]("df") == 3L)
+    assert(c.getSeq[Long](2) == Seq(1L, 2L, 3L))
+    assert(c.getSeq[Long](3) == Seq(3L, 2L, 4L))
+    val r = idx("rare")
+    assert(r.getSeq[Long](2) == Seq(1L, 2L) && r.getSeq[Long](3) == Seq(1L, 2L))
+    // cap: lower it and "common" (df=3) must drop while df-2 terms stay
+    val capped = TextOps.invertedIndex(corpus, "doc_id", "text", maxDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(!capped.contains("common") && capped.contains("rare"))
+  }
+
+  test("invertedIndex posting order is repartition-invariant") {
+    val a = TextOps.invertedIndex(corpus.repartition(5), "doc_id", "text", 10L)
+      .orderBy($"term").collect().map(r => (r.getString(0), r.getSeq[Long](2), r.getSeq[Long](3)))
+    val b = TextOps.invertedIndex(corpus, "doc_id", "text", 10L)
+      .orderBy($"term").collect().map(r => (r.getString(0), r.getSeq[Long](2), r.getSeq[Long](3)))
+    assert(a.toSeq == b.toSeq)
+  }
+}
