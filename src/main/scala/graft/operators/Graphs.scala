@@ -179,4 +179,60 @@ object Graphs {
           "raise maxIter (graph eccentricity exceeds it)")
     settled
   }
+
+  /** Weighted single-source shortest paths over symmetrized
+    * `(src, dst, cost)` edges — frontier-driven Bellman-Ford relaxation
+    * (the delta-stepping family's shuffle-parallel core): each round
+    * relaxes ONLY edges out of nodes whose distance improved last round,
+    * takes the per-node min of (current best, new candidates), and the
+    * improved nodes become the next frontier. Converged when a round
+    * improves nothing; rounds are O(longest shortest-path edge count),
+    * each one keyed equi-join + keyed min — no all-pairs anywhere.
+    * Costs are INTEGER (exact min/compare semantics, engine-portable;
+    * scale real-valued costs to fixed-point at the edge builder).
+    *
+    * Unlike [[bfsHops]], settled distances can improve in later rounds
+    * (a longer-hop but cheaper path), so the anti-join trick does not
+    * apply — the min-merge is the correctness core, the frontier is the
+    * work bound. Negative costs are rejected: with the round cap this
+    * would silently return wrong distances on negative cycles.
+    *
+    * Fail-LOUD on hitting `maxIter` with a non-empty frontier, same
+    * contract as [[bfsHops]].
+    */
+  def ssspWeighted(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (edges.filter(col("cost") < 0 || col("cost").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException("ssspWeighted requires non-negative, non-null costs")
+    val sym = edges.select(col("src"), col("dst"), col("cost"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+      .groupBy(col("src"), col("dst")).agg(min(col("cost")).as("cost"))
+      .localCheckpoint()
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      val cand = sym
+        .join(frontier, sym("src") === frontier("node"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val merged = dist.select(col("node"), col("dist"), lit(true).as("__old"))
+        .join(cand.select(col("node"), col("dist").as("__cand")), Seq("node"), "full_outer")
+        .select(
+          col("node"),
+          when(col("dist").isNull || col("__cand") < col("dist"), col("__cand"))
+            .otherwise(col("dist")).as("dist"),
+          (col("__old").isNull || col("__cand") < col("dist")).as("__improved"))
+        .localCheckpoint()
+      frontier = merged.filter(col("__improved")).select(col("node"), col("dist"))
+      dist = merged.select(col("node"), col("dist"))
+      iter += 1
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"ssspWeighted did not converge within $maxIter rounds; raise maxIter " +
+          "(longest shortest path exceeds it)")
+    dist
+  }
 }

@@ -603,8 +603,49 @@ object SequenceQueries extends QuerySet {
       .orderBy($"node")
   }
 
+  /** Weighted single-source shortest paths
+    * ([[graft.operators.Graphs.ssspWeighted]]) over the co-purchase
+    * graph, edge cost = the co-occurrence count (integer, so min/compare
+    * semantics are exact on both engines). The oracle replays the search
+    * as a cost-capped recursive walk — every (node, path-cost) pair up to
+    * the cap, deduped through UNION, MIN per node — which equals
+    * Bellman-Ford whenever true distances sit under the cap; the cap (200,
+    * ~40× this graph's eccentricity·max-cost) and the Spark side's
+    * fail-loud round bound keep both sides honest.
+    */
+  val qGraphSssp: GQuery = GQuery(
+    "q_graph_sssp",
+    Some("""
+      WITH RECURSIVE g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2),
+      e2 AS (SELECT src, dst, w FROM e WHERE w >= 3),
+      ed AS (SELECT src, dst, w FROM e2 UNION SELECT dst, src, w FROM e2),
+      s AS (SELECT MIN(src) AS s0 FROM ed),
+      walk(node, d) AS (
+        SELECT s0, CAST(0 AS BIGINT) FROM s
+        UNION
+        SELECT x.dst, w.d + x.w FROM walk w JOIN ed x ON w.node = x.src
+        WHERE w.d + x.w <= 200)
+      SELECT node, MIN(d) AS dist
+      FROM walk GROUP BY node
+      ORDER BY node""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 3)
+      .select($"src", $"dst", $"weight".as("cost"))
+    val source = edges.agg(min($"src")).as[Long].head() // one driver scalar
+    graft.operators.Graphs
+      .ssspWeighted(edges, source, maxIter = 30)
+      .select($"node", $"dist")
+      .orderBy($"node")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
-      qAnomaly, qGraphBfs)
+      qAnomaly, qGraphBfs, qGraphSssp)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graphs
+
+/** Weighted SSSP semantics on hand-checkable graphs — the cases the
+  * oracle-checked co-purchase query can't isolate: a cheaper many-hop
+  * path must beat a costly direct edge (the later-round improvement BFS's
+  * anti-join would wrongly freeze), parallel edges collapse to min cost,
+  * and the guard rails (negative cost, round cap) fail loud.
+  */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long, Long)*) =
+    rows.toDF("src", "dst", "cost")
+
+  test("ssspWeighted: cheap long path beats costly direct edge") {
+    // 1→3 direct costs 100; 1→2→3 costs 20; 1→4→5→3 costs 3
+    val e = edges((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L),
+      (1L, 4L, 1L), (4L, 5L, 1L), (5L, 3L, 1L))
+    val d = Graphs.ssspWeighted(e, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 10L, 3L -> 3L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("ssspWeighted: symmetrization, parallel-edge min, unreachable absent") {
+    val e = edges((2L, 1L, 5L), (1L, 2L, 3L), (7L, 8L, 1L)) // 7-8 disconnected
+    val d = Graphs.ssspWeighted(e, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 3L)) // edges work both ways; min of parallel costs
+  }
+
+  test("ssspWeighted: zero-cost edges are legal, negative costs rejected") {
+    val d = Graphs.ssspWeighted(edges((1L, 2L, 0L)), 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 0L))
+    intercept[IllegalArgumentException] {
+      Graphs.ssspWeighted(edges((1L, 2L, -1L)), 1L)
+    }
+  }
+
+  test("ssspWeighted fails loud when the round cap truncates the search") {
+    val chain = edges((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    intercept[IllegalStateException] {
+      Graphs.ssspWeighted(chain, 1L, maxIter = 2).collect()
+    }
+    // and the same graph converges with headroom
+    assert(Graphs.ssspWeighted(chain, 1L, maxIter = 10).count() == 4)
+  }
+
+  test("ssspWeighted matches bfsHops on unit costs") {
+    val e = edges((1L, 2L, 1L), (2L, 3L, 1L), (1L, 4L, 1L), (4L, 3L, 1L))
+    val sssp = Graphs.ssspWeighted(e, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfs = Graphs.bfsHops(e.select($"src", $"dst"), 1L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(sssp == bfs)
+  }
+}
