@@ -362,6 +362,49 @@ object TextOps {
         transform(col("__p"), p => p.getField("tf")).as("posting_tfs"))
   }
 
+  /** Exact phrase search: documents containing `phrase` as consecutive
+    * tokens, with the (1-based, overlapping) match positions — the
+    * precision companion to [[bm25TopK]]'s bag-of-terms ranking and the
+    * op behind n-gram decontamination probes ("does the benchmark
+    * sentence appear verbatim?"). Token-boundary semantics, unlike a
+    * substring blocklist scan: "low cost" never matches "slow cost".
+    *
+    * Shape at scale: ONE row-local array pass per document — position
+    * candidates are a `sequence`, the per-position check an all-terms
+    * conjunction, everything inside whole-stage codegen; no explode, no
+    * shuffle, nothing leaves the row until the final hit filter. (Serving
+    * many phrases repeatedly is [[invertedIndex]]'s job; a one-shot
+    * corpus probe should scan.)
+    *
+    * Output: (idCol, n_hits, first_pos, positions), hit docs only.
+    */
+  def phraseSearch(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val toks = split(col(textCol), " ")
+    val k = phrase.length
+    val hitAt: Column => Column = i =>
+      phrase.zipWithIndex
+        .map { case (term, j) => element_at(toks, i + lit(j)) === lit(term) }
+        .reduce(_ && _)
+    val positions = when(
+      size(toks) >= k,
+      filter(sequence(lit(1), size(toks) - lit(k - 1)), hitAt)
+    ).otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol), positions.as("positions"))
+      .filter(size(col("positions")) >= 1)
+      .select(
+        col(idCol),
+        size(col("positions")).as("n_hits"),
+        element_at(col("positions"), 1).as("first_pos"),
+        col("positions"))
+  }
+
   /** Per-document vocabulary-coverage score against a [[buildVocab]] table:
     * token count, out-of-vocabulary token count, and OOV rate — the
     * rational (division-only, engine-exact) stand-in for an LM perplexity

@@ -893,8 +893,36 @@ object TextAnalysis extends QuerySet {
       .orderBy(col("term"))
   }
 
+  /** Exact phrase search ([[graft.operators.TextOps.phraseSearch]]):
+    * token-boundary consecutive-match positions for a two-token phrase,
+    * overlapping occurrences counted. The oracle replays the positional
+    * scan with `list_filter` over the same 1-based candidate range, so
+    * the hash match covers hit membership, counts, AND every position.
+    */
+  val qPhrase: GQuery = GQuery(
+    "q_text_phrase",
+    Some("""
+      WITH hits AS (
+        SELECT doc_id,
+               list_filter(range(1, len(t)),
+                           i -> t[i] = 'window' AND t[i + 1] = 'window') AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2)
+      SELECT doc_id,
+             CAST(len(pos) AS INT) AS n_hits,
+             CAST(pos[1] AS INT) AS first_pos,
+             list_transform(pos, p -> CAST(p AS INT)) AS positions
+      FROM hits
+      WHERE len(pos) >= 1
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    graft.operators.TextOps
+      .phraseSearch(t(spark, dir).documents, "doc_id", "text", Seq("window", "window"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
-      qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qInvertedIndex)
+      qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qInvertedIndex, qPhrase)
 }

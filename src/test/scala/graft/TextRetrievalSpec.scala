@@ -91,6 +91,30 @@ class TextRetrievalSpec extends SparkSpec {
     assert(!capped.contains("common") && capped.contains("rare"))
   }
 
+  test("phraseSearch: token boundaries, overlapping hits, positions") {
+    val docs = Seq(
+      (1L, "a b c a b"),       // "a b" at 1 and 4
+      (2L, "aa b c"),          // substring "a b" inside "aa b" must NOT match
+      (3L, "x x x"),           // overlapping self-phrase "x x" at 1 and 2
+      (4L, "a"),               // shorter than the phrase
+      (5L, "c d e")
+    ).toDF("doc_id", "text")
+    val ab = TextOps.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](3))).toMap
+    assert(ab.keySet == Set(1L))
+    assert(ab(1L) == ((2, Seq(1, 4))))
+    val xx = TextOps.phraseSearch(docs, "doc_id", "text", Seq("x", "x"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](3))).toMap
+    assert(xx(3L) == ((2, Seq(1, 2)))) // overlaps both counted
+    // three-token phrase and single-token degenerate form
+    val abc = TextOps.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "c"))
+      .collect().map(_.getLong(0)).toSet
+    assert(abc == Set(1L))
+    val single = TextOps.phraseSearch(docs, "doc_id", "text", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(single == Map(1L -> 2, 4L -> 1))
+  }
+
   test("invertedIndex posting order is repartition-invariant") {
     val a = TextOps.invertedIndex(corpus.repartition(5), "doc_id", "text", 10L)
       .orderBy($"term").collect().map(r => (r.getString(0), r.getSeq[Long](2), r.getSeq[Long](3)))
