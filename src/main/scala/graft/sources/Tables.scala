@@ -22,7 +22,22 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+  // The driver has shipped events.ts both as int64 ns-since-epoch and as
+  // timestamp[us] parquet across rounds. Every consumer (and the DuckDB
+  // oracles, whose epoch_us(ts) is invariant to the change) expects the
+  // ns-since-epoch BIGINT shape; normalize here. Session tz is pinned UTC
+  // (engine/Graft.scala), so the NTZ→LTZ cast is value-preserving.
+  def events: DataFrame = {
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000L")
+        )
+    }
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

@@ -24,7 +24,7 @@ class OptimizeSpec extends SparkSpec {
   test("rewrite: file count, losslessness, worst-dim pruning, blooms") {
     val s = spark
     val nFiles = 16
-    val ev = s.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.Tables(s, sf).events
       .select($"event_id", ($"user_id" % 1024).as("u"),
         dayofmonth(graft.streaming.StreamOps.tsFromNanos($"ts")).as("day"), $"value")
     val path = Files.createTempDirectory("graft-optimize").resolve("t").toString

@@ -32,7 +32,7 @@ class ZOrderSpec extends SparkSpec {
   test("codegen'd column agrees with the Scala model and stays in codegen") {
     val s = spark
     import s.implicits._
-    val df = s.read.parquet(s"$sf/events.parquet")
+    val df = graft.sources.Tables(s, sf).events
       .select($"event_id", $"user_id",
         dayofmonth(graft.streaming.StreamOps.tsFromNanos($"ts")).as("day"))
       .withColumn("zkey", GraftFunctions.zorder(10, $"user_id", $"day"))
@@ -66,7 +66,7 @@ class ZOrderSpec extends SparkSpec {
     // perfect for user filters and useless for day filters; the z-order
     // layout must beat the single-sort layout's WORST case across the
     // two dimensions (the whole point of multi-dim clustering).
-    val ev = s.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.Tables(s, sf).events
       .select($"event_id", ($"user_id" % 1024).as("u"),
         dayofmonth(graft.streaming.StreamOps.tsFromNanos($"ts")).as("day"))
       .withColumn("zkey", GraftFunctions.zorder(10, $"u", $"day"))
