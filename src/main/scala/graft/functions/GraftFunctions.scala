@@ -63,6 +63,9 @@ object GraftFunctions {
     "graft_lsh_buckets" ->
       (args => PortableLshBuckets(args(0), litInt(args(1), "graft_lsh_buckets"),
         litInt(args(2), "graft_lsh_buckets"), litInt(args(3), "graft_lsh_buckets"))),
+    "graft_rp_dots" ->
+      (args => PortableSignProject(args(0), litInt(args(1), "graft_rp_dots"),
+        litInt(args(2), "graft_rp_dots"))),
     "graft_zorder" ->
       (args => ZOrderKey(args.tail, litInt(args.head, "graft_zorder"))),
     "graft_subword" ->
@@ -107,6 +110,8 @@ object GraftFunctions {
     call_function("graft_unicode_norm", s, lit(form))
   def lshBuckets(vec: Column, nTables: Int, planesPerTable: Int, dim: Int): Column =
     call_function("graft_lsh_buckets", vec, lit(nTables), lit(planesPerTable), lit(dim))
+  def rpDots(vec: Column, outDim: Int, dim: Int): Column =
+    call_function("graft_rp_dots", vec, lit(outDim), lit(dim))
   def stripAccents(s: Column): Column = call_function("graft_strip_accents", s)
   def htmlStrip(s: Column): Column = call_function("graft_html_strip", s)
   def zorder(bits: Int, dims: Column*): Column =

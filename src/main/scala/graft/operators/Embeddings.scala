@@ -49,4 +49,49 @@ object Embeddings {
       lit(0.0),
       (acc, v) => greatest(acc, v)
     )
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with a
+    * portable ±1 Rademacher matrix (Achlioptas 2001: database-friendly
+    * random projections — sign matrices preserve pairwise distances with
+    * the same JL guarantee as Gaussians). Inputs are quantized to
+    * floor(x·2^20) longs so each output coordinate is an EXACT integer
+    * sign-dot ([[graft.functions.PortableLsh.projDots]], one codegen'd
+    * primitive loop per row, no shuffle); [[rpScale]] maps a dot back to
+    * the distance-preserving double. 4× column shrink at 64→16 dims
+    * before any O(n·d) similarity pass downstream.
+    */
+  def randomProject(vec: Column, outDim: Int, dim: Int): Column =
+    graft.functions.GraftFunctions.rpDots(vec, outDim, dim)
+
+  /** Scale an exact projection dot to its JL-normalized double:
+    * dot / (2^20 · √outDim).
+    */
+  def rpScale(dot: Column, outDim: Int): Column =
+    dot.cast("double") / (lit(1048576.0) * lit(math.sqrt(outDim.toDouble)))
+
+  /** Sign-bit binarization packed into 32-bit words (carried as longs):
+    * word w holds dims [32w, 32w+32), bit j set iff x_{32w+j} > 0 (ties at
+    * exactly 0.0 clear). 64-dim float32 → two words = 8 meaningful bytes,
+    * a 32× memory reduction — the standard first stage of a billion-vector
+    * Hamming index. Pure integer bitwise-OR fold: order-insensitive,
+    * replayable bit-for-bit by any engine (see q_embed_binary's oracle).
+    */
+  def signWords(vec: Column, dim: Int): Column = {
+    require(dim > 0, "signWords: dim must be positive")
+    val nWords = (dim + 31) / 32
+    array((0 until nWords).map { w =>
+      val hi = math.min(31, dim - 32 * w - 1)
+      aggregate(
+        sequence(lit(0), lit(hi)),
+        lit(0L),
+        (acc, j) =>
+          acc.bitwiseOR(
+            when(
+              element_at(vec, (lit(32 * w) + j + lit(1)).cast("int")).cast("double") > 0.0,
+              call_function("shiftleft", lit(1L), j)
+            ).otherwise(lit(0L))
+          )
+      )
+    }: _*)
+  }
 }

@@ -63,6 +63,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Exact top-k by Hamming distance over sign-bit binarized vectors
+    * ([[Embeddings.signWords]]): distance = Σ_w popcount(q_w XOR c_w),
+    * ranked ascending with id tie-break. The corpus side is a linear scan
+    * over 8-byte-per-64-dims codes — at 100 TB this is the cheap
+    * first-pass filter (popcount on packed words, whole-stage codegen, no
+    * floats touched) that a cosine rerank then refines; queries are
+    * broadcast, so no shuffle of the corpus at all. Integer distances and
+    * a deterministic tie-break make the full result oracle-replayable.
+    */
+  def hammingTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = (dim + 31) / 32
+    val q = broadcast(
+      queries.select(
+        col(idCol).cast("long").as("query_id"),
+        Embeddings.signWords(col(vecCol), dim).as("qw")
+      )
+    )
+    val c = candidates.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      Embeddings.signWords(col(vecCol), dim).as("cw")
+    )
+    val dist = (1 to nWords)
+      .map(i => bit_count(element_at(col("qw"), i).bitwiseXOR(element_at(col("cw"), i))))
+      .reduce(_ + _)
+      .cast("long")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col("neighbor_id").asc)
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", dist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes in float (so plane literals share the
     * embeddings' array<float> type and the codegen dot applies): `planes x
     * dim` in [-1, 1), seeded — identical across executors and runs.

@@ -639,7 +639,125 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"qid", $"rank")
   }
 
+  /** Sign-bit binarization ([[graft.operators.Embeddings.signWords]]): the
+    * packed 32-bit words for every vector, hash-checked bit-for-bit — the
+    * oracle rebuilds each word with an integer bit_or aggregate over
+    * unnested dimensions, so any packing/endianness/threshold drift
+    * mismatches. The 32× compression stage of the Hamming ANN path.
+    */
+  val qBinary: GQuery = GQuery(
+    "q_embed_binary",
+    Some("""
+      WITH pos AS (SELECT unnest(generate_series(0, 63)) AS j),
+      bits AS (
+        SELECT e.vec_id, j // 32 AS w,
+               CASE WHEN e.embedding[j + 1] > 0 THEN (1::BIGINT << (j % 32))
+                    ELSE 0::BIGINT END AS b
+        FROM embeddings e, pos),
+      words AS (SELECT vec_id, w, bit_or(b) AS word FROM bits GROUP BY 1, 2)
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             MAX(CASE WHEN w = 0 THEN word END) AS w0,
+             MAX(CASE WHEN w = 1 THEN word END) AS w1
+      FROM words GROUP BY 1 ORDER BY vec_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).embeddings
+      .select(
+        $"vec_id".cast("long").as("vec_id"),
+        graft.operators.Embeddings.signWords($"embedding", 64).as("words")
+      )
+      .select(
+        $"vec_id",
+        element_at($"words", 1).as("w0"),
+        element_at($"words", 2).as("w1")
+      )
+      .orderBy($"vec_id")
+  }
+
+  /** Exact Hamming top-10 over the binarized corpus
+    * ([[Similarity.hammingTopK]]): integer distances + id tie-break make
+    * the FULL ranking deterministic, so unlike cosine ANN this approximate
+    * *representation* still gets an exact hash-checked oracle — DuckDB
+    * replays popcount(xor) word-for-word. SimilaritySpec holds the
+    * recall-vs-cosine contract that makes the 32×-compressed scan useful.
+    */
+  val qHamming: GQuery = GQuery(
+    "q_ann_hamming",
+    Some("""
+      WITH pos AS (SELECT unnest(generate_series(0, 63)) AS j),
+      bits AS (
+        SELECT e.vec_id, j // 32 AS w,
+               CASE WHEN e.embedding[j + 1] > 0 THEN (1::BIGINT << (j % 32))
+                    ELSE 0::BIGINT END AS b
+        FROM embeddings e, pos),
+      wrd AS (SELECT vec_id, w, bit_or(b) AS word FROM bits GROUP BY 1, 2),
+      words AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       MAX(CASE WHEN w = 0 THEN word END) AS w0,
+                       MAX(CASE WHEN w = 1 THEN word END) AS w1
+                FROM wrd GROUP BY 1),
+      q AS (SELECT * FROM words WHERE vec_id < 8),
+      scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.w0, v.w0)) + bit_count(xor(q.w1, v.w1)) AS BIGINT) AS hamming
+        FROM q JOIN words v ON q.vec_id != v.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    Similarity
+      .hammingTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", 10, 64)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims
+    * ([[graft.operators.Embeddings.randomProject]]): every output
+    * coordinate is an exact integer Rademacher sign-dot over the
+    * floor(x·2^20) quantization, so the full projected matrix — and its
+    * JL-normalized double form — hash-matches the oracle's replay of the
+    * same md5-derived sign matrix. The 4× dimensionality cut that fronts
+    * any O(n·d) similarity pass at corpus scale.
+    */
+  val qRandomProjection: GQuery = GQuery(
+    "q_embed_random_projection",
+    Some("""
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      dots AS (
+        SELECT vec_id, k,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 d -> (CASE WHEN (('0x' || substr(md5('rp|' || k::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                            THEN 1 ELSE -1 END) * q[d])) AS BIGINT) AS proj
+        FROM qv CROSS JOIN range(16) rk(k))
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(k AS BIGINT) AS k, proj,
+             CAST(proj AS DOUBLE) / (1048576.0 * sqrt(16.0)) AS y
+      FROM dots ORDER BY vec_id, k""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).embeddings
+      .select(
+        $"vec_id".cast("long").as("vec_id"),
+        posexplode(graft.operators.Embeddings.randomProject($"embedding", 16, 64)).as(Seq("k", "proj"))
+      )
+      .select(
+        $"vec_id",
+        $"k".cast("long").as("k"),
+        $"proj",
+        graft.operators.Embeddings.rpScale($"proj", 16).as("y")
+      )
+      .orderBy($"vec_id", $"k")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
-      qSemCluster, qIvfPq)
+      qSemCluster, qIvfPq, qBinary, qHamming, qRandomProjection)
 }

@@ -289,4 +289,90 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpq == expected,
       s"composed != restricted-flat; only-composed=${ivfpq -- expected}, only-flat=${expected -- ivfpq}")
   }
+
+  test("signWords packs sign bits exactly as the scalar reference") {
+    val sample = emb.filter($"vec_id" < 20)
+    val packed = sample
+      .select($"vec_id", graft.operators.Embeddings.signWords($"embedding", 64).as("w"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val raw = sample.as[(Long, Seq[Float], String)].collect()
+    raw.foreach { case (id, vec, _) =>
+      val expect = (0 until 2).map { w =>
+        (0 until 32).foldLeft(0L) { (acc, j) =>
+          if (vec(32 * w + j) > 0f) acc | (1L << j) else acc
+        }
+      }
+      assert(packed(id) == expect, s"vec $id packed ${packed(id)} != $expect")
+    }
+  }
+
+  test("hamming top-k over sign bits recovers cosine neighbors well above chance") {
+    val queries = emb.filter($"vec_id" < 8)
+    val k = 10
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val ham = Similarity
+      .hammingTopK(emb, queries, "vec_id", "embedding", k, 64)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ham.groupBy(_._1).forall(_._2.length == k))
+    // distances in range, ranking consistent with distance order
+    ham.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      assert(rows.forall(r => r._3 >= 0 && r._3 <= 64))
+    }
+    val hamSet = ham.map(r => (r._1, r._2)).toSet
+    val recall = exact.count(hamSet.contains).toDouble / exact.size
+    info(s"hamming recall@$k vs cosine = $recall")
+    // chance level is k/499 ~ 0.02; sign-bit Hamming tracks angle
+    assert(recall >= 0.2, s"hamming recall@$k = $recall")
+  }
+
+  test("random projection preserves pairwise distance structure (JL contract)") {
+    import org.apache.spark.sql.functions.transform
+    import graft.operators.Embeddings
+    val sample = emb.filter($"vec_id" < 40)
+      .select($"vec_id",
+        $"embedding",
+        transform(Embeddings.randomProject($"embedding", 16, 64),
+          d => Embeddings.rpScale(d, 16)).as("proj"))
+      .as[(Long, Seq[Float], Seq[Double])].collect()
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = for {
+      i <- sample.indices; j <- sample.indices if i < j
+    } yield {
+      val orig = d2(sample(i)._2.map(_.toDouble), sample(j)._2.map(_.toDouble))
+      val proj = d2(sample(i)._3, sample(j)._3)
+      (orig, proj)
+    }
+    // JL contract: per-pair squared-distance ratios concentrate around 1
+    // (ratio ~ chi²(16)/16 for Rademacher projections — a near-isotropic
+    // corpus has almost-equal true distances, so correlation would only
+    // measure the projection noise; concentration is the real guarantee)
+    val n      = pairs.length.toDouble
+    val ratios = pairs.map(p => p._2 / p._1)
+    val mean   = ratios.sum / n
+    info(s"mean projected/original distance ratio = $mean over ${pairs.length} pairs")
+    assert(mean > 0.8 && mean < 1.2, s"distance scale biased: $mean")
+    val inside = ratios.count(r => r > 0.4 && r < 2.0) / n
+    info(s"fraction of ratios in [0.4, 2.0] = $inside")
+    assert(inside >= 0.9, s"distances not concentrated: $inside")
+  }
+
+  test("projDots matches the scalar sign-dot reference exactly") {
+    import graft.operators.Embeddings
+    val got = emb.filter($"vec_id" < 10)
+      .select($"vec_id", Embeddings.randomProject($"embedding", 16, 64).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val raw = emb.filter($"vec_id" < 10).as[(Long, Seq[Float], String)].collect()
+    raw.foreach { case (id, vec, _) =>
+      val q = vec.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      val expect = (0 until 16).map { k =>
+        (0 until 64).map(d => graft.functions.PortableLsh.rpSign(k, d) * q(d)).sum
+      }
+      assert(got(id) == expect, s"vec $id projection mismatch")
+    }
+  }
 }
