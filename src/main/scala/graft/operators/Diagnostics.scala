@@ -145,4 +145,23 @@ object Diagnostics {
         sum(when(inBoth && !anyChange, 1L).otherwise(0L)).as("n_unchanged") +:
         perCol): _*)
   }
+
+  /** k-anonymity suppression over quasi-identifier columns: any row whose
+    * quasi-identifier combination occurs fewer than k times in the dataset
+    * gets those columns replaced by `mask` — the release then satisfies
+    * k-anonymity on exactly those columns. One window count over the
+    * quasi-id key (a single hash shuffle on the same key an aggregate
+    * would use; group cardinality, not row count, bounds the state), no
+    * second pass over payload columns. Privacy screening for training-data
+    * export; the reference leaves any such policy to user closures.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int, mask: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w   = Window.partitionBy(quasiCols.map(col): _*)
+    val cnt = count(lit(1)).over(w)
+    val out = quasiCols.foldLeft(df.withColumn("__qn", cnt)) { (d, c) =>
+      d.withColumn(c, when(col("__qn") < k, lit(mask)).otherwise(col(c).cast("string")))
+    }
+    out.withColumn("anon_suppressed", col("__qn") < k).drop("__qn")
+  }
 }

@@ -422,6 +422,139 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"source")
   }
 
+  /** Winsorized (p05/p95-clipped) and robust (median/IQR) feature scaling
+    * per group — the outlier-resistant siblings of q_norm_zscore. Exact
+    * group percentiles (same interpolation convention both engines, see
+    * q_agg_percentiles) broadcast back over one narrow stats join; the
+    * per-row clip/scale chain is fixed IEEE arithmetic rounded at 6
+    * decimals on both sides.
+    */
+  val qWinsorize: GQuery = GQuery(
+    "q_norm_winsorize",
+    Some("""
+      WITH m AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type,
+             round(least(greatest(e.value, m.p05), m.p95), 6) AS winsorized,
+             round((e.value - m.p50) / (m.p75 - m.p25), 6) AS robust_scaled,
+             e.value < m.p05 OR e.value > m.p95 AS clipped
+      FROM events e JOIN m USING (event_type)
+      ORDER BY e.event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+    val stats = e.groupBy($"event_type").agg(
+      percentile($"value", lit(0.05)).as("p05"),
+      percentile($"value", lit(0.25)).as("p25"),
+      percentile($"value", lit(0.50)).as("p50"),
+      percentile($"value", lit(0.75)).as("p75"),
+      percentile($"value", lit(0.95)).as("p95"))
+    e.join(broadcast(stats), "event_type")
+      .select(
+        $"event_id", $"event_type",
+        round(least(greatest($"value", $"p05"), $"p95"), 6).as("winsorized"),
+        round(($"value" - $"p50") / ($"p75" - $"p25"), 6).as("robust_scaled"),
+        ($"value" < $"p05" || $"value" > $"p95").as("clipped"))
+      .orderBy($"event_id")
+  }
+
+  /** Chi-square test of independence between two categorical columns
+    * (lang × source over documents) — the workhorse drift/association
+    * screen for corpus metadata. Contingency cells, margins and N are
+    * exact integer counts; each cell's contribution
+    * (obs·N − r·c)² / (r·c·N) is ONE fixed IEEE chain replayed identically
+    * by the oracle, and the statistic sums contributions through
+    * DECIMAL(38,6) (order-insensitive, [[Common.dsum]]). Cramér's V then
+    * derives from the already-pinned χ² in double. Plan: one groupBy for
+    * cells, two tiny margin aggregates broadcast back — a single shuffle
+    * of ≤|langs|·|sources| rows regardless of corpus size.
+    */
+  val qChi2: GQuery = GQuery(
+    "q_stat_chi2",
+    Some("""
+      WITH c AS (SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS rt FROM c GROUP BY 1),
+      s AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS ct FROM c GROUP BY 1),
+      n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS nc
+            FROM c),
+      cells AS (
+        SELECT CAST(c.obs * n.n - r.rt * s.ct AS DOUBLE)
+                 * CAST(c.obs * n.n - r.rt * s.ct AS DOUBLE)
+                 / (CAST(r.rt AS DOUBLE) * CAST(s.ct AS DOUBLE) * CAST(n.n AS DOUBLE))
+                 AS contrib,
+               n.n AS n, n.nr AS nr, n.nc AS nc
+        FROM c JOIN r ON c.lang = r.lang JOIN s ON c.source = s.source, n)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             MAX(n) AS n,
+             (MAX(nr) - 1) * (MAX(nc) - 1) AS dof,
+             CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+             sqrt(CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE)
+                  / (CAST(MAX(n) AS DOUBLE)
+                     * CAST(least(MAX(nr) - 1, MAX(nc) - 1) AS DOUBLE))) AS cramers_v
+      FROM cells""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs  = t(spark, dir).documents
+    val cells = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("obs"))
+    val r     = cells.groupBy($"lang").agg(sum($"obs").as("rt"))
+    val s     = cells.groupBy($"source").agg(sum($"obs").as("ct"))
+    val n = cells.agg(
+      sum($"obs").as("n"),
+      countDistinct($"lang").as("nr"),
+      countDistinct($"source").as("nc"))
+    val diff    = $"obs" * $"n" - $"rt" * $"ct"
+    val contrib = (diff.cast("double") * diff.cast("double")) /
+      ($"rt".cast("double") * $"ct".cast("double") * $"n".cast("double"))
+    val chi2 = sum($"contrib".cast(Common.D)).cast("double")
+    cells
+      .join(broadcast(r), "lang")
+      .join(broadcast(s), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("contrib", contrib)
+      .agg(
+        count(lit(1)).as("n_cells"),
+        max($"n").as("n"),
+        ((max($"nr") - 1) * (max($"nc") - 1)).as("dof"),
+        chi2.as("chi2"),
+        sqrt(chi2 / (max($"n").cast("double") *
+          least(max($"nr") - 1, max($"nc") - 1).cast("double"))).as("cramers_v"))
+  }
+
+  /** k-anonymity release ([[graft.operators.Diagnostics.kAnonymize]],
+    * k = 20 on quasi-identifiers lang × source): rare metadata
+    * combinations are masked so no released row is identifiable to fewer
+    * than 20 peers. Every row ships with its suppression flag; the oracle
+    * replays the window-count policy exactly.
+    */
+  val qKanon: GQuery = GQuery(
+    "q_privacy_kanon",
+    Some("""
+      WITH g AS (SELECT doc_id, lang, source,
+                        COUNT(*) OVER (PARTITION BY lang, source) AS qn
+                 FROM documents)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CASE WHEN qn < 20 THEN '*' ELSE lang   END AS lang,
+             CASE WHEN qn < 20 THEN '*' ELSE source END AS source,
+             qn < 20 AS anon_suppressed
+      FROM g ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Diagnostics
+      .kAnonymize(t(spark, dir).documents.select($"doc_id", $"lang", $"source"),
+        Seq("lang", "source"), 20)
+      .select($"doc_id".cast("long").as("doc_id"), $"lang", $"source", $"anon_suppressed")
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy)
+    Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
+      qChi2, qKanon, qWinsorize)
 }

@@ -83,4 +83,23 @@ class DiagnosticsSpec extends SparkSpec {
     // both rows of the duplicated key count as violating rows
     assert(report("id_unique") === ((2L, 4L, false)))
   }
+
+  test("kAnonymize: released quasi-id groups all have >= k members, payload untouched") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "fr", "web"), (5L, "fr", "book"), (6L, "de", "book")
+    ).toDF("id", "lang", "source")
+    val out = Diagnostics.kAnonymize(df, Seq("lang", "source"), k = 3)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    // the en/web group of 3 survives; every other combination is masked
+    assert(rows.filter(!_._4).map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(rows.filter(_._4).forall(r => r._2 == "*" && r._3 == "*"))
+    // k-anonymity holds on the release: every (lang, source) bucket >= 3
+    val released = rows.groupBy(r => (r._2, r._3)).map(_._2.length)
+    assert(released.forall(_ >= 3), s"release buckets: $released")
+    assert(rows.map(_._1).sorted.toSeq == (1L to 6L), "ids must pass through")
+  }
 }
