@@ -200,6 +200,84 @@ object Graphs {
     * Fail-LOUD on hitting `maxIter` with a non-empty frontier, same
     * contract as [[bfsHops]].
     */
+  /** k-core extraction: the maximal subgraph in which every node keeps
+    * degree ≥ k — iterative peeling (drop sub-k nodes, recompute degrees,
+    * repeat to fixpoint), the standard cohesion filter for community /
+    * spam-cluster analysis. Each round is one degree aggregate plus two
+    * semi-joins on the node key — work shrinks monotonically with the
+    * surviving edge set, rounds are O(peeling depth), no all-pairs
+    * anywhere. Per-round `localCheckpoint` truncates the growing plan
+    * (the connected-components lesson). Returns surviving (node, deg)
+    * with IN-CORE degrees. Fails LOUD if the peeling hasn't converged
+    * within `maxIter` rounds rather than returning a non-core superset.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var cur = sym
+    var curCount = cur.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val keep = cur
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+        .localCheckpoint()
+      val next = cur
+        .join(keep.withColumnRenamed("node", "__ks"), col("src") === col("__ks"), "left_semi")
+        .join(keep.withColumnRenamed("node", "__kd"), col("dst") === col("__kd"), "left_semi")
+        .localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == curCount
+      cur = next
+      curCount = nextCount
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore peeling did not reach a fixpoint within $maxIter rounds")
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection, made fully deterministic: seed label(v) = v, then for a
+    * FIXED number of rounds every node adopts its neighbors' plurality
+    * label with ties broken toward the smaller label — argmax by
+    * (count DESC, label ASC), no randomness, no asynchrony, so the whole
+    * assignment is engine-replayable and hash-checkable. Each round is
+    * one equi-join on the node key + one bounded (node, label) aggregate
+    * + one per-node top-1 window over the SAME partitioning; per-round
+    * `localCheckpoint` truncates lineage. Fixed rounds (not
+    * to-convergence) is the honest contract: synchronous LPA can
+    * oscillate on bipartite structures, and at 100 TB you budget rounds,
+    * not fixpoints.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("nn")).orderBy(col("c").desc, col("label").asc)
+    (1 to rounds).foreach { _ =>
+      labels = sym
+        .join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst").as("nn"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("nn").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def ssspWeighted(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

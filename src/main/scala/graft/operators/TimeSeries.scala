@@ -66,6 +66,59 @@ object TimeSeries {
       )
   }
 
+  /** [[gapFill]] with linear interpolation instead of carry-forward: a gap
+    * bucket between observations at (t_p, v_p) and (t_n, v_n) receives
+    * v_p + (v_n − v_p)·(t − t_p)/(t_n − t_p). Same single-shuffle shape —
+    * the prev/next lookups are two IGNORE-NULLS windows over the one
+    * (key, bucket) sort, no self-join. The grid is bounded by each key's
+    * own min/max observation, so every gap has both neighbors; the
+    * interpolation chain is fixed IEEE double arithmetic an external
+    * oracle replays exactly.
+    */
+  def interpolate(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueAgg: Column => Column,
+      width: String,
+      truncUnit: String,
+      valueCol: String = "value"
+  ): DataFrame = {
+    val agg = df
+      .groupBy(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("__h"))
+      .agg(valueAgg(col(valueCol)).as("__v"))
+    val grid = agg
+      .groupBy(col(keyCol))
+      .agg(min(col("__h")).as("__mn"), max(col("__h")).as("__mx"))
+      .select(
+        col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"), expr(s"INTERVAL $width"))).as("__h")
+      )
+    val wPrev = Window
+      .partitionBy(col(keyCol)).orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window
+      .partitionBy(col(keyCol)).orderBy(col("__h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("__v").isNotNull, col("__h"))
+    val pv    = last(col("__v"), ignoreNulls = true).over(wPrev)
+    val pt    = last(obsTs, ignoreNulls = true).over(wPrev)
+    val nv    = first(col("__v"), ignoreNulls = true).over(wNext)
+    val nt    = first(obsTs, ignoreNulls = true).over(wNext)
+    val frac = (unix_micros(col("__h")) - unix_micros(pt)).cast("double") /
+      (unix_micros(nt) - unix_micros(pt)).cast("double")
+    grid
+      .join(agg, Seq(keyCol, "__h"), "left_outer")
+      .select(
+        col(keyCol),
+        col("__h").as("bucket_ts"),
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(pv + (nv - pv) * frac)
+          .as("value"),
+        col("__v").isNull.as("was_gap")
+      )
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) interval build from a keyed
     * attribute changelog: compress consecutive identical attribute values
     * per key, then emit one row per surviving version with its validity

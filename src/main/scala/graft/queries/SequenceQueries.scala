@@ -644,8 +644,136 @@ object SequenceQueries extends QuerySet {
       .orderBy($"node")
   }
 
+  /** OHLC bar downsampling: per (event_type, hour) emit open/high/low/
+    * close/count/volume — the canonical time-series compaction (metrics,
+    * finance, sensor rollups). Open/close are selected by a per-bucket
+    * ROW_NUMBER over (µs, event_id) — a unique integer, so min_by/max_by
+    * tie-breaks are deterministic on both engines. One window pass + one
+    * bounded groupBy, both on the same (event_type, bucket) partitioning;
+    * volume sums through DECIMAL(38,6).
+    */
+  val qOhlc: GQuery = GQuery(
+    "q_ts_ohlc",
+    Some(s"""
+      WITH e AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events)
+      SELECT event_type,
+             strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+             round(arg_min(value, rn), 6) AS open,
+             round(max(value), 6) AS high,
+             round(min(value), 6) AS low,
+             round(arg_max(value, rn), 6) AS close,
+             COUNT(*) AS n,
+             ${sqlSum("value")} AS volume
+      FROM e GROUP BY 1, 2
+      ORDER BY event_type, bucket""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+      .withColumn("tts", graft.streaming.StreamOps.tsFromNanos($"ts"))
+      .withColumn("h", date_trunc("hour", $"tts"))
+    val w  = Window.partitionBy($"event_type", $"h").orderBy(expr("ts div 1000"), $"event_id")
+    e.withColumn("rn", row_number().over(w))
+      .groupBy($"event_type", $"h")
+      .agg(
+        round(min_by($"value", $"rn"), 6).as("open"),
+        round(max($"value"), 6).as("high"),
+        round(min($"value"), 6).as("low"),
+        round(max_by($"value", $"rn"), 6).as("close"),
+        count(lit(1)).as("n"),
+        dsum($"value").as("volume"))
+      .select($"event_type", date_format($"h", "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        $"open", $"high", $"low", $"close", $"n", $"volume")
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** 3-core of the co-purchase graph ([[graft.operators.Graphs.kCore]]):
+    * iterative peeling to the maximal subgraph of min-degree ≥ 3, with
+    * each survivor's in-core degree. The oracle unrolls the peeling as a
+    * fixed chain of 16 filter rounds — peeling is monotone, so once the
+    * fixpoint is reached every further round is the identity and the
+    * unrolled chain EQUALS the converged result; the Spark side fails
+    * LOUD if 16 rounds were not enough (so both engines provably reached
+    * the same fixpoint, never a premature superset).
+    */
+  val qGraphKcore: GQuery = {
+    val k      = 3
+    val rounds = 16
+    val peel = (1 to rounds).map { i =>
+      val p = s"e${i - 1}"
+      s"""e$i AS MATERIALIZED (SELECT src, dst FROM $p
+         |        WHERE src IN (SELECT src FROM $p GROUP BY src HAVING COUNT(*) >= $k)
+         |          AND dst IN (SELECT src FROM $p GROUP BY src HAVING COUNT(*) >= $k))""".stripMargin
+    }.mkString(",\n      ")
+    GQuery(
+      "q_graph_kcore",
+      Some(s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      ew AS (SELECT a.i AS s, b.i AS d, COUNT(*) AS w
+             FROM g a JOIN g b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+      ec AS (SELECT s, d FROM ew WHERE w >= 2),
+      e0 AS MATERIALIZED (SELECT s AS src, d AS dst FROM ec UNION SELECT d, s FROM ec),
+      $peel
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM e$rounds GROUP BY 1 ORDER BY 1""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val edges = graft.operators.Graphs
+        .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+        .filter($"weight" >= 2)
+      graft.operators.Graphs
+        .kCore(edges, k = k, maxIter = rounds)
+        .orderBy($"node")
+    }
+  }
+
+  /** Deterministic synchronous label propagation, 4 rounds
+    * ([[graft.operators.Graphs.labelPropagation]]): plurality neighbor
+    * label with (count DESC, label ASC) tie-break from self-seeded
+    * labels. Fixed rounds + total tie order make the full community
+    * assignment exact, so the oracle unrolls the same 4 rounds
+    * (MATERIALIZED — each round is referenced by the next) and every
+    * (node, label) row hash-matches.
+    */
+  val qGraphLabelProp: GQuery = {
+    val rounds = 4
+    val prop = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |        SELECT node, label FROM (
+         |          SELECT e.dst AS node, l.label, COUNT(*) AS c,
+         |                 ROW_NUMBER() OVER (PARTITION BY e.dst
+         |                                    ORDER BY COUNT(*) DESC, l.label) AS rk
+         |          FROM e0 e JOIN l${i - 1} l ON e.src = l.node
+         |          GROUP BY e.dst, l.label)
+         |        WHERE rk = 1)""".stripMargin
+    }.mkString(",\n      ")
+    GQuery(
+      "q_graph_labelprop",
+      Some(s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      ew AS (SELECT a.i AS s, b.i AS d, COUNT(*) AS w
+             FROM g a JOIN g b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+      ec AS (SELECT s, d FROM ew WHERE w >= 2),
+      e0 AS MATERIALIZED (SELECT s AS src, d AS dst FROM ec UNION SELECT d, s FROM ec),
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e0),
+      $prop
+      SELECT node, label FROM l$rounds ORDER BY node""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val edges = graft.operators.Graphs
+        .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+        .filter($"weight" >= 2)
+      graft.operators.Graphs
+        .labelPropagation(edges, rounds = rounds)
+        .orderBy($"node")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
-      qAnomaly, qGraphBfs, qGraphSssp)
+      qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp)
 }

@@ -311,6 +311,69 @@ object StreamingQueries extends QuerySet {
       .orderBy($"user_id", $"bucket")
   }
 
+  /** Hourly grid fill with LINEAR interpolation
+    * ([[graft.operators.TimeSeries.interpolate]]): gaps get
+    * v_p + (v_n − v_p)·(t − t_p)/(t_n − t_p) from the surrounding
+    * observations instead of carry-forward — the resampling prep for
+    * ML feature series. Observed buckets aggregate through DECIMAL(38,6);
+    * the gap chain is fixed per-row IEEE arithmetic on epoch-µs offsets,
+    * so every interpolated value hash-matches the oracle's replay.
+    */
+  val qInterpolate: GQuery = GQuery(
+    "q_ts_interpolate",
+    Some(s"""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events WHERE user_id < 20),
+      agg AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                     ${sqlSum("value")} AS v
+              FROM e GROUP BY 1, 2),
+      bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM agg GROUP BY 1),
+      grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+               FROM bounds),
+      joined AS (SELECT g.user_id, g.h, a.v
+                 FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.h = a.h),
+      ctx AS (
+        SELECT user_id, h, v,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM joined)
+      SELECT user_id,
+             strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+             CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv)
+                       * (CAST(epoch_us(h) - epoch_us(pt) AS DOUBLE)
+                          / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+             END AS value,
+             v IS NULL AS was_gap
+      FROM ctx
+      ORDER BY user_id, bucket""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = t(spark, dir).events
+      .filter($"user_id" < 20)
+      .select($"user_id", tsFromNanos($"ts").as("ts"), $"value")
+    graft.operators.TimeSeries
+      .interpolate(ev, keyCol = "user_id", tsCol = "ts", valueAgg = dsum, width = "1 HOUR", truncUnit = "hour")
+      .select(
+        $"user_id",
+        date_format($"bucket_ts", "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        $"value",
+        $"was_gap"
+      )
+      .orderBy($"user_id", $"bucket")
+  }
+
   /** Changelog replay onto a snapshot: collapse a keyed op log (set/del
     * with sequence numbers) to its latest op per key, then MERGE-upsert it
     * into a base table — the batch form of consuming a compacted changelog
@@ -449,5 +512,5 @@ object StreamingQueries extends QuerySet {
 
   override def queries: Seq[GQuery] =
     Seq(qStateSnapshot, qTumbling, qSliding, qSession, qSessionDynamic, qAvroRoundtrip,
-      qAvroFileRoundtrip, qGapFill, qMergeUpsert, qScd2, qTemporal)
+      qAvroFileRoundtrip, qGapFill, qInterpolate, qMergeUpsert, qScd2, qTemporal)
 }

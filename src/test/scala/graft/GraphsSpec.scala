@@ -58,4 +58,45 @@ class GraphsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     assert(sssp == bfs)
   }
+
+  test("kCore: peeling cascades (pendant removal demotes its neighbor) and keeps the clique") {
+    // 4-clique {1,2,3,4}; node 5 hangs off 1 and 2 (degree 2); node 6
+    // hangs off 5 (degree 1). Removing 6 drops 5 to degree 2; removing 5
+    // doesn't affect the clique. The 3-core is exactly the clique.
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (5L, 2L), (6L, 5L)
+    ).toDF("src", "dst")
+    val core = Graphs.kCore(e, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: k above the densest structure peels everything to the empty graph") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(Graphs.kCore(e, k = 3).isEmpty)
+  }
+
+  test("labelPropagation: two cliques joined by one bridge settle into two communities") {
+    // cliques {1,2,3,4} and {10,11,12,13}; single bridge 4–10
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L)))
+      .toDF("src", "dst")
+    val out = Graphs.labelPropagation(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L))
+    // each clique agrees on one label, and the two labels differ
+    val left  = Set(1L, 2L, 3L, 4L).map(out)
+    val right = Set(10L, 11L, 12L, 13L).map(out)
+    assert(left.size == 1, s"left clique split: $left")
+    assert(right.size == 1, s"right clique split: $right")
+    assert(left != right, "bridge merged the communities")
+  }
+
+  test("labelPropagation is deterministic across runs") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst")
+    val a = Graphs.labelPropagation(e, rounds = 3).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graphs.labelPropagation(e, rounds = 3).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
 }

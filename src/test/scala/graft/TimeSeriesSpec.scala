@@ -167,4 +167,29 @@ class TimeSeriesSpec extends SparkSpec {
     // the spike: priors all 10.0, var 0, deviation 40 -> flagged
     assert(out.last._7 && out.last._6.contains(10.0) && out.last._5 == 9L)
   }
+
+  test("interpolate fills interior gaps linearly between the surrounding observations") {
+    val df = Seq(
+      // key 1: observed sums 12.0@h0 and 3.0@h3 — gaps at h1, h2
+      (1L, ts("2024-01-01 00:10:00"), 5.0),
+      (1L, ts("2024-01-01 00:40:00"), 7.0),
+      (1L, ts("2024-01-01 03:15:00"), 3.0),
+      // key 2: single bucket — nothing to interpolate
+      (2L, ts("2024-01-01 10:30:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+
+    val out = TimeSeries
+      .interpolate(df, "user_id", "ts", c => sum(c), width = "1 HOUR", truncUnit = "hour")
+      .orderBy($"user_id", $"bucket_ts")
+      .as[(Long, Timestamp, Double, Boolean)]
+      .collect()
+
+    assert(out.map(r => (r._1, r._3, r._4)).toSeq == Seq(
+      (1L, 12.0, false),
+      (1L, 9.0, true),  // 12 + (3-12)*1/3
+      (1L, 6.0, true),  // 12 + (3-12)*2/3
+      (1L, 3.0, false),
+      (2L, 9.0, false)
+    ))
+  }
 }
