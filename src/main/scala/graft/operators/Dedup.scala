@@ -662,6 +662,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact shingle CONTAINMENT pairs: c / min(|A|, |B|) over the same
+    * inverted index as [[jaccardPairs]]. Containment is the asymmetric
+    * near-dup signal Jaccard structurally misses — a short document
+    * embedded verbatim in a long one has Jaccard ≈ |A|/|B| (tiny) but
+    * containment ≈ 1; this is the quote/excerpt/boilerplate-inclusion
+    * detector a training-corpus pipeline runs NEXT TO whole-document
+    * dedup. Same scale shape: shingle-keyed equi-join, df-cap for
+    * boilerplate, ids only until the final select.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Long = 0L
+  ): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
+      .select(col("id"), col("shingle").as("s"))
+      .localCheckpoint()
+    val filtered =
+      if (maxDocFreq > 0) {
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("s"))
+        sh.join(hot, Seq("s"), "left_anti").localCheckpoint()
+      } else sh
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = filtered.as("a")
+      .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("c").cast("double") / least(col("na"), col("nb")).cast("double")).as("containment")
+      )
+      .filter(col("containment") >= threshold)
+  }
+
   /** Prefix-filtering exact similarity join (the AllPairs/PPJoin family —
     * Bayardo et al. WWW'07, Xiao et al. WWW'08): exact shingle-set Jaccard
     * ≥ `threshold` with RECALL 1, the lossless alternative to

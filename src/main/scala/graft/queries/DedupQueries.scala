@@ -213,6 +213,47 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Exact shingle-containment pairs ([[Dedup.containmentPairs]], same
+    * inverted index + df-cap as q_dedup_ngram_jaccard): c / min(|A|,|B|)
+    * ≥ 0.5 — the asymmetric excerpt/quote-inclusion detector whole-doc
+    * Jaccard structurally misses (a short doc embedded in a long one has
+    * tiny Jaccard but containment ≈ 1). Every pair and score
+    * hash-checked against the full SQL replay.
+    */
+  val qContainment: GQuery = GQuery(
+    "q_dedup_containment",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      shf AS (SELECT * FROM sh WHERE s NOT IN (
+                SELECT s FROM sh GROUP BY s
+                HAVING COUNT(*) > (SELECT CAST(ceil(0.1 * COUNT(*)) AS BIGINT) FROM documents))),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val cap  = math.ceil(0.1 * docs.count()).toLong
+    Dedup
+      .containmentPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxDocFreq = cap)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** MinHash + LSH banding (64 hashes, 16 bands × 4). Oracle = the EXACT
     * 3-gram Jaccard ≥ 0.5 pair set (same shingling/normalization/df-cap
     * as q_dedup_ngram_jaccard): at 16 bands × 4 rows the banding's
@@ -688,7 +729,7 @@ object DedupQueries extends QuerySet {
   }
 
   override def queries: Seq[GQuery] =
-    Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qPrefixFilter, qMinhash, qSimhash,
-      qEmbedding, qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSpan,
+    Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
+      qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSpan,
       qSharedShingles, qRepresentative)
 }

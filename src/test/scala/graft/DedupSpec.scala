@@ -227,4 +227,20 @@ class DedupSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(sloppy == plain, "undersized bloom must degrade performance, never correctness")
   }
+
+  test("containmentPairs flags an embedded excerpt that whole-doc Jaccard misses") {
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val excerpt = (20 to 29).map(i => s"tok$i").mkString(" ") // verbatim slice of `long`
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", shingleN = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)), s"got ${cont.toSeq}")
+    assert(cont.head._3 == 1.0, "verbatim excerpt must have containment exactly 1")
+
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "whole-doc Jaccard should NOT reach 0.5 on a 10/60-token excerpt")
+  }
 }
