@@ -389,7 +389,49 @@ object SourceQueries extends QuerySet {
       .orderBy(col("event_type"))
   }
 
+  /** RESTORE-style rollback ([[graft.sources.Versioned.rollback]]): v1 =
+    * even events, v2 appends the odds, v3 = rollback to v1 (a forward
+    * commit re-pointing at v1's files — no data copied). Reading each of
+    * the three versions must show the bad append both applied (v2) and
+    * undone (v3 ≡ v1), with history intact — the oracle states exactly
+    * that from the base table.
+    */
+  val qVersionedRollback: GQuery = GQuery(
+    "q_source_versioned_rollback",
+    Some(s"""
+      WITH a AS (
+        SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               ${sqlSum("value")} AS total
+        FROM events WHERE event_id % 2 = 0 GROUP BY event_type),
+      b AS (
+        SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               ${sqlSum("value")} AS total
+        FROM events GROUP BY event_type)
+      SELECT * FROM (
+        SELECT 1 AS version, * FROM a
+        UNION ALL SELECT 2, * FROM b
+        UNION ALL SELECT 3, * FROM a)
+      ORDER BY version, event_type""")
+  ) { (spark, dir) =>
+    val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
+    val out = Files.createTempDirectory("graft_src_rollback").resolve("events").toString
+    graft.sources.Versioned.publish(payload.filter(col("event_id") % 2 === 0), out)
+    graft.sources.Versioned.append(payload.filter(col("event_id") % 2 =!= 0), out)
+    val v3 = graft.sources.Versioned.rollback(spark, out, 1)
+    assert(v3 == 3, s"rollback should commit v3, got v$v3")
+    def aggV(v: Int): DataFrame =
+      graft.sources.Versioned.read(spark, out, Some(v))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          dsum(col("value")).as("total"))
+        .select(lit(v).as("version"), col("event_type"), col("n"), col("sum_id"), col("total"))
+    aggV(1).unionAll(aggV(2)).unionAll(aggV(3))
+      .orderBy(col("version"), col("event_type"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qJson, qCsv, qOrc, qXml, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp,
-      qVersioned, qVersionedChanges, qSchemaEvolution)
+      qVersioned, qVersionedChanges, qSchemaEvolution, qVersionedRollback)
 }

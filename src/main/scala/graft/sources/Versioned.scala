@@ -132,6 +132,22 @@ object Versioned {
     v
   }
 
+  /** Restore the table to the state of version `toV` by committing a NEW
+    * version whose manifest is a copy of `toV`'s — rollback as a forward
+    * commit, the Delta RESTORE shape: history stays intact (the bad
+    * versions remain queryable for forensics), no data file is copied or
+    * moved (manifests are KB-sized file lists), and ref-counted vacuum
+    * keeps the restored files live. Returns the new version number.
+    */
+  def rollback(spark: SparkSession, path: String, toV: Int): Int = {
+    val latest = latestVersion(spark, path).getOrElse(
+      throw new IOException(s"no committed versions under $path"))
+    require(toV >= 1 && toV <= latest, s"cannot roll back to v$toV (latest is v$latest)")
+    val v = latest + 1
+    writeManifest(spark, path, v, readManifest(spark, path, toV))
+    v
+  }
+
   /** Read a version (default: latest). The exact manifest file list goes
     * to the reader — no directory listing of the data tree.
     */

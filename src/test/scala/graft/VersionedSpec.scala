@@ -106,4 +106,25 @@ class VersionedSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](Versioned.changesBetween(spark, path, 2, 2))
   }
+
+  test("rollback restores an old version as a new commit; history and vacuum stay sound") {
+    val s = spark
+    import s.implicits._
+    val path = freshTable()
+    Versioned.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), path)
+    assert(Versioned.rollback(spark, path, 1) == 3)
+    // v3 content == v1 content; v2 still queryable
+    assert(Versioned.read(spark, path, Some(3)).as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b")))
+    assert(Versioned.read(spark, path, Some(2)).count() == 3)
+    // the rollback commit's change feed is exactly "delete the bad append"
+    val feed = Versioned.changesBetween(spark, path, 2, 3)
+    assert(feed.collect().map(r => (r.getLong(0), r.getString(2))).toSet == Set((3L, "delete")))
+    // vacuuming to the latest version must keep v1's files (referenced by v3)
+    Versioned.vacuum(spark, path, keepLast = 1)
+    assert(Versioned.read(spark, path).as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException](Versioned.rollback(spark, path, 99))
+  }
 }
