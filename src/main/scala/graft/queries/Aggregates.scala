@@ -811,9 +811,51 @@ object Aggregates extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** One-pass mergeable quantile sketch (approx_percentile at accuracy
+    * 1000) vs the exact sort — the only quantile shape that survives
+    * 100 TB (partial-aggregatable per partition, no global sort). Oracle
+    * gate is BOUND-ENCODED (see q_agg_approx_distinct): Spark computes
+    * the RANK of each sketch output inside the group and asserts it lands
+    * within the sketch's guaranteed n/accuracy rank error (+1 for
+    * boundary ties) of the target rank; the oracle pins the booleans TRUE
+    * over exact group counts — the hash match IS the rank-error check.
+    */
+  val qApproxQuantile: GQuery = GQuery(
+    "q_agg_approx_quantile",
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
+      FROM events GROUP BY 1 ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ps  = Seq(0.25, 0.50, 0.75, 0.90)
+    val acc = 1000
+    val ev  = t(spark, dir).events.select($"event_type", $"value")
+    val sk = ev.groupBy($"event_type").agg(
+      percentile_approx($"value", array(ps.map(lit): _*), lit(acc)).as("ap"),
+      count(lit(1)).as("n"))
+    // one extra narrow pass: the rank of each sketch output within its group
+    val ranked = ev
+      .join(broadcast(sk), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        max($"n").as("n"),
+        (0 until ps.length).map(i =>
+          sum(when($"value" <= element_at($"ap", i + 1), 1L).otherwise(0L)).as(s"le_$i")): _*)
+    val checks = ps.zipWithIndex.map { case (p, i) =>
+      val err = $"n".cast("double") / acc + 1.0
+      (abs(col(s"le_$i").cast("double") - $"n".cast("double") * p) <= err)
+        .as(s"p${(p * 100).toInt}_ok")
+    }
+    ranked
+      .select($"event_type" +: $"n" +: checks: _*)
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qFilterClause, qCollect,
     qApproxDistinct, qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode,
-    qHllRollup, qHllIntersect, qDiagSkew, qOutlierIqr, qBools, qRegression, qCountMin
+    qHllRollup, qHllIntersect, qDiagSkew, qOutlierIqr, qBools, qRegression, qCountMin,
+    qApproxQuantile
   )
 }
