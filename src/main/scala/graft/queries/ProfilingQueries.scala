@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import Common._
 
@@ -554,7 +555,106 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Right-to-be-forgotten erasure over a versioned table: subjects on the
+    * delete list (here user_id ≡ 0 mod 97) are scrubbed by committing a
+    * filtered snapshot and VACUUMING history so no manifest references
+    * their rows — erasure must kill time travel to the erased data, which
+    * is exactly what ref-counted vacuum proves here (the spec side:
+    * reading v1 afterwards fails). Output shows the audit a DPO wants:
+    * before/after row and subject-row counts.
+    */
+  val qErasure: GQuery = GQuery(
+    "q_privacy_erasure",
+    Some("""
+      SELECT * FROM (
+        SELECT 'before' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_subject_rows
+        FROM events
+        UNION ALL
+        SELECT 'after', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events WHERE user_id % 97 != 0)
+      ORDER BY phase DESC""")
+  ) { (spark, dir) =>
+    import java.nio.file.Files
+    val ev  = t(spark, dir).events.select(col("event_id"), col("user_id"), col("value"))
+    val out = Files.createTempDirectory("graft_erasure").resolve("events").toString
+    graft.sources.Versioned.publish(ev, out)
+    val isSubject = col("user_id") % 97 === 0
+    def audit(phase: String) = {
+      graft.sources.Versioned.read(spark, out)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(isSubject, 1L).otherwise(0L)).as("n_subject_rows"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("n_subject_rows"))
+    }
+    val before = audit("before").localCheckpoint()
+    graft.sources.Versioned.publish(
+      graft.sources.Versioned.read(spark, out).filter(!isSubject), out)
+    graft.sources.Versioned.vacuum(spark, out, keepLast = 1) // history must die too
+    val after = audit("after").localCheckpoint()
+    before.unionAll(after).orderBy(col("phase").desc)
+  }
+
+  /** Equi-depth decile binning per group (ntile over a TOTAL order —
+    * (value, event_id) — so bin assignment is deterministic and
+    * engine-portable): the quantile-bucketing feature transform. One
+    * window shuffle on the group key.
+    */
+  val qQuantileBins: GQuery = GQuery(
+    "q_norm_quantile_bins",
+    Some("""
+      SELECT event_id, event_type,
+             CAST(ntile(10) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS INT) AS decile
+      FROM events
+      ORDER BY event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    t(spark, dir).events
+      .select($"event_id", $"event_type", ntile(10).over(w).as("decile"))
+      .orderBy($"event_id")
+  }
+
+  /** Leave-one-out target encoding: each row's category feature is the
+    * mean target of its category EXCLUDING the row itself —
+    * (S_c − x) / (n_c − 1) — the standard leakage-guard for categorical
+    * features feeding a model. Group sums go through DECIMAL(38,6)
+    * ([[Common.dsum]]) so S_c is identical cross-engine; the per-row
+    * chain is fixed IEEE arithmetic. Singleton categories fall back to
+    * the global LOO mean. Broadcast-back two-pass, same shape as
+    * q_norm_zscore.
+    */
+  val qTargetEncode: GQuery = GQuery(
+    "q_norm_target_encode",
+    Some(s"""
+      WITH g AS (SELECT event_type, COUNT(*) AS n, ${sqlSum("value")} AS s
+                 FROM events GROUP BY event_type),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn, ${sqlSum("value")} AS ts FROM events)
+      SELECT e.event_id, e.event_type,
+             round(CASE WHEN g.n > 1
+                        THEN (g.s - e.value) / (CAST(g.n AS DOUBLE) - 1.0)
+                        ELSE (tot.ts - e.value) / (CAST(tot.tn AS DOUBLE) - 1.0)
+                   END, 9) AS te
+      FROM events e JOIN g USING (event_type), tot
+      ORDER BY e.event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+    val g = e.groupBy($"event_type").agg(count(lit(1)).as("n"), dsum($"value").as("s"))
+    val tot = e.agg(count(lit(1)).as("tn"), dsum($"value").as("ts"))
+    e.join(broadcast(g), "event_type")
+      .crossJoin(broadcast(tot))
+      .select(
+        $"event_id", $"event_type",
+        round(
+          when($"n" > 1, ($"s" - $"value") / ($"n".cast("double") - 1.0))
+            .otherwise(($"ts" - $"value") / ($"tn".cast("double") - 1.0)), 9).as("te"))
+      .orderBy($"event_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
-      qChi2, qKanon, qWinsorize)
+      qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode)
 }
