@@ -22,6 +22,14 @@ libraryDependencies ++= (if (sys.env.contains("SPARK_GRAFT_KAFKA")) Seq(
   "org.apache.kafka" % "kafka-clients" % "3.9.1",
   "org.apache.kafka" %% "kafka" % "3.9.1" % Test, // embedded KRaft broker
 ) else Seq.empty)
+// KafkaLiveSpec itself always compiles (it drives Kafka through Spark's
+// format("kafka") strings and reflection, and cancels without the flag);
+// only the embedded-broker harness needs kafka-core at COMPILE time, so it
+// lives in a source dir that joins the build only when the jars resolve.
+Test / unmanagedSourceDirectories ++=
+  (if (sys.env.contains("SPARK_GRAFT_KAFKA"))
+     Seq((Test / sourceDirectory).value / "scala-kafka")
+   else Seq.empty)
 Test / fork := true
 run / fork := true
 // Pass the forked process's stdout straight through: the bench driver

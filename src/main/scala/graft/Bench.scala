@@ -67,20 +67,26 @@ object Bench {
     val total = p50.collect { case (_, s) if s >= 0 => s }.sum
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json =
+    // Full per-query detail goes to BENCH_LAST.json; the stdout line stays
+    // COMPACT (totals only) — at 229 queries the per-query map outgrew the
+    // driver's 2 KB log-tail capture, so BENCH_r04 recorded parsed:null.
+    val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(p50)},""" +
         s""""queries_p95":${jmap(p95)},"runs":$runs,""" +
         s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
+        s""""runs":$runs,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
 
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // Nothing may print after the JSON line: kill all logging (including
     // the JVM shutdown hooks') before emitting it.
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
-    println(json)
+    println(compact)
     System.out.flush()
   }
 }

@@ -42,7 +42,8 @@ object ScaleStress {
   private def synthesize(spark: org.apache.spark.sql.SparkSession, from: String): String = {
     import org.apache.spark.sql.functions._
     val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf1syn"
-    if (new java.io.File(s"$dir/_SYNTH_OK").exists()) return dir
+    // v2: also synthesizes lineitem (co-purchase graph tier)
+    if (new java.io.File(s"$dir/_SYNTH_OK2").exists()) return dir
     val docs = spark.read.parquet(s"$from/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val copies = spark.range(10).toDF("copy")
@@ -76,7 +77,20 @@ object ScaleStress {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK"), Array.empty[Byte])
+    // lineitem: 10 disjoint copies of the co-purchase graph (orderkeys AND
+    // partkeys offset per copy) — component structure repeats per copy, so
+    // edge/component density stays constant as the corpus grows, the same
+    // constant-density contract as the perturbed documents.
+    val li = spark.read.parquet(s"$from/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val nOrd  = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val nPart = li.agg(max("l_partkey")).head.getLong(0) + 1
+    li.crossJoin(copies)
+      .select(
+        (col("l_orderkey") + col("copy") * nOrd).as("l_orderkey"),
+        (col("l_partkey") + col("copy") * nPart).as("l_partkey"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK2"), Array.empty[Byte])
     dir
   }
 
@@ -89,7 +103,9 @@ object ScaleStress {
     val names = Seq(
       "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_fuzzy_key",
       "q_dedup_connected", "q_dedup_simhash", "q_dedup_span",
-      "q_dedup_embedding_lsh", "q_dedup_representative", "q_text_domain_sim")
+      "q_dedup_embedding_lsh", "q_dedup_embedding_lsh_tight",
+      "q_dedup_representative", "q_text_domain_sim",
+      "q_dedup_prefix_filter", "q_dedup_containment", "q_graph_components")
 
     // untimed warmup (JVM/codegen)
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
@@ -100,9 +116,11 @@ object ScaleStress {
       val docs = spark.read.parquet(s"$dir/documents.parquet").count()
       val cust = spark.read.parquet(s"$dir/customer.parquet").count()
       val emb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").count()
       val rows = name match {
         case "q_dedup_fuzzy_key" => cust
-        case "q_dedup_embedding_lsh" => emb
+        case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" => emb
+        case "q_graph_components" => li
         case _ => docs
       }
       val w0 = meter.write.get()

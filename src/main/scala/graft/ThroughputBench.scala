@@ -87,6 +87,16 @@ object ThroughputBench {
       // before its timing window), then time the drain only
       var r = 0
       while (r < rounds) { in1.addData(batch); in2.addData(batch); r += 1 }
+    } else if (sys.env.contains("GRAFT_TPUT_PRODUCE")) {
+      // producer.py parity: batch-produce rounds×perBatch 74 KB messages
+      // into each topic BEFORE the timing window (untimed, like the
+      // reference's separate producer process)
+      val backlog = spark.range(rounds.toLong * perBatch)
+        .select(lit(payload).cast("binary").as("value"))
+      topics.foreach(t =>
+        backlog.write.format("kafka")
+          .option("kafka.bootstrap.servers", broker.get)
+          .option("topic", t).save())
     }
 
     val t0 = System.nanoTime()

@@ -160,20 +160,25 @@ object Graphs {
     import spark.implicits._
     var settled = Seq((source, 0)).toDF("node", "hops").localCheckpoint()
     var frontier = settled
+    // LAZY checkpoint + count(): the count action both materializes the
+    // checkpoint blocks and yields the loop condition — one Spark job per
+    // round where an eager checkpoint plus `isEmpty` was two.
+    var frontierCount = 1L
     var iter = 0
-    while (iter < maxIter && !frontier.isEmpty) {
+    while (iter < maxIter && frontierCount > 0) {
       val next = sym
         .join(frontier, sym("src") === frontier("node"))
         .select(col("dst").as("node"))
         .distinct()
         .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(iter + 1).as("hops"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      frontierCount = next.count()
       settled = settled.unionAll(next).localCheckpoint()
       frontier = next
       iter += 1
     }
-    if (!frontier.isEmpty)
+    if (frontierCount > 0)
       throw new IllegalStateException(
         s"bfsHops did not exhaust the frontier within $maxIter iterations; " +
           "raise maxIter (graph eccentricity exceeds it)")
@@ -220,7 +225,10 @@ object Graphs {
     var curCount = cur.count()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // maxIter + 1 rounds: a peel needing exactly maxIter CHANGING rounds
+    // still gets its no-change detection round — otherwise a fixpoint
+    // reached at the budget would fail loud despite being correct.
+    while (!converged && iter < maxIter + 1) {
       val keep = cur
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
@@ -229,7 +237,7 @@ object Graphs {
       val next = cur
         .join(keep.withColumnRenamed("node", "__ks"), col("src") === col("__ks"), "left_semi")
         .join(keep.withColumnRenamed("node", "__kd"), col("dst") === col("__kd"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextCount = next.count()
       converged = nextCount == curCount
       cur = next
@@ -289,8 +297,11 @@ object Graphs {
       .localCheckpoint()
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
+    // one action per round: the improved-count scan materializes the lazy
+    // checkpoint AND drives the loop condition (no separate isEmpty job)
+    var improvedCount = 1L
     var iter = 0
-    while (iter < maxIter && !frontier.isEmpty) {
+    while (iter < maxIter && improvedCount > 0) {
       val cand = sym
         .join(frontier, sym("src") === frontier("node"))
         .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
@@ -302,12 +313,13 @@ object Graphs {
           when(col("dist").isNull || col("__cand") < col("dist"), col("__cand"))
             .otherwise(col("dist")).as("dist"),
           (col("__old").isNull || col("__cand") < col("dist")).as("__improved"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      improvedCount = merged.filter(col("__improved")).count()
       frontier = merged.filter(col("__improved")).select(col("node"), col("dist"))
       dist = merged.select(col("node"), col("dist"))
       iter += 1
     }
-    if (!frontier.isEmpty)
+    if (improvedCount > 0)
       throw new IllegalStateException(
         s"ssspWeighted did not converge within $maxIter rounds; raise maxIter " +
           "(longest shortest path exceeds it)")

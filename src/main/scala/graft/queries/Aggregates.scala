@@ -815,10 +815,13 @@ object Aggregates extends QuerySet {
     * 1000) vs the exact sort — the only quantile shape that survives
     * 100 TB (partial-aggregatable per partition, no global sort). Oracle
     * gate is BOUND-ENCODED (see q_agg_approx_distinct): Spark computes
-    * the RANK of each sketch output inside the group and asserts it lands
-    * within the sketch's guaranteed n/accuracy rank error (+1 for
-    * boundary ties) of the target rank; the oracle pins the booleans TRUE
-    * over exact group counts — the hash match IS the rank-error check.
+    * the returned element's RANK INTERVAL inside the group —
+    * [count(value < ap) + 1, count(value <= ap)], so heavy ties at the
+    * sketch output widen the interval instead of inflating a single
+    * count — and asserts the interval overlaps the sketch's guaranteed
+    * [n·p − n/accuracy, n·p + n/accuracy] window (+1 slack for the
+    * discrete boundary); the oracle pins the booleans TRUE over exact
+    * group counts — the hash match IS the rank-error check.
     */
   val qApproxQuantile: GQuery = GQuery(
     "q_agg_approx_quantile",
@@ -840,11 +843,16 @@ object Aggregates extends QuerySet {
       .groupBy($"event_type")
       .agg(
         max($"n").as("n"),
-        (0 until ps.length).map(i =>
-          sum(when($"value" <= element_at($"ap", i + 1), 1L).otherwise(0L)).as(s"le_$i")): _*)
+        ps.indices.flatMap(i => Seq(
+          sum(when($"value" < element_at($"ap", i + 1), 1L).otherwise(0L)).as(s"lt_$i"),
+          sum(when($"value" <= element_at($"ap", i + 1), 1L).otherwise(0L)).as(s"le_$i"))): _*)
     val checks = ps.zipWithIndex.map { case (p, i) =>
-      val err = $"n".cast("double") / acc + 1.0
-      (abs(col(s"le_$i").cast("double") - $"n".cast("double") * p) <= err)
+      val err    = $"n".cast("double") / acc + 1.0
+      val target = $"n".cast("double") * p
+      // element's min rank is lt+1, max rank is le; pass iff the rank
+      // interval overlaps the GK guarantee window
+      ((col(s"lt_$i").cast("double") + 1.0 <= target + err) &&
+        (col(s"le_$i").cast("double") >= target - err))
         .as(s"p${(p * 100).toInt}_ok")
     }
     ranked

@@ -48,3 +48,42 @@ object Common {
 
   def t(spark: SparkSession, dir: String): Tables = Tables(spark, dir)
 }
+
+/** Scratch directories for queries that round-trip through files.
+  *
+  * Every dir is registered for recursive deletion at JVM exit (one shutdown
+  * hook, not one per dir), so a bench harness running 3+ iterations of every
+  * file-writing query doesn't strand hundreds of parquet copies in /tmp.
+  * Queries whose results are eagerly materialized should additionally
+  * [[Scratch.purge]] as soon as the last read is done — exit-time cleanup is
+  * the backstop, not the plan.
+  */
+object Scratch {
+  import java.nio.file.{Files, Path}
+  import scala.collection.mutable
+
+  private val live = mutable.Set.empty[Path]
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    live.synchronized { live.toList }.foreach(deleteRecursively)))
+
+  /** Create a tracked temp directory. */
+  def dir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    live.synchronized { live += p }
+    p
+  }
+
+  /** Delete a tracked dir NOW (results must already be materialized). */
+  def purge(p: Path): Unit = {
+    deleteRecursively(p)
+    live.synchronized { live -= p }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(p).iterator().asScala.toList.reverse
+      all.foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+    }
+}

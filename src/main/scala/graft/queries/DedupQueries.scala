@@ -483,6 +483,77 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** The TIGHT-threshold regime of [[qEmbeddingLsh]] — the scale path the
+    * wide-threshold query's Scaladoc names: at cosine ≥ 0.8 the collision
+    * probability of a non-duplicate pair under 16 planes/table drops to
+    * ~(1 − θ/π)^16, so buckets are SELECTIVE and the candidate join is
+    * near-linear in the corpus — this is how embedding near-dup actually
+    * deploys at 100 TB (tight duplicates, many planes, few tables), and
+    * ScaleStress measures this variant's exponent on the synthesized
+    * decade. The synthetic embeddings carry no natural tight pairs (max
+    * corpus cosine ≈ 0.51), so the query PLANTS one deterministic
+    * near-twin per vector — first dimension zeroed, cosine ≈ 0.99,
+    * vec_id + 1,000,000 — on BOTH sides; dup density stays constant
+    * across scale tiers by construction. Same portable integer hash
+    * family, same oracle shape: DuckDB replays twin construction, the
+    * 8 tables × 16 planes signatures, the collision test, and the cosine
+    * verify bit-for-bit (including LSH's sub-1 recall — a twin missed by
+    * all 8 tables is missed identically in both engines).
+    */
+  val qEmbeddingLshTight: GQuery = GQuery(
+    "q_dedup_embedding_lsh_tight",
+    Some("""
+      WITH allv AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding,
+                 (x, i) -> CASE WHEN i = 1 THEN CAST(0.0 AS REAL) ELSE x END)
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM allv),
+      dots AS (
+        SELECT vec_id, t, p,
+               list_sum(list_transform(generate_series(1, 64),
+                 d -> (CASE WHEN (('0x' || substr(md5(t::VARCHAR || '|' || p::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                            THEN 1 ELSE -1 END) * q[d])) AS dot
+        FROM qv CROSS JOIN range(8) rt(t) CROSS JOIN range(16) rp(p)),
+      sigs AS (
+        SELECT vec_id, t, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        FROM dots GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM allv)
+      SELECT c.id_a, c.id_b,
+             round(list_sum(list_transform(generate_series(1, 64),
+                            i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM cand c
+      JOIN v a ON a.vec_id = c.id_a
+      JOIN v b ON b.vec_id = c.id_b
+      WHERE list_sum(list_transform(generate_series(1, 64),
+                     i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.8
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings.select($"vec_id", $"embedding")
+    val twins = emb.select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", (x, i) => when(i === 0, lit(0f)).otherwise(x)).as("embedding"))
+    Similarity
+      .lshCosinePairsPortable(
+        emb.unionAll(twins), "vec_id", "embedding",
+        threshold = 0.8, nTables = 8, planesPerTable = 16)
+      .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Full-table embedding near-dup blocked by IVF cells — the scale path
     * for WIDE thresholds where sign-LSH has no selectivity. The codebook is
     * the per-label fixed-point centroid set ([[Similarity.labelCodebook]]);
@@ -730,6 +801,6 @@ object DedupQueries extends QuerySet {
 
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
-      qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingIvf, qConnected, qParagraph, qSpan,
-      qSharedShingles, qRepresentative)
+      qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
+      qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative)
 }

@@ -62,7 +62,7 @@ object IngestQueries extends QuerySet {
       ORDER BY doc_id""")
   ) { (spark, dir) =>
     import spark.implicits._
-    val out = Files.createTempDirectory("graft_binfiles").resolve("docs")
+    val out = Scratch.dir("graft_binfiles").resolve("docs")
     Files.createDirectories(out)
     val outPath = out.toString
     t(spark, dir).documents
@@ -108,7 +108,7 @@ object IngestQueries extends QuerySet {
       ORDER BY event_type""")
   ) { (spark, dir) =>
     import spark.implicits._
-    val out = Files.createTempDirectory("graft_prov").resolve("events").toString
+    val out = Scratch.dir("graft_prov").resolve("events").toString
     t(spark, dir).events
       .select($"event_id", $"event_type", $"value")
       .write

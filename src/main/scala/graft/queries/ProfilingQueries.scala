@@ -443,7 +443,8 @@ object ProfilingQueries extends QuerySet {
         FROM events GROUP BY event_type)
       SELECT e.event_id, e.event_type,
              round(least(greatest(e.value, m.p05), m.p95), 6) AS winsorized,
-             round((e.value - m.p50) / (m.p75 - m.p25), 6) AS robust_scaled,
+             round(CASE WHEN m.p75 = m.p25 THEN NULL
+                        ELSE (e.value - m.p50) / (m.p75 - m.p25) END, 6) AS robust_scaled,
              e.value < m.p05 OR e.value > m.p95 AS clipped
       FROM events e JOIN m USING (event_type)
       ORDER BY e.event_id""")
@@ -460,7 +461,10 @@ object ProfilingQueries extends QuerySet {
       .select(
         $"event_id", $"event_type",
         round(least(greatest($"value", $"p05"), $"p95"), 6).as("winsorized"),
-        round(($"value" - $"p50") / ($"p75" - $"p25"), 6).as("robust_scaled"),
+        // degenerate IQR guarded identically on both sides: Spark's
+        // non-ANSI x/0 is NULL, DuckDB's IEEE division is ±Inf
+        round(when($"p75" === $"p25", lit(null))
+          .otherwise(($"value" - $"p50") / ($"p75" - $"p25")), 6).as("robust_scaled"),
         ($"value" < $"p05" || $"value" > $"p95").as("clipped"))
       .orderBy($"event_id")
   }
@@ -576,9 +580,9 @@ object ProfilingQueries extends QuerySet {
         FROM events WHERE user_id % 97 != 0)
       ORDER BY phase DESC""")
   ) { (spark, dir) =>
-    import java.nio.file.Files
     val ev  = t(spark, dir).events.select(col("event_id"), col("user_id"), col("value"))
-    val out = Files.createTempDirectory("graft_erasure").resolve("events").toString
+    val scratch = Scratch.dir("graft_erasure")
+    val out = scratch.resolve("events").toString
     graft.sources.Versioned.publish(ev, out)
     val isSubject = col("user_id") % 97 === 0
     def audit(phase: String) = {
@@ -593,6 +597,7 @@ object ProfilingQueries extends QuerySet {
       graft.sources.Versioned.read(spark, out).filter(!isSubject), out)
     graft.sources.Versioned.vacuum(spark, out, keepLast = 1) // history must die too
     val after = audit("after").localCheckpoint()
+    Scratch.purge(scratch) // both audits are materialized; nothing reads the files again
     before.unionAll(after).orderBy(col("phase").desc)
   }
 
@@ -631,11 +636,11 @@ object ProfilingQueries extends QuerySet {
     Some(s"""
       WITH g AS (SELECT event_type, COUNT(*) AS n, ${sqlSum("value")} AS s
                  FROM events GROUP BY event_type),
-      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn, ${sqlSum("value")} AS ts FROM events)
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn, ${sqlSum("value")} AS ts_sum FROM events)
       SELECT e.event_id, e.event_type,
              round(CASE WHEN g.n > 1
                         THEN (g.s - e.value) / (CAST(g.n AS DOUBLE) - 1.0)
-                        ELSE (tot.ts - e.value) / (CAST(tot.tn AS DOUBLE) - 1.0)
+                        ELSE (tot.ts_sum - e.value) / (CAST(tot.tn AS DOUBLE) - 1.0)
                    END, 9) AS te
       FROM events e JOIN g USING (event_type), tot
       ORDER BY e.event_id""")
@@ -643,14 +648,14 @@ object ProfilingQueries extends QuerySet {
     import spark.implicits._
     val e = t(spark, dir).events
     val g = e.groupBy($"event_type").agg(count(lit(1)).as("n"), dsum($"value").as("s"))
-    val tot = e.agg(count(lit(1)).as("tn"), dsum($"value").as("ts"))
+    val tot = e.agg(count(lit(1)).as("tn"), dsum($"value").as("ts_sum"))
     e.join(broadcast(g), "event_type")
       .crossJoin(broadcast(tot))
       .select(
         $"event_id", $"event_type",
         round(
           when($"n" > 1, ($"s" - $"value") / ($"n".cast("double") - 1.0))
-            .otherwise(($"ts" - $"value") / ($"tn".cast("double") - 1.0)), 9).as("te"))
+            .otherwise(($"ts_sum" - $"value") / ($"tn".cast("double") - 1.0)), 9).as("te"))
       .orderBy($"event_id")
   }
 

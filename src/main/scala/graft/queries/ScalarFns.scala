@@ -185,8 +185,11 @@ object ScalarFns extends QuerySet {
     * duplicate handling of native set ops, so both sides pin the same
     * contract: distinct elements, membership-defined, sorted — the oracle
     * spells it out with filter/contains instead of trusting DuckDB's
-    * list_intersect semantics to coincide. Pure row-local expressions; at
-    * 100 TB this is a map stage inside whole-stage codegen.
+    * list_intersect semantics to coincide. Result lists go out as
+    * space-joined STRINGS (not arrays) — the harness comparator hashes
+    * scalar cells, and a joined canonical-sorted list is the same
+    * contract. Pure row-local expressions; at 100 TB this is a map stage
+    * inside whole-stage codegen.
     */
   val qArraySetOps: GQuery = GQuery(
     "q_fn_array_setops",
@@ -196,9 +199,9 @@ object ScalarFns extends QuerySet {
                         string_split(lower(p_name), ' ') AS b
                  FROM part)
       SELECT p_partkey,
-             list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))) AS common,
-             list_sort(list_distinct(list_concat(a, b))) AS all_tokens,
-             list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS only_type,
+             COALESCE(array_to_string(list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))), ' '), '') AS common,
+             COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ' '), '') AS all_tokens,
+             COALESCE(array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), ' '), '') AS only_type,
              CAST(len(list_filter(list_distinct(a), x -> list_contains(b, x))) AS INT) AS n_common
       FROM t
       ORDER BY p_partkey""")
@@ -209,9 +212,9 @@ object ScalarFns extends QuerySet {
     t(spark, dir).part
       .select(
         $"p_partkey",
-        array_sort(array_intersect(a, b)).as("common"),
-        array_sort(array_union(a, b)).as("all_tokens"),
-        array_sort(array_except(a, b)).as("only_type"),
+        array_join(array_sort(array_intersect(a, b)), " ").as("common"),
+        array_join(array_sort(array_union(a, b)), " ").as("all_tokens"),
+        array_join(array_sort(array_except(a, b)), " ").as("only_type"),
         size(array_intersect(a, b)).as("n_common"))
       .orderBy($"p_partkey")
   }

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,7 +46,7 @@ object SourceQueries extends QuerySet {
 
   private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
     val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
-    val out = Files.createTempDirectory(s"graft_src_$format").resolve("events").toString
+    val out = Scratch.dir(s"graft_src_$format").resolve("events").toString
     payload.write.mode("overwrite").format(format).save(out)
     agg(spark.read.schema(payload.schema).format(format).load(out))
   }
@@ -92,7 +91,7 @@ object SourceQueries extends QuerySet {
       ORDER BY version, event_type""")
   ) { (spark, dir) =>
     val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
-    val out = Files.createTempDirectory("graft_src_versioned").resolve("events").toString
+    val out = Scratch.dir("graft_src_versioned").resolve("events").toString
     graft.sources.Versioned.publish(payload.filter(col("event_id") % 2 === 0), out)
     graft.sources.Versioned.append(payload.filter(col("event_id") % 2 =!= 0), out)
     def aggV(v: Int): DataFrame =
@@ -117,7 +116,7 @@ object SourceQueries extends QuerySet {
     */
   val qXml: GQuery = GQuery("q_source_xml_roundtrip", Some(aggSql)) { (spark, dir) =>
     val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
-    val out = Files.createTempDirectory("graft_src_xml").resolve("events").toString
+    val out = Scratch.dir("graft_src_xml").resolve("events").toString
     payload.write.mode("overwrite").option("rowTag", "event").format("xml").save(out)
     agg(spark.read.schema(payload.schema).option("rowTag", "event").format("xml").load(out))
   }
@@ -132,7 +131,7 @@ object SourceQueries extends QuerySet {
     */
   val qPartitioned: GQuery = GQuery("q_source_partitioned_roundtrip", Some(aggSql)) { (spark, dir) =>
     val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
-    val out = Files.createTempDirectory("graft_src_part").resolve("events").toString
+    val out = Scratch.dir("graft_src_part").resolve("events").toString
     graft.sources.Partitioned.write(payload, out, Seq("event_type"))
     agg(graft.sources.Partitioned.read(spark, out))
   }
@@ -186,7 +185,7 @@ object SourceQueries extends QuerySet {
       col("value"),
       date_format(graft.streaming.StreamOps.tsFromNanos(col("ts")), "yyyyMMdd")
         .cast("int").as("day"))
-    val base = Files.createTempDirectory("graft_src_dpp")
+    val base = Scratch.dir("graft_src_dpp")
     val factPath = base.resolve("fact").toString
     val dimPath = base.resolve("dim").toString
     graft.sources.Partitioned.write(ev, factPath, Seq("day"))
@@ -326,7 +325,7 @@ object SourceQueries extends QuerySet {
       ORDER BY span, change_type, event_type""")
   ) { (spark, dir) =>
     val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
-    val out = Files.createTempDirectory("graft_src_cdc").resolve("events").toString
+    val out = Scratch.dir("graft_src_cdc").resolve("events").toString
     graft.sources.Versioned.publish(payload.filter(col("event_id") % 2 === 0), out)
     graft.sources.Versioned.append(payload.filter(col("event_id") % 2 =!= 0), out)
     graft.sources.Versioned.publish(payload.filter(col("value") > 90.0), out)
@@ -371,7 +370,7 @@ object SourceQueries extends QuerySet {
       ORDER BY event_type""")
   ) { (spark, dir) =>
     val ev = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
-    val out = Files.createTempDirectory("graft_src_evolve").toString
+    val out = Scratch.dir("graft_src_evolve").toString
     val gen1 = s"$out/batch1"
     val gen2 = s"$out/batch2"
     ev.filter(col("event_id") % 2 === 0)
@@ -414,7 +413,8 @@ object SourceQueries extends QuerySet {
       ORDER BY version, event_type""")
   ) { (spark, dir) =>
     val payload = t(spark, dir).events.select(col("event_id"), col("event_type"), col("value"))
-    val out = Files.createTempDirectory("graft_src_rollback").resolve("events").toString
+    val scratch = Scratch.dir("graft_src_rollback")
+    val out = scratch.resolve("events").toString
     graft.sources.Versioned.publish(payload.filter(col("event_id") % 2 === 0), out)
     graft.sources.Versioned.append(payload.filter(col("event_id") % 2 =!= 0), out)
     val v3 = graft.sources.Versioned.rollback(spark, out, 1)
@@ -427,8 +427,11 @@ object SourceQueries extends QuerySet {
           sum(col("event_id")).as("sum_id"),
           dsum(col("value")).as("total"))
         .select(lit(v).as("version"), col("event_type"), col("n"), col("sum_id"), col("total"))
-    aggV(1).unionAll(aggV(2)).unionAll(aggV(3))
+    val res = aggV(1).unionAll(aggV(2)).unionAll(aggV(3))
       .orderBy(col("version"), col("event_type"))
+      .localCheckpoint() // materialize the tiny aggregate so the snapshot can go
+    Scratch.purge(scratch)
+    res
   }
 
   override def queries: Seq[GQuery] =

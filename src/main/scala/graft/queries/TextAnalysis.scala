@@ -869,7 +869,9 @@ object TextAnalysis extends QuerySet {
     * per-term posting lists (doc-id-sorted parallel arrays) with the
     * stopword df-cap. The oracle rebuilds every posting list with
     * `list(... ORDER BY doc_id)`, so the hash match covers list contents
-    * AND order.
+    * AND order. Posting lists ship as comma-joined STRINGS — the harness
+    * comparator hashes scalar cells only; the joined doc-id-ordered list
+    * is the identical contract.
     */
   val qInvertedIndex: GQuery = GQuery(
     "q_text_inverted_index",
@@ -880,8 +882,8 @@ object TextAnalysis extends QuerySet {
         GROUP BY 1, 2),
       idx AS (
         SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-               list(doc_id ORDER BY doc_id) AS posting_docs,
-               list(tf ORDER BY doc_id) AS posting_tfs
+               array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS posting_docs,
+               array_to_string(list(CAST(tf AS VARCHAR) ORDER BY doc_id), ',') AS posting_tfs
         FROM tf GROUP BY term)
       SELECT term, df, posting_docs, posting_tfs
       FROM idx
@@ -890,6 +892,10 @@ object TextAnalysis extends QuerySet {
   ) { (spark, dir) =>
     graft.operators.TextOps
       .invertedIndex(t(spark, dir).documents, "doc_id", "text", maxDf = 390L)
+      .select(
+        col("term"), col("df"),
+        array_join(col("posting_docs").cast("array<string>"), ",").as("posting_docs"),
+        array_join(col("posting_tfs").cast("array<string>"), ",").as("posting_tfs"))
       .orderBy(col("term"))
   }
 
@@ -898,6 +904,8 @@ object TextAnalysis extends QuerySet {
     * overlapping occurrences counted. The oracle replays the positional
     * scan with `list_filter` over the same 1-based candidate range, so
     * the hash match covers hit membership, counts, AND every position.
+    * Positions ship as a comma-joined STRING (scalar-cell comparator
+    * contract, same order).
     */
   val qPhrase: GQuery = GQuery(
     "q_text_phrase",
@@ -911,13 +919,14 @@ object TextAnalysis extends QuerySet {
       SELECT doc_id,
              CAST(len(pos) AS INT) AS n_hits,
              CAST(pos[1] AS INT) AS first_pos,
-             list_transform(pos, p -> CAST(p AS INT)) AS positions
+             array_to_string(list_transform(pos, p -> CAST(p AS VARCHAR)), ',') AS positions
       FROM hits
       WHERE len(pos) >= 1
       ORDER BY doc_id""")
   ) { (spark, dir) =>
     graft.operators.TextOps
       .phraseSearch(t(spark, dir).documents, "doc_id", "text", Seq("window", "window"))
+      .withColumn("positions", array_join(col("positions").cast("array<string>"), ","))
       .orderBy(col("doc_id"))
   }
 

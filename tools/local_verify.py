@@ -94,6 +94,15 @@ def main():
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
+        # The DRIVER's comparator sorts the raw pandas frame and dies on
+        # array cells (unhashable ndarray) — any array-typed output column
+        # must fail HERE so it can't ship. Emit joined strings instead.
+        arr_cols = [c for c in spark_df.columns
+                    if any(isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+                           for v in spark_df[c].head(50))]
+        if arr_cols:
+            results[name] = f"ARRAY-TYPED-OUTPUT {arr_cols} (driver comparator cannot hash arrays; array_join both sides)"
+            continue
         if name not in oracles:
             results[name] = f"rows-only ({len(spark_df)} rows)" if len(spark_df) else "EMPTY (rows-only)"
             continue
