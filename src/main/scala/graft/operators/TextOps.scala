@@ -429,4 +429,31 @@ object TextOps {
         count(lit(1)).as("n_tokens"),
         count(when(col("__in").isNull, 1)).as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+
+  /** Canonical form of a web URL — the pre-dedup normalization every
+    * crawl pipeline runs before URL-level dedup (the cheapest dedup tier,
+    * ahead of content hashing): strip the fragment, lowercase the
+    * scheme://host[:port] authority (path and query stay case-sensitive
+    * per RFC 3986), drop default ports (:443 on https, :80 on http),
+    * remove `utm_*` tracking params (the rest of the query string is
+    * load-bearing and kept), and strip a trailing path slash.
+    *
+    * Reference analog: none — callysto leaves payload semantics to user
+    * closures. Pure regexp chain, row-local, codegen'd — a map stage at
+    * any scale. The q_dedup_url_canonical oracle replays the identical
+    * chain in DuckDB (RE2), proving the Java-regex and RE2 chains compute
+    * the same function on this URL family.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val c1  = regexp_replace(url, "#.*$", "")
+    val pre = regexp_extract(c1, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val c2  = concat(lower(pre), c1.substr(length(pre) + 1, length(c1)))
+    val c3  = regexp_replace(
+      regexp_replace(c2, "^(https://[^/?#:]*):443", "$1"),
+      "^(http://[^/?#:]*):80", "$1")
+    val c4 = regexp_replace(
+      regexp_replace(c3, "utm_[^&#]*&", ""),
+      "[?&]utm_[^&#]*$", "")
+    regexp_replace(c4, "/(\\?|$)", "$1")
+  }
 }

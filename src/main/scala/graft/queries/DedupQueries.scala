@@ -799,8 +799,79 @@ object DedupQueries extends QuerySet {
       .orderBy($"component")
   }
 
+  /** URL-level dedup over canonicalized URLs ([[graft.operators.TextOps
+    * .canonicalizeUrl]]) — the cheapest dedup tier in a crawl pipeline,
+    * run before any content hashing: messy variants (scheme/host case,
+    * explicit default port, utm_* tracking params, fragments, trailing
+    * slashes) collapse to one canonical form, then an exact hash-groupBy
+    * dedup on the canonical string. The query builds a deterministic
+    * messy-variant URL per doc (six orthogonal mess dimensions driven by
+    * doc_id residues, so each canonical URL collects several differently-
+    * mangled raws); the oracle rebuilds the raws AND replays the entire
+    * canonicalization chain in DuckDB (RE2 vs Java regex — an
+    * implementation-equality gate, like q_text_html_strip), then
+    * recomputes the dedup table. Row-local map + one hash aggregate:
+    * linear at any scale.
+    */
+  val qUrlCanonical: GQuery = GQuery(
+    "q_dedup_url_canonical",
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+               (CASE WHEN doc_id % 3 = 0 THEN 'News.Example.COM' ELSE 'news.example.com' END) ||
+               (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+               '/articles/' || CAST(doc_id % 50 AS VARCHAR) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+               (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR)
+                     WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=x'
+                     ELSE '?id=' || CAST(doc_id % 4 AS VARCHAR) END) ||
+               (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END) AS url
+        FROM documents),
+      c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+      c2 AS (SELECT doc_id,
+                    lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) ||
+                      substr(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS u
+             FROM c1),
+      c3 AS (SELECT doc_id,
+                    regexp_replace(regexp_replace(u, '^(https://[^/?#:]*):443', '\1'),
+                                   '^(http://[^/?#:]*):80', '\1') AS u
+             FROM c2),
+      c4 AS (SELECT doc_id,
+                    regexp_replace(regexp_replace(u, 'utm_[^&#]*&', '', 'g'),
+                                   '[?&]utm_[^&#]*$', '') AS u
+             FROM c3),
+      canon AS (SELECT doc_id, regexp_replace(u, '/(\?|$)', '\1') AS canonical_url FROM c4)
+      SELECT canonical_url,
+             CAST(COUNT(*) AS BIGINT) AS n_variants,
+             CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+      FROM canon
+      GROUP BY canonical_url
+      ORDER BY canonical_url""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val raw = t(spark, dir).documents.select(
+      $"doc_id",
+      concat(
+        when($"doc_id" % 2 === 0, "https://").otherwise("HTTPS://"),
+        when($"doc_id" % 3 === 0, "News.Example.COM").otherwise("news.example.com"),
+        when($"doc_id" % 4 === 0, ":443").otherwise(""),
+        lit("/articles/"), ($"doc_id" % 50).cast("string"),
+        when($"doc_id" % 5 === 0, "/").otherwise(""),
+        when($"doc_id" % 3 === 0, concat(lit("?utm_source=feed&id="), ($"doc_id" % 4).cast("string")))
+          .when($"doc_id" % 3 === 1, concat(lit("?id="), ($"doc_id" % 4).cast("string"), lit("&utm_campaign=x")))
+          .otherwise(concat(lit("?id="), ($"doc_id" % 4).cast("string"))),
+        when($"doc_id" % 6 === 0, "#section2").otherwise("")
+      ).as("url"))
+    raw
+      .select($"doc_id", graft.operators.TextOps.canonicalizeUrl($"url").as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min($"doc_id").as("canonical_doc"))
+      .orderBy($"canonical_url")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
-      qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative)
+      qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical)
 }

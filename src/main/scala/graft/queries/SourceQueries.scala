@@ -434,7 +434,41 @@ object SourceQueries extends QuerySet {
     res
   }
 
+  /** Deterministic shard-export manifest ([[graft.sources.ExportShards]]):
+    * portable md5 shard assignment (pure function of doc_id — stable
+    * across reruns/backfills) plus the per-shard audit a trainer reads
+    * before consuming shards (row counts, key ranges, payload totals).
+    * The oracle replays the 16-bit md5 bucket mod n in DuckDB, so the
+    * hash match proves assignment portability; the actual partitioned
+    * write (one file per shard, manifest committed after data) is gated
+    * by ExportShardsSpec on real files.
+    */
+  val qExportShards: GQuery = GQuery(
+    "q_export_shards",
+    Some("""
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 4))::UBIGINT % 8 AS INT) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+             CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      FROM documents
+      GROUP BY shard
+      ORDER BY shard""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).documents
+      .select($"doc_id", $"n_chars",
+        graft.sources.ExportShards.shardId($"doc_id", 8).as("shard"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"shard")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qJson, qCsv, qOrc, qXml, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp,
-      qVersioned, qVersionedChanges, qSchemaEvolution, qVersionedRollback)
+      qVersioned, qVersionedChanges, qSchemaEvolution, qVersionedRollback, qExportShards)
 }

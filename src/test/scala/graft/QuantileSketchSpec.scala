@@ -36,4 +36,30 @@ class QuantileSketchSpec extends SparkSpec {
       )
     }
   }
+
+  test("rank-INTERVAL gate is tie-robust: heavy duplicates at the quantile don't flake it") {
+    // Adversarial distribution for a count(<=)-only bound: 60% of the mass
+    // is ONE value. count(value <= sketch output) lands ~0.8n when the
+    // sketch correctly returns the tied value for p50 — far outside any
+    // n/acc window — while the rank INTERVAL [count(<)+1, count(<=)]
+    // spans the tie block and must overlap the GK window (the
+    // q_agg_approx_quantile gate shape after the round-4 advice fix).
+    val n = 10000
+    val acc = 1000
+    val vals = (1 to n).map(i => if (i <= 6000) 500.0 else i.toDouble)
+    val df = vals.toDF("value")
+    val a = df
+      .agg(percentile_approx($"value", lit(0.5), lit(acc)).as("a"))
+      .as[Double].head()
+    val lt = vals.count(_ < a).toDouble
+    val le = vals.count(_ <= a).toDouble
+    val target = 0.5 * n
+    val err = n.toDouble / acc + 1
+    // the old single-count bound would demand |le - target| <= err — show
+    // it is violated here, i.e. the scenario is the real failure mode
+    assert(math.abs(le - target) > err, s"tie block too small to exercise the fix (le=$le)")
+    // the interval gate passes: [lt+1, le] overlaps [target-err, target+err]
+    assert(lt + 1 <= target + err && le >= target - err,
+      s"rank interval [${lt + 1}, $le] misses GK window [${target - err}, ${target + err}]")
+  }
 }
