@@ -344,6 +344,58 @@ object Joins {
       .drop("__pbin", "__ibin")
   }
 
+  /** Binned interval-OVERLAP join — [[rangeJoinBinned]]'s sibling for
+    * interval × interval (concurrent-span detection: overlapping
+    * sessions, in-transit windows, meeting conflicts). The naive
+    * `a.join(b, a.lo <= b.hi && b.lo <= a.hi)` has no equi key and plans
+    * as a nested loop; here BOTH sides explode into the bins they cover
+    * and join equi on the bin id with overlap as a residual. Each
+    * overlapping pair would meet in every shared bin, so instead of a
+    * dedup shuffle the pair is emitted only in its CANONICAL bin — the
+    * bin of `greatest(a.lo, b.lo)` (the overlap's start), which both
+    * rows provably cover — making output exactly-once by construction.
+    * Cost: O((|A|+|B|)·(span/w) + matches), one hash shuffle. Pick w
+    * near the typical span, as for [[rangeJoinBinned]]; integral
+    * columns only, inclusive bounds, nulls and degenerate (lo > hi)
+    * intervals never match.
+    */
+  def intervalOverlapJoinBinned(
+      left: DataFrame,
+      right: DataFrame,
+      loL: String,
+      hiL: String,
+      loR: String,
+      hiR: String,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(
+        dt == LongType || dt == IntegerType,
+        s"intervalOverlapJoinBinned needs an int/long column, got $c: $dt — scale fixed-point first")
+    }
+    requireIntegral(left, loL); requireIntegral(left, hiL)
+    requireIntegral(right, loR); requireIntegral(right, hiR)
+    def binOf(c: Column): Column = {
+      val v = c.cast("long")
+      ((v - pmod(v, lit(binWidth))) / lit(binWidth)).cast("long")
+    }
+    val l = left
+      .filter(col(loL).isNotNull && col(hiL).isNotNull && col(loL) <= col(hiL))
+      .withColumn("__lbin", explode(sequence(binOf(col(loL)), binOf(col(hiL)))))
+    val r = right
+      .filter(col(loR).isNotNull && col(hiR).isNotNull && col(loR) <= col(hiR))
+      .withColumn("__rbin", explode(sequence(binOf(col(loR)), binOf(col(hiR)))))
+    l.join(
+        r,
+        col("__lbin") === col("__rbin") &&
+          col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+          col("__lbin") === binOf(greatest(col(loL), col(loR))))
+      .drop("__lbin", "__rbin")
+  }
+
   /** Salted shuffle join for skewed keys: the large side gets a
     * deterministic salt in [0, nSalts) hashed from a high-cardinality
     * column, the small-but-unbroadcastable side is replicated once per

@@ -612,6 +612,48 @@ object Relational extends QuerySet {
       .orderBy($"band_id")
   }
 
+  /** Interval × interval OVERLAP join
+    * ([[graft.operators.Joins.intervalOverlapJoinBinned]]): each event
+    * owns a processing window (1–20 min, deterministic from its id);
+    * find every overlapping window pair across the even/odd split —
+    * concurrent-span detection, the join shape behind session-collision
+    * and in-transit-conflict analyses. No equi key: the naive plan is a
+    * nested loop; the binned rewrite double-explodes into 10-min bins,
+    * joins equi on bin, and emits each pair only in the overlap's START
+    * bin — exactly-once without a dedup shuffle. The oracle states the
+    * overlap predicate directly (independent nested-loop plan, same
+    * rows), so the hash match proves the canonical-bin dedup loses and
+    * duplicates nothing.
+    */
+  val qJoinIntervalOverlap: GQuery = GQuery(
+    "q_join_interval_overlap",
+    Some("""
+      WITH e AS (SELECT event_id, epoch_us(ts) AS lo,
+                        epoch_us(ts) + (event_id % 20 + 1) * 60000000 AS hi
+                 FROM events),
+      a AS (SELECT event_id AS id_a, lo AS lo_a, hi AS hi_a FROM e WHERE event_id % 2 = 0),
+      b AS (SELECT event_id AS id_b, lo AS lo_b, hi AS hi_b FROM e WHERE event_id % 2 = 1)
+      SELECT id_a, id_b,
+             CAST(least(hi_a, hi_b) - greatest(lo_a, lo_b) AS BIGINT) AS overlap_us
+      FROM a JOIN b ON lo_a <= hi_b AND lo_b <= hi_a
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+      .select($"event_id", expr("ts div 1000").as("lo"))
+      .withColumn("hi", $"lo" + ($"event_id" % 20 + 1) * 60000000L)
+    val a = e.filter($"event_id" % 2 === 0)
+      .select($"event_id".as("id_a"), $"lo".as("lo_a"), $"hi".as("hi_a"))
+    val b = e.filter($"event_id" % 2 === 1)
+      .select($"event_id".as("id_b"), $"lo".as("lo_b"), $"hi".as("hi_b"))
+    graft.operators.Joins
+      .intervalOverlapJoinBinned(a, b, "lo_a", "hi_a", "lo_b", "hi_b", binWidth = 600000000L)
+      .select(
+        $"id_a", $"id_b",
+        (least($"hi_a", $"hi_b") - greatest($"lo_a", $"lo_b")).as("overlap_us"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Bloom-filter semi-join reduction ([[graft.operators.Joins.bloomSemiJoin]]):
     * lineitems of high-value urgent orders. The probe side is cut by the
     * dim-key sketch BEFORE the shuffle; the exact join then removes the
@@ -917,6 +959,7 @@ object Relational extends QuerySet {
     qJoinTheta,
     qJoinInterval,
     qJoinRangeBinned,
+    qJoinIntervalOverlap,
     qJoinNullSafe,
     qJoinCross,
     qUnpivot

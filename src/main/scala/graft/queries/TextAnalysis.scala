@@ -865,6 +865,85 @@ object TextAnalysis extends QuerySet {
       .orderBy(col("doc_id"))
   }
 
+  /** Threshold-sweep calibration for the quality classifier — the step
+    * between [[qClassifier]] (scoring) and deployment: a confusion table
+    * (tp/fp/fn/tn, precision, recall) at nine thresholds spanning the
+    * exact integer margin range, against a weak label (`lang = 'en'`).
+    * This is how a corpus team actually picks the keep-cutoff: read the
+    * sweep, choose the precision/recall trade. Thresholds are
+    * lo + (k·(hi−lo)) div 10 in INTEGER arithmetic so the grid is
+    * engine-exact; ratio columns are one IEEE division on exact counts
+    * with the empty-cell NULL guard on both sides. Plan: the scoring
+    * aggregate (linear), a 2-row bounds aggregate broadcast back, a
+    * 9-row grid broadcast cross, one final 9-group aggregate — the sweep
+    * costs one extra pass over the margins table regardless of corpus
+    * size.
+    */
+  val qClassifierSweep: GQuery = GQuery(
+    "q_text_classifier_sweep",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      feats AS (
+        SELECT doc_id,
+               unnest(list_concat(t,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+                      ELSE CAST([] AS VARCHAR[]) END)) AS feat
+        FROM toks),
+      w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('w:' ||
+                 CAST(CAST(('0x' || substr(md5(feat || ':11'), 1, 8))::UBIGINT % 4096 AS BIGINT)
+                   AS VARCHAR) || ':11'), 1, 8))::UBIGINT % 2001 AS BIGINT) - 1000 AS w
+        FROM feats),
+      m AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS margin FROM w GROUP BY doc_id),
+      lab AS (SELECT m.doc_id, m.margin, (d.lang = 'en') AS label
+              FROM m JOIN documents d ON d.doc_id = m.doc_id),
+      b AS (SELECT MIN(margin) AS lo, MAX(margin) AS hi FROM lab),
+      grid AS (SELECT CAST(k AS INT) AS k FROM range(1, 10) g(k)),
+      agg AS (
+        SELECT k, CAST(lo + (k * (hi - lo)) // 10 AS BIGINT) AS thr,
+               COUNT(*) FILTER (WHERE label AND margin >= lo + (k * (hi - lo)) // 10) AS tp,
+               COUNT(*) FILTER (WHERE NOT label AND margin >= lo + (k * (hi - lo)) // 10) AS fp,
+               COUNT(*) FILTER (WHERE label AND margin < lo + (k * (hi - lo)) // 10) AS fn,
+               COUNT(*) FILTER (WHERE NOT label AND margin < lo + (k * (hi - lo)) // 10) AS tn
+        FROM lab CROSS JOIN b CROSS JOIN grid
+        GROUP BY 1, 2)
+      SELECT k, thr, tp, fp, fn, tn,
+             CASE WHEN tp + fp = 0 THEN NULL
+                  ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+             CASE WHEN tp + fn = 0 THEN NULL
+                  ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+      FROM agg
+      ORDER BY k""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val m = graft.operators.TextOps
+      .hashedLinearScore(docs, "doc_id", "text", buckets = 4096, seed = 11)
+      .select($"doc_id", $"margin")
+      .join(docs.select($"doc_id", ($"lang" === "en").as("label")), "doc_id")
+    val bounds = m.agg(min($"margin").as("lo"), max($"margin").as("hi"))
+    val grid = spark.range(1, 10).select($"id".cast("int").as("k"))
+    m.crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(grid))
+      .withColumn("thr", $"lo" + expr("(k * (hi - lo)) div 10"))
+      .groupBy($"k", $"thr")
+      .agg(
+        count(when($"label" && $"margin" >= $"thr", 1)).as("tp"),
+        count(when(!$"label" && $"margin" >= $"thr", 1)).as("fp"),
+        count(when($"label" && $"margin" < $"thr", 1)).as("fn"),
+        count(when(!$"label" && $"margin" < $"thr", 1)).as("tn"))
+      .select(
+        $"k", $"thr", $"tp", $"fp", $"fn", $"tn",
+        when($"tp" + $"fp" === 0, lit(null))
+          .otherwise($"tp".cast("double") / ($"tp" + $"fp").cast("double")).as("precision"),
+        when($"tp" + $"fn" === 0, lit(null))
+          .otherwise($"tp".cast("double") / ($"tp" + $"fn").cast("double")).as("recall"))
+      .orderBy($"k")
+  }
+
   /** Inverted-index export ([[graft.operators.TextOps.invertedIndex]]):
     * per-term posting lists (doc-id-sorted parallel arrays) with the
     * stopword df-cap. The oracle rebuilds every posting list with
@@ -933,5 +1012,5 @@ object TextAnalysis extends QuerySet {
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
-      qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qInvertedIndex, qPhrase)
+      qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase)
 }

@@ -275,6 +275,50 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoinBinned equals the naive overlap join for every bin width") {
+    // adversarial spans: negatives, zero-width, bin-edge-aligned bounds,
+    // nested, identical, touching-at-a-point (inclusive bounds -> match),
+    // disjoint, null and inverted intervals
+    val a = Seq(
+      (1L, Some(-20L), Some(-5L)),
+      (2L, Some(-5L), Some(5L)),
+      (3L, Some(0L), Some(0L)),      // zero-width
+      (4L, Some(10L), Some(49L)),    // edges on bin boundaries
+      (5L, Some(40L), Some(120L)),
+      (6L, Some(200L), Some(300L)),
+      (7L, None, Some(10L)),         // null -> never matches
+      (8L, Some(60L), Some(55L))     // inverted -> empty
+    ).toDF("aid", "lo_a", "hi_a")
+    val b = Seq(
+      (1L, Some(-30L), Some(-20L)),  // touches interval a1 at -20
+      (2L, Some(-4L), Some(-4L)),
+      (3L, Some(0L), Some(500L)),    // spans many bins, overlaps most
+      (4L, Some(10L), Some(49L)),    // identical to a4
+      (5L, Some(45L), Some(46L)),    // nested inside a4 and a5
+      (6L, Some(121L), Some(199L)),  // gap between a5 and a6
+      (7L, Some(50L), None)          // null -> never matches
+    ).toDF("bid", "lo_b", "hi_b")
+    // the contract excludes degenerate (lo > hi) intervals — the raw
+    // overlap predicate alone would vacuously match an inverted interval
+    // against any superset span, so the naive reference filters them too
+    val naive = a.filter($"lo_a" <= $"hi_a")
+      .join(b.filter($"lo_b" <= $"hi_b"), $"lo_a" <= $"hi_b" && $"lo_b" <= $"hi_a")
+      .select($"aid", $"bid")
+    for (w <- Seq(1L, 7L, 10L, 64L, 1000L)) {
+      val binned = Joins
+        .intervalOverlapJoinBinned(a, b, "lo_a", "hi_a", "lo_b", "hi_b", binWidth = w)
+        .select($"aid", $"bid")
+      assert(
+        binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty,
+        s"binned(w=$w) differs from the naive overlap join")
+      // canonical-bin emission: exactly once per pair even when both
+      // intervals share many bins
+      assert(
+        binned.count() == binned.distinct().count(),
+        s"binned(w=$w) produced duplicate pairs")
+    }
+  }
+
   test("rangeJoinBinned rejects non-integral columns instead of silently losing precision") {
     val p = Seq(1.5).toDF("v")
     val i = Seq((1L, 2L)).toDF("lo", "hi")

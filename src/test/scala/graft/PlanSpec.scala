@@ -109,6 +109,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "binned range join degraded to a nested loop")
   }
 
+  test("binned interval-overlap join is an equi-join on the bin id — never a nested loop") {
+    // interval x interval overlap has no natural equi key either; the
+    // double-explode + canonical-bin rewrite must stay equi
+    val p = planOf("q_join_interval_overlap")
+    assert(!p.contains("CartesianProduct"), "binned overlap join degraded to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "binned overlap join degraded to a nested loop")
+  }
+
   test("rolling 7-day distinct (exact + HLL) is explode-to-window equi-shuffle, never BNLJ") {
     // the naive days×pairs BETWEEN join can only plan as a broadcast
     // nested loop; the explode-to-window rewrite must stay equi
