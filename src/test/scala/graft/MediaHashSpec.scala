@@ -48,4 +48,25 @@ class MediaHashSpec extends SparkSpec {
     // and the 10 classes stay distinct across the mixed-format corpus
     assert(hashed.values.toSeq.distinct.length === classes)
   }
+
+  test("four-codec collapse: PNG, JPEG, GIF and BMP re-saves of one image share a hash") {
+    // The full JDK-shipped codec matrix: truecolor lossless (png),
+    // lossy DCT (jpg), palette-indexed (gif — the encoder quantizes to a
+    // color table), and raw bitmap (bmp). A crawl corpus carries all
+    // four; perceptual dedup must see through every container.
+    val classes = 10
+    val formats = Seq("png", "jpg", "gif", "bmp")
+    val recs = formats.zipWithIndex.flatMap { case (fmt, f) =>
+      (0L until 10L).map(id => graft.operators.Multimodal.MediaRecord(
+        f * 1000L + id, MediaCodec.patternImageFor(id, classes, fmt)))
+    }
+    val hashed = MediaCodec.aHash64(spark.createDataset(recs)).collect().toMap
+    (0L until 10L).foreach { id =>
+      val perFormat = formats.indices.map(f => hashed(f * 1000L + id)).distinct
+      assert(perFormat.length == 1,
+        s"class $id: formats hash apart (${formats.zip(formats.indices.map(f => hashed(f * 1000L + id)))})")
+    }
+    assert(hashed.values.toSeq.distinct.length === classes,
+      "classes collided across the four-codec corpus")
+  }
 }
