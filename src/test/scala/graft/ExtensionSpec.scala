@@ -407,4 +407,34 @@ class ExtensionSpec extends SparkSpec {
     assert(Seq[String](null).toDF("h").select(GraftFunctions.htmlStrip($"h"))
       .collect().head.isNullAt(0))
   }
+
+  test("canonicalizeUrl handles the adversarial corners the constructed corpus misses") {
+    import spark.implicits._
+    val cases = Seq(
+      // multiple utm params in every position
+      ("https://a.com/p?utm_a=1&utm_b=2&id=3", "https://a.com/p?id=3"),
+      ("https://a.com/p?id=1&utm_a=2&utm_b=3", "https://a.com/p?id=1"),
+      ("https://a.com/p?utm_only=1", "https://a.com/p"),
+      // default-port strip is scheme-aware
+      ("HTTP://A.com:80/p", "http://a.com/p"),
+      ("https://a.com:443/p", "https://a.com/p"),
+      ("https://a.com:8443/p", "https://a.com:8443/p"), // NON-default port kept
+      ("http://a.com:443/p", "http://a.com:443/p"),     // 443 is not http's default
+      // authority lowercases; path and query stay case-sensitive
+      ("HTTPS://WWW.Ex.COM/CaseSensitive/Path?Q=Vv", "https://www.ex.com/CaseSensitive/Path?Q=Vv"),
+      // fragment and trailing slash, combined
+      ("https://a.com/p/?id=1#frag", "https://a.com/p?id=1"),
+      ("https://a.com/", "https://a.com"),
+      // 'utm_' as path TEXT must survive (only query params are stripped)
+      ("https://a.com/utm_guide?id=1", "https://a.com/utm_guide?id=1"),
+      // no scheme: authority regex finds nothing, string passes through
+      ("a.com/p#x", "a.com/p")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.operators.TextOps.canonicalizeUrl($"url").as("c"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"canonicalizeUrl($in) = $have, want $want")
+    }
+  }
 }
