@@ -749,4 +749,47 @@ object Similarity {
       .filter($"rank" <= k)
       .select($"qid", $"id", $"adc_score", $"rank")
   }
+
+  /** IVF-PQ with an exact REFINE pass — how compressed ANN actually
+    * deploys: ADC ranks `k · refineFactor` candidates from the m-int
+    * codes alone (never touching a float vector), then only those few
+    * ids fetch their true vectors for an exact-cosine re-rank to the
+    * final top-k. Refinement repairs most of PQ's quantization error at
+    * the cost of `k·refineFactor` point lookups per query — at 100 TB
+    * the code scan stays the only corpus-wide read, and the fetch is an
+    * id-keyed equi-join against the (cell-partitioned) vector store.
+    * Determinism: the candidate set comes from [[ivfPqTopK]]'s replayable
+    * ranking; the final order is (exact cosine DESC, id ASC) through the
+    * codegen'd [[cosine]] — fully oracle-replayable (q_ann_ivfpq_refine).
+    */
+  def ivfPqRefineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      qidCol: String,
+      vecCol: String,
+      coarse: Array[Seq[Float]],
+      codebooks: Array[Array[Seq[Float]]],
+      dim: Int,
+      k: Int,
+      nProbe: Int,
+      refineFactor: Int = 3,
+      exactSums: Boolean = false
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    val cand = ivfPqTopK(
+      corpus, queries, idCol, qidCol, vecCol, coarse, codebooks,
+      dim, k * refineFactor, nProbe, exactSums)
+      .select(col("qid"), col("id"))
+    val cvec = corpus.select(col(idCol).as("id"), col(vecCol).as("__dv"))
+    val qvec = queries.select(col(qidCol).as("qid"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("id").asc)
+    cand
+      .join(cvec, "id")
+      .join(qvec, "qid")
+      .select(col("qid"), col("id"), cosine(col("__qv"), col("__dv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

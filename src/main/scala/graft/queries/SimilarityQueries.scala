@@ -531,9 +531,14 @@ object SimilarityQueries extends QuerySet {
     * ADC score, and the final ranking. Sub-1 recall is part of the
     * replayed function, not an excuse for a weaker gate.
     */
-  val qIvfPq: GQuery = GQuery(
-    "q_ann_ivfpq",
-    Some("""
+  /** Shared oracle prefix for the IVF-PQ family: everything up to the
+    * per-candidate ADC score (`scored(qid, id, adc_score)`), replaying
+    * coarse training, both assignments, the 3-probe restriction, PQ
+    * training/encode and the decimal-exact ADC — used by q_ann_ivfpq
+    * (rank the ADC scores) and q_ann_ivfpq_refine (exact re-rank of the
+    * widened ADC candidate list).
+    */
+  private val ivfPqScoredCtes: String = """
       WITH cflat AS (
         SELECT label, i,
                CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
@@ -618,7 +623,11 @@ object SimilarityQueries extends QuerySet {
              GROUP BY 1, 2),
       scored AS (SELECT pd.qid, pd.id,
                         pd.dot / (qn.qnorm * sqrt(pd.rn2)) AS adc_score
-                 FROM pd JOIN qn ON qn.qid = pd.qid)
+                 FROM pd JOIN qn ON qn.qid = pd.qid)"""
+
+  val qIvfPq: GQuery = GQuery(
+    "q_ann_ivfpq",
+    Some(ivfPqScoredCtes + """
       SELECT qid, id, adc_score, CAST(rank AS INT) AS rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                      ORDER BY adc_score DESC, id) AS rank
@@ -636,6 +645,49 @@ object SimilarityQueries extends QuerySet {
         "vec_id", "qid", "embedding", coarse, cbs,
         dim = 64, k = 5, nProbe = 3, exactSums = true)
       .select($"qid", $"id", $"adc_score", $"rank")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** IVF-PQ + exact REFINE ([[Similarity.ivfPqRefineTopK]]) — the
+    * deployed shape of compressed ANN: ADC ranks 3k candidates from
+    * codes alone, then ONLY those ids fetch true vectors for an exact
+    * cosine re-rank to the final top-5. The oracle extends the shared
+    * IVF-PQ replay with the widened candidate cut and the exact re-rank,
+    * so quantization-error repair is itself hash-checked.
+    */
+  val qIvfPqRefine: GQuery = GQuery(
+    "q_ann_ivfpq_refine",
+    Some(ivfPqScoredCtes + """,
+      refine AS (
+        SELECT qid, id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY adc_score DESC, id) AS rank
+          FROM scored) r
+        WHERE rank <= 15),
+      exact AS (
+        SELECT rf.qid, rf.id,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> qv.e[i] * dv.e[i])) / (qv.nrm * dv.nrm) AS cos_sim
+        FROM refine rf
+        JOIN cv qv ON qv.vec_id = rf.qid
+        JOIN cv dv ON dv.vec_id = rf.id)
+      SELECT qid, id, round(cos_sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, id) AS rank
+        FROM exact) r
+      WHERE rank <= 5
+      ORDER BY qid, rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val coarse = Similarity.labelCodebook(emb, "label", "embedding")
+    val cbs = Similarity.pqCodebooks(emb, "label", "embedding", dim = 64, m = 4)
+    Similarity
+      .ivfPqRefineTopK(
+        emb, emb.filter($"vec_id" < 4).select($"vec_id".as("qid"), $"embedding"),
+        "vec_id", "qid", "embedding", coarse, cbs,
+        dim = 64, k = 5, nProbe = 3, refineFactor = 3, exactSums = true)
+      .select($"qid", $"id", round($"cos_sim", 6).as("cos_sim"), $"rank")
       .orderBy($"qid", $"rank")
   }
 
@@ -759,5 +811,5 @@ object SimilarityQueries extends QuerySet {
 
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
-      qSemCluster, qIvfPq, qBinary, qHamming, qRandomProjection)
+      qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection)
 }

@@ -290,6 +290,54 @@ class SimilaritySpec extends SparkSpec {
       s"composed != restricted-flat; only-composed=${ivfpq -- expected}, only-flat=${expected -- ivfpq}")
   }
 
+  test("ivfPqRefineTopK = exact-cosine re-rank of the widened ADC candidate set; never worse than plain") {
+    val dim = 64; val m = 4; val k = 5; val rf = 3
+    val coarse = Similarity.labelCodebook(emb, "label", "embedding")
+    val cbs = Similarity.pqCodebooks(emb, "label", "embedding", dim, m)
+    val queries = emb.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"embedding")
+
+    val cand = Similarity
+      .ivfPqTopK(emb, queries, "vec_id", "qid", "embedding", coarse, cbs, dim,
+        k * rf, nProbe = 3, exactSums = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val refined = Similarity
+      .ivfPqRefineTopK(emb, queries, "vec_id", "qid", "embedding", coarse, cbs, dim,
+        k, nProbe = 3, refineFactor = rf, exactSums = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var n1 = 0.0; var n2 = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); n1 += a(i) * a(i); n2 += b(i) * b(i) }
+      d / math.sqrt(n1 * n2)
+    }
+    // structural: refined == exact-cosine top-k WITHIN the candidate set
+    refined.foreach { case (q, got) =>
+      val want = cand(q).toSeq
+        .map(id => (id, cos(vecs(q), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      assert(got == want, s"query $q: refine != exact re-rank of candidates")
+    }
+    // refinement may only help: recall vs float brute force never drops
+    val exact = refined.keys.map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val plain = Similarity
+      .ivfPqTopK(emb, queries, "vec_id", "qid", "embedding", coarse, cbs, dim,
+        k, nProbe = 3, exactSums = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val (rRef, rPlain) = refined.keys.foldLeft((0, 0)) { case ((a, b), q) =>
+      (a + (refined(q) & exact(q)).size, b + (plain(q) & exact(q)).size)
+    }
+    assert(rRef >= rPlain, s"refinement lowered recall: $rRef < $rPlain")
+  }
+
   test("signWords packs sign bits exactly as the scalar reference") {
     val sample = emb.filter($"vec_id" < 20)
     val packed = sample
