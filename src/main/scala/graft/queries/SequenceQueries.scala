@@ -772,8 +772,57 @@ object SequenceQueries extends QuerySet {
     }
   }
 
+  /** Rolling 7-day EXACT median per event type — the other
+    * non-decomposable sliding aggregate next to [[qRollingDistinct]]'s
+    * COUNT DISTINCT (no window frame computes an exact quantile
+    * incrementally). Same explode-to-anchor shape: every (type, day,
+    * value) row contributes to ≤7 window anchors, the join on active
+    * anchor days is equi, and the per-anchor group runs the exact
+    * interpolated percentile — a pure shuffle-on-(type, anchor) plan
+    * with a bounded 7× expansion, never a range join. The 100 TB
+    * approximate path mirrors the HLL twin: percentile_approx sketches
+    * are MERGEABLE, so each day sketches once and windows merge 7
+    * sketches (see q_agg_approx_quantile for the sketch's gated error
+    * contract).
+    */
+  val qRollingMedian: GQuery = GQuery(
+    "q_ts_rolling_median",
+    Some("""
+      WITH ev AS (SELECT event_type, date_trunc('day', ts) AS d, value FROM events),
+      days AS (SELECT DISTINCT event_type, d FROM ev)
+      SELECT days.event_type, strftime(days.d, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_vals,
+             round(quantile_cont(ev.value, 0.5), 6) AS median_7d
+      FROM days JOIN ev ON ev.event_type = days.event_type
+                        AND ev.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.event_type, days.d
+      ORDER BY days.event_type, day""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = t(spark, dir).events
+      .withColumn("tts", graft.streaming.StreamOps.tsFromNanos($"ts"))
+      .select($"event_type", date_trunc("day", $"tts").as("d"), $"value")
+    val days = ev.select($"event_type", $"d".as("day_d")).distinct()
+    val contrib = ev.select(
+      $"event_type",
+      explode(sequence($"d", $"d" + expr("INTERVAL 6 DAY"), expr("INTERVAL 1 DAY")))
+        .as("day_d"),
+      $"value")
+    contrib
+      .join(days, Seq("event_type", "day_d"))
+      .groupBy($"event_type", $"day_d")
+      .agg(
+        count(lit(1)).as("n_vals"),
+        round(percentile($"value", lit(0.5)), 6).as("median_7d"))
+      .select(
+        $"event_type",
+        date_format($"day_d", "yyyy-MM-dd").as("day"),
+        $"n_vals", $"median_7d")
+      .orderBy($"event_type", $"day")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
-      qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp)
+      qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian)
 }
