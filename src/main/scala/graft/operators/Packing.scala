@@ -55,4 +55,59 @@ object Packing {
       .withColumn("bin_offset", col("__cum_before") % binTokens)
       .drop("__cum_before")
   }
+
+  /** Padding-minimizing PAIR packing: unlike [[packBins]] (concat-and-
+    * chunk, which splits documents across bin boundaries), this keeps
+    * every document whole and pairs long docs with short ones to shrink
+    * the padding a fixed `budget`-token training sequence wastes.
+    *
+    * First-fit-decreasing — the textbook heuristic — is inherently
+    * sequential (each placement depends on all previous bins), so it
+    * cannot fan out. The scalable surrogate is FOLDED pairing: rank all
+    * docs by token count descending (contiguous global index via the
+    * two-pass [[Sampling.globalIndexBy]] recipe — no single-task window),
+    * then pair rank `b` with rank `n+1-b`, i.e. longest with shortest.
+    * A pair that still overflows the budget degrades to two singleton
+    * bins (never truncates). Everything downstream of the one range-sort
+    * shuffle is a hash aggregate on the bin key — linear at any scale.
+    *
+    * @return one row per FINAL bin: `final_bin` ("p<rank>" pair /
+    *         "s<rank>" overflow singleton), `n_docs`, `doc_ids`
+    *         (comma-joined, ascending), `fill` (token sum), `padding`
+    *         (`max(budget - fill, 0)`).
+    */
+  def pairPack(df: DataFrame, idCol: String, tokenCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val indexed = Sampling
+      .globalIndexBy(df.select(col(idCol), col(tokenCol)),
+        Seq(col(tokenCol).desc, col(idCol)))
+      .localCheckpoint()
+    val n = indexed.count()
+    val binned = indexed.withColumn(
+      "bin", least(col("global_idx"), lit(n + 1) - col("global_idx")))
+    val agg = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(tokenCol)).as("fill"),
+      min(col(idCol)).as("id1"),
+      max(col(idCol)).as("id2"))
+    val pairs = agg
+      .where(col("n_docs") === 1 || col("fill") <= budget)
+      .select(
+        concat(lit("p"), col("bin").cast("string")).as("final_bin"),
+        col("n_docs"),
+        when(col("n_docs") === 1, col("id1").cast("string"))
+          .otherwise(concat(col("id1").cast("string"), lit(","), col("id2").cast("string")))
+          .as("doc_ids"),
+        col("fill"),
+        greatest(lit(budget.toLong) - col("fill"), lit(0L)).as("padding"))
+    val splits = binned
+      .join(agg.where(col("n_docs") === 2 && col("fill") > budget).select(col("bin")), "bin")
+      .select(
+        concat(lit("s"), col("global_idx").cast("string")).as("final_bin"),
+        lit(1L).as("n_docs"),
+        col(idCol).cast("string").as("doc_ids"),
+        col(tokenCol).cast("long").as("fill"),
+        greatest(lit(budget.toLong) - col(tokenCol), lit(0L)).as("padding"))
+    pairs.union(splits)
+  }
 }

@@ -267,6 +267,49 @@ object Sampling {
       .drop("__frac")
   }
 
+  /** Contiguous 1-based global row index over the seeded deterministic
+    * total order of [[shuffleDeterministic]] — the id-densification /
+    * example-numbering pass a training run needs (shard-stable sample
+    * ids, resumable epoch cursors).
+    *
+    * The naive formulation — `row_number()` over an unpartitioned window
+    * — funnels the whole table through ONE task and is the classic
+    * 100 TB scale-killer; `monotonically_increasing_id` is parallel but
+    * neither contiguous nor order-defined. This is the two-pass recipe
+    * instead: range-partition + sort by (md5(key:seed), key), then
+    * `zipWithIndex` (a per-partition count job followed by offset-shifted
+    * local enumeration — O(partitions) driver state, every partition
+    * numbered in parallel). The index is a pure function of the key set:
+    * sampled range boundaries may move between runs, but the tie-broken
+    * total order — and therefore every assigned index — cannot.
+    */
+  def globalIndex(df: DataFrame, keyCol: String, seed: Int, numPartitions: Int = 0): DataFrame =
+    globalIndexBy(
+      df.withColumn("__gk", md5(concat(col(keyCol).cast("string"), lit(s":$seed")))),
+      Seq(col("__gk"), col(keyCol)),
+      numPartitions
+    ).drop("__gk")
+
+  /** [[globalIndex]] for an arbitrary caller-supplied TOTAL order (the
+    * caller must include a tie-breaking key — with ties the assignment
+    * inside a tie group would be partition-layout-dependent).
+    */
+  def globalIndexBy(df: DataFrame, orderCols: Seq[Column], numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = parted.schema.add("global_idx", LongType, nullable = false)
+    val indexed = parted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
   /** Deterministic negative-pair mining for contrastive training: pair row
     * `i` with row `p(i) = (a·i + b) mod n` under an affine permutation of
     * the DENSE id domain [0, n). With gcd(a, n) = 1 (enforced) `p` is a

@@ -792,4 +792,83 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * '98): from each query's top-`m` relevance candidates, greedily pick
+    * `k` maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the
+    * diversity-aware cut of a retrieval list (and the selection rule
+    * dedup-aware RAG / eval-set construction uses to avoid returning k
+    * near-copies).
+    *
+    * Scale shape: only the top-`m` candidate generation touches the
+    * corpus (brute-force scan here; any registered ANN index can feed the
+    * same contract). Everything after is bounded by queries·m² — the
+    * pairwise-sim join and the k greedy rounds run on per-query groups of
+    * ≤ m rows, distributed across queries. Greedy MMR is inherently
+    * sequential in k, so each round is one small join + window pick;
+    * per-round localCheckpoint keeps the k-deep lineage flat.
+    *
+    * Determinism: every decision is a comparison of IEEE doubles both
+    * engines compute identically (index-ordered dot products), ties
+    * broken by id — the oracle replays all k rounds unrolled.
+    *
+    * @return (query_id, neighbor_id, sel_rank) with sel_rank in 1..k
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      lambda: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && m >= k, "need m >= k >= 1")
+    require(lambda >= 0 && lambda <= 1, "lambda in [0,1]")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val wRel = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("neighbor_id"))
+    val cand = candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("nvec"),
+        cosine(col("qvec"), col("nvec")).as("rel"))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= m)
+      .select(col("query_id"), col("neighbor_id"), col("nvec"), col("rel"))
+      .localCheckpoint()
+    val rels = cand.select(col("query_id"), col("neighbor_id"), col("rel"))
+    val psim = cand.select(col("query_id"), col("neighbor_id").as("a_id"), col("nvec").as("avec"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("b_id"), col("nvec").as("bvec")),
+        Seq("query_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        cosine(col("avec"), col("bvec")).as("sim"))
+      .localCheckpoint()
+
+    var selected = rels
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("sel_rank"))
+    for (step <- 2 to k) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id").as("b_id"))
+      val contrib = psim
+        .join(selIds, Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("sim")).as("max_sim"))
+        .withColumnRenamed("a_id", "neighbor_id")
+        .join(selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      val pick = rels
+        .join(contrib, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (col("rel") * lambda - col("max_sim") * (1.0 - lambda)).as("mmr"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("neighbor_id"))))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(step).as("sel_rank"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected
+  }
 }

@@ -850,25 +850,68 @@ object DedupQueries extends QuerySet {
       ORDER BY canonical_url""")
   ) { (spark, dir) =>
     import spark.implicits._
-    val raw = t(spark, dir).documents.select(
-      $"doc_id",
-      concat(
-        when($"doc_id" % 2 === 0, "https://").otherwise("HTTPS://"),
-        when($"doc_id" % 3 === 0, "News.Example.COM").otherwise("news.example.com"),
-        when($"doc_id" % 4 === 0, ":443").otherwise(""),
-        lit("/articles/"), ($"doc_id" % 50).cast("string"),
-        when($"doc_id" % 5 === 0, "/").otherwise(""),
-        when($"doc_id" % 3 === 0, concat(lit("?utm_source=feed&id="), ($"doc_id" % 4).cast("string")))
-          .when($"doc_id" % 3 === 1, concat(lit("?id="), ($"doc_id" % 4).cast("string"), lit("&utm_campaign=x")))
-          .otherwise(concat(lit("?id="), ($"doc_id" % 4).cast("string"))),
-        when($"doc_id" % 6 === 0, "#section2").otherwise("")
-      ).as("url"))
+    val raw = t(spark, dir).documents.select($"doc_id", syntheticUrl.as("url"))
     raw
       .select($"doc_id", graft.operators.TextOps.canonicalizeUrl($"url").as("canonical_url"))
       .groupBy($"canonical_url")
       .agg(count(lit(1)).as("n_variants"), min($"doc_id").as("canonical_doc"))
       .orderBy($"canonical_url")
   }
+
+  /** Deterministic messy-URL builder shared by [[qUrlCanonical]] and the
+    * dedup cascade: case / default-port / utm / fragment / trailing-slash
+    * variants keyed off doc_id residues so both engines construct the
+    * SAME corpus. (DuckDB replica inlined in each oracle.)
+    */
+  private[queries] def syntheticUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, "https://").otherwise("HTTPS://"),
+      when(id % 3 === 0, "News.Example.COM").otherwise("news.example.com"),
+      when(id % 4 === 0, ":443").otherwise(""),
+      lit("/articles/"), (id % 50).cast("string"),
+      when(id % 5 === 0, "/").otherwise(""),
+      when(id % 3 === 0, concat(lit("?utm_source=feed&id="), (id % 4).cast("string")))
+        .when(id % 3 === 1, concat(lit("?id="), (id % 4).cast("string"), lit("&utm_campaign=x")))
+        .otherwise(concat(lit("?id="), (id % 4).cast("string"))),
+      when(id % 6 === 0, "#section2").otherwise("")
+    )
+  }
+
+  /** DuckDB replica of [[syntheticUrl]], as a `u(doc_id, url)` CTE body. */
+  private[queries] val syntheticUrlSql: String = """
+      u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+               (CASE WHEN doc_id % 3 = 0 THEN 'News.Example.COM' ELSE 'news.example.com' END) ||
+               (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+               '/articles/' || CAST(doc_id % 50 AS VARCHAR) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+               (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR)
+                     WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=x'
+                     ELSE '?id=' || CAST(doc_id % 4 AS VARCHAR) END) ||
+               (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END) AS url
+        FROM documents)"""
+
+  /** The URL-canonicalization SQL chain (DuckDB side), parameterized on
+    * the CTE holding (doc_id, url). Kept next to [[syntheticUrl]] so the
+    * one canonicalization contract has one oracle formulation.
+    */
+  private[queries] def canonicalizeUrlSql(from: String): String = s"""
+      c1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS u FROM $from),
+      c2 AS (SELECT doc_id,
+                    lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) ||
+                      substr(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS u
+             FROM c1),
+      c3 AS (SELECT doc_id,
+                    regexp_replace(regexp_replace(u, '^(https://[^/?#:]*):443', '\\1'),
+                                   '^(http://[^/?#:]*):80', '\\1') AS u
+             FROM c2),
+      c4 AS (SELECT doc_id,
+                    regexp_replace(regexp_replace(u, 'utm_[^&#]*&', '', 'g'),
+                                   '[?&]utm_[^&#]*$$', '') AS u
+             FROM c3),
+      canon AS (SELECT doc_id, regexp_replace(u, '/(\\?|$$)', '\\1') AS canonical_url FROM c4)"""
 
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,

@@ -406,7 +406,169 @@ object PipelineQueries extends QuerySet {
       .orderBy($"id_a")
   }
 
+  /** Contiguous global example ids ([[graft.operators.Sampling.globalIndex]]):
+    * the two-pass zipWithIndex recipe (range-partition by the seeded md5
+    * order, per-partition counts, offset-shifted local enumeration) that
+    * replaces the single-task unpartitioned row_number window at 100 TB.
+    * Emitting every (doc_id, global_idx) pair makes the hash match a
+    * proof of the ENTIRE assigned permutation, not just membership.
+    */
+  val qGlobalIndex: GQuery = GQuery(
+    "q_sample_global_index",
+    Some("""
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR || ':17'), doc_id)
+               AS global_idx
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Sampling
+      .globalIndex(t(spark, dir).documents, "doc_id", seed = 17)
+      .select($"doc_id", $"global_idx")
+      .orderBy($"doc_id")
+  }
+
+  /** Padding-minimizing pair packing ([[graft.operators.Packing.pairPack]]):
+    * docs ranked by token count descending, rank b paired with rank
+    * n+1-b (longest with shortest), overflowing pairs degraded to
+    * singletons — the whole-document alternative to [[qPack]]'s
+    * concat-and-chunk. The oracle replays ranking, folding, and the
+    * degrade rule with window functions, so the hash match proves the
+    * exact bin assignment, fills, and padding.
+    */
+  val qPackPairs: GQuery = GQuery(
+    "q_pipeline_pack_pairs",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tok
+        FROM documents),
+      i AS (
+        SELECT doc_id, n_tok,
+               ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS idx,
+               COUNT(*) OVER () AS n
+        FROM d),
+      b AS (SELECT doc_id, n_tok, idx, least(idx, n + 1 - idx) AS bin FROM i),
+      a AS (
+        SELECT bin, COUNT(*) AS n_docs, SUM(n_tok) AS fill,
+               MIN(doc_id) AS id1, MAX(doc_id) AS id2
+        FROM b GROUP BY bin),
+      pairs AS (
+        SELECT 'p' || CAST(bin AS VARCHAR) AS final_bin,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CASE WHEN n_docs = 1 THEN CAST(id1 AS VARCHAR)
+                    ELSE CAST(id1 AS VARCHAR) || ',' || CAST(id2 AS VARCHAR) END AS doc_ids,
+               CAST(fill AS BIGINT) AS fill,
+               CAST(greatest(256 - fill, 0) AS BIGINT) AS padding
+        FROM a WHERE n_docs = 1 OR fill <= 256),
+      splits AS (
+        SELECT 's' || CAST(b.idx AS VARCHAR) AS final_bin,
+               CAST(1 AS BIGINT) AS n_docs,
+               CAST(b.doc_id AS VARCHAR) AS doc_ids,
+               CAST(b.n_tok AS BIGINT) AS fill,
+               CAST(greatest(256 - b.n_tok, 0) AS BIGINT) AS padding
+        FROM b JOIN a USING (bin) WHERE a.n_docs = 2 AND a.fill > 256)
+      SELECT * FROM pairs UNION ALL SELECT * FROM splits
+      ORDER BY final_bin""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.{Packing, TextOps}
+    val withTokens = t(spark, dir).documents
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+    Packing.pairPack(withTokens, "doc_id", "n_tok", budget = 256)
+      .orderBy($"final_bin")
+  }
+
+  /** Tiered dedup cascade — the production stack runs CHEAP exact tiers
+    * before any near-dup sketch, because each tier shrinks what the next
+    * (more expensive) one scans:
+    *
+    *   1. canonical-URL dedup (no text read at all — recrawls/mirrors);
+    *   2. exact normalized-text hash;
+    *   3. token-SET signature (word-order- and repetition-insensitive —
+    *      catches shuffled boilerplate exact hashing misses).
+    *
+    * Every tier is a linear hash-groupBy + semi-join keep-list; the
+    * output is the attrition report a corpus team reads (per-tier
+    * rows_in/survivors/removed + survivor id-sum pinning the exact
+    * surviving SET, not just its size). The oracle replays all three
+    * tiers, so the hash match proves each tier's decisions and their
+    * composition. Near-dup tiers (minhash/simhash) stay separate gated
+    * queries — here the contract is the exact cascade.
+    */
+  val qDedupCascade: GQuery = GQuery(
+    "q_pipeline_dedup_cascade",
+    Some(s"""
+      WITH ${DedupQueries.syntheticUrlSql},
+      ${DedupQueries.canonicalizeUrlSql("u")},
+      k1 AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY canonical_url),
+      s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN k1 USING (doc_id)),
+      sig2 AS (SELECT doc_id, text,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS sig
+               FROM s1),
+      k2 AS (SELECT MIN(doc_id) AS doc_id FROM sig2 GROUP BY sig),
+      s2 AS (SELECT s.doc_id, s.text FROM sig2 s JOIN k2 USING (doc_id)),
+      sig3 AS (SELECT doc_id,
+                      md5(array_to_string(list_sort(list_distinct(
+                        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), ' ')) AS sig
+               FROM s2),
+      k3 AS (SELECT MIN(doc_id) AS doc_id FROM sig3 GROUP BY sig),
+      n0 AS (SELECT COUNT(*) AS n FROM documents),
+      a1 AS (SELECT COUNT(*) AS n, SUM(doc_id) AS s FROM s1),
+      a2 AS (SELECT COUNT(*) AS n, SUM(doc_id) AS s FROM s2),
+      a3 AS (SELECT COUNT(*) AS n, SUM(doc_id) AS s FROM k3)
+      SELECT CAST(1 AS BIGINT) AS tier, 'url_canonical' AS tier_name,
+             CAST(n0.n AS BIGINT) AS rows_in, CAST(a1.n AS BIGINT) AS survivors,
+             CAST(n0.n - a1.n AS BIGINT) AS removed, CAST(a1.s AS BIGINT) AS survivor_id_sum
+      FROM n0, a1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'exact_text', CAST(a1.n AS BIGINT), CAST(a2.n AS BIGINT),
+             CAST(a1.n - a2.n AS BIGINT), CAST(a2.s AS BIGINT)
+      FROM a1, a2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'token_set', CAST(a2.n AS BIGINT), CAST(a3.n AS BIGINT),
+             CAST(a2.n - a3.n AS BIGINT), CAST(a3.s AS BIGINT)
+      FROM a2, a3
+      ORDER BY tier""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = t(spark, dir).documents
+    val canon = docs.select(
+      $"doc_id", $"text",
+      TextOps.canonicalizeUrl(DedupQueries.syntheticUrl).as("cu"))
+    val k1 = canon.groupBy($"cu").agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val s1 = canon.join(k1, Seq("doc_id"), "left_semi").select($"doc_id", $"text")
+    val sig2 = s1.select(
+      $"doc_id", $"text",
+      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("sig"))
+    val k2 = sig2.groupBy($"sig").agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val s2 = sig2.join(k2, Seq("doc_id"), "left_semi").select($"doc_id", $"text")
+    val sig3 = s2.select(
+      $"doc_id",
+      md5(array_join(array_sort(array_distinct(TextOps.tokens($"text"))), " ")).as("sig"))
+    val k3 = sig3.groupBy($"sig").agg(min($"doc_id").as("doc_id")).select($"doc_id")
+
+    val n0 = docs.agg(count(lit(1)).as("n0"))
+    val a1 = s1.agg(count(lit(1)).as("n1"), sum($"doc_id").as("sum1"))
+    val a2 = s2.agg(count(lit(1)).as("n2"), sum($"doc_id").as("sum2"))
+    val a3 = k3.agg(count(lit(1)).as("n3"), sum($"doc_id").as("sum3"))
+    val one =
+      n0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2)).crossJoin(broadcast(a3))
+    one.select(
+        lit(1L).as("tier"), lit("url_canonical").as("tier_name"),
+        $"n0".as("rows_in"), $"n1".as("survivors"),
+        ($"n0" - $"n1").as("removed"), $"sum1".as("survivor_id_sum"))
+      .union(one.select(
+        lit(2L), lit("exact_text"), $"n1", $"n2", $"n1" - $"n2", $"sum2"))
+      .union(one.select(
+        lit(3L), lit("token_set"), $"n2", $"n3", $"n2" - $"n3", $"sum3"))
+      .orderBy($"tier")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
-    qWeighted, qMix, qTemperature, qNegativePairs)
+    qWeighted, qMix, qTemperature, qNegativePairs, qGlobalIndex, qPackPairs,
+    qDedupCascade)
 }

@@ -809,7 +809,84 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"vec_id", $"k")
   }
 
+  /** MMR diversified top-5 ([[graft.operators.Similarity.mmrRerank]],
+    * λ=0.5 over top-12 brute-force candidates, 4 queries). The oracle
+    * unrolls all five greedy rounds — relevance argmax, then four rounds
+    * of `0.5·rel − 0.5·max-sim-to-selected` argmax with id tie-breaks —
+    * so the hash match proves every selection decision, not just the
+    * final membership. (Rounds generated programmatically below: one
+    * formulation, five instantiations.)
+    */
+  val qMmr: GQuery = {
+    val mmrSteps = (2 to 5).map { s =>
+      s"""
+      ms$s AS (
+        SELECT p.query_id, p.a_id AS neighbor_id, MAX(p.sim) AS max_sim
+        FROM psim p JOIN sel${s - 1} s ON p.query_id = s.query_id AND p.b_id = s.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel${s - 1} x
+                          WHERE x.query_id = p.query_id AND x.neighbor_id = p.a_id)
+        GROUP BY p.query_id, p.a_id),
+      p$s AS (
+        SELECT query_id, neighbor_id, $s AS sel_rank
+        FROM (SELECT m.query_id, m.neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY m.query_id
+                                        ORDER BY (c.rel * 0.5 - m.max_sim * 0.5) DESC,
+                                                 m.neighbor_id) AS rk
+              FROM ms$s m JOIN cand c
+                ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id)
+        WHERE rk = 1),
+      sel$s AS (SELECT * FROM sel${s - 1} UNION ALL SELECT * FROM p$s)"""
+    }.mkString(",")
+    GQuery(
+      "q_ann_mmr",
+      Some(s"""
+      WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      q AS (SELECT * FROM v WHERE vec_id < 4),
+      scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * v.e[i]))
+                 / (q.nrm * v.nrm) AS rel
+        FROM q JOIN v ON q.vec_id != v.vec_id),
+      cand AS (
+        SELECT query_id, neighbor_id, rel
+        FROM (SELECT query_id, neighbor_id, rel,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, neighbor_id) AS rk
+              FROM scored)
+        WHERE rk <= 12),
+      psim AS (
+        SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+               list_sum(list_transform(generate_series(1, 64), i -> va.e[i] * vb.e[i]))
+                 / (va.nrm * vb.nrm) AS sim
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+        JOIN v va ON va.vec_id = a.neighbor_id
+        JOIN v vb ON vb.vec_id = b.neighbor_id),
+      sel1 AS (
+        SELECT query_id, neighbor_id, 1 AS sel_rank
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, neighbor_id) AS rk
+              FROM cand)
+        WHERE rk = 1),$mmrSteps
+      SELECT query_id, neighbor_id, sel_rank
+      FROM sel5
+      ORDER BY query_id, sel_rank""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val emb = t(spark, dir).embeddings
+      Similarity
+        .mmrRerank(emb, emb.filter($"vec_id" < 4), "vec_id", "embedding",
+          m = 12, k = 5, lambda = 0.5)
+        .orderBy($"query_id", $"sel_rank")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
-      qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection)
+      qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr)
 }

@@ -66,4 +66,35 @@ class PackingSpec extends SparkSpec {
     // 6 distinct 5-grams in the test doc; exactly one ("a b c d e") leaks
     assert(out._2 == 6L && out._3 == 1L, s"unexpected counts: $out")
   }
+
+  test("pairPack matches the folded-pairing model: total, exclusive, budget-safe, padding-minimal fold") {
+    // token counts engineered so some fold pairs overflow the budget
+    val rows = Seq.tabulate(25)(i => (i.toLong, (i * 7 % 60 + 10).toLong))
+    val df = rows.toDF("doc_id", "n_tok").repartition(4)
+    val budget = 80
+    val got = Packing.pairPack(df, "doc_id", "n_tok", budget)
+      .as[(String, Long, String, Long, Long)].collect()
+
+    // every doc appears in exactly one final bin
+    val placed = got.flatMap(_._3.split(",")).map(_.toLong).sorted
+    assert(placed.toSeq == rows.map(_._1).sorted, "doc multiset changed")
+    // no pair bin exceeds the budget; padding arithmetic correct
+    got.foreach { case (bin, nDocs, _, fill, pad) =>
+      if (nDocs == 2) assert(fill <= budget, s"pair bin $bin overflows: $fill")
+      assert(pad == math.max(budget - fill, 0L), s"padding wrong in $bin")
+    }
+    // model: rank desc by tokens (id tiebreak), fold rank b with n+1-b
+    val ranked = rows.sortBy { case (id, t) => (-t, id) }.zipWithIndex
+      .map { case ((id, t), i) => (i + 1, id, t) }
+    val n = ranked.size
+    val modelBins = ranked.groupBy { case (idx, _, _) => math.min(idx, n + 1 - idx) }
+      .flatMap { case (b, docs) =>
+        val fill = docs.map(_._3).sum
+        if (docs.size == 1 || fill <= budget)
+          Seq(s"p$b" -> docs.map(_._2).sorted.mkString(","))
+        else docs.map { case (idx, id, _) => s"s$idx" -> id.toString }
+      }.toMap
+    val gotBins = got.map(r => r._1 -> r._3).toMap
+    assert(gotBins == modelBins, s"fold assignment diverged:\n$gotBins\nvs\n$modelBins")
+  }
 }

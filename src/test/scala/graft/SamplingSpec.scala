@@ -182,4 +182,22 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(rate - 0.5) < tol, s"alpha=1 keep-rate for $s is $rate, expected 0.5±$tol")
     }
   }
+
+  test("globalIndex: contiguous 1..n, repartition- and partition-count-invariant, order = seeded md5") {
+    val docs = Tables(spark, sf).documents
+    val n = docs.count()
+    val a = Sampling.globalIndex(docs, "doc_id", seed = 17)
+      .select($"doc_id".as[Long], $"global_idx".as[Long]).collect().toMap
+    assert(a.size.toLong == n, "one index per row")
+    assert(a.values.toSeq.sorted == (1L to n).toSeq, "indices not contiguous 1..n")
+    // invariant to the input's physical layout AND the chosen partition count
+    val b = Sampling.globalIndex(docs.repartition(7), "doc_id", seed = 17, numPartitions = 3)
+      .select($"doc_id".as[Long], $"global_idx".as[Long]).collect().toMap
+    assert(a == b, "global index changed under repartitioning / partition count")
+    // the order really is (md5(key:seed), key)
+    val expected = docs.select($"doc_id".as[Long]).collect().toSeq
+      .sortBy(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id:17"), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(a == expected, "order disagrees with the seeded md5 total order")
+  }
 }

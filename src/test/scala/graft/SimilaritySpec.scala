@@ -423,4 +423,51 @@ class SimilaritySpec extends SparkSpec {
       assert(got(id) == expect, s"vec $id projection mismatch")
     }
   }
+
+  test("mmrRerank matches a sequential greedy MMR model; lambda=1 degenerates to relevance order") {
+    val queries = emb.filter($"vec_id" < 4)
+    val (m, k, lam) = (12, 5, 0.5)
+    val got = Similarity.mmrRerank(emb, queries, "vec_id", "embedding", m, k, lam)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    // sequential model on the collected candidate lists
+    val vecs = emb.select($"vec_id".as[Long], $"embedding".as[Array[Float]])
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until 4L).foreach { qid =>
+      val rel = vecs.keys.filter(_ != qid).toSeq
+        .map(id => id -> cos(vecs(qid), vecs(id)))
+        .sortBy { case (id, r) => (-r, id) }.take(m)
+      var selected = Vector(rel.head._1)
+      val relMap = rel.toMap
+      while (selected.size < k) {
+        val pick = rel.map(_._1).filterNot(selected.contains)
+          .map { c =>
+            val maxSim = selected.map(s => cos(vecs(c), vecs(s))).max
+            c -> (relMap(c) * lam - maxSim * (1 - lam))
+          }
+          .sortBy { case (id, s) => (-s, id) }.head._1
+        selected :+= pick
+      }
+      assert(got(qid) == selected, s"query $qid: got ${got(qid)}, model $selected")
+    }
+
+    // lambda = 1: diversity term vanishes -> selection IS the top-k relevance ranking
+    val flat = Similarity.mmrRerank(emb, queries, "vec_id", "embedding", m, k, 1.0)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._3.toLong, r._2)).toSet
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._3.toLong, r._2)).toSet
+    assert(flat == topk, "lambda=1 MMR must equal relevance top-k")
+  }
 }
