@@ -164,4 +164,34 @@ object Diagnostics {
     }
     out.withColumn("anon_suppressed", col("__qn") < k).drop("__qn")
   }
+
+  /** l-diversity suppression — the follow-on to [[kAnonymize]]: a
+    * quasi-identifier group can be large (k-anonymous) yet still leak if
+    * everyone in it shares the SAME sensitive value, so any group with
+    * fewer than `l` DISTINCT sensitive values gets its quasi columns
+    * masked. Distinct-per-group can't be a window count, so this is a
+    * groupBy distinct-aggregate joined back on the quasi key — two
+    * shuffles on the same key, state bounded by group cardinality.
+    * String quasi columns mask to `mask`; numeric ones to -1 (callers
+    * needing a different numeric sentinel can cast to string first).
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int,
+      mask: String = "*"
+  ): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    require(l >= 1, "l must be >= 1")
+    val ndiv = df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("__ndiv"))
+    val joined = df.join(ndiv, quasiCols)
+    val out = quasiCols.foldLeft(joined) { (d, c) =>
+      val masked =
+        if (d.schema(c).dataType == StringType) lit(mask) else lit(-1).cast(d.schema(c).dataType)
+      d.withColumn(c, when(col("__ndiv") < l, masked).otherwise(col(c)))
+    }
+    out.withColumn("ldiv_suppressed", col("__ndiv") < l).drop("__ndiv")
+  }
 }

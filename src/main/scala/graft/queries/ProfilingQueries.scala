@@ -659,7 +659,41 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"event_id")
   }
 
+  /** l-diversity release ([[graft.operators.Diagnostics.lDiversity]],
+    * l = 3, quasi-identifiers lang × 25-char length bucket, sensitive
+    * attribute source): a quasi group that is large enough to be
+    * k-anonymous still leaks when (almost) everyone in it came from one
+    * source — homogeneity attack — so groups with < 3 distinct sources
+    * are masked. The oracle replays the distinct-count policy exactly.
+    */
+  val qLdiversity: GQuery = GQuery(
+    "q_privacy_ldiversity",
+    Some("""
+      WITH b AS (SELECT doc_id, lang, CAST(n_chars // 25 AS BIGINT) AS len_bucket, source
+                 FROM documents),
+      g AS (SELECT lang, len_bucket, COUNT(DISTINCT source) AS ndiv
+            FROM b GROUP BY lang, len_bucket)
+      SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+             CASE WHEN g.ndiv < 3 THEN '*' ELSE b.lang END AS lang,
+             CASE WHEN g.ndiv < 3 THEN CAST(-1 AS BIGINT) ELSE b.len_bucket END AS len_bucket,
+             b.source,
+             g.ndiv < 3 AS ldiv_suppressed
+      FROM b JOIN g ON b.lang = g.lang AND b.len_bucket = g.len_bucket
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val b = t(spark, dir).documents.select(
+      $"doc_id".cast("long").as("doc_id"),
+      $"lang",
+      floor($"n_chars" / 25).cast("long").as("len_bucket"),
+      $"source")
+    graft.operators.Diagnostics
+      .lDiversity(b, Seq("lang", "len_bucket"), "source", l = 3)
+      .select($"doc_id", $"lang", $"len_bucket", $"source", $"ldiv_suppressed")
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
-      qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode)
+      qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity)
 }

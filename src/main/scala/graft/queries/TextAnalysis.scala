@@ -1009,8 +1009,91 @@ object TextAnalysis extends QuerySet {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style quality rule bundle (Rae et al. 2021 §A1.1 shape): the
+    * named repetition-free heuristics a corpus team stacks BEFORE any
+    * model-based filter — word-count bounds, mean word length, fraction
+    * of words with an alphabetic character, and a minimum count of
+    * distinct core-vocabulary words (the stopword rule's intent — common
+    * glue words must appear; list and bounds adapted to this synthetic
+    * corpus, which has no English function words). One shared scan computes every per-doc signal; the
+    * output is the per-rule violation table (plus the conjunctive `keep`
+    * row) the gate decision reads. All signals are integer counts or one
+    * IEEE division, so the oracle replays them bit-exactly.
+    */
+  val qGopherRules: GQuery = GQuery(
+    "q_text_gopher_rules",
+    Some("""
+      WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, nt, string_split(nt, ' ') AS toks,
+                    len(string_split(nt, ' ')) AS n_words
+             FROM nrm),
+      s AS (SELECT doc_id, n_words,
+                   CAST(length(nt) - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mwl,
+                   CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / CAST(n_words AS DOUBLE) AS alpha_frac,
+                   len(list_filter(['join','hash','row','batch','scan','filter','merge','data'],
+                                   w -> list_contains(toks, w))) AS stop_hits
+            FROM tk),
+      r AS (SELECT (n_words >= 20 AND n_words <= 100000) AS r_wc,
+                   (mwl >= 3.0 AND mwl <= 10.0) AS r_mwl,
+                   (alpha_frac >= 0.8) AS r_alpha,
+                   (stop_hits >= 2) AS r_stop
+            FROM s),
+      a AS (SELECT COUNT(*) AS total,
+                   SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS v_wc,
+                   SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS v_mwl,
+                   SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS v_alpha,
+                   SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS v_stop,
+                   SUM(CASE WHEN NOT (r_wc AND r_mwl AND r_alpha AND r_stop)
+                            THEN 1 ELSE 0 END) AS v_keep
+            FROM r)
+      SELECT rule, CAST(violations AS BIGINT) AS violations,
+             CAST(total AS BIGINT) AS total,
+             CAST(total - violations AS DOUBLE) / CAST(total AS DOUBLE) AS pass_frac
+      FROM (SELECT 'alpha_words' AS rule, v_alpha AS violations, total FROM a
+            UNION ALL SELECT 'keep', v_keep, total FROM a
+            UNION ALL SELECT 'mean_word_len', v_mwl, total FROM a
+            UNION ALL SELECT 'stopwords', v_stop, total FROM a
+            UNION ALL SELECT 'word_count', v_wc, total FROM a)
+      ORDER BY rule""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.TextOps
+    val toks = TextOps.tokens($"text")
+    val nt = TextOps.normText($"text")
+    val nWords = size(toks)
+    val mwl = (length(nt) - (nWords - 1)).cast("double") / nWords.cast("double")
+    val alphaFrac =
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / nWords.cast("double")
+    val stopWords = Seq("join", "hash", "row", "batch", "scan", "filter", "merge", "data")
+    val stopHits = size(filter(array(stopWords.map(lit): _*), w => array_contains(toks, w)))
+    val rules = t(spark, dir).documents.select(
+      (nWords >= 20 && nWords <= 100000).as("r_wc"),
+      (mwl >= 3.0 && mwl <= 10.0).as("r_mwl"),
+      (alphaFrac >= 0.8).as("r_alpha"),
+      (stopHits >= 2).as("r_stop"))
+    rules
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(!$"r_wc", 1L).otherwise(0L)).as("v_wc"),
+        sum(when(!$"r_mwl", 1L).otherwise(0L)).as("v_mwl"),
+        sum(when(!$"r_alpha", 1L).otherwise(0L)).as("v_alpha"),
+        sum(when(!$"r_stop", 1L).otherwise(0L)).as("v_stop"),
+        sum(when(!($"r_wc" && $"r_mwl" && $"r_alpha" && $"r_stop"), 1L).otherwise(0L))
+          .as("v_keep"))
+      .select(
+        expr("stack(5, 'alpha_words', v_alpha, 'keep', v_keep, 'mean_word_len', v_mwl, " +
+          "'stopwords', v_stop, 'word_count', v_wc) AS (rule, violations)"),
+        $"total")
+      .withColumn("pass_frac",
+        ($"total" - $"violations").cast("double") / $"total".cast("double"))
+      .orderBy($"rule")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
-      qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase)
+      qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
+      qGopherRules)
 }
