@@ -456,4 +456,82 @@ object TextOps {
       "[?&]utm_[^&#]*$", "")
     regexp_replace(c4, "/(\\?|$)", "$1")
   }
+
+  /** BPE merge training (Sennrich et al. 2016): learn the top `rounds`
+    * byte-pair merges from a word-frequency table — the tokenizer-
+    * training op itself, not just its application ([[subwordSegments]]
+    * applies a fixed segmentation).
+    *
+    * Scale shape: BPE never trains on the corpus — it trains on the
+    * WORD-FREQUENCY table, which is vocabulary-bounded by construction.
+    * The caller's one corpus-scale pass (tokenize + groupBy count)
+    * produces `words`; everything here runs on that bounded table:
+    * per round, adjacent-pair counts via one `lead` window, a global
+    * argmax (count desc, pair asc — fully tie-broken), then the
+    * left-to-right NON-OVERLAPPING merge application. Overlap handling
+    * is the classic subtlety ("aaa" merges once, not twice): among each
+    * word's maximal run of consecutive candidate positions only every
+    * other one applies — computed with the run-grouping trick
+    * (pos − row_number is constant within a run), no sequential scan.
+    *
+    * The per-round argmax is a 1-row collect (bounded, like the ANN
+    * codebook builds); merged rows re-densify positions and
+    * localCheckpoint so the k-round lineage stays flat.
+    *
+    * @param words (wordCol, freqCol) — distinct words with corpus counts
+    * @return one row per merge: (merge_round, lhs, rhs, pair_count)
+    */
+  def bpeTrain(
+      words: org.apache.spark.sql.DataFrame,
+      wordCol: String,
+      freqCol: String,
+      rounds: Int
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var syms = words
+      .select(col(wordCol).as("word"), col(freqCol).as("freq"))
+      .select(col("word"), col("freq"),
+        posexplode(split(col("word"), ""))).toDF("word", "freq", "pos", "sym")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+      val top = withNext
+        .where(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.nonEmpty) {
+        val (l, r, cnt) = top.head
+        merges += ((round.toLong, l, r, cnt))
+        // candidate positions, run-grouped; every other one in a run applies
+        val cand = withNext
+          .where(col("sym") === l && col("nxt") === r)
+          .withColumn("rn", row_number().over(byPos))
+          .withColumn("grp", col("pos") - col("rn"))
+        val applied = cand
+          .withColumn("k", row_number().over(
+            Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))))
+          .where((col("k") - 1) % 2 === 0)
+          .select(col("word"), col("pos"))
+        val consumed = applied.select(col("word"), (col("pos") + 1).as("pos"))
+        syms = syms
+          .join(applied.withColumn("ap", lit(true)), Seq("word", "pos"), "left")
+          .join(consumed.withColumn("cons", lit(true)), Seq("word", "pos"), "left")
+          .where(col("cons").isNull)
+          .withColumn("sym", when(col("ap"), lit(l + r)).otherwise(col("sym")))
+          .withColumn("pos", row_number().over(byPos) - 1)
+          .select(col("word"), col("freq"), col("pos"), col("sym"))
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("merge_round", "lhs", "rhs", "pair_count")
+  }
 }

@@ -1091,9 +1091,77 @@ object TextAnalysis extends QuerySet {
       .orderBy($"rule")
   }
 
+  /** BPE merge training ([[graft.operators.TextOps.bpeTrain]], 6 rounds
+    * over the top-200 word-frequency table): the tokenizer-training op.
+    * The oracle replays every round — lead-window pair counts, fully
+    * tie-broken argmax, and the left-to-right non-overlapping merge
+    * application via the same run-grouping windows — so the hash match
+    * proves each learned merge AND its count. Round CTEs are generated
+    * programmatically (one formulation, six instantiations).
+    */
+  val qBpeTrain: GQuery = {
+    val nRounds = 6
+    val roundCtes = (1 to nRounds).map { i =>
+      s"""
+      wn$i AS (SELECT word, freq, pos, sym,
+                      lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+               FROM syms${i - 1}),
+      pc$i AS (SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+               FROM wn$i WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+      best$i AS (SELECT lhs, rhs, cnt FROM pc$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      cand$i AS (SELECT w.word, w.pos,
+                        ROW_NUMBER() OVER (PARTITION BY w.word ORDER BY w.pos) AS rn
+                 FROM wn$i w, best$i b WHERE w.sym = b.lhs AND w.nxt = b.rhs),
+      app$i AS (SELECT word, pos FROM (
+                  SELECT word, pos,
+                         ROW_NUMBER() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS k
+                  FROM cand$i)
+                WHERE (k - 1) % 2 = 0),
+      syms$i AS (SELECT s.word, s.freq,
+                        ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS pos,
+                        CASE WHEN a.pos IS NOT NULL THEN b.lhs || b.rhs ELSE s.sym END AS sym
+                 FROM syms${i - 1} s
+                 CROSS JOIN best$i b
+                 LEFT JOIN app$i a ON s.word = a.word AND s.pos = a.pos
+                 LEFT JOIN app$i c ON s.word = c.word AND s.pos = c.pos + 1
+                 WHERE c.pos IS NULL)"""
+    }.mkString(",")
+    val finalSelect = (1 to nRounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, lhs, rhs, cnt AS pair_count FROM best$i"
+    }.mkString("\n      UNION ALL ")
+    GQuery(
+      "q_text_bpe_train",
+      Some(s"""
+      WITH vocab AS (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+              FROM documents)
+        WHERE length(w) > 0
+        GROUP BY w
+        ORDER BY freq DESC, word
+        LIMIT 200),
+      widx AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM vocab),
+      syms0 AS (SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym FROM widx),$roundCtes
+      $finalSelect
+      ORDER BY merge_round""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.TextOps
+      val vocab = t(spark, dir).documents
+        .select(explode(TextOps.tokens($"text")).as("word"))
+        .where(length($"word") > 0)
+        .groupBy($"word")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"word")
+        .limit(200)
+      TextOps.bpeTrain(vocab, "word", "freq", rounds = 6)
+        .orderBy($"merge_round")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
-      qGopherRules)
+      qGopherRules, qBpeTrain)
 }
