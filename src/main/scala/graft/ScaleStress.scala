@@ -105,7 +105,8 @@ object ScaleStress {
       "q_dedup_connected", "q_dedup_simhash", "q_dedup_span",
       "q_dedup_embedding_lsh", "q_dedup_embedding_lsh_tight",
       "q_dedup_representative", "q_text_domain_sim",
-      "q_dedup_prefix_filter", "q_dedup_containment", "q_graph_components")
+      "q_dedup_prefix_filter", "q_dedup_containment", "q_graph_components",
+      "q_dedup_sorted_neighborhood")
 
     // untimed warmup (JVM/codegen)
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()

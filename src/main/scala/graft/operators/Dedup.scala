@@ -863,6 +863,64 @@ object Dedup {
     * @param scoreCol   quality score to maximize (length, LM score, ...)
     * @return (component, rep_id, rep_score, n_docs)
     */
+  /** Sorted-neighborhood near-dup candidate pairs (Hernández & Stolfo's
+    * merge/purge method): sort the corpus by a blocking key (prefix of the
+    * normalized text), then compare each row only against the `window`
+    * rows that follow it in the total order, verifying candidates with
+    * exact token-set Jaccard. The classic cheap screen for corpora whose
+    * duplicates share a prefix — O(n·window) candidate pairs by
+    * construction, no inverted index to build.
+    *
+    * Scale shape: the total order comes from
+    * [[Sampling.globalIndexBy]] (range-partitioned sort + per-partition
+    * offset enumeration — no single-partition window); neighbor pairing
+    * is an equi-join on ⌊rank/window⌋ buckets with each right row
+    * replicated into its predecessor bucket, so a pair at rank distance
+    * ≤ window meets in exactly one bucket. Jaccard verification is
+    * row-local on the joined pair.
+    *
+    * @return (id_a, id_b, rank_gap, jaccard) with jaccard ≥ minJaccard
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixLen: Int,
+      window: Int,
+      minJaccard: Double
+  ): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    val toks = array_distinct(filter(tokens(col(textCol)), x => length(x) > 0))
+    val keyed = docs.select(
+      col(idCol).as("id"),
+      substring(normText(col(textCol)), 1, prefixLen).as("bk"),
+      toks.as("toks"))
+    val ranked = Sampling
+      .globalIndexBy(keyed, Seq(col("bk"), col("id")))
+      .withColumn("bucket", ((col("global_idx") - 1) / window).cast("long"))
+    val left = ranked.select(
+      col("id").as("id_a"), col("toks").as("toks_a"),
+      col("global_idx").as("idx_a"), col("bucket"))
+    val rightBase = ranked.select(
+      col("id").as("id_b"), col("toks").as("toks_b"),
+      col("global_idx").as("idx_b"), col("bucket"))
+    // a sees b iff idx_b ∈ (idx_a, idx_a + window]; b then lives in a's
+    // bucket or the next one — replicating b one bucket down makes every
+    // qualifying pair meet exactly once
+    val right = rightBase.union(rightBase.withColumn("bucket", col("bucket") - 1))
+    left
+      .join(right, Seq("bucket"))
+      .filter(col("idx_b") > col("idx_a") && col("idx_b") <= col("idx_a") + window)
+      .withColumn("ni", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", round(col("ni").cast("double") / col("uni").cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        (col("idx_b") - col("idx_a")).as("rank_gap"), col("jaccard"))
+  }
+
   def clusterRepresentatives(
       docs: DataFrame,
       idCol: String,

@@ -91,6 +91,42 @@ object Graphs {
           (col("deg") * (col("deg") - 1)).cast("double")).as("clustering_coeff"))
   }
 
+  /** Per-edge neighborhood Jaccard similarity — the classic
+    * link-prediction / graph-sparsification score: for each undirected
+    * edge (src, dst), |N(src) ∩ N(dst)| / |N(src) ∪ N(dst)| over the
+    * symmetrized adjacency. Common neighbors enumerate as wedges
+    * src—w—dst via two equi-joins on the shared endpoint (the same
+    * bounded wedge volume as [[triangleCounts]] — no cross join);
+    * degrees join back on node id. The union size is
+    * deg(src) + deg(dst) − common, ≥ 2 always (each endpoint is in the
+    * other's neighborhood), so the division never degenerates.
+    *
+    * @param edges canonical (src < dst) edge list
+    * @return (src, dst, n_common, jaccard)
+    */
+  def neighborJaccard(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val adj = sym.select(col("src").as("u"), col("dst").as("w"))
+    val common = e
+      .join(adj.withColumnRenamed("u", "src"), Seq("src"))
+      .join(adj.select(col("u").as("dst"), col("w")), Seq("dst", "w"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("ni"))
+    e
+      .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "deg_a"), Seq("src"))
+      .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "deg_b"), Seq("dst"))
+      .join(common, Seq("src", "dst"), "left_outer")
+      .select(
+        col("src"), col("dst"),
+        coalesce(col("ni"), lit(0L)).as("n_common"),
+        round(
+          coalesce(col("ni"), lit(0L)).cast("double") /
+            (col("deg_a") + col("deg_b") - coalesce(col("ni"), lit(0L))).cast("double"),
+          6).as("jaccard"))
+  }
+
   /** Fixed-iteration PageRank over canonical (src < dst) edges, treated
     * undirected (contributions flow both ways). Deterministic to the
     * BIT across engines and partitionings: per-node contribution sums go

@@ -310,6 +310,35 @@ object Sampling {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** Deterministic fixed-size uniform sample per group — the distributed
+    * replacement for reservoir sampling. A sequential reservoir
+    * (Vitter's Algorithm R) is inherently order-dependent; the
+    * distribution-equivalent parallel formulation keeps the k rows with
+    * the smallest priority md5(key:seed) within each group, which is an
+    * exchangeable uniform draw without replacement and — unlike an RNG
+    * stream — reproduces under any partitioning, retry, or engine. Plan:
+    * one shuffle on the group key + a per-group top-k window (rank k is
+    * emitted so callers can stream-merge reservoirs). At 100 TB the
+    * window sorts only within groups; for a single giant group the same
+    * priority column feeds a TakeOrderedAndProject instead.
+    *
+    * @return input rows + `sample_rank` (1..k by priority)
+    */
+  def reservoirPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      seed: Int
+  ): DataFrame = {
+    require(k >= 1, "reservoir size must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val prio = md5(concat(col(keyCol).cast("string"), lit(s":$seed")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(prio, col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic negative-pair mining for contrastive training: pair row
     * `i` with row `p(i) = (a·i + b) mod n` under an affine permutation of
     * the DENSE id domain [0, n). With gcd(a, n) = 1 (enforced) `p` is a

@@ -326,6 +326,63 @@ object TextOps {
       .withColumn("keep", col("margin") > 0)
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-unigram distribution is.
+    * Features hash into `buckets` bins (portable md5 bucket, as in
+    * [[hashedLinearScore]]); the target and raw corpora each induce an
+    * add-one-smoothed categorical distribution over bins; a document's
+    * log importance weight is Σ_tokens [ln p_target(b) − ln p_raw(b)].
+    * High-weight docs are the ones importance resampling keeps.
+    *
+    * Scale shape: two bounded aggregates (≤ `buckets` rows each — the
+    * bin tables broadcast back), one token-exploded scan for scoring.
+    * No collect anywhere; the corpus is read once for counting and once
+    * for scoring. Per-bin log-ratios are each ONE fixed IEEE chain on
+    * exact integer counts, and the per-doc sum goes through
+    * DECIMAL(38,6) so it is aggregation-order-insensitive.
+    *
+    * @param isTarget row predicate marking the target-domain exemplars
+    * @return (idCol, n_toks, log_weight)
+    */
+  def dsirLogWeights(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int,
+      seed: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val D = DecimalType(38, 6)
+    val toks = filter(tokens(col(textCol)), x => length(x) > 0)
+    val exploded = docs
+      .select(col(idCol), isTarget.as("__tgt"), explode(toks).as("__tok"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("__tok"), lit(s":$seed"))), 1, 8), 16, 10)
+          .cast("long") % buckets)
+    val cnts = exploded
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = cnts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val llr = cnts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        (log((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double"))
+          - log((col("cr") + 1).cast("double") / (col("tr") + buckets).cast("double")))
+          .as("llr"))
+    exploded
+      .join(broadcast(llr), "bucket")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("llr").cast(D)).cast(DoubleType).as("log_weight"))
+  }
+
   /** Inverted-index export: per term, document frequency and the full
     * posting list (parallel doc-id / tf arrays, doc-id-sorted) — the
     * materialized search-index table [[bm25TopK]] would probe at serving
@@ -486,7 +543,39 @@ object TextOps {
       wordCol: String,
       freqCol: String,
       rounds: Int
+  ): org.apache.spark.sql.DataFrame = bpeTrainCore(words, wordCol, freqCol, rounds)._1
+
+  /** The segmentation [[bpeTrain]]'s learned merges induce on the training
+    * vocabulary: each word joined from its post-merge symbol sequence —
+    * i.e. the tokenizer APPLICATION step, emitted straight from the
+    * trainer's final state so train and apply cannot drift. Output one
+    * row per word: (word, freq, n_pieces, segmented) with pieces joined
+    * by a space (scalar output — the registered-query contract).
+    */
+  def bpeSegment(
+      words: org.apache.spark.sql.DataFrame,
+      wordCol: String,
+      freqCol: String,
+      rounds: Int
   ): org.apache.spark.sql.DataFrame = {
+    val syms = bpeTrainCore(words, wordCol, freqCol, rounds)._2
+    syms
+      .groupBy(col("word"), col("freq"))
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("sym")))),
+            s => s.getField("sym")),
+          " ").as("segmented"))
+  }
+
+  private def bpeTrainCore(
+      words: org.apache.spark.sql.DataFrame,
+      wordCol: String,
+      freqCol: String,
+      rounds: Int
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, "rounds must be >= 1")
     val spark = words.sparkSession
@@ -532,6 +621,6 @@ object TextOps {
           .localCheckpoint()
       }
     }
-    merges.result().toDF("merge_round", "lhs", "rhs", "pair_count")
+    (merges.result().toDF("merge_round", "lhs", "rhs", "pair_count"), syms)
   }
 }

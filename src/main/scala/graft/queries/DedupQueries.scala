@@ -913,8 +913,65 @@ object DedupQueries extends QuerySet {
              FROM c3),
       canon AS (SELECT doc_id, regexp_replace(u, '/(\\?|$$)', '\\1') AS canonical_url FROM c4)"""
 
+  /** Sorted-neighborhood near-dup pairs
+    * ([[Dedup.sortedNeighborhoodPairs]], 40-char blocking prefix,
+    * window 5, Jaccard ≥ 0.5): the merge/purge screen — sort by prefix,
+    * compare each row with its 5 successors, verify with exact token-set
+    * Jaccard. The oracle replays the total order (ROW_NUMBER over the
+    * same key), the rank-banded candidate set, and the Jaccard
+    * verification from exploded distinct tokens, so the hash match
+    * proves the bucket-replication pairing loses (and invents) nothing
+    * relative to the declarative rank-range join.
+    */
+  val qSortedNeighborhood: GQuery = GQuery(
+    "q_dedup_sorted_neighborhood",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY substr(norm, 1, 40), doc_id) AS BIGINT) AS idx
+        FROM d),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.idx - a.idx AS rank_gap
+        FROM r a JOIN r b ON b.idx - a.idx BETWEEN 1 AND 5),
+      t AS (
+        SELECT DISTINCT doc_id, tk
+        FROM (SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tk
+              FROM documents)
+        WHERE length(tk) > 0),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM t GROUP BY doc_id),
+      inter AS (
+        SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+        FROM p
+        JOIN t ta ON ta.doc_id = p.id_a
+        JOIN t tb ON tb.doc_id = p.id_b AND tb.tk = ta.tk
+        GROUP BY p.id_a, p.id_b),
+      j AS (
+        SELECT p.id_a, p.id_b, CAST(p.rank_gap AS BIGINT) AS rank_gap,
+               round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                     / CAST(sa.nt + sb.nt - COALESCE(i.ni, 0) AS DOUBLE), 6) AS jaccard
+        FROM p
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN sz sa ON sa.doc_id = p.id_a
+        JOIN sz sb ON sb.doc_id = p.id_b
+        WHERE sa.nt + sb.nt - COALESCE(i.ni, 0) > 0)
+      SELECT id_a, id_b, rank_gap, jaccard
+      FROM j WHERE jaccard >= 0.5
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Dedup
+      .sortedNeighborhoodPairs(t(spark, dir).documents, idCol = "doc_id",
+        textCol = "text", prefixLen = 40, window = 5, minJaccard = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
-      qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical)
+      qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical,
+      qSortedNeighborhood)
 }

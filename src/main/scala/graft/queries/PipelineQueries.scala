@@ -567,8 +567,100 @@ object PipelineQueries extends QuerySet {
       .orderBy($"tier")
   }
 
+  /** Fixed-size uniform sample per source
+    * ([[graft.operators.Sampling.reservoirPerGroup]], k = 10): the
+    * distributed, order-free equivalent of reservoir sampling — keep the
+    * k smallest md5-priority rows per group. Deterministic and portable,
+    * so the oracle replays the exact draw, rank included.
+    */
+  val qReservoir: GQuery = GQuery(
+    "q_sample_reservoir",
+    Some("""
+      SELECT doc_id, source, sample_rank FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(doc_id::VARCHAR || ':29'), doc_id) AS BIGINT) AS sample_rank
+        FROM documents)
+      WHERE sample_rank <= 10
+      ORDER BY source, sample_rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Sampling
+      .reservoirPerGroup(t(spark, dir).documents, groupCol = "source",
+        keyCol = "doc_id", k = 10, seed = 29)
+      .select($"doc_id", $"source", $"sample_rank")
+      .orderBy($"source", $"sample_rank")
+  }
+
+  /** DSIR importance resampling ([[graft.operators.TextOps.dsirLogWeights]],
+    * target = English docs, 64 hashed-unigram bins, then keep the top 25%
+    * by weight): the importance-resampling data-selection recipe of Xie
+    * et al. 2023. The oracle replays the ENTIRE pipeline — md5 bucket
+    * assignment, smoothed bin distributions, per-token log-ratio, the
+    * DECIMAL-pinned per-doc sum, and the final rank/keep decision — so
+    * the hash match proves the weights AND the selection. Ranking ties
+    * break on doc_id; the keep threshold is ceil(0.25·n).
+    */
+  val qDsir: GQuery = GQuery(
+    "q_sample_dsir",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang = 'en' AS tgt, tk
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tk
+              FROM documents)
+        WHERE length(tk) > 0),
+      tb AS (
+        SELECT doc_id, tgt,
+               ('0x' || substr(md5(tk || ':41'), 1, 8))::BIGINT % 64 AS bucket
+        FROM tok),
+      cnts AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS cr,
+               CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        FROM tb GROUP BY bucket),
+      tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM cnts),
+      llr AS (
+        SELECT bucket,
+               ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+             - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)) AS llr
+        FROM cnts, tot),
+      w AS (
+        SELECT tb.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(CAST(llr.llr AS DECIMAL(38,6))) AS DOUBLE) AS log_weight
+        FROM tb JOIN llr USING (bucket)
+        GROUP BY tb.doc_id),
+      r AS (
+        SELECT doc_id, n_toks, round(log_weight, 6) AS log_weight,
+               CAST(ROW_NUMBER() OVER (ORDER BY round(log_weight, 6) DESC, doc_id) AS BIGINT) AS sel_rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM w)
+      SELECT doc_id, n_toks, log_weight, sel_rank,
+             sel_rank <= CAST(ceil(0.25 * CAST(n AS DOUBLE)) AS BIGINT) AS selected
+      FROM r ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = graft.operators.TextOps
+      .dsirLogWeights(t(spark, dir).documents, idCol = "doc_id", textCol = "text",
+        isTarget = $"lang" === "en", buckets = 64, seed = 41)
+    // global weight ranking: a top-k over a 2-column weight table — the
+    // one intentionally-global window in this pipeline (docs-count rows,
+    // not corpus bytes)
+    val win = Window.orderBy($"log_weight".desc, $"doc_id")
+    w.withColumn("log_weight", round($"log_weight", 6))
+      .withColumn("sel_rank", row_number().over(win).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"doc_id", $"n_toks", $"log_weight", $"sel_rank",
+        ($"sel_rank" <= ceil(lit(0.25) * $"n".cast("double")).cast("long")).as("selected"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
     qWeighted, qMix, qTemperature, qNegativePairs, qGlobalIndex, qPackPairs,
-    qDedupCascade)
+    qDedupCascade, qReservoir, qDsir)
 }

@@ -693,7 +693,66 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Two-sample Kolmogorov–Smirnov test (click vs purchase event values) —
+    * the standard nonparametric drift detector for CONTINUOUS metrics,
+    * complementing [[qChi2]]'s categorical screen. Exact formulation:
+    * per-distinct-value counts for both samples (one shuffle, bounded by
+    * distinct values, not rows), cumulative counts via a window over the
+    * distinct-value table, D = max |F1 − F2|. Every per-row division is
+    * one fixed IEEE chain on identical integer counts, so the max — and
+    * the derived scaled statistic √(n1·n2/(n1+n2))·D — replays exactly
+    * in the oracle. Scale note: the window orders the DISTINCT-value
+    * table (already aggregated); for metrics with unbounded cardinality
+    * the production path is the same plan over quantile-bucketed values.
+    */
+  val qKsTest: GQuery = GQuery(
+    "q_stat_ks",
+    Some("""
+      WITH f AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
+      c AS (
+        SELECT CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+        FROM f),
+      tot AS (SELECT MAX(cum1) AS n1, MAX(cum2) AS n2 FROM c),
+      d AS (
+        SELECT round(MAX(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS ks_d
+        FROM c, tot)
+      SELECT tot.n1, tot.n2, d.ks_d,
+             round(sqrt(CAST(tot.n1 * tot.n2 AS DOUBLE)
+                        / CAST(tot.n1 + tot.n2 AS DOUBLE)) * d.ks_d, 6) AS ks_stat
+      FROM tot, d""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events
+      .filter($"event_type".isin("click", "purchase"))
+    val f = e.groupBy($"value").agg(
+      sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+      sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
+    // window over the per-distinct-value table (bounded), not the raw rows
+    val win = Window.orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = f.select(
+      sum($"c1").over(win).as("cum1"),
+      sum($"c2").over(win).as("cum2"))
+    val tot = c.agg(max($"cum1").as("n1"), max($"cum2").as("n2"))
+    c.crossJoin(broadcast(tot))
+      .agg(
+        max($"n1").as("n1"),
+        max($"n2").as("n2"),
+        round(max(abs($"cum1".cast("double") / $"n1".cast("double")
+                    - $"cum2".cast("double") / $"n2".cast("double"))), 6).as("ks_d"))
+      .select($"n1", $"n2", $"ks_d",
+        round(sqrt(($"n1" * $"n2").cast("double") / ($"n1" + $"n2").cast("double"))
+          * $"ks_d", 6).as("ks_stat"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
-      qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity)
+      qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
+      qKsTest)
 }

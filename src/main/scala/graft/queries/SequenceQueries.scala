@@ -821,8 +821,114 @@ object SequenceQueries extends QuerySet {
       .orderBy($"event_type", $"day")
   }
 
+  /** Neighborhood Jaccard per co-purchase edge
+    * ([[graft.operators.Graphs.neighborJaccard]]) — the link-prediction /
+    * graph-sparsification score. The oracle replays edge building, the
+    * weight cut, symmetrization, wedge-join common-neighbor counting and
+    * the one IEEE division, so every edge's score hash-matches.
+    */
+  val qGraphNeighborJaccard: GQuery = GQuery(
+    "q_graph_neighbor_jaccard",
+    Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS w
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2),
+      e2 AS (SELECT src, dst FROM e WHERE w >= 2),
+      sym AS (SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+      cn AS (SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS ni
+             FROM e2 e
+             JOIN sym sa ON sa.src = e.src
+             JOIN sym sb ON sb.src = e.dst AND sb.dst = sa.dst
+             GROUP BY e.src, e.dst)
+      SELECT e.src, e.dst,
+             COALESCE(cn.ni, 0) AS n_common,
+             round(CAST(COALESCE(cn.ni, 0) AS DOUBLE)
+                   / CAST(da.deg + db.deg - COALESCE(cn.ni, 0) AS DOUBLE), 6) AS jaccard
+      FROM e2 e
+      JOIN deg da ON da.node = e.src
+      JOIN deg db ON db.node = e.dst
+      LEFT JOIN cn ON cn.src = e.src AND cn.dst = e.dst
+      ORDER BY e.src, e.dst""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+    graft.operators.Graphs
+      .neighborJaccard(edges)
+      .orderBy($"src", $"dst")
+  }
+
+  /** Classical additive seasonal decomposition of the daily event-value
+    * series (trend = centered 7-day moving average, seasonal = centered
+    * day-of-week means of the detrended series, residual = the rest) —
+    * the standard drift/seasonality screen for ingest-volume and metric
+    * monitoring. Every aggregate is DECIMAL-pinned (order-insensitive)
+    * and every derived value one fixed IEEE chain, so trend, seasonal
+    * index and residual all hash-match. Scale shape: one corpus-scale
+    * groupBy to the DAILY table; every window/aggregate after that runs
+    * on day-count rows, not events.
+    */
+  val qSeasonalDecompose: GQuery = GQuery(
+    "q_ts_seasonal_decompose",
+    Some("""
+      WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, value FROM events),
+      daily AS (SELECT day, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+                FROM ev GROUP BY day),
+      tr AS (SELECT day, v,
+                    CASE WHEN COUNT(*) OVER w = 7
+                         THEN CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                              / CAST(7 AS DOUBLE) END AS trend
+             FROM daily
+             WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      sr AS (SELECT day % 7 AS dow,
+                    CAST(SUM(CAST(v - trend AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) AS s_raw
+             FROM tr WHERE trend IS NOT NULL GROUP BY 1),
+      m AS (SELECT CAST(SUM(CAST(s_raw AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS m FROM sr),
+      seas AS (SELECT dow, s_raw - m.m AS s FROM sr, m)
+      SELECT t.day, t.day % 7 AS dow,
+             round(t.v, 6) AS daily_value,
+             round(t.trend, 6) AS trend,
+             round(se.s, 6) AS seasonal,
+             round(t.v - t.trend - se.s, 6) AS residual
+      FROM tr t JOIN seas se ON se.dow = t.day % 7
+      ORDER BY t.day""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"), $"value")
+      .groupBy($"day")
+      .agg(dsum($"value").as("v"))
+    // all downstream windows/aggregates run on the day-count table
+    val w = Window.orderBy($"day").rowsBetween(-3, 3)
+    val tr = daily.withColumn("trend",
+      when(count(lit(1)).over(w) === 7,
+        sum($"v".cast(Common.D)).over(w).cast("double") / lit(7.0).cast("double")))
+    val sr = tr.filter($"trend".isNotNull)
+      .groupBy(($"day" % 7).as("dow"))
+      .agg((sum(($"v" - $"trend").cast(Common.D)).cast("double")
+        / count(lit(1)).cast("double")).as("s_raw"))
+    val m = sr.agg((sum($"s_raw".cast(Common.D)).cast("double")
+      / count(lit(1)).cast("double")).as("m"))
+    val seas = sr.crossJoin(broadcast(m)).select($"dow", ($"s_raw" - $"m").as("s"))
+    tr.withColumn("dow", $"day" % 7)
+      .join(broadcast(seas), "dow")
+      .select($"day", $"dow",
+        round($"v", 6).as("daily_value"),
+        round($"trend", 6).as("trend"),
+        round($"s", 6).as("seasonal"),
+        round($"v" - $"trend" - $"s", 6).as("residual"))
+      .orderBy($"day")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
-      qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian)
+      qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
+      qGraphNeighborJaccard, qSeasonalDecompose)
 }

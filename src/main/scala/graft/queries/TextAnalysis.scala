@@ -1099,25 +1099,36 @@ object TextAnalysis extends QuerySet {
     * proves each learned merge AND its count. Round CTEs are generated
     * programmatically (one formulation, six instantiations).
     */
-  val qBpeTrain: GQuery = {
-    val nRounds = 6
-    val roundCtes = (1 to nRounds).map { i =>
+  private val bpeRounds = 6
+
+  /** Shared oracle prelude for the BPE queries: top-200 vocab, character
+    * split, and `bpeRounds` merge rounds — each round's CTEs replay the
+    * lead-window pair counts, fully tie-broken argmax, and the
+    * left-to-right non-overlapping merge application via the same
+    * run-grouping windows as the engine. Ends with `syms$bpeRounds`.
+    */
+  private val bpeOracleWith: String = {
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // several times, and DuckDB's default CTE inlining would re-expand the
+    // whole chain per reference — exponential in rounds (observed: the
+    // un-hinted 6-round chain never finishes even at sf0.001)
+    val roundCtes = (1 to bpeRounds).map { i =>
       s"""
-      wn$i AS (SELECT word, freq, pos, sym,
+      wn$i AS MATERIALIZED (SELECT word, freq, pos, sym,
                       lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
                FROM syms${i - 1}),
-      pc$i AS (SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+      pc$i AS MATERIALIZED (SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
                FROM wn$i WHERE nxt IS NOT NULL GROUP BY sym, nxt),
-      best$i AS (SELECT lhs, rhs, cnt FROM pc$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-      cand$i AS (SELECT w.word, w.pos,
+      best$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM pc$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      cand$i AS MATERIALIZED (SELECT w.word, w.pos,
                         ROW_NUMBER() OVER (PARTITION BY w.word ORDER BY w.pos) AS rn
                  FROM wn$i w, best$i b WHERE w.sym = b.lhs AND w.nxt = b.rhs),
-      app$i AS (SELECT word, pos FROM (
+      app$i AS MATERIALIZED (SELECT word, pos FROM (
                   SELECT word, pos,
                          ROW_NUMBER() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS k
                   FROM cand$i)
                 WHERE (k - 1) % 2 = 0),
-      syms$i AS (SELECT s.word, s.freq,
+      syms$i AS MATERIALIZED (SELECT s.word, s.freq,
                         ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS pos,
                         CASE WHEN a.pos IS NOT NULL THEN b.lhs || b.rhs ELSE s.sym END AS sym
                  FROM syms${i - 1} s
@@ -1126,13 +1137,8 @@ object TextAnalysis extends QuerySet {
                  LEFT JOIN app$i c ON s.word = c.word AND s.pos = c.pos + 1
                  WHERE c.pos IS NULL)"""
     }.mkString(",")
-    val finalSelect = (1 to nRounds).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_round, lhs, rhs, cnt AS pair_count FROM best$i"
-    }.mkString("\n      UNION ALL ")
-    GQuery(
-      "q_text_bpe_train",
-      Some(s"""
-      WITH vocab AS (
+    s"""
+      WITH vocab AS MATERIALIZED (
         SELECT w AS word, COUNT(*) AS freq
         FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
               FROM documents)
@@ -1140,28 +1146,75 @@ object TextAnalysis extends QuerySet {
         GROUP BY w
         ORDER BY freq DESC, word
         LIMIT 200),
-      widx AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM vocab),
-      syms0 AS (SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym FROM widx),$roundCtes
+      widx AS MATERIALIZED (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM vocab),
+      syms0 AS MATERIALIZED (SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym FROM widx),$roundCtes"""
+  }
+
+  /** The engine-side top-200 word-frequency table both BPE queries train on. */
+  private def bpeVocab(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    t(spark, dir).documents
+      .select(explode(graft.operators.TextOps.tokens($"text")).as("word"))
+      .where(length($"word") > 0)
+      .groupBy($"word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"word")
+      .limit(200)
+  }
+
+  /** BPE merge training ([[graft.operators.TextOps.bpeTrain]], 6 rounds
+    * over the top-200 word-frequency table): the tokenizer-training op.
+    * The oracle replays every round — lead-window pair counts, fully
+    * tie-broken argmax, and the left-to-right non-overlapping merge
+    * application via the same run-grouping windows — so the hash match
+    * proves each learned merge AND its count. Round CTEs are generated
+    * programmatically (one formulation, six instantiations).
+    */
+  val qBpeTrain: GQuery = {
+    val finalSelect = (1 to bpeRounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, lhs, rhs, cnt AS pair_count FROM best$i"
+    }.mkString("\n      UNION ALL ")
+    GQuery(
+      "q_text_bpe_train",
+      Some(s"""$bpeOracleWith
       $finalSelect
       ORDER BY merge_round""")
     ) { (spark, dir) =>
       import spark.implicits._
-      import graft.operators.TextOps
-      val vocab = t(spark, dir).documents
-        .select(explode(TextOps.tokens($"text")).as("word"))
-        .where(length($"word") > 0)
-        .groupBy($"word")
-        .agg(count(lit(1)).as("freq"))
-        .orderBy($"freq".desc, $"word")
-        .limit(200)
-      TextOps.bpeTrain(vocab, "word", "freq", rounds = 6)
+      graft.operators.TextOps
+        .bpeTrain(bpeVocab(spark, dir), "word", "freq", rounds = bpeRounds)
         .orderBy($"merge_round")
     }
+  }
+
+  /** BPE application ([[graft.operators.TextOps.bpeSegment]]): the
+    * segmentation the 6 learned merges induce on the training vocabulary —
+    * one row per word with its piece count and space-joined pieces,
+    * emitted straight from the trainer's final symbol state so train and
+    * apply cannot drift. The oracle aggregates the same replayed
+    * `syms$bpeRounds` table, so the hash match proves the full segmented
+    * form of every word, not just merge identities.
+    */
+  val qBpeApply: GQuery = GQuery(
+    "q_text_bpe_apply",
+    Some(s"""$bpeOracleWith
+      SELECT word, CAST(MAX(freq) AS BIGINT) AS freq,
+             CAST(COUNT(*) AS BIGINT) AS n_pieces,
+             string_agg(sym, ' ' ORDER BY pos) AS segmented
+      FROM syms$bpeRounds
+      GROUP BY word
+      ORDER BY word""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.TextOps
+      .bpeSegment(bpeVocab(spark, dir), "word", "freq", rounds = bpeRounds)
+      .select($"word", $"freq", $"n_pieces", $"segmented")
+      .orderBy($"word")
   }
 
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
-      qGopherRules, qBpeTrain)
+      qGopherRules, qBpeTrain, qBpeApply)
 }

@@ -95,4 +95,26 @@ class DedupEdgeSpec extends SparkSpec {
     assert(comp.map(_.getAs[Long]("component")).toSet == Set(1L))
     assert(comp.map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
   }
+
+  test("sortedNeighborhood: clones pair within window; far-apart ranks never pair; empty/single safe") {
+    for (df <- Seq(empty, single)) {
+      assert(Dedup.sortedNeighborhoodPairs(df, "doc_id", "text", 40, 5, 0.5).count() == 0)
+    }
+    // 3 clones sort adjacent: all 3 pairs at jaccard 1, rank_gap <= 2
+    val p = Dedup.sortedNeighborhoodPairs(clones, "doc_id", "text", 40, 5, 0.5).collect()
+    assert(p.length == 3, s"expected 3 clone pairs, got ${p.length}")
+    assert(p.forall(_.getAs[Double]("jaccard") == 1.0))
+    assert(p.forall(_.getAs[Long]("rank_gap") <= 2L))
+    // identical texts more than `window` ranks apart do NOT pair (the
+    // method's documented miss) — distinct prefixes force rank distance
+    val spread = Seq(
+      (1L, "aaa common tail words here"),
+      (2L, "bbb filler one"), (3L, "ccc filler two"), (4L, "ddd filler three"),
+      (5L, "zzz common tail words here")
+    ).toDF("doc_id", "text")
+    val sp = Dedup.sortedNeighborhoodPairs(spread, "doc_id", "text", 40, 2, 0.5)
+      .select($"id_a".as[Long], $"id_b".as[Long]).collect().toSet
+    assert(!sp.contains((1L, 5L)),
+      "pair beyond the rank window should be missed by construction")
+  }
 }

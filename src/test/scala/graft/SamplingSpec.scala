@@ -200,4 +200,46 @@ class SamplingSpec extends SparkSpec {
       .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
     assert(a == expected, "order disagrees with the seeded md5 total order")
   }
+
+  test("reservoirPerGroup: exactly k per group, ranks 1..k, repartition-invariant") {
+    val docs = Tables(spark, sf).documents
+    val out = Sampling.reservoirPerGroup(docs, "source", "doc_id", k = 7, seed = 5)
+    val perGroup = out.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val groupSizes = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    groupSizes.foreach { case (g, n) =>
+      assert(perGroup(g) == math.min(7L, n), s"group $g drew ${perGroup(g)} of $n")
+    }
+    val ranks = out.filter($"source" === "src0")
+      .select($"sample_rank".as[Long]).collect().sorted.toSeq
+    assert(ranks == (1L to ranks.size).toSeq, "ranks not contiguous 1..k")
+    val a = out.select($"doc_id".as[Long]).collect().toSet
+    val b = Sampling.reservoirPerGroup(docs.repartition(7), "source", "doc_id", 7, 5)
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(a == b, "draw changed under repartitioning")
+    // a different seed draws a different sample
+    val c = Sampling.reservoirPerGroup(docs, "source", "doc_id", 7, seed = 6)
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(a != c, "seed does not influence the draw")
+  }
+
+  test("dsirLogWeights: target-like docs score higher; repartition-invariant") {
+    val docs = Tables(spark, sf).documents
+    val w = graft.operators.TextOps
+      .dsirLogWeights(docs, "doc_id", "text", isTarget = $"lang" === "en",
+        buckets = 64, seed = 41)
+    val byLang = w.join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang" === "en")
+      .agg(org.apache.spark.sql.functions.avg($"log_weight" / $"n_toks").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    // per-token importance of English docs must exceed the rest — the
+    // whole point of the estimator
+    assert(byLang(true) > byLang(false),
+      s"target mean ${byLang(true)} not above raw mean ${byLang(false)}")
+    val a = w.select($"doc_id".as[Long], $"log_weight".as[Double]).collect().toMap
+    val b = graft.operators.TextOps
+      .dsirLogWeights(docs.repartition(7), "doc_id", "text",
+        isTarget = $"lang" === "en", buckets = 64, seed = 41)
+      .select($"doc_id".as[Long], $"log_weight".as[Double]).collect().toMap
+    assert(a == b, "weights changed under repartitioning")
+  }
 }
