@@ -752,10 +752,16 @@ object Dedup {
     val prefix = ranked
       .join(sizes, "id")
       .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("id"), col("s"))
+      .select(col("id"), col("s"), col("n"))
       .localCheckpoint()
+    // size filter (lossless): J(a,b) >= t implies min(na,nb) >= t*max(na,nb),
+    // so both n-bounds hold for every surviving pair — pruning candidates
+    // inside the posting join, before the pair-distinct shuffle
     val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double") &&
+          col("b.n").cast("double") >= lit(threshold) * col("a.n").cast("double"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // Exact verify: shared-shingle count restricted to candidate pairs.

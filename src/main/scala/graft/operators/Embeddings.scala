@@ -94,4 +94,81 @@ object Embeddings {
       )
     }: _*)
   }
+
+  /** Top principal component by fixed-round power iteration — distributed
+    * PCA in its 100 TB shape: ONE corpus-scale pass builds the d×d
+    * second-moment table (row-local d² expansion with map-side combine,
+    * so the shuffle carries d² rows total, not n·d²), the d×d matrix is
+    * collected (bounded — the codebook pattern), the power iteration runs
+    * driver-side on d doubles, and the learned direction broadcasts back
+    * as a literal for a row-local projection pass.
+    *
+    * Deterministic to the bit across engines and partitionings: every
+    * unordered sum (covariance entries, mat-vec components, norms, the
+    * final projections) goes through floor(x·10^s) FIXED-POINT longs —
+    * exact integer addition, order-insensitive (the
+    * [[Graphs.pagerank]] trick) — and everything else is one IEEE chain
+    * on identical inputs, so an external oracle can replay all `rounds`
+    * iterations and hash-match every projection. The result is defined
+    * as "`rounds`-round power iteration from v0 = 1/√d", a pure function
+    * of the data — convergence quality is a caller concern.
+    *
+    * @return (idCol, pc1) — each vector's centered projection on the
+    *         learned direction, rounded at 6dp
+    */
+  def pcaTopComponent(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      rounds: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(dim > 0 && rounds >= 1, "pcaTopComponent: need dim > 0, rounds >= 1")
+    import org.apache.spark.sql.types.DecimalType
+    val x = df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+    // per-dim mean: bounded d-row aggregate, DECIMAL-pinned, collected
+    val mu: Array[Double] = x
+      .select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg((sum(col("xi").cast(DecimalType(38, 6))).cast("double")
+        / count(lit(1)).cast("double")).as("m"))
+      .orderBy(col("i"))
+      .select(col("m")).collect().map(_.getDouble(0))
+    require(mu.length == dim, s"vectors are ${mu.length}-dim, caller said $dim")
+    val muLit = array(mu.map(lit): _*)
+    // centered vectors as a MATERIALIZED column (a lambda-captured
+    // centering tree would be re-evaluated d² times per row below)
+    val cent = x.select(col(idCol),
+      zip_with(col("v"), muLit, (a, b) => a - b).as("c"))
+    // d² fixed-point covariance sums in one pass; inner lambda touches
+    // only the bound column and lambda variables
+    val covFp: Map[Int, Long] = cent
+      .select(explode(flatten(transform(col("c"), (xi, i) =>
+        transform(col("c"), (xj, j) =>
+          struct((i * dim + j).as("k"),
+            floor(xi * xj * lit(1e9)).cast("long").as("t")))))).as("kt"))
+      .groupBy(col("kt.k").as("k"))
+      .agg(sum(col("kt.t")).as("s"))
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[Long]("s")).toMap
+    val n = x.count().toDouble
+    def cov(i: Int, j: Int): Double = covFp.getOrElse(i * dim + j, 0L) / 1e9 / n
+    // driver power iteration; every d-term sum fixed-point-pinned
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to rounds) {
+      val t = Array.tabulate(dim) { i =>
+        (0 until dim).map(j => math.floor(cov(i, j) * v(j) * 1e12).toLong).sum / 1e12
+      }
+      val nrm = math.sqrt(
+        (0 until dim).map(i => math.floor(t(i) * t(i) * 1e12).toLong).sum / 1e12)
+      require(nrm > 0, "power iteration collapsed to the zero vector")
+      v = t.map(_ / nrm)
+    }
+    val vLit = array(v.map(lit): _*)
+    cent.select(col(idCol),
+      round(
+        aggregate(
+          zip_with(col("c"), vLit, (c, w) => floor(c * w * lit(1e12)).cast("long")),
+          lit(0L), (acc, t) => acc + t).cast("double") / lit(1e12),
+        6).as("pc1"))
+  }
 }

@@ -886,7 +886,69 @@ object SimilarityQueries extends QuerySet {
     }
   }
 
+  /** Distributed PCA ([[graft.operators.Embeddings.pcaTopComponent]],
+    * 6-round power iteration, 64 dims): one corpus pass builds the d²
+    * fixed-point moment table, the iteration runs on the collected d×d
+    * matrix, the direction broadcasts back for row-local projection. The
+    * oracle replays EVERYTHING — per-dim means, the floor(·10⁹) covariance
+    * sums, all six mat-vec/normalize rounds at floor(·10¹²), and each
+    * vector's pinned projection — so the hash match proves the whole
+    * eigensolver, not just its output shape. Every round CTE is
+    * MATERIALIZED (iterative-chain rule).
+    */
+  val qPca: GQuery = {
+    val pcaRounds = 6
+    val roundCtes = (1 to pcaRounds).map { r =>
+      s"""
+      t$r AS MATERIALIZED (
+        SELECT c.i,
+               CAST(SUM(CAST(floor(c.val * v.val * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS val
+        FROM c JOIN v${r - 1} v ON v.i = c.j GROUP BY c.i),
+      n$r AS MATERIALIZED (
+        SELECT sqrt(CAST(SUM(CAST(floor(val * val * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM t$r),
+      v$r AS MATERIALIZED (SELECT i, val / n$r.nrm AS val FROM t$r, n$r)"""
+    }.mkString(",")
+    GQuery(
+      "q_embed_pca",
+      Some(s"""
+      WITH x AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings),
+      mu AS MATERIALIZED (
+        SELECT i.i - 1 AS i,
+               CAST(SUM(CAST(x.v[i.i] AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM x, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+        GROUP BY 1),
+      cent AS MATERIALIZED (
+        SELECT x.vec_id, i.i - 1 AS i, x.v[i.i] - mu.m AS c
+        FROM x, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+        JOIN mu ON mu.i = i.i - 1),
+      cov AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(CAST(floor(a.c * b.c * 1e9) AS BIGINT)) AS BIGINT) AS s
+        FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM x),
+      c AS MATERIALIZED (SELECT i, j, CAST(s AS DOUBLE) / 1e9 / nn.n AS val FROM cov, nn),
+      v0 AS MATERIALIZED (
+        SELECT i, CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)) AS val FROM mu),$roundCtes
+      SELECT cent.vec_id,
+             round(CAST(SUM(CAST(floor(cent.c * v.val * 1e12) AS BIGINT)) AS DOUBLE) / 1e12,
+                   6) AS pc1
+      FROM cent JOIN v$pcaRounds v ON v.i = cent.i
+      GROUP BY cent.vec_id
+      ORDER BY vec_id""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Embeddings
+        .pcaTopComponent(t(spark, dir).embeddings, "vec_id", "embedding",
+          dim = 64, rounds = pcaRounds)
+        .orderBy($"vec_id")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
-      qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr)
+      qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr, qPca)
 }

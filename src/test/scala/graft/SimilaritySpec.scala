@@ -470,4 +470,29 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r._1, r._3.toLong, r._2)).toSet
     assert(flat == topk, "lambda=1 MMR must equal relevance top-k")
   }
+
+  test("pcaTopComponent: repartition-invariant, near-zero-mean projections, captures dominant spread") {
+    import graft.operators.Embeddings
+    val a = Embeddings.pcaTopComponent(emb, "vec_id", "embedding", dim = 64, rounds = 6)
+      .as[(Long, Double)].collect().toMap
+    val b = Embeddings.pcaTopComponent(emb.repartition(7), "vec_id", "embedding", 64, 6)
+      .as[(Long, Double)].collect().toMap
+    assert(a == b, "projections changed under repartitioning")
+    // centered data on a unit direction: projection mean ~ 0 (fixed-point
+    // pinning perturbs at 1e-12 per term, so loose bound)
+    val mean = a.values.sum / a.size
+    assert(math.abs(mean) < 1e-3, s"projection mean $mean not ~0")
+    // PC1 variance must be >= the variance of every RAW coordinate (the
+    // dominant direction beats any axis-aligned one)
+    val projVar = a.values.map(v => v * v).sum / a.size - mean * mean
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    val axisVars = (0 until 64).map { d =>
+      val m = vecs.map(_(d)).sum / n
+      vecs.map(x => (x(d) - m) * (x(d) - m)).sum / n
+    }
+    assert(projVar >= axisVars.max * 0.99,
+      s"pc1 variance $projVar below best axis ${axisVars.max}")
+  }
 }
