@@ -871,4 +871,79 @@ object Similarity {
     }
     selected
   }
+
+  /** Distributed Lloyd's k-means over the FULL corpus — the complement of
+    * the sampled driver-side codebook builds ([[pqCodebooks]]/[[ivfTopK]])
+    * for when cluster assignments themselves are the product (SemDeDup
+    * cells, corpus sharding by topic, curriculum buckets). Per round: one
+    * row-local assignment pass (argmin over k centroid literals — each
+    * distance a codegen'd sequential fold, centroids broadcast as
+    * constants, no join), then one (cluster, dim)-keyed aggregation whose
+    * k·d DECIMAL-pinned means collect to the driver (bounded — the
+    * codebook pattern) to become the next round's literals. Empty
+    * clusters keep their previous centroid.
+    *
+    * Fully deterministic and engine-replayable: seeding takes the k
+    * vectors with the smallest md5(id:seed) (portable), assignment
+    * tie-breaks on the lower cluster index via lexicographic
+    * (dist, j) struct-min, and every mean is order-insensitive through
+    * DECIMAL(38,6) — so an oracle can replay all rounds and hash-match
+    * every final assignment and distance.
+    *
+    * @return (idCol, cluster, dist) — post-final-update assignment, dist
+    *         = squared distance to the assigned centroid rounded at 6dp
+    */
+  def kmeansLloyd(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      rounds: Int,
+      seed: Int
+  ): DataFrame = {
+    require(k >= 1 && rounds >= 1 && dim >= 1, "kmeansLloyd: bad k/rounds/dim")
+    import org.apache.spark.sql.types.DecimalType
+    val x = df
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+      .localCheckpoint()
+    var cents: Array[Array[Double]] = x
+      .withColumn("pr", md5(concat(col("id").cast("string"), lit(s":$seed"))))
+      .orderBy(col("pr"), col("id"))
+      .limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cents.length == k, s"need at least $k vectors to seed")
+    // (dist, j) struct array; array_min is lexicographic, so ties go to
+    // the lower cluster index
+    def assign(c: Array[Array[Double]]) = {
+      val dj = array(c.zipWithIndex.map { case (cent, j) =>
+        val cLit = array(cent.map(lit): _*)
+        struct(
+          aggregate(zip_with(col("v"), cLit, (xv, m) => (xv - m) * (xv - m)),
+            lit(0.0), (acc, t) => acc + t).as("d"),
+          lit(j).as("j"))
+      }: _*)
+      x.withColumn("mm", array_min(dj))
+        .select(col("id"), col("v"),
+          col("mm.j").as("cl"), col("mm.d").as("dist"))
+    }
+    for (_ <- 1 to rounds) {
+      val means = assign(cents)
+        .select(col("cl"), posexplode(col("v")).as(Seq("dim", "xv")))
+        .groupBy(col("cl"), col("dim"))
+        .agg((sum(col("xv").cast(DecimalType(38, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("m"))
+        .collect()
+        .map(r => (r.getAs[Int]("cl"), r.getAs[Int]("dim")) -> r.getAs[Double]("m"))
+        .toMap
+      cents = Array.tabulate(k) { j =>
+        if (means.contains((j, 0))) Array.tabulate(dim)(d => means((j, d)))
+        else cents(j) // empty cluster: carry the previous centroid
+      }
+    }
+    assign(cents)
+      .select(col("id").as(idCol), col("cl").cast("long").as("cluster"),
+        round(col("dist"), 6).as("dist"))
+  }
 }

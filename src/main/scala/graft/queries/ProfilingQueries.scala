@@ -751,8 +751,77 @@ object ProfilingQueries extends QuerySet {
           * $"ks_d", 6).as("ks_stat"))
   }
 
+  /** Mann–Whitney U rank-sum test (click vs purchase values) — the
+    * median-shift companion to [[qKsTest]]'s shape test. Average ranks
+    * come from per-distinct-value cumulative counts (rank sums are exact:
+    * every term is a multiple of 0.5, so the double sum has no rounding
+    * and is order-insensitive without a decimal detour); the tie-corrected
+    * normal approximation z = (U1 − n1n2/2)/σ is one fixed IEEE chain on
+    * those exact sums. Same scale shape as KS: one value-keyed shuffle,
+    * then windows over the distinct-value table only.
+    */
+  val qMannWhitney: GQuery = GQuery(
+    "q_stat_mannwhitney",
+    Some("""
+      WITH f AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
+      c AS (
+        SELECT c1, c2, c1 + c2 AS cnt,
+               CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        FROM f),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM f),
+      r AS (
+        SELECT CAST(SUM(CAST(c1 AS DOUBLE)
+                       * (CAST(cumb AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1) / 2)) AS DOUBLE) AS r1,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+        FROM c)
+      SELECT tot.n1, tot.n2,
+             round(r.r1 - CAST(tot.n1 AS DOUBLE) * (CAST(tot.n1 AS DOUBLE) + 1) / 2, 6) AS u1,
+             round(CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)
+                   - (r.r1 - CAST(tot.n1 AS DOUBLE) * (CAST(tot.n1 AS DOUBLE) + 1) / 2), 6) AS u2,
+             round(((r.r1 - CAST(tot.n1 AS DOUBLE) * (CAST(tot.n1 AS DOUBLE) + 1) / 2)
+                    - CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE) / 2)
+                   / sqrt(CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE) / 12
+                          * ((CAST(tot.n1 + tot.n2 AS DOUBLE) + 1)
+                             - CAST(r.tie AS DOUBLE)
+                               / (CAST(tot.n1 + tot.n2 AS DOUBLE)
+                                  * (CAST(tot.n1 + tot.n2 AS DOUBLE) - 1)))), 6) AS z
+      FROM tot, r""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val f = t(spark, dir).events
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy($"value").agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
+    val win = Window.orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = f.select($"c1", $"c2", ($"c1" + $"c2").as("cnt"),
+      coalesce(sum($"c1" + $"c2").over(win), lit(0L)).as("cumb"))
+    val tot = f.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val r = c.agg(
+      sum($"c1".cast("double")
+        * ($"cumb".cast("double") + ($"cnt".cast("double") + 1) / 2)).as("r1"),
+      sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie"))
+    val n1d = $"n1".cast("double")
+    val n2d = $"n2".cast("double")
+    val nd  = ($"n1" + $"n2").cast("double")
+    val u1  = $"r1" - n1d * (n1d + 1) / 2
+    tot.crossJoin(r)
+      .select($"n1", $"n2",
+        round(u1, 6).as("u1"),
+        round(n1d * n2d - u1, 6).as("u2"),
+        round((u1 - n1d * n2d / 2)
+          / sqrt(n1d * n2d / 12
+            * ((nd + 1) - $"tie".cast("double") / (nd * (nd - 1)))), 6).as("z"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
-      qKsTest)
+      qKsTest, qMannWhitney)
 }

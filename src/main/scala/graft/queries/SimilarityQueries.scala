@@ -948,7 +948,74 @@ object SimilarityQueries extends QuerySet {
     }
   }
 
+  /** Distributed Lloyd's k-means ([[Similarity.kmeansLloyd]], k = 8,
+    * 3 rounds, 64 dims): full-corpus clustering where the ASSIGNMENTS are
+    * the product. The oracle replays everything — md5-seeded init, each
+    * round's argmin assignment (sequential-fold distances, (dist, j)
+    * tie-break), the DECIMAL-pinned per-dim centroid means, empty-cluster
+    * carry — so the hash match proves all three Lloyd iterations, per
+    * vector. Round CTEs MATERIALIZED (iterative-chain rule).
+    */
+  val qKmeans: GQuery = {
+    val km = 3 // Lloyd rounds
+    val roundCtes = (1 to km).map { r =>
+      s"""
+      a$r AS MATERIALIZED (
+        SELECT vec_id, j, dist FROM (
+          SELECT vec_id, j, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+          FROM (SELECT x.vec_id, c.j,
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))) AS dist
+                FROM x, c${r - 1} c))
+        WHERE rk = 1),
+      m$r AS MATERIALIZED (
+        SELECT a.j, g.i - 1 AS dim,
+               CAST(SUM(CAST(x.v[g.i] AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM a$r a JOIN x ON x.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g
+        GROUP BY 1, 2),
+      c$r AS MATERIALIZED (
+        SELECT p.j, COALESCE(nl.cv, p.cv) AS cv
+        FROM c${r - 1} p
+        LEFT JOIN (SELECT j, list(m ORDER BY dim) AS cv FROM m$r GROUP BY j) nl
+          ON nl.j = p.j)"""
+    }.mkString(",")
+    GQuery(
+      "q_cluster_kmeans",
+      Some(s"""
+      WITH x AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR || ':17'), vec_id) - 1 AS j,
+               v AS cv
+        FROM x
+        ORDER BY md5(vec_id::VARCHAR || ':17'), vec_id
+        LIMIT 8),$roundCtes
+      SELECT fin.vec_id, CAST(fin.j AS BIGINT) AS cluster, round(fin.dist, 6) AS dist
+      FROM (
+        SELECT vec_id, j, dist FROM (
+          SELECT vec_id, j, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+          FROM (SELECT x.vec_id, c.j,
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))) AS dist
+                FROM x, c$km c))
+        WHERE rk = 1) fin
+      ORDER BY fin.vec_id""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Similarity
+        .kmeansLloyd(t(spark, dir).embeddings, "vec_id", "embedding",
+          dim = 64, k = 8, rounds = km, seed = 17)
+        .orderBy($"vec_id")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
-      qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr, qPca)
+      qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr, qPca,
+      qKmeans)
 }

@@ -1212,9 +1212,81 @@ object TextAnalysis extends QuerySet {
       .orderBy($"word")
   }
 
+  /** PMI collocation mining: the top-50 adjacent bigrams by pointwise
+    * mutual information ln(p(ab) / (p(a)·p(b))) with support ≥ 5 — the
+    * classic collocation/keyphrase detector (Church & Hanks 1990) and the
+    * statistic behind phrase-aware tokenizer vocabularies. Exact integer
+    * counts from one corpus pass each for unigrams and bigrams; the PMI
+    * chain is fixed IEEE arithmetic on those counts; ranking ties break
+    * on the bigram string, so the oracle replays counts, scores, and the
+    * final ranking verbatim. Scale: two token-exploded aggregations and
+    * one broadcast-joined scoring pass over the (bounded) bigram table;
+    * the top-k is a global sort of scored BIGRAMS, not the corpus.
+    */
+  val qPmi: GQuery = GQuery(
+    "q_text_pmi",
+    Some("""
+      WITH tk AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+        FROM documents),
+      uni AS (
+        SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM (SELECT unnest(ts) AS t FROM tk) WHERE length(t) > 0 GROUP BY t),
+      bi AS (
+        SELECT a || ' ' || b AS bigram, a, b, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM (SELECT ts[i] AS a, ts[i+1] AS b
+              FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g)
+        WHERE length(a) > 0 AND length(b) > 0
+        GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT CAST((SELECT SUM(cu) FROM uni) AS BIGINT) AS tu,
+               CAST((SELECT SUM(cb) FROM bi) AS BIGINT) AS tb),
+      scored AS (
+        SELECT bi.bigram, bi.cb, ua.cu AS c_a, ub.cu AS c_b,
+               round(ln((CAST(bi.cb AS DOUBLE) / CAST(tot.tb AS DOUBLE))
+                        / ((CAST(ua.cu AS DOUBLE) / CAST(tot.tu AS DOUBLE))
+                           * (CAST(ub.cu AS DOUBLE) / CAST(tot.tu AS DOUBLE)))), 6) AS pmi
+        FROM bi JOIN uni ua ON ua.tok = bi.a
+                JOIN uni ub ON ub.tok = bi.b, tot
+        WHERE bi.cb >= 5)
+      SELECT bigram, cb, c_a, c_b, pmi,
+             CAST(rk AS BIGINT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS rk FROM scored)
+      WHERE rk <= 50
+      ORDER BY rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val docs = t(spark, dir).documents.select(toks.as("ts")).localCheckpoint()
+    val uni = docs.select(explode($"ts").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cu"))
+    val bi = docs
+      .select(explode(when(size($"ts") >= 2,
+        transform(sequence(lit(1), size($"ts") - 1),
+          i => struct(element_at($"ts", i).as("a"), element_at($"ts", i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cb"))
+    val tot = uni.agg(sum($"cu").as("tu")).crossJoin(bi.agg(sum($"cb").as("tb")))
+    val scored = bi.filter($"cb" >= 5)
+      .join(uni.select($"tok".as("a"), $"cu".as("c_a")), "a")
+      .join(uni.select($"tok".as("b"), $"cu".as("c_b")), "b")
+      .crossJoin(broadcast(tot))
+      .select(
+        concat($"a", lit(" "), $"b").as("bigram"), $"cb", $"c_a", $"c_b",
+        round(log(($"cb".cast("double") / $"tb".cast("double"))
+          / (($"c_a".cast("double") / $"tu".cast("double"))
+            * ($"c_b".cast("double") / $"tu".cast("double")))), 6).as("pmi"))
+    scored
+      .withColumn("rank", row_number().over(Window.orderBy($"pmi".desc, $"bigram")).cast("long"))
+      .filter($"rank" <= 50)
+      .orderBy($"rank")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
-      qGopherRules, qBpeTrain, qBpeApply)
+      qGopherRules, qBpeTrain, qBpeApply, qPmi)
 }

@@ -495,4 +495,23 @@ class SimilaritySpec extends SparkSpec {
     assert(projVar >= axisVars.max * 0.99,
       s"pc1 variance $projVar below best axis ${axisVars.max}")
   }
+
+  test("kmeansLloyd: total partition, repartition-invariant, objective non-increasing in rounds") {
+    import graft.operators.Similarity
+    val n = emb.count()
+    val a = Similarity.kmeansLloyd(emb, "vec_id", "embedding", 64, k = 8, rounds = 3, seed = 17)
+      .as[(Long, Long, Double)].collect()
+    assert(a.length.toLong == n, "every vector must get exactly one cluster")
+    assert(a.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    val b = Similarity.kmeansLloyd(emb.repartition(7), "vec_id", "embedding", 64, 8, 3, 17)
+      .as[(Long, Long, Double)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq,
+      "clustering changed under repartitioning")
+    // Lloyd monotonicity: the SSE after 3 update rounds cannot exceed the
+    // SSE after 1 (each assignment and each mean step minimizes it)
+    val sse1 = Similarity.kmeansLloyd(emb, "vec_id", "embedding", 64, 8, 1, 17)
+      .as[(Long, Long, Double)].collect().map(_._3).sum
+    val sse3 = a.map(_._3).sum
+    assert(sse3 <= sse1 + 1e-6, s"SSE rose with more rounds: $sse1 -> $sse3")
+  }
 }
