@@ -468,7 +468,41 @@ object SourceQueries extends QuerySet {
       .orderBy($"shard")
   }
 
+  /** WebDataset tar-shard round trip ([[graft.sources.TarShards]]): the
+    * corpus packed into 8 deterministic POSIX ustar archives (the
+    * multimodal-training interchange format), then re-read by the
+    * distributed tar parser (header checksums verified per entry) and
+    * audited per entry. The oracle never sees the tar bytes — it derives
+    * every column (portable shard id, zero-padded entry name, UTF-8 byte
+    * size, payload md5) straight from `documents`, so a hash match proves
+    * the archive round trip preserved membership, naming, sizes, and
+    * content bit-for-bit.
+    */
+  val qWebdataset: GQuery = GQuery(
+    "q_export_webdataset",
+    Some("""
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4))::UBIGINT % 8 AS INT) AS shard,
+             lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS entry,
+             CAST(strlen(text) AS BIGINT) AS size,
+             md5(text) AS payload_md5
+      FROM documents
+      ORDER BY shard, entry""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val scratch = Scratch.dir("wds")
+    graft.sources.TarShards.write(
+      t(spark, dir).documents, keyCol = "doc_id", textCol = "text",
+      n = 8, outDir = scratch.toString, seed = 7L)
+    val res = graft.sources.TarShards.read(spark, scratch.toString)
+      .select($"shard", $"entry", $"size", md5($"payload").as("payload_md5"))
+      .orderBy($"shard", $"entry")
+      .localCheckpoint()
+    Scratch.purge(scratch)
+    res
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qJson, qCsv, qOrc, qXml, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp,
-      qVersioned, qVersionedChanges, qSchemaEvolution, qVersionedRollback, qExportShards)
+      qVersioned, qVersionedChanges, qSchemaEvolution, qVersionedRollback, qExportShards,
+      qWebdataset)
 }

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar shard export: the corpus packed into `n` POSIX
+  * ustar archives, one entry per sample — the de-facto interchange format
+  * for streaming multimodal training data (a trainer reads shard tars
+  * sequentially; no random access, no parquet dependency). The writer is
+  * fully deterministic (fixed mode/uid/mtime, entries sorted by key, the
+  * portable [[ExportShards.shardId]] assignment), so reruns produce
+  * byte-identical shards.
+  *
+  * Reference analog: none — callysto leaves layout to its sinks
+  * (SURVEY §2.3); shard packaging is part of the batch surface a training
+  * pipeline needs.
+  *
+  * Scale shape: one hash shuffle on the shard id, then each task streams
+  * its shard's rows straight to the archive via plain NIO (the
+  * foreachPartition + nio discipline — a dynamic-partition commit of n
+  * files would pay the commit protocol per shard). Headers are 512-byte
+  * blocks; the writer never buffers more than one entry.
+  *
+  * No tar library exists in this container, so the 512-byte ustar header
+  * is emitted field by field (name/mode/uid/gid/size/mtime/checksum/
+  * magic), and [[read]] re-parses it, VERIFYING each header checksum —
+  * the round trip plus the content oracle proves the format end to end.
+  */
+object TarShards {
+
+  private val Block = 512
+
+  private def octal(v: Long, width: Int): Array[Byte] = {
+    val s = java.lang.Long.toOctalString(v)
+    val padded = ("0" * (width - 1 - s.length)) + s + "\u0000"
+    padded.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  private def header(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](Block)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def put(off: Int, bytes: Array[Byte]): Unit =
+      System.arraycopy(bytes, 0, h, off, bytes.length)
+    require(name.getBytes(ascii).length <= 100, s"entry name too long: $name")
+    put(0, name.getBytes(ascii))          // name[100]
+    put(100, octal(420, 8))               // mode 0644
+    put(108, octal(0, 8))                 // uid
+    put(116, octal(0, 8))                 // gid
+    put(124, octal(size, 12))             // size
+    put(136, octal(0, 12))                // mtime (fixed: determinism)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum field = spaces
+    h(156) = '0'                          // typeflag: regular file
+    put(257, "ustar\u0000".getBytes(ascii))
+    put(263, "00".getBytes(ascii))
+    val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+    put(148, octal(sum, 7))               // 6 octal digits + NUL
+    h(155) = ' '.toByte
+    h
+  }
+
+  /** Write one tar per shard under `outDir` as `shard-<i>.tar`. Entries
+    * are `<key zero-padded to 8>.txt` holding the UTF-8 payload, sorted
+    * by key within the shard. Returns the number of shards written.
+    */
+  def write(
+      df: DataFrame,
+      keyCol: String,
+      textCol: String,
+      n: Int,
+      outDir: String,
+      seed: Long = 0L
+  ): Int = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    df
+      .select(col(keyCol).cast("long").as("k"), col(textCol).as("t"),
+        ExportShards.shardId(col(keyCol), n, seed).as("shard"))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), col("k"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        var out: java.io.OutputStream = null
+        var current = -1
+        try {
+          rows.foreach { r =>
+            val shard = r.getAs[Int]("shard")
+            if (shard != current) { // rows sorted: one stream per shard run
+              if (out != null) { out.write(new Array[Byte](2 * Block)); out.close() }
+              current = shard
+              out = java.nio.file.Files.newOutputStream(
+                java.nio.file.Paths.get(outDir, f"shard-$shard%05d.tar"))
+            }
+            val payload = r.getAs[String]("t")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out.write(header(f"${r.getAs[Long]("k")}%08d.txt", payload.length.toLong))
+            out.write(payload)
+            val pad = (Block - payload.length % Block) % Block
+            if (pad > 0) out.write(new Array[Byte](pad))
+          }
+        } finally {
+          if (out != null) { out.write(new Array[Byte](2 * Block)); out.close() }
+        }
+      }
+    n
+  }
+
+  /** Parse every `*.tar` under `dir` back into (shard, entry, size,
+    * payload) rows, verifying each ustar header checksum (fail-loud on
+    * corruption). Distributed: Spark's binaryFile source assigns whole
+    * archives to tasks — the WebDataset read pattern.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // directory load + glob filter (a bare "$dir/*.tar" glob throws at
+    // listing time if it matches nothing — the directory always exists)
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        val shard = "shard-(\\d+)\\.tar$".r.findFirstMatchIn(path)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalArgumentException(s"not a shard tar: $path"))
+        val entries = Iterator.unfold(0) { off =>
+          if (off + Block > bytes.length) None
+          else {
+            val h = java.util.Arrays.copyOfRange(bytes, off, off + Block)
+            if (h.forall(_ == 0)) None // end-of-archive marker
+            else {
+              val stored = new String(
+                java.util.Arrays.copyOfRange(h, 148, 155), ascii).trim
+              java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+              val computed = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+              require(java.lang.Long.parseLong(stored, 8) == computed,
+                s"tar checksum mismatch in $path at offset $off")
+              val nameEnd = h.indexOf(0.toByte)
+              val name = new String(h, 0, if (nameEnd < 0) 100 else nameEnd, ascii)
+              val size = java.lang.Long.parseLong(
+                new String(java.util.Arrays.copyOfRange(h, 124, 135), ascii).trim, 8)
+              val payload = java.util.Arrays.copyOfRange(
+                bytes, off + Block, off + Block + size.toInt)
+              val next = off + Block + ((size.toInt + Block - 1) / Block) * Block
+              Some(((shard, name, size, payload), next))
+            }
+          }
+        }
+        entries.toSeq
+      }
+      .toDF("shard", "entry", "size", "payload")
+  }
+}
