@@ -1014,8 +1014,59 @@ object SimilarityQueries extends QuerySet {
     }
   }
 
+  /** kNN label-consistency screen (the confident-learning/noisy-label
+    * detector): each vector's label is voted on by its 10 exact cosine
+    * nearest neighbors; low agreement flags probable mislabels — the
+    * label-quality audit a curated training set runs before use. Exact
+    * kNN here (every score and rank hash-matched by the oracle); at
+    * corpus scale the same vote runs over [[Similarity.knnGraph]]'s
+    * IVF-blocked approximate neighbors.
+    */
+  val qLabelConsistency: GQuery = GQuery(
+    "q_quality_label_consistency",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS qid, q.label AS own, c.vec_id AS nid, c.label AS nl,
+               list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
+                 / (q.nrm * c.nrm) AS score
+        FROM v q JOIN v c ON q.vec_id != c.vec_id),
+      ranked AS (
+        SELECT qid, own, nl,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+        FROM scored)
+      SELECT qid AS vec_id, CAST(own AS BIGINT) AS label,
+             CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             round(CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS DOUBLE) / 10, 6) AS agreement,
+             CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS DOUBLE) / 10 < 0.3 AS flagged
+      FROM ranked WHERE rk <= 10
+      GROUP BY qid, own
+      ORDER BY vec_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val labels = emb.select($"vec_id", $"label".cast("long").as("label"))
+    Similarity
+      .bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "own"), "query_id")
+      .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nl")), "neighbor_id")
+      .groupBy($"query_id", $"own")
+      .agg(sum(when($"nl" === $"own", 1L).otherwise(0L)).as("n_agree"))
+      .select(
+        $"query_id".as("vec_id"), $"own".as("label"), $"n_agree",
+        round($"n_agree".cast("double") / 10, 6).as("agreement"),
+        ($"n_agree".cast("double") / 10 < 0.3).as("flagged"))
+      .orderBy($"vec_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
       qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr, qPca,
-      qKmeans)
+      qKmeans, qLabelConsistency)
 }
