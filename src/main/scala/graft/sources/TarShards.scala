@@ -77,16 +77,27 @@ object TarShards {
       .repartition(n, col("shard"))
       .sortWithinPartitions(col("shard"), col("k"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        // write-to-temp + atomic rename: a retried or speculative task
+        // attempt can never leave a torn final archive
         var out: java.io.OutputStream = null
+        var tmp: java.nio.file.Path = null
+        var fin: java.nio.file.Path = null
         var current = -1
+        def sealCurrent(): Unit = if (out != null) {
+          out.write(new Array[Byte](2 * Block)); out.close(); out = null
+          java.nio.file.Files.move(tmp, fin,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         try {
           rows.foreach { r =>
             val shard = r.getAs[Int]("shard")
             if (shard != current) { // rows sorted: one stream per shard run
-              if (out != null) { out.write(new Array[Byte](2 * Block)); out.close() }
+              sealCurrent()
               current = shard
-              out = java.nio.file.Files.newOutputStream(
-                java.nio.file.Paths.get(outDir, f"shard-$shard%05d.tar"))
+              fin = java.nio.file.Paths.get(outDir, f"shard-$shard%05d.tar")
+              tmp = java.nio.file.Paths.get(outDir, f".shard-$shard%05d.tar.tmp")
+              out = java.nio.file.Files.newOutputStream(tmp)
             }
             val payload = r.getAs[String]("t")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -95,8 +106,12 @@ object TarShards {
             val pad = (Block - payload.length % Block) % Block
             if (pad > 0) out.write(new Array[Byte](pad))
           }
+          sealCurrent()
         } finally {
-          if (out != null) { out.write(new Array[Byte](2 * Block)); out.close() }
+          if (out != null) { // failure path: drop the torn temp file
+            out.close()
+            java.nio.file.Files.deleteIfExists(tmp)
+          }
         }
       }
     n
