@@ -894,8 +894,40 @@ object ProfilingQueries extends QuerySet {
     }
   }
 
+  /** Keyed pseudonymization release (completing the privacy suite next
+    * to [[qKanon]]/[[qLdiversity]]/erasure): raw user ids are replaced by
+    * a salted one-way token md5(salt:id) — consistent across tables and
+    * reruns (joins still work), irreversible without the salt, and the
+    * released aggregate carries NO raw identifier column at all. Pure
+    * row-local hashing plus one keyed aggregate.
+    */
+  val qPseudonym: GQuery = GQuery(
+    "q_privacy_pseudonym",
+    Some("""
+      SELECT substr(md5('pepper:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudonym,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY pseudonym
+      ORDER BY pseudonym""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir).events
+      .select(
+        substring(md5(concat(lit("pepper:"), $"user_id".cast("string"))), 1, 16)
+          .as("pseudonym"),
+        $"event_type", $"value")
+      .groupBy($"pseudonym")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"),
+        dsum($"value").as("total_value"))
+      .orderBy($"pseudonym")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
-      qKsTest, qMannWhitney, qBootstrap)
+      qKsTest, qMannWhitney, qBootstrap, qPseudonym)
 }

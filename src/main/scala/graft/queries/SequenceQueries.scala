@@ -926,9 +926,68 @@ object SequenceQueries extends QuerySet {
       .orderBy($"day")
   }
 
+  /** CUSUM change-point screen over the daily event-value series: the
+    * cumulative sum of deviations from the global mean wanders near zero
+    * under a stable level and ramps when the level shifts — the classic
+    * sequential drift detector, complementing [[qAnomaly]]'s pointwise
+    * screen. Global moments and the running sum are DECIMAL-pinned; the
+    * 5σ flag is one IEEE comparison on identical values. Windows run on
+    * the DAILY table (day-count rows), after one corpus-scale groupBy.
+    */
+  val qCusum: GQuery = GQuery(
+    "q_ts_cusum",
+    Some("""
+      WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1),
+      m AS (
+        SELECT CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS mu,
+               sqrt(greatest(
+                 CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
+                 - (CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE))
+                   * (CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)),
+                 CAST(0 AS DOUBLE))) AS sigma
+        FROM daily),
+      c AS (
+        SELECT day, v,
+               CAST(SUM(CAST(v - m.mu AS DECIMAL(38,6)))
+                      OVER (ORDER BY day) AS DOUBLE) AS cusum,
+               m.sigma AS sigma
+        FROM daily, m)
+      SELECT day, round(v, 6) AS daily_value, round(cusum, 6) AS cusum,
+             abs(cusum) > 5 * sigma AS level_shift
+      FROM c ORDER BY day""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"), $"value")
+      .groupBy($"day")
+      .agg(dsum($"value").as("v"))
+    val mu = sum($"v".cast(Common.D)).cast("double") / count(lit(1)).cast("double")
+    val m = daily.agg(
+      mu.as("mu"),
+      sqrt(greatest(
+        sum(($"v" * $"v").cast(Common.D)).cast("double") / count(lit(1)).cast("double")
+          - mu * mu,
+        lit(0.0))).as("sigma"))
+    val win = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(m))
+      .withColumn("cusum", sum(($"v" - $"mu").cast(Common.D)).over(win).cast("double"))
+      .select($"day", round($"v", 6).as("daily_value"), round($"cusum", 6).as("cusum"),
+        (abs($"cusum") > lit(5) * $"sigma").as("level_shift"))
+      .orderBy($"day")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
-      qGraphNeighborJaccard, qSeasonalDecompose)
+      qGraphNeighborJaccard, qSeasonalDecompose, qCusum)
 }
