@@ -512,6 +512,69 @@ object Relational extends QuerySet {
       .orderBy($"user_id", $"click_id")
   }
 
+  /** NEAREST as-of with tolerance (pandas merge_asof direction='nearest'
+    * parity): each purchase gets the user's closest click within ±1 hour,
+    * ties resolving backward — composed from the custom exec's two
+    * directions (one backward + one forward sorted-merge pass, then a
+    * row-local pick), never a range join. The oracle states the same
+    * semantics independently via a ranked |Δt| candidate join.
+    */
+  val qJoinAsofNearest: GQuery = GQuery(
+    "q_join_asof_nearest",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      c AS (SELECT user_id, event_id AS click_id, ts FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS purchase_id, ts FROM e WHERE event_type = 'purchase'),
+      cand AS (
+        SELECT p.purchase_id, c.click_id,
+               abs(epoch_us(p.ts) - epoch_us(c.ts)) AS gap,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                 ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                          CASE WHEN epoch_us(c.ts) <= epoch_us(p.ts) THEN 0 ELSE 1 END,
+                          c.click_id) AS rn
+        FROM p JOIN c ON c.user_id = p.user_id
+                     AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000)
+      SELECT p.user_id, p.purchase_id,
+             f.click_id AS nearest_click_id,
+             f.gap AS nearest_gap_us
+      FROM p LEFT JOIN (SELECT purchase_id, click_id, CAST(gap AS BIGINT) AS gap
+                        FROM cand WHERE rn = 1) f
+        ON f.purchase_id = p.purchase_id
+      ORDER BY p.user_id, p.purchase_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.StreamOps.tsFromNanos
+    val ev = t(spark, dir).events.select(
+      $"user_id", $"event_id", $"event_type", tsFromNanos($"ts").as("ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts", unix_micros($"ts").as("c_us"))
+    val tol = 3600L * 1000000L
+    val back = graft.operators.Joins
+      .asOfJoinNative(p, c, key = "user_id", tsCol = "ts",
+        payload = Seq("click_id", "c_us"), direction = "backward",
+        toleranceMicros = Some(tol))
+      .select($"purchase_id", $"click_id".as("b_id"), $"c_us".as("b_us"))
+    val fwd = graft.operators.Joins
+      .asOfJoinNative(p, c, key = "user_id", tsCol = "ts",
+        payload = Seq("click_id", "c_us"), direction = "forward",
+        toleranceMicros = Some(tol))
+      .select($"purchase_id", $"click_id".as("f_id"), $"c_us".as("f_us"))
+    val gapB = unix_micros($"ts") - $"b_us"
+    val gapF = $"f_us" - unix_micros($"ts")
+    p.join(back, Seq("purchase_id"), "left")
+      .join(fwd, Seq("purchase_id"), "left")
+      .select(
+        $"user_id", $"purchase_id",
+        // ties go backward (<=) — pandas 'nearest' parity
+        when($"b_id".isNotNull && ($"f_id".isNull || gapB <= gapF), $"b_id")
+          .otherwise($"f_id").as("nearest_click_id"),
+        when($"b_id".isNotNull && ($"f_id".isNull || gapB <= gapF), gapB)
+          .otherwise(gapF).as("nearest_gap_us"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** Salted skew join: events (hot 5-value key) x an unbroadcast-worthy
     * dim, split across 8 salts (see [[graft.operators.Joins.saltedJoin]]).
     * The oracle replays the plain unsalted join — same result by
@@ -954,6 +1017,7 @@ object Relational extends QuerySet {
     qJoinAsof,
     qJoinAsofBroadcast,
     qJoinAsofForward,
+    qJoinAsofNearest,
     qJoinSalted,
     qJoinFull,
     qJoinTheta,
