@@ -13,32 +13,37 @@ import org.apache.spark.sql.SparkSession
   *   - AQE on: runtime coalescing of shuffle partitions + skew-join handling.
   *   - shuffle.partitions matches local cores here; on a real cluster this is
   *     sized to ~2-3x total executor cores (or left to AQE's initial value).
-  *   - No driver-side collects anywhere in the operator library.
+  *   - No unbounded driver-side collects in the operator library: driver
+  *     state is bounded by model size, O(k·d) centroids / O(d²) moments /
+  *     fixed-size codebook samples, never O(n) corpus rows.
   */
 object Graft {
 
   /** Default local parallelism: the bench/verify harness runs local[32]. */
   def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-  def session(appName: String = "graft"): SparkSession = {
-    val b = SparkSession
-      .builder()
-      .appName(appName)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+  /** Full session config set for a given state of the RocksDB-tuning A/B
+    * lever. Exposed (package-private) so SessionConfigSpec can prove the
+    * unconditional configs survive `SPARK_GRAFT_ROCKSDB_TUNING=off` — the
+    * round-6 bug chained them onto the tuning else-branch, producing a
+    * tuning-off session that could not read events.parquet.
+    */
+  private[graft] def sessionConfigs(tuned: Boolean): Seq[(String, String)] = {
+    val base = Seq(
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.shuffle.partitions" -> cpus.toString,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64L << 20).toString,
       // Streaming state backend: RocksDB — the CTable-parity choice (the
       // reference's primary store is RocksDB, callysto/src/stores/rocksdb.rs)
       // and required by transformWithState. Changelog checkpointing mirrors
       // the reference's changelog-topic replication (incremental commits
       // instead of full snapshot uploads).
-      .config(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
     // RocksDB store tuning — parity with the reference's DB options
     // (callysto/src/stores/rocksdb.rs:35-41,127-153): 64 MB write buffers
     // × 3, format-v5 block tables, LRU block cache (the reference sizes
@@ -49,25 +54,34 @@ object Graft {
     // and the count costs a point-read before every put/delete on the
     // write path (StateBench measures the difference at 1M keys).
     // SPARK_GRAFT_ROCKSDB_TUNING=off reverts to Spark defaults (A/B lever).
-    val tuned = !sys.env.get("SPARK_GRAFT_ROCKSDB_TUNING").contains("off")
-    val withRocks =
-      if (!tuned) b
-      else b
-        .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
-        .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "3")
-        .config("spark.sql.streaming.stateStore.rocksdb.formatVersion", "5")
-        .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "64")
-        .config("spark.sql.streaming.stateStore.rocksdb.maxOpenFiles", "-1")
-        .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    val tuning =
+      if (!tuned) Seq.empty
+      else Seq(
+        "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "64",
+        "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber" -> "3",
+        "spark.sql.streaming.stateStore.rocksdb.formatVersion" -> "5",
+        "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB" -> "64",
+        "spark.sql.streaming.stateStore.rocksdb.maxOpenFiles" -> "-1",
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false")
+    // Unconditional configs — these must apply regardless of the RocksDB
+    // tuning A/B lever (binding them into the lever's else-branch was the
+    // round-6 bug: tuning-off sessions could not read events.parquet).
+    val unconditional = Seq(
       // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects by default; read as LongType (ns since epoch).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
       // Managed-table warehouse (bucketed tables, sources/Bucketing.scala)
       // outside the repo tree; on a cluster this is the shared object store.
-      .config(
-        "spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
-      .config("spark.ui.enabled", "false")
+      "spark.sql.warehouse.dir" ->
+        (sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse"),
+      "spark.ui.enabled" -> "false")
+    base ++ tuning ++ unconditional
+  }
+
+  def session(appName: String = "graft"): SparkSession = {
+    val tuned = !sys.env.get("SPARK_GRAFT_ROCKSDB_TUNING").contains("off")
+    val withRocks = sessionConfigs(tuned).foldLeft(
+      SparkSession.builder().appName(appName)) { case (bld, (k, v)) => bld.config(k, v) }
     // Respect an externally-set master (e.g. spark-submit on a cluster);
     // default to local[cpus] for the single-node harness.
     val withMaster =

@@ -141,17 +141,27 @@ object Embeddings {
     val cent = x.select(col(idCol),
       zip_with(col("v"), muLit, (a, b) => a - b).as("c"))
     // d² fixed-point covariance sums in one pass; inner lambda touches
-    // only the bound column and lambda variables
-    val covFp: Map[Int, Long] = cent
+    // only the bound column and lambda variables. The per-term scaled
+    // longs sum through DECIMAL(38,0): a LongType sum would WRAP silently
+    // at large n·|c|² while the oracle's DuckDB SUM(BIGINT) promotes to
+    // HUGEINT — decimal matches that promotion (and a true 38-digit
+    // overflow surfaces as a loud null below, never a wrong answer).
+    val covFp: Map[Int, java.math.BigDecimal] = cent
       .select(explode(flatten(transform(col("c"), (xi, i) =>
         transform(col("c"), (xj, j) =>
           struct((i * dim + j).as("k"),
             floor(xi * xj * lit(1e9)).cast("long").as("t")))))).as("kt"))
       .groupBy(col("kt.k").as("k"))
-      .agg(sum(col("kt.t")).as("s"))
-      .collect().map(r => r.getAs[Int]("k") -> r.getAs[Long]("s")).toMap
+      .agg(sum(col("kt.t").cast(DecimalType(38, 0))).as("s"))
+      .collect().map { r =>
+        val s = r.getAs[java.math.BigDecimal]("s")
+        require(s != null, "pcaTopComponent: covariance sum overflowed DECIMAL(38,0)")
+        r.getAs[Int]("k") -> s
+      }.toMap
     val n = x.count().toDouble
-    def cov(i: Int, j: Int): Double = covFp.getOrElse(i * dim + j, 0L) / 1e9 / n
+    val zero = java.math.BigDecimal.ZERO
+    def cov(i: Int, j: Int): Double =
+      covFp.getOrElse(i * dim + j, zero).doubleValue() / 1e9 / n
     // driver power iteration; every d-term sum fixed-point-pinned
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to rounds) {

@@ -310,6 +310,71 @@ object Sampling {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** Distributed running (prefix) sums of Long columns over a caller-
+    * supplied TOTAL order — the scale-safe replacement for
+    * `sum(x).over(Window.orderBy(...))`, which plans a single-partition
+    * WindowExec (the classic 100 TB killer: the whole table funnels
+    * through one task). Recipe is the textbook two-pass parallel scan:
+    * range-partition + sort by the order, per-partition totals collected
+    * to the driver (O(partitions × columns) — bounded), exclusive-scanned
+    * into per-partition offsets, then a second pass over the SAME shuffle
+    * output emits offset + local running sum. Every partition scans in
+    * parallel; the only driver state is the offsets table.
+    *
+    * The order must be total (include a tie-break) — with ties, which
+    * row of a tie group sees which prefix would be layout-dependent.
+    *
+    * @param sumCols Long-typed columns to scan
+    * @return input rows + `cum_<col>` (inclusive running sum) per sumCol
+    */
+  def prefixSumsBy(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      sumCols: Seq[String],
+      numPartitions: Int = 0
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val idx = sumCols.map(parted.schema.fieldIndex)
+    // pass 1: per-partition column totals (tiny: partitions × columns)
+    val partTotals = parted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = Array.fill(idx.length)(0L)
+        it.foreach { r =>
+          var i = 0
+          while (i < idx.length) { if (!r.isNullAt(idx(i))) acc(i) += r.getLong(idx(i)); i += 1 }
+        }
+        Iterator((pid, acc))
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    // exclusive scan → the offset each partition starts from
+    val offsets = partTotals.scanLeft(Array.fill(idx.length)(0L)) { (acc, t) =>
+      acc.zip(t).map { case (a, b) => a + b }
+    }
+    // pass 2 re-reads the pass-1 shuffle files (same lineage) and emits
+    // offset-shifted local running sums
+    val schema = sumCols.foldLeft(parted.schema)((s, c) => s.add(s"cum_$c", LongType, nullable = false))
+    val scanned = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = offsets(pid).clone()
+      it.map { r =>
+        var i = 0
+        while (i < idx.length) { if (!r.isNullAt(idx(i))) run(i) += r.getLong(idx(i)); i += 1 }
+        // clone: Array.toSeq wraps the SAME array in 2.13; later mutation
+        // of `run` would corrupt already-emitted rows without it
+        Row.fromSeq(r.toSeq ++ run.clone().toSeq)
+      }
+    }
+    spark.createDataFrame(scanned, schema)
+  }
+
   /** Deterministic fixed-size uniform sample per group — the distributed
     * replacement for reservoir sampling. A sequential reservoir
     * (Vitter's Algorithm R) is inherently order-dependent; the

@@ -169,26 +169,27 @@ object TextOps {
     * reproducible across engines and partitionings.
     *
     * Scale: the count is a map-side-combined aggregation over the corpus
-    * (the only pass that touches every byte); the global row_number runs
-    * AFTER the `minCount` cut, i.e. over vocab-sized data (≤ a few
-    * hundred thousand rows for real corpora) where a single-partition
-    * window sort is microseconds — the same deliberate trade as any
-    * final global ORDER BY.
+    * (the only pass that touches every byte); id assignment over the
+    * minCount survivors goes through [[graft.operators.Sampling.globalIndexBy]]
+    * (range-partition on the order key + per-partition sort + zipWithIndex)
+    * — a distributed total-order rank, never a single-partition window, so
+    * the plan survives a raw-token-level vocabulary (hundreds of millions
+    * of rows at 100 TB) unchanged.
     */
   def buildVocab(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String,
       minCount: Long
   ): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs
+    val counted = docs
       .select(explode(split(col(textCol), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
-      .withColumn(
-        "vocab_id",
-        (row_number().over(Window.orderBy(col("freq").desc, col("token").asc)) - 1).cast("long"))
+    Sampling
+      .globalIndexBy(counted, Seq(col("freq").desc, col("token").asc))
+      .withColumn("vocab_id", (col("global_idx") - 1).cast("long"))
+      .drop("global_idx")
   }
 
   /** BM25 ranked retrieval: top-`k` documents for a bag-of-terms query —

@@ -642,18 +642,23 @@ object PipelineQueries extends QuerySet {
       FROM r ORDER BY doc_id""")
   ) { (spark, dir) =>
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val w = graft.operators.TextOps
       .dsirLogWeights(t(spark, dir).documents, idCol = "doc_id", textCol = "text",
         isTarget = $"lang" === "en", buckets = 64, seed = 41)
-    // global weight ranking: a top-k over a 2-column weight table — the
-    // one intentionally-global window in this pipeline (docs-count rows,
-    // not corpus bytes)
-    val win = Window.orderBy($"log_weight".desc, $"doc_id")
-    w.withColumn("log_weight", round($"log_weight", 6))
-      .withColumn("sel_rank", row_number().over(win).cast("long"))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("log_weight", round($"log_weight", 6))
+    // Global weight ranking via the distributed total-order rank
+    // (range-partition + per-partition sort + zipWithIndex) — the weight
+    // table grows with doc count (~10^9 at target scale), so a
+    // single-partition row_number window is not acceptable here.
+    val ranked = graft.operators.Sampling
+      .globalIndexBy(w, Seq($"log_weight".desc, $"doc_id"))
+      .withColumn("sel_rank", $"global_idx".cast("long"))
+      .drop("global_idx")
+    // total doc count as a broadcast 1-row join, not a global window
+    // (counted off the pre-rank table so the zipWithIndex lineage isn't
+    // re-evaluated for a scalar)
+    val n = w.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
       .select($"doc_id", $"n_toks", $"log_weight", $"sel_rank",
         ($"sel_rank" <= ceil(lit(0.25) * $"n".cast("double")).cast("long")).as("selected"))
       .orderBy($"doc_id")

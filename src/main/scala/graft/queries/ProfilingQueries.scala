@@ -696,14 +696,14 @@ object ProfilingQueries extends QuerySet {
   /** Two-sample Kolmogorov–Smirnov test (click vs purchase event values) —
     * the standard nonparametric drift detector for CONTINUOUS metrics,
     * complementing [[qChi2]]'s categorical screen. Exact formulation:
-    * per-distinct-value counts for both samples (one shuffle, bounded by
-    * distinct values, not rows), cumulative counts via a window over the
-    * distinct-value table, D = max |F1 − F2|. Every per-row division is
-    * one fixed IEEE chain on identical integer counts, so the max — and
-    * the derived scaled statistic √(n1·n2/(n1+n2))·D — replays exactly
-    * in the oracle. Scale note: the window orders the DISTINCT-value
-    * table (already aggregated); for metrics with unbounded cardinality
-    * the production path is the same plan over quantile-bucketed values.
+    * per-distinct-value counts for both samples (one shuffle), cumulative
+    * counts via [[graft.operators.Sampling.prefixSumsBy]] — the
+    * range-partitioned two-pass parallel scan, NOT a single-partition
+    * `Window.orderBy` (events.value is a DOUBLE, so distinct values ≈ row
+    * count; an unpartitioned window would funnel ~n rows through one
+    * task) — then D = max |F1 − F2|. Every per-row division is one fixed
+    * IEEE chain on identical integer counts, so the max — and the derived
+    * scaled statistic √(n1·n2/(n1+n2))·D — replays exactly in the oracle.
     */
   val qKsTest: GQuery = GQuery(
     "q_stat_ks",
@@ -733,12 +733,11 @@ object ProfilingQueries extends QuerySet {
     val f = e.groupBy($"value").agg(
       sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
       sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
-    // window over the per-distinct-value table (bounded), not the raw rows
-    val win = Window.orderBy($"value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = f.select(
-      sum($"c1").over(win).as("cum1"),
-      sum($"c2").over(win).as("cum2"))
+    // distributed two-pass prefix sum over the value order (values are
+    // distinct post-groupBy → total order, no tie-break needed)
+    val c = graft.operators.Sampling
+      .prefixSumsBy(f, Seq($"value"), Seq("c1", "c2"))
+      .select($"cum_c1".as("cum1"), $"cum_c2".as("cum2"))
     val tot = c.agg(max($"cum1").as("n1"), max($"cum2").as("n2"))
     c.crossJoin(broadcast(tot))
       .agg(
@@ -758,7 +757,9 @@ object ProfilingQueries extends QuerySet {
     * and is order-insensitive without a decimal detour); the tie-corrected
     * normal approximation z = (U1 − n1n2/2)/σ is one fixed IEEE chain on
     * those exact sums. Same scale shape as KS: one value-keyed shuffle,
-    * then windows over the distinct-value table only.
+    * then the range-partitioned two-pass prefix scan
+    * ([[graft.operators.Sampling.prefixSumsBy]]) — never a
+    * single-partition window (distinct DOUBLE values ≈ row count).
     */
   val qMannWhitney: GQuery = GQuery(
     "q_stat_mannwhitney",
@@ -798,10 +799,10 @@ object ProfilingQueries extends QuerySet {
       .groupBy($"value").agg(
         sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
         sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
-    val win = Window.orderBy($"value")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val c = f.select($"c1", $"c2", ($"c1" + $"c2").as("cnt"),
-      coalesce(sum($"c1" + $"c2").over(win), lit(0L)).as("cumb"))
+    // exclusive prefix of (c1+c2) = inclusive two-pass scan minus self
+    val c = graft.operators.Sampling
+      .prefixSumsBy(f.withColumn("cnt", $"c1" + $"c2"), Seq($"value"), Seq("cnt"))
+      .select($"c1", $"c2", $"cnt", ($"cum_cnt" - $"cnt").as("cumb"))
     val tot = f.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
     val r = c.agg(
       sum($"c1".cast("double")

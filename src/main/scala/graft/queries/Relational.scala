@@ -517,13 +517,19 @@ object Relational extends QuerySet {
     * ties resolving backward — composed from the custom exec's two
     * directions (one backward + one forward sorted-merge pass, then a
     * row-local pick), never a range join. The oracle states the same
-    * semantics independently via a ranked |Δt| candidate join.
+    * semantics independently via a ranked |Δt| candidate join. Clicks are
+    * pre-collapsed to one row per (user_id, ts) — max event_id, exactly
+    * as q_join_asof — on BOTH sides: without the collapse the exec's
+    * equal-ts tie rule (greatest payload backward / smallest forward)
+    * and the oracle's ROW_NUMBER min-click_id tie-break diverge on
+    * duplicate-timestamp clicks.
     */
   val qJoinAsofNearest: GQuery = GQuery(
     "q_join_asof_nearest",
     Some("""
       WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
-      c AS (SELECT user_id, event_id AS click_id, ts FROM e WHERE event_type = 'click'),
+      c AS (SELECT user_id, ts, max(event_id) AS click_id
+            FROM e WHERE event_type = 'click' GROUP BY user_id, ts),
       p AS (SELECT user_id, event_id AS purchase_id, ts FROM e WHERE event_type = 'purchase'),
       cand AS (
         SELECT p.purchase_id, c.click_id,
@@ -549,7 +555,9 @@ object Relational extends QuerySet {
     val p = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id".as("purchase_id"), $"ts")
     val c = ev.filter($"event_type" === "click")
-      .select($"user_id", $"event_id".as("click_id"), $"ts", unix_micros($"ts").as("c_us"))
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"click_id", $"ts", unix_micros($"ts").as("c_us"))
     val tol = 3600L * 1000000L
     val back = graft.operators.Joins
       .asOfJoinNative(p, c, key = "user_id", tsCol = "ts",

@@ -1015,53 +1015,88 @@ object SimilarityQueries extends QuerySet {
   }
 
   /** kNN label-consistency screen (the confident-learning/noisy-label
-    * detector): each vector's label is voted on by its 10 exact cosine
-    * nearest neighbors; low agreement flags probable mislabels — the
-    * label-quality audit a curated training set runs before use. Exact
-    * kNN here (every score and rank hash-matched by the oracle); at
-    * corpus scale the same vote runs over [[Similarity.knnGraph]]'s
-    * IVF-blocked approximate neighbors.
+    * detector): each vector's label is voted on by its top-10 cosine
+    * neighbors AMONG vectors sharing its IVF cell
+    * ([[Similarity.knnGraph]] — the same celled candidate restriction as
+    * q_graph_knn / q_pipeline_semdedup), low agreement flags probable
+    * mislabels. The oracle replays the ENTIRE pipeline — fixed-point
+    * codebook training, cell assignment, within-cell edges, per-source
+    * (cos DESC, dst) top-10 — so the celled vote itself is hash-checked.
+    * Agreement is over the neighbors a vector actually has (≤ 10 in
+    * small cells). An all-pairs brute-force formulation would broadcast
+    * the whole corpus as the query side — the 100 TB anti-pattern this
+    * replaced (SimilaritySpec keeps brute force as the small-scale
+    * recall reference).
     */
   val qLabelConsistency: GQuery = GQuery(
     "q_quality_label_consistency",
     Some("""
-      WITH v AS (
+      WITH flat AS (
+        SELECT label, i,
+               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
+        FROM (SELECT label, unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY label) - 1 AS cell, list(cv ORDER BY i) AS c
+        FROM flat GROUP BY label),
+      cn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cents),
+      v AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings),
-      scored AS (
-        SELECT q.vec_id AS qid, q.label AS own, c.vec_id AS nid, c.label AS nl,
-               list_sum(list_transform(generate_series(1, 64), i -> q.e[i] * c.e[i]))
-                 / (q.nrm * c.nrm) AS score
-        FROM v q JOIN v c ON q.vec_id != c.vec_id),
-      ranked AS (
-        SELECT qid, own, nl,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
-        FROM scored)
-      SELECT qid AS vec_id, CAST(own AS BIGINT) AS label,
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, cn.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                             i -> v.e[i] * cn.c[i])) / (v.nrm * cn.cnrm) DESC,
+                                             cn.cell) AS rn
+          FROM v CROSS JOIN cn)
+        WHERE rn = 1),
+      edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst, va.label AS own, vb.label AS nl,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id),
+      top10 AS (
+        SELECT src, own, nl FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rank
+          FROM edges) r
+        WHERE rank <= 10)
+      SELECT src AS vec_id, CAST(own AS BIGINT) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_nbrs,
              CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-             round(CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS DOUBLE) / 10, 6) AS agreement,
-             CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS DOUBLE) / 10 < 0.3 AS flagged
-      FROM ranked WHERE rk <= 10
-      GROUP BY qid, own
+             round(CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS agreement,
+             CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) < 0.3 AS flagged
+      FROM top10
+      GROUP BY src, own
       ORDER BY vec_id""")
   ) { (spark, dir) =>
     import spark.implicits._
     val emb = t(spark, dir).embeddings
     val labels = emb.select($"vec_id", $"label".cast("long").as("label"))
+    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
     Similarity
-      .bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
-      .join(labels.withColumnRenamed("vec_id", "query_id")
-        .withColumnRenamed("label", "own"), "query_id")
-      .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
-        .withColumnRenamed("label", "nl")), "neighbor_id")
-      .groupBy($"query_id", $"own")
-      .agg(sum(when($"nl" === $"own", 1L).otherwise(0L)).as("n_agree"))
+      .knnGraph(emb, "vec_id", "embedding", codebook, k = 10)
+      .join(labels.select($"vec_id".as("src"), $"label".as("own")), "src")
+      .join(broadcast(labels.select($"vec_id".as("dst"), $"label".as("nl"))), "dst")
+      .groupBy($"src", $"own")
+      .agg(
+        count(lit(1)).as("n_nbrs"),
+        sum(when($"nl" === $"own", 1L).otherwise(0L)).as("n_agree"))
       .select(
-        $"query_id".as("vec_id"), $"own".as("label"), $"n_agree",
-        round($"n_agree".cast("double") / 10, 6).as("agreement"),
-        ($"n_agree".cast("double") / 10 < 0.3).as("flagged"))
+        $"src".as("vec_id"), $"own".as("label"), $"n_nbrs", $"n_agree",
+        round($"n_agree".cast("double") / $"n_nbrs".cast("double"), 6).as("agreement"),
+        ($"n_agree".cast("double") / $"n_nbrs".cast("double") < 0.3).as("flagged"))
       .orderBy($"vec_id")
   }
 

@@ -482,7 +482,7 @@ object SourceQueries extends QuerySet {
     "q_export_webdataset",
     Some("""
       SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4))::UBIGINT % 8 AS INT) AS shard,
-             lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS entry,
+             printf('%08d', doc_id) || '.txt' AS entry,
              CAST(strlen(text) AS BIGINT) AS size,
              md5(text) AS payload_md5
       FROM documents

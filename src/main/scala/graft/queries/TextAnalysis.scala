@@ -1278,9 +1278,16 @@ object TextAnalysis extends QuerySet {
         round(log(($"cb".cast("double") / $"tb".cast("double"))
           / (($"c_a".cast("double") / $"tu".cast("double"))
             * ($"c_b".cast("double") / $"tu".cast("double")))), 6).as("pmi"))
-    scored
-      .withColumn("rank", row_number().over(Window.orderBy($"pmi".desc, $"bigram")).cast("long"))
-      .filter($"rank" <= 50)
+    // Top-50 via orderBy().limit() — plans a distributed
+    // TakeOrderedAndProject (per-partition top-50 + driver merge), not a
+    // global row_number window over every bigram. Rank assignment over
+    // the 50 survivors goes through the distributed total-order indexer
+    // (no WindowExec at all — zero single-partition windows in this plan).
+    val top = scored.orderBy($"pmi".desc, $"bigram").limit(50)
+    graft.operators.Sampling
+      .globalIndexBy(top, Seq($"pmi".desc, $"bigram"))
+      .withColumn("rank", $"global_idx".cast("long"))
+      .drop("global_idx")
       .orderBy($"rank")
   }
 

@@ -4,16 +4,20 @@ import org.apache.spark.sql.functions._
 
 import Common._
 
-/** The remaining TPC-H plan shapes (Q2/Q7/Q8/Q9/Q12/Q15/Q16/Q20/Q21),
+/** The remaining TPC-H plan shapes (Q2/Q4/Q7/Q8/Q9/Q12/Q15/Q16/Q17/Q20/
+  * Q21 — with Q1/Q3/Q5/Q6/Q10/Q11/Q13/Q14/Q18/Q19/Q22 in
+  * Relational/Aggregates/Subqueries, the full 22-query inventory),
   * adapted to this corpus' schema: there is no `partsupp` table and no
   * commit/receipt dates, so supply cost is derived from lineitem unit
   * prices, "late shipment" from shipdate vs orderdate, and "failed
   * delivery" from the return flag. Each adaptation preserves the shape
   * that makes the original query a planner benchmark — the min-per-group
-  * correlated join-back (Q2), bidirectional dimension pair (Q7), ratio of
+  * correlated join-back (Q2), EXISTS semi-join priority count (Q4),
+  * bidirectional dimension pair (Q7), ratio of
   * conditional sums (Q8), multi-dim star profit rollup (Q9), non-equi
   * join predicate + two-way conditional counts (Q12), view + global-max
-  * equality (Q15), count-distinct with NOT IN exclusion (Q16), nested IN
+  * equality (Q15), count-distinct with NOT IN exclusion (Q16), correlated
+  * scalar-average decorrelation (Q17), nested IN
   * with HAVING (Q20), and the self-correlated opposite-polarity existence
   * pair over a `<>` key predicate (Q21).
   *
@@ -406,14 +410,90 @@ object TpchShapes extends QuerySet {
       LIMIT 20""")
   }
 
+  /** Q4 shape: order-priority checking — COUNT of orders in a quarter
+    * that have AT LEAST ONE late line, the canonical EXISTS-semi-join
+    * benchmark (TPC-H 2.4.4). This corpus has no commit/receipt dates,
+    * so "late" is the q12 adaptation: shipped ≥ 30 days after the order
+    * date. Plans as one LEFT SEMI join (each order tested once, never
+    * multiplied by its matching lines) with the date filter pushed to
+    * the orders scan.
+    */
+  val q4PriorityCheck: GQuery = GQuery(
+    "q4_order_priority",
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate >= o_orderdate + INTERVAL 30 DAY)
+      GROUP BY 1
+      ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tt = t(spark, dir)
+    tt.orders
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .join(
+        tt.lineitem,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q17 shape: small-quantity-order revenue — the correlated scalar
+    * average (`l_quantity < 0.2 * per-part avg`) that benchmarks
+    * subquery DECORRELATION: Catalyst must rewrite the per-row subquery
+    * into one grouped aggregate joined back (PlanSpec asserts no
+    * scalar-subquery survives in the optimized plan — a per-row
+    * re-execution would be quadratic). No p_container in this corpus, so
+    * the part filter is brand-only; the average goes through the
+    * [[Common]] exact-sum/count form on BOTH engines so the 0.2·avg
+    * threshold is the identical IEEE double.
+    */
+  val q17SmallQtyRevenue: GQuery = GQuery(
+    "q17_small_quantity_revenue",
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#13'
+        AND l_quantity < (
+          SELECT CAST(0.2 AS DOUBLE)
+                 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                    / CAST(COUNT(l_quantity) AS DOUBLE))
+          FROM lineitem WHERE l_partkey = p_partkey)""")
+  ) { (spark, dir) =>
+    val tt = t(spark, dir)
+    tt.lineitem.createOrReplaceTempView("lineitem")
+    tt.part.createOrReplaceTempView("part")
+    spark.sql("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#13'
+        AND l_quantity < (
+          SELECT CAST(0.2 AS DOUBLE)
+                 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                    / CAST(COUNT(l_quantity) AS DOUBLE))
+          FROM lineitem WHERE l_partkey = p_partkey)""")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     q2MinCostSupplier,
+    q4PriorityCheck,
     q7VolumeShipping,
     q8MarketShare,
     q9ProductProfit,
     q12LateShipments,
     q15TopSupplier,
     q16SupplierVariety,
+    q17SmallQtyRevenue,
     q20QualifiedSuppliers,
     q21WaitingSuppliers
   )

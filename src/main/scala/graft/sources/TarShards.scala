@@ -78,7 +78,14 @@ object TarShards {
       .sortWithinPartitions(col("shard"), col("k"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         // write-to-temp + atomic rename: a retried or speculative task
-        // attempt can never leave a torn final archive
+        // attempt can never leave a torn final archive. The temp name
+        // carries the task ATTEMPT id — with a shared temp path a
+        // speculative attempt racing a retry would interleave writes
+        // into one file and the atomic move could publish a corrupt
+        // archive; per-attempt temps make last-rename-wins safe (both
+        // attempts produce byte-identical archives by determinism).
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var out: java.io.OutputStream = null
         var tmp: java.nio.file.Path = null
         var fin: java.nio.file.Path = null
@@ -96,9 +103,15 @@ object TarShards {
               sealCurrent()
               current = shard
               fin = java.nio.file.Paths.get(outDir, f"shard-$shard%05d.tar")
-              tmp = java.nio.file.Paths.get(outDir, f".shard-$shard%05d.tar.tmp")
+              tmp = java.nio.file.Paths.get(outDir, f".shard-$shard%05d.tar.$attempt%d.tmp")
               out = java.nio.file.Files.newOutputStream(tmp)
             }
+            // fail loudly on null keys/payloads (getAs[Long] on a null
+            // cell NPEs with no context; an entry can't be unnamed)
+            require(!r.isNullAt(r.fieldIndex("k")),
+              s"null $keyCol: every tar entry needs a key")
+            require(!r.isNullAt(r.fieldIndex("t")),
+              s"null $textCol for key ${r.getAs[Long]("k")}")
             val payload = r.getAs[String]("t")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             out.write(header(f"${r.getAs[Long]("k")}%08d.txt", payload.length.toLong))
@@ -150,6 +163,12 @@ object TarShards {
               val name = new String(h, 0, if (nameEnd < 0) 100 else nameEnd, ascii)
               val size = java.lang.Long.parseLong(
                 new String(java.util.Arrays.copyOfRange(h, 124, 135), ascii).trim, 8)
+              // truncation guard: copyOfRange silently ZERO-PADS beyond
+              // the source length — a truncated archive must fail loudly,
+              // not round-trip a zero-padded payload tail
+              require(off + Block + size <= bytes.length,
+                s"truncated tar $path: entry at offset $off declares $size " +
+                  s"bytes but archive ends at ${bytes.length}")
               val payload = java.util.Arrays.copyOfRange(
                 bytes, off + Block, off + Block + size.toInt)
               val next = off + Block + ((size.toInt + Block - 1) / Block) * Block

@@ -217,6 +217,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "funnel stage join lost its equi-key")
   }
 
+  test("Q17's correlated scalar average decorrelates — no per-row subquery") {
+    val df = SparkEntry.queries("q17_small_quantity_revenue")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      "correlated scalar subquery survived optimization (per-row re-execution)")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size >= 2, "expected the decorrelated per-part average aggregate + the outer sum")
+  }
+
+  test("Q4's EXISTS plans as one semi join — orders never multiplied by lines") {
+    val p = planOf("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"expected a left-semi join, got:\n$p")
+  }
+
+  test("registry-wide lint: no unpartitioned Window over corpus-growing input") {
+    // A WindowExec with an empty partitionSpec funnels its WHOLE input
+    // through one task — the classic 100 TB scale-killer (round-6 verdict
+    // found six). Allowed ONLY over inputs that are intrinsically bounded
+    // regardless of corpus size; each allowlisted name carries the bound.
+    val bounded: Map[String, String] = Map(
+      // day-grain series: rows = days in the fixture window, not corpus size
+      "q_ts_cusum" -> "day-grain series",
+      "q_ts_seasonal_decompose" -> "day-grain series",
+      // fixed-cardinality replicate table
+      "q_stat_bootstrap" -> "32 bootstrap replicates"
+    )
+    val offenders = graft.queries.Registry.all.flatMap { q =>
+      val hits =
+        try q.run(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        catch { case _: Throwable => 0 } // unplannable caught by the cartesian lint
+      if (hits > 0 && !bounded.contains(q.name)) Some(q.name -> hits) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over unbounded input (fix or justify in the bounded map): $offenders")
+  }
+
   test("registry-wide lint: NO registered query plans a CartesianProduct") {
     // The one classic scale-killer no operator may ever reintroduce. Even
     // the explicit cross join must plan as a BROADCAST nested loop (bounded

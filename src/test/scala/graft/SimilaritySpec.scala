@@ -514,4 +514,34 @@ class SimilaritySpec extends SparkSpec {
     val sse3 = a.map(_._3).sum
     assert(sse3 <= sse1 + 1e-6, s"SSE rose with more rounds: $sse1 -> $sse3")
   }
+
+  test("celled label-consistency audit tracks the exact brute-force audit") {
+    // q_quality_label_consistency votes over knnGraph's IVF-celled
+    // neighbors (the 100 TB plan); brute force stays here as the
+    // small-scale reference: the celled agreement rate must agree with
+    // the exact-kNN agreement rate for the vast majority of vectors.
+    import org.apache.spark.sql.functions._
+    val labels = emb.select($"vec_id", $"label".cast("long").as("label"))
+    def agreements(nbrs: org.apache.spark.sql.DataFrame, qc: String, nc: String) = nbrs
+      .join(labels.select(col("vec_id").as(qc), $"label".as("own")), qc)
+      .join(labels.select(col("vec_id").as(nc), $"label".as("nl")), nc)
+      .groupBy(col(qc).as("id"))
+      .agg((sum(when($"nl" === $"own", 1.0).otherwise(0.0)) / count(lit(1))).as("agr"))
+    val exact = agreements(
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10),
+      "query_id", "neighbor_id")
+      .withColumnRenamed("agr", "agr_exact")
+    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
+    val celled = agreements(
+      Similarity.knnGraph(emb, "vec_id", "embedding", codebook, k = 10),
+      "src", "dst")
+      .select($"id".as("cid"), $"agr".as("agr_celled"))
+    val joined = exact.join(celled, $"id" === $"cid")
+      .select($"agr_exact", $"agr_celled").as[(Double, Double)].collect()
+    assert(joined.nonEmpty, "celled audit produced no vectors")
+    val close = joined.count { case (e, c) => math.abs(e - c) <= 0.3 }
+    val frac = close.toDouble / joined.length
+    info(f"celled-vs-exact agreement within 0.3 for $frac%.2f of vectors")
+    assert(frac >= 0.8, s"celled audit diverged from exact on ${1 - frac} of vectors")
+  }
 }
