@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+
+/** Round-7 corpus-curation operators: count-based LM quality scoring,
+  * training-bin packing, differentially-private releases, compressed-text
+  * ingestion, cross-domain ANOVA, conversation assembly, and matryoshka
+  * embedding truncation.
+  *
+  * Reference analog: none — callysto has no relational/curation surface
+  * (SURVEY §2.5); these are the batch operators a 100 TB training-data
+  * pipeline runs between ingest and packing, each with a DuckDB oracle.
+  */
+object CurationQueries extends QuerySet {
+
+  /** Bigram language-model scoring — the count-based CCNet/KenLM-style
+    * quality signal: train add-k-smoothed bigram statistics over the
+    * corpus, then score every document by its mean conditional
+    * probability P(w_i | w_{i-1}) = (c(ab)+k)/(c(a)+k·V), k = 0.5.
+    * The mean of the probabilities (not the log — `ln`'s last-ulp wobble
+    * would break hash-exact oracles, the same reason tfidf uses a
+    * log-free idf) is an order-insensitive DECIMAL(38,12) sum, so the
+    * whole model — counts, smoothing, scoring — replays exactly.
+    *
+    * Scale shape: one corpus pass explodes adjacent pairs (map-side
+    * combined counts), documents join the bigram table on the pair and
+    * the unigram table on the left token (both shuffles on their keys),
+    * the vocab size broadcasts as one row. No windows, no driver state.
+    */
+  val qNgramLm: GQuery = GQuery(
+    "q_text_ngram_lm",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        WHERE len(ts) >= 2),
+      uni AS (
+        SELECT t AS a, CAST(COUNT(*) AS BIGINT) AS ca
+        FROM (SELECT unnest(ts) AS t FROM tk) GROUP BY t),
+      bi AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM pairs GROUP BY a, b),
+      voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      scored AS (
+        SELECT p.doc_id,
+               (CAST(bi.cab AS DOUBLE) + 0.5)
+                 / (CAST(uni.ca AS DOUBLE) + 0.5 * CAST(voc.v AS DOUBLE)) AS condp
+        FROM pairs p JOIN bi USING (a, b) JOIN uni USING (a), voc)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(CAST(condp AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS avg_condp
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val D12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val docs = t(spark, dir).documents.select($"doc_id", toks.as("ts")).localCheckpoint()
+    val pairs = docs
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"ts") - 1),
+          i => struct(element_at($"ts", i).as("a"), element_at($"ts", i + 1).as("b")))).as("p"))
+      .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+    val uni = docs.select(explode($"ts").as("a")).groupBy($"a").agg(count(lit(1)).as("ca"))
+    val bi = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val voc = uni.agg(count(lit(1)).as("v"))
+    pairs
+      .join(bi, Seq("a", "b"))
+      .join(uni, Seq("a"))
+      .crossJoin(broadcast(voc))
+      .select($"doc_id",
+        (($"cab".cast("double") + lit(0.5))
+          / ($"ca".cast("double") + lit(0.5) * $"v".cast("double"))).as("condp"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum($"condp".cast(D12)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_condp"))
+      .orderBy($"doc_id")
+  }
+
+  /** LPT training-bin packing: documents sorted by token count descending
+    * (tie-broken by id) and dealt round-robin into 16 bins — the
+    * longest-processing-time heuristic that keeps per-bin token totals
+    * balanced for equal-work training shards. Rank assignment runs on
+    * the distributed total-order indexer (range-partition + zipWithIndex,
+    * [[graft.operators.Sampling.globalIndexBy]]), never a global window,
+    * so the sort scales like any shuffle. The oracle replays the exact
+    * rank → bin arithmetic.
+    */
+  val qPackLpt: GQuery = GQuery(
+    "q_pipeline_pack_lpt",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                        t -> length(t) > 0)) AS BIGINT) AS n_toks
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_toks,
+               ROW_NUMBER() OVER (ORDER BY n_toks DESC, doc_id) AS rn
+        FROM d)
+      SELECT CAST((rn - 1) % 16 AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+             CAST(MAX(n_toks) AS BIGINT) AS max_tokens
+      FROM r
+      GROUP BY 1
+      ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val d = t(spark, dir).documents
+      .select($"doc_id", size(toks).cast("long").as("n_toks"))
+    graft.operators.Sampling
+      .globalIndexBy(d, Seq($"n_toks".desc, $"doc_id"))
+      .select($"doc_id", $"n_toks", (($"global_idx" - 1) % 16).cast("long").as("bin"))
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("sum_tokens"),
+        max($"n_toks").as("max_tokens"))
+      .orderBy($"bin")
+  }
+
+  /** Differentially-private count release (two-sided geometric mechanism,
+    * the discrete Laplace): per-language document counts plus integer
+    * noise drawn from pmf ∝ α^|k| with α = e^(-ε/Δ), ε = 1, Δ = 1,
+    * support clamped to [-6, 6]. The draw is the portable md5 16-bit
+    * uniform pushed through the fixed inverse-CDF thresholds (the
+    * q_stat_bootstrap recipe) keyed on (lang, release seed), so the
+    * mechanism is a pure function of the group and the oracle replays
+    * the noisy counts bit-for-bit — a DETERMINISTIC test harness for the
+    * release path; production rotates the seed per release.
+    */
+  val qDpCounts: GQuery = {
+    // CDF of the clamped two-sided geometric, scaled to 16 bits: u < th(i)
+    // selects noise k = i - 6 (precomputed; see pmf above)
+    val th = Seq(75, 279, 834, 2344, 6448, 17605, 47930, 59087, 63191, 64701, 65256, 65460)
+    val caseSql = th.zipWithIndex
+      .map { case (t, i) => s"WHEN u < $t THEN ${i - 6}" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    GQuery(
+      "q_privacy_dp_counts",
+      Some(s"""
+      WITH g AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+      u AS (
+        SELECT lang, n,
+               ('0x' || substr(md5('dp:' || lang || ':7'), 1, 4))::BIGINT AS u
+        FROM g)
+      SELECT lang, CAST(n + ($caseSql) AS BIGINT) AS n_noisy,
+             CAST(1.0 AS DOUBLE) AS epsilon
+      FROM u
+      ORDER BY lang""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val g = t(spark, dir).documents
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("dp:"), $"lang", lit(":7"))), 1, 4), 16, 10)
+            .cast("long"))
+      val noise = th.zipWithIndex
+        .foldRight(lit(6): org.apache.spark.sql.Column) { case ((t, i), acc) =>
+          when($"u" < t, lit(i - 6)).otherwise(acc)
+        }
+      g.select($"lang", ($"n" + noise).cast("long").as("n_noisy"),
+          lit(1.0).as("epsilon"))
+        .orderBy($"lang")
+    }
+  }
+
+  /** Gzip-compressed JSONL round trip — the wire format most raw text
+    * corpora actually arrive in (CommonCrawl WET/WARC derivatives ship as
+    * .gz shards): documents written as gzip JSON lines through Spark's
+    * native codec path, read back with an EXPLICIT schema (no inference
+    * pass over 100 TB), audited per language. The content digest (sum of
+    * 32-bit md5 prefixes, order-insensitive exact integer arithmetic)
+    * proves the compress → split → decompress → parse chain preserved
+    * every string byte. Note gzip shards are non-splittable: one task per
+    * shard on read, which is why the writer controls shard count.
+    */
+  val qGzipJsonl: GQuery = GQuery(
+    "q_source_gzip_jsonl",
+    Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_digest
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val scratch = Scratch.dir("gzjsonl")
+    val docs = t(spark, dir).documents
+    docs.write.mode("overwrite").option("compression", "gzip")
+      .json(scratch.toString)
+    val res = spark.read.schema(docs.schema).json(scratch.toString)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")).as("text_digest"))
+      .orderBy($"lang")
+      .localCheckpoint()
+    Scratch.purge(scratch)
+    res
+  }
+
+  /** One-way ANOVA across languages on document length — the parametric
+    * companion to the KS/Mann-Whitney drift screens: does mean length
+    * differ across the k = 5 language strata? Per-group sums and sums of
+    * squares are exact BIGINT aggregates (one map-side-combined corpus
+    * pass); the k per-group IEEE terms combine through DECIMAL(38,6)
+    * (order-insensitive), and F = (SSB/(k−1))/(SSW/(N−k)) is one fixed
+    * chain — the whole statistic replays exactly. Driver state: none;
+    * the group table is k rows.
+    */
+  val qAnova: GQuery = GQuery(
+    "q_stat_anova",
+    Some("""
+      WITH g AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(n_chars) AS BIGINT) AS s_g,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss_g
+        FROM documents GROUP BY lang),
+      parts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS grand,
+               CAST(SUM(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                             / CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sum_sb,
+               CAST(SUM(CAST(CAST(ss_g AS DOUBLE)
+                             - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                               / CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS ssw
+        FROM g)
+      SELECT k, n,
+             round(sum_sb - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6) AS ssb,
+             round(ssw, 6) AS ssw,
+             round(((sum_sb - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE)
+                              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                   / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat
+      FROM parts""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val g = t(spark, dir).documents
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_g"),
+        sum($"n_chars").as("s_g"),
+        sum($"n_chars" * $"n_chars").as("ss_g"))
+    val sb = $"s_g".cast("double") * $"s_g".cast("double") / $"n_g".cast("double")
+    val parts = g.agg(
+      count(lit(1)).as("k"),
+      sum($"n_g").as("n"),
+      sum($"s_g").as("grand"),
+      sum(sb.cast(D)).cast("double").as("sum_sb"),
+      sum(($"ss_g".cast("double") - sb).cast(D)).cast("double").as("ssw"))
+    val ssb = $"sum_sb" - $"grand".cast("double") * $"grand".cast("double") / $"n".cast("double")
+    parts.select(
+      $"k", $"n",
+      round(ssb, 6).as("ssb"),
+      round($"ssw", 6).as("ssw"),
+      round((ssb / ($"k" - 1).cast("double")) / ($"ssw" / ($"n" - $"k").cast("double")), 6)
+        .as("f_stat"))
+  }
+
+  /** Conversation assembly — the SFT/RL data-prep step that turns an
+    * event log into per-user transcripts: events map to roles, order by
+    * (event time µs, event id), concatenate into one transcript per
+    * user, and count role-alternation violations (adjacent same-role
+    * turns — malformed dialogs a trainer must drop). Assembly is one
+    * groupBy with an in-row sorted-array pass (per-user state only —
+    * bounded by user activity, no window, no cross-user shuffle beyond
+    * the key); the transcript releases as its md5 so the full
+    * concatenation is hash-checked without multi-KB result cells.
+    */
+  val qChatAssembly: GQuery = GQuery(
+    "q_pipeline_chat_assembly",
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                    WHEN event_type = 'purchase' THEN 'assistant'
+                    ELSE 'system' END AS role
+        FROM events),
+      turns AS (
+        SELECT user_id, event_id, tus, role, role || ':' || CAST(event_id AS VARCHAR) AS turn,
+               LAG(role) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_role
+        FROM e)
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             md5(string_agg(turn, '|' ORDER BY tus, event_id)) AS transcript_md5
+      FROM turns
+      GROUP BY user_id
+      ORDER BY user_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val role = when($"event_type".isin("click", "view"), "user")
+      .when($"event_type" === "purchase", "assistant")
+      .otherwise("system")
+    val e = t(spark, dir).events.select(
+      $"user_id", $"event_id", expr("ts div 1000").as("tus"), role.as("role"))
+    e.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tus", $"event_id", $"role"))).as("s"))
+      .select(
+        $"user_id",
+        size($"s").cast("long").as("n_turns"),
+        aggregate(
+          sequence(lit(1), size($"s") - 1),
+          lit(0L),
+          (acc, i) => acc + when(
+            element_at($"s", i + 1).getField("role") === element_at($"s", i).getField("role"),
+            1L).otherwise(0L)).as("violations"),
+        md5(array_join(
+          transform($"s", x =>
+            concat(x.getField("role"), lit(":"), x.getField("event_id").cast("string"))),
+          "|")).as("transcript_md5"))
+      .orderBy($"user_id")
+  }
+
+  /** Matryoshka truncation audit (MRL-style nested embeddings): keep the
+    * first 16 of 64 dimensions and measure what survives — head norm and
+    * the norm-retention ratio per vector. Entirely row-local arithmetic
+    * (no shuffle at all beyond the scan); the retention distribution is
+    * what decides whether a cheaper head-dimension index is safe at
+    * 100 TB before committing to it.
+    */
+  val qMatryoshka: GQuery = GQuery(
+    "q_embed_matryoshka",
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm_full,
+               sqrt(list_sum(list_transform(embedding[1:16],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm_head
+        FROM embeddings)
+      SELECT vec_id, round(norm_full, 6) AS norm_full, round(norm_head, 6) AS norm_head,
+             round(norm_head / norm_full, 6) AS retention
+      FROM v
+      ORDER BY vec_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    def sq(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x))
+    t(spark, dir).embeddings
+      .select($"vec_id",
+        sq($"embedding").as("norm_full"),
+        sq(slice($"embedding", 1, 16)).as("norm_head"))
+      .select($"vec_id",
+        round($"norm_full", 6).as("norm_full"),
+        round($"norm_head", 6).as("norm_head"),
+        round($"norm_head" / $"norm_full", 6).as("retention"))
+      .orderBy($"vec_id")
+  }
+
+  override def queries: Seq[GQuery] = Seq(
+    qNgramLm, qPackLpt, qDpCounts, qGzipJsonl, qAnova, qChatAssembly, qMatryoshka)
+}

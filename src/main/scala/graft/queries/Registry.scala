@@ -22,7 +22,8 @@ object Registry {
     ProfilingQueries,
     SequenceQueries,
     LayoutQueries,
-    IngestQueries
+    IngestQueries,
+    CurationQueries
   )
 
   lazy val all: Seq[GQuery] = {
