@@ -393,8 +393,13 @@ object TextOps {
     * Scale: one (doc, term) shuffle for tf, one term shuffle for the
     * posting assembly. Posting lists are bounded by `maxDf` — a term in
     * half the corpus is a stopword, and its posting row would be a
-    * single-key straggler holding |corpus| entries (same hot-key
-    * discipline as the shingle df-cap in [[graft.operators.Dedup]]).
+    * single-key straggler holding |corpus| entries. The cap is enforced
+    * BEFORE the posting arrays exist: a df pre-pass finds over-cap terms
+    * and a left-anti join drops their (term, doc) rows, so the hot term's
+    * |corpus|-entry array is never built in any aggregation buffer (the
+    * same pre-pass + anti-join hot-key discipline as the shingle df-cap
+    * in [[graft.operators.Dedup.jaccardPairs]] — filtering df AFTER the
+    * collect would still materialize the straggler row, then discard it).
     * Arrays are sorted in-row after collect, so the output is
     * partitioning-independent.
     */
@@ -404,15 +409,21 @@ object TextOps {
       textCol: String,
       maxDf: Long
   ): org.apache.spark.sql.DataFrame = {
+    // materialized once: feeds the df pre-pass AND the posting collect
+    // (left lazy, the tokenize→explode→tf pipeline would run twice)
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
-    tf.groupBy(col("term"))
+      .localCheckpoint()
+    val hot = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("term"))
+    tf.join(hot, Seq("term"), "left_anti")
+      .groupBy(col("term"))
       .agg(
         count(lit(1)).as("df"),
         array_sort(collect_list(struct(col(idCol), col("tf")))).as("__p"))
-      .filter(col("df") <= maxDf)
       .select(
         col("term"),
         col("df"),

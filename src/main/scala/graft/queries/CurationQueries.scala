@@ -24,10 +24,15 @@ object CurationQueries extends QuerySet {
     * log-free idf) is an order-insensitive DECIMAL(38,12) sum, so the
     * whole model — counts, smoothing, scoring — replays exactly.
     *
-    * Scale shape: one corpus pass explodes adjacent pairs (map-side
-    * combined counts), documents join the bigram table on the pair and
-    * the unigram table on the left token (both shuffles on their keys),
-    * the vocab size broadcasts as one row. No windows, no driver state.
+    * Scale shape: one corpus pass explodes adjacent pairs, immediately
+    * pre-aggregated to (doc_id, a, b, cnt) — the scoring joins run on
+    * DISTINCT per-doc bigrams, not per-occurrence rows, shrinking both
+    * join inputs by the within-doc repetition factor and blunting
+    * hot-token join skew ("the" as join key `a`); the mean is
+    * cnt-weighted, algebraically identical. The global bigram table
+    * re-aggregates from the per-doc counts (smaller shuffle than the raw
+    * pairs), the vocab size broadcasts as one row. No windows, no driver
+    * state.
     */
   val qNgramLm: GQuery = GQuery(
     "q_text_ngram_lm",
@@ -41,21 +46,24 @@ object CurationQueries extends QuerySet {
         SELECT doc_id, ts[i] AS a, ts[i+1] AS b
         FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
         WHERE len(ts) >= 2),
+      dp AS (
+        SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY doc_id, a, b),
       uni AS (
         SELECT t AS a, CAST(COUNT(*) AS BIGINT) AS ca
         FROM (SELECT unnest(ts) AS t FROM tk) GROUP BY t),
       bi AS (
-        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM pairs GROUP BY a, b),
+        SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS cab FROM dp GROUP BY a, b),
       voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
       scored AS (
-        SELECT p.doc_id,
+        SELECT p.doc_id, p.cnt,
                (CAST(bi.cab AS DOUBLE) + 0.5)
                  / (CAST(uni.ca AS DOUBLE) + 0.5 * CAST(voc.v AS DOUBLE)) AS condp
-        FROM pairs p JOIN bi USING (a, b) JOIN uni USING (a), voc)
+        FROM dp p JOIN bi USING (a, b) JOIN uni USING (a), voc)
       SELECT doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             round(CAST(SUM(CAST(condp AS DECIMAL(38,12))) AS DOUBLE)
-                   / CAST(COUNT(*) AS DOUBLE), 6) AS avg_condp
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(CAST(CAST(cnt AS DOUBLE) * condp AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(SUM(cnt) AS DOUBLE), 6) AS avg_condp
       FROM scored
       GROUP BY doc_id
       ORDER BY doc_id""")
@@ -64,27 +72,29 @@ object CurationQueries extends QuerySet {
     val D12 = org.apache.spark.sql.types.DecimalType(38, 12)
     val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
     val docs = t(spark, dir).documents.select($"doc_id", toks.as("ts")).localCheckpoint()
-    val pairs = docs
+    val dp = docs
       .filter(size($"ts") >= 2)
       .select($"doc_id", explode(
         transform(sequence(lit(1), size($"ts") - 1),
           i => struct(element_at($"ts", i).as("a"), element_at($"ts", i + 1).as("b")))).as("p"))
-      .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the global bigram table AND the scoring join
     val uni = docs.select(explode($"ts").as("a")).groupBy($"a").agg(count(lit(1)).as("ca"))
-    val bi = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val bi = dp.groupBy($"a", $"b").agg(sum($"cnt").as("cab"))
     val voc = uni.agg(count(lit(1)).as("v"))
-    pairs
+    dp
       .join(bi, Seq("a", "b"))
       .join(uni, Seq("a"))
       .crossJoin(broadcast(voc))
-      .select($"doc_id",
+      .select($"doc_id", $"cnt",
         (($"cab".cast("double") + lit(0.5))
           / ($"ca".cast("double") + lit(0.5) * $"v".cast("double"))).as("condp"))
       .groupBy($"doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(sum($"condp".cast(D12)).cast("double")
-          / count(lit(1)).cast("double"), 6).as("avg_condp"))
+        sum($"cnt").as("n_bigrams"),
+        round(sum(($"cnt".cast("double") * $"condp").cast(D12)).cast("double")
+          / sum($"cnt").cast("double"), 6).as("avg_condp"))
       .orderBy($"doc_id")
   }
 
@@ -132,15 +142,22 @@ object CurationQueries extends QuerySet {
       .orderBy($"bin")
   }
 
-  /** Differentially-private count release (two-sided geometric mechanism,
-    * the discrete Laplace): per-language document counts plus integer
-    * noise drawn from pmf ∝ α^|k| with α = e^(-ε/Δ), ε = 1, Δ = 1,
-    * support clamped to [-6, 6]. The draw is the portable md5 16-bit
-    * uniform pushed through the fixed inverse-CDF thresholds (the
-    * q_stat_bootstrap recipe) keyed on (lang, release seed), so the
-    * mechanism is a pure function of the group and the oracle replays
-    * the noisy counts bit-for-bit — a DETERMINISTIC test harness for the
-    * release path; production rotates the seed per release.
+  /** Noisy count release via a TRUNCATED two-sided geometric mechanism:
+    * per-language document counts plus integer noise from pmf ∝ α^|k|
+    * with α = e^(-ε/Δ) at nominal ε = 1, Δ = 1, support CLAMPED to
+    * [-6, 6] by the inverse-CDF table. The clamping re-concentrates the
+    * clipped tail mass at ±6, so this is NOT pure ε-DP — adjacent counts
+    * whose noise would need |k| > 6 to collide are distinguishable with
+    * probability above the e^ε bound (a bounded-noise mechanism needs
+    * the truncated-geometric analysis, e.g. Ghosh–Roughgarden–
+    * Sundararajan's geometric mechanism variants, for a formal claim).
+    * The released column is therefore `epsilon_nominal`: a mechanism
+    * parameter, not a guarantee. The draw is the portable md5 16-bit
+    * uniform pushed through fixed thresholds (the q_stat_bootstrap
+    * recipe) keyed on (lang, release seed), so the mechanism is a pure
+    * function of the group and the oracle replays the noisy counts
+    * bit-for-bit — a DETERMINISTIC test harness for the release path;
+    * production rotates the seed per release.
     */
   val qDpCounts: GQuery = {
     // CDF of the clamped two-sided geometric, scaled to 16 bits: u < th(i)
@@ -159,7 +176,7 @@ object CurationQueries extends QuerySet {
                ('0x' || substr(md5('dp:' || lang || ':7'), 1, 4))::BIGINT AS u
         FROM g)
       SELECT lang, CAST(n + ($caseSql) AS BIGINT) AS n_noisy,
-             CAST(1.0 AS DOUBLE) AS epsilon
+             CAST(1.0 AS DOUBLE) AS epsilon_nominal
       FROM u
       ORDER BY lang""")
     ) { (spark, dir) =>
@@ -174,7 +191,7 @@ object CurationQueries extends QuerySet {
           when($"u" < t, lit(i - 6)).otherwise(acc)
         }
       g.select($"lang", ($"n" + noise).cast("long").as("n_noisy"),
-          lit(1.0).as("epsilon"))
+          lit(1.0).as("epsilon_nominal"))
         .orderBy($"lang")
     }
   }
@@ -279,13 +296,22 @@ object CurationQueries extends QuerySet {
 
   /** Conversation assembly — the SFT/RL data-prep step that turns an
     * event log into per-user transcripts: events map to roles, order by
-    * (event time µs, event id), concatenate into one transcript per
-    * user, and count role-alternation violations (adjacent same-role
-    * turns — malformed dialogs a trainer must drop). Assembly is one
-    * groupBy with an in-row sorted-array pass (per-user state only —
-    * bounded by user activity, no window, no cross-user shuffle beyond
-    * the key); the transcript releases as its md5 so the full
-    * concatenation is hash-checked without multi-KB result cells.
+    * (event time µs, event id), concatenate the FIRST `maxTurns` turns
+    * into one transcript per user, and count role-alternation violations
+    * (adjacent same-role turns — malformed dialogs a trainer must drop).
+    *
+    * Per-user state is CAPPED, not "bounded by user activity": user
+    * activity is exactly the unbounded, heavily skewed quantity at corpus
+    * scale (one bot = one multi-GB array if collected raw — round-7
+    * verdict). A per-user row_number window (partitioned, streaming, sort
+    * spills to disk — never an array buffer) keeps only rn ≤ maxTurns
+    * rows before anything is collected, so the aggregation buffer holds
+    * ≤ maxTurns entries for ANY user; the uncapped `n_turns` count and
+    * the `overflowed` flag survive as scalar aggregates (the domainCap
+    * discipline: cap the heavy payload, keep the lossless tally).
+    * Single-turn users are legal input: the violation scan is guarded
+    * (`sequence(1, size-1)` on a 1-element array is the DESCENDING [1,0]
+    * and element_at(·, 0) throws — the qNgramLm size≥2 guard).
     */
   val qChatAssembly: GQuery = GQuery(
     "q_pipeline_chat_assembly",
@@ -296,39 +322,59 @@ object CurationQueries extends QuerySet {
                     WHEN event_type = 'purchase' THEN 'assistant'
                     ELSE 'system' END AS role
         FROM events),
+      tot AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM e GROUP BY user_id),
+      k AS (
+        SELECT * FROM (
+          SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+          FROM e)
+        WHERE rn <= 64),
       turns AS (
         SELECT user_id, event_id, tus, role, role || ':' || CAST(event_id AS VARCHAR) AS turn,
                LAG(role) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_role
-        FROM e)
-      SELECT user_id,
-             CAST(COUNT(*) AS BIGINT) AS n_turns,
+        FROM k)
+      SELECT turns.user_id,
+             tot.n_turns,
+             CAST(COUNT(*) AS BIGINT) AS kept_turns,
              CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-             md5(string_agg(turn, '|' ORDER BY tus, event_id)) AS transcript_md5
-      FROM turns
-      GROUP BY user_id
+             md5(string_agg(turn, '|' ORDER BY tus, event_id)) AS transcript_md5,
+             tot.n_turns > 64 AS overflowed
+      FROM turns JOIN tot USING (user_id)
+      GROUP BY turns.user_id, tot.n_turns
       ORDER BY user_id""")
   ) { (spark, dir) =>
     import spark.implicits._
+    val maxTurns = 64
     val role = when($"event_type".isin("click", "view"), "user")
       .when($"event_type" === "purchase", "assistant")
       .otherwise("system")
     val e = t(spark, dir).events.select(
       $"user_id", $"event_id", expr("ts div 1000").as("tus"), role.as("role"))
-    e.groupBy($"user_id")
+      .localCheckpoint() // feeds both the uncapped tally and the capped collect
+    val tot = e.groupBy($"user_id").agg(count(lit(1)).as("n_turns"))
+    val kept = e
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"tus", $"event_id")))
+      .filter($"rn" <= maxTurns)
+    kept.groupBy($"user_id")
       .agg(sort_array(collect_list(struct($"tus", $"event_id", $"role"))).as("s"))
+      .join(tot, Seq("user_id"))
       .select(
         $"user_id",
-        size($"s").cast("long").as("n_turns"),
-        aggregate(
-          sequence(lit(1), size($"s") - 1),
-          lit(0L),
-          (acc, i) => acc + when(
-            element_at($"s", i + 1).getField("role") === element_at($"s", i).getField("role"),
-            1L).otherwise(0L)).as("violations"),
+        $"n_turns",
+        size($"s").cast("long").as("kept_turns"),
+        when(size($"s") >= 2,
+          aggregate(
+            sequence(lit(1), size($"s") - 1),
+            lit(0L),
+            (acc, i) => acc + when(
+              element_at($"s", i + 1).getField("role") === element_at($"s", i).getField("role"),
+              1L).otherwise(0L))).otherwise(lit(0L)).as("violations"),
         md5(array_join(
           transform($"s", x =>
             concat(x.getField("role"), lit(":"), x.getField("event_id").cast("string"))),
-          "|")).as("transcript_md5"))
+          "|")).as("transcript_md5"),
+        ($"n_turns" > maxTurns).as("overflowed"))
       .orderBy($"user_id")
   }
 

@@ -646,6 +646,10 @@ object PipelineQueries extends QuerySet {
       .dsirLogWeights(t(spark, dir).documents, idCol = "doc_id", textCol = "text",
         isTarget = $"lang" === "en", buckets = 64, seed = 41)
       .withColumn("log_weight", round($"log_weight", 6))
+      // materialize ONCE: the full-corpus weight pass (explode + two
+      // shuffles) otherwise re-evaluates for the scalar count below AND
+      // inside globalIndexBy's zipWithIndex count job
+      .localCheckpoint()
     // Global weight ranking via the distributed total-order rank
     // (range-partition + per-partition sort + zipWithIndex) — the weight
     // table grows with doc count (~10^9 at target scale), so a

@@ -104,6 +104,16 @@ object TarShards {
               current = shard
               fin = java.nio.file.Paths.get(outDir, f"shard-$shard%05d.tar")
               tmp = java.nio.file.Paths.get(outDir, f".shard-$shard%05d.tar.$attempt%d.tmp")
+              // reap temp files a killed/lost earlier attempt left behind —
+              // they never rename, so nothing else cleans them. Deleting a
+              // LIVE speculative twin's temp just fails that twin's rename;
+              // Spark keeps whichever attempt completes (archives are
+              // byte-identical by determinism), so this is safe.
+              val stale = java.nio.file.Files.newDirectoryStream(
+                java.nio.file.Paths.get(outDir), f".shard-$shard%05d.tar.*.tmp")
+              try stale.forEach { p =>
+                if (p != tmp) java.nio.file.Files.deleteIfExists(p)
+              } finally stale.close()
               out = java.nio.file.Files.newOutputStream(tmp)
             }
             // fail loudly on null keys/payloads (getAs[Long] on a null

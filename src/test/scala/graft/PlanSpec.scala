@@ -245,13 +245,16 @@ class PlanSpec extends SparkSpec {
       "q_stat_bootstrap" -> "32 bootstrap replicates"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
-      val hits =
-        try q.run(spark, sf).queryExecution.optimizedPlan.collect {
+      // a query that fails to BUILD here is itself an offense — swallowing
+      // the throw would let a broken query silently pass this lint
+      try {
+        val hits = q.run(spark, sf).queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty => w
         }.size
-        catch { case _: Throwable => 0 } // unplannable caught by the cartesian lint
-      if (hits > 0 && !bounded.contains(q.name)) Some(q.name -> hits) else None
+        if (hits > 0 && !bounded.contains(q.name)) Some(q.name -> s"$hits unpartitioned Window(s)")
+        else None
+      } catch { case e: Throwable => Some(q.name -> s"FAILED TO PLAN: $e") }
     }
     assert(offenders.isEmpty,
       s"unpartitioned Window over unbounded input (fix or justify in the bounded map): $offenders")

@@ -115,6 +115,29 @@ class TextRetrievalSpec extends SparkSpec {
     assert(single == Map(1L -> 2, 4L -> 1))
   }
 
+  test("invertedIndex df-cap runs BEFORE the posting collect (anti-join below the aggregate)") {
+    // Round-7 verdict: filtering df on the AGGREGATED rows still builds
+    // the hot stopword's |corpus|-entry array in the aggregation buffer
+    // and only then discards it — an executor OOM at 100 TB. The plan
+    // contract: every collect_list aggregate must sit ABOVE a left-anti
+    // join (the df pre-pass dropping over-cap terms from the row stream).
+    val plan = TextOps.invertedIndex(corpus, "doc_id", "text", maxDf = 2L)
+      .queryExecution.optimizedPlan
+    val collectAggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(collectAggs.nonEmpty, "expected a collect_list aggregate in the plan")
+    collectAggs.foreach { agg =>
+      val antiBelow = agg.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antiBelow.nonEmpty,
+        s"over-cap terms must be anti-joined out BELOW the posting collect; got:\n$agg")
+    }
+  }
+
   test("invertedIndex posting order is repartition-invariant") {
     val a = TextOps.invertedIndex(corpus.repartition(5), "doc_id", "text", 10L)
       .orderBy($"term").collect().map(r => (r.getString(0), r.getSeq[Long](2), r.getSeq[Long](3)))
