@@ -42,8 +42,8 @@ object ScaleStress {
   private def synthesize(spark: org.apache.spark.sql.SparkSession, from: String): String = {
     import org.apache.spark.sql.functions._
     val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf1syn"
-    // v2: also synthesizes lineitem (co-purchase graph tier)
-    if (new java.io.File(s"$dir/_SYNTH_OK2").exists()) return dir
+    // v3: also synthesizes events (KS / Mann-Whitney prefix-scan tier)
+    if (new java.io.File(s"$dir/_SYNTH_OK3").exists()) return dir
     val docs = spark.read.parquet(s"$from/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val copies = spark.range(10).toDF("copy")
@@ -90,7 +90,23 @@ object ScaleStress {
         (col("l_orderkey") + col("copy") * nOrd).as("l_orderkey"),
         (col("l_partkey") + col("copy") * nPart).as("l_partkey"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK2"), Array.empty[Byte])
+    // events: ids offset per copy; `value` gets a per-copy 1e-6 jitter so
+    // the DISTINCT-value count (what the KS/MW prefix scan keys on) grows
+    // with the corpus instead of saturating at the base tier's support —
+    // verbatim copies would measure a constant-width scan, not plan growth.
+    val ev = spark.read.parquet(s"$from/events.parquet")
+    val nEv = ev.agg(max("event_id")).head.getLong(0) + 1
+    val nUser = ev.agg(max("user_id")).head.getLong(0) + 1
+    ev.crossJoin(copies)
+      .select(
+        (col("event_id") + col("copy") * nEv).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * nUser).as("user_id"),
+        col("event_type"),
+        (col("value") + col("copy").cast("double") * lit(1e-6)).as("value"),
+        col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK3"), Array.empty[Byte])
     dir
   }
 
@@ -100,30 +116,47 @@ object ScaleStress {
     spark.sparkContext.addSparkListener(meter)
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s -> s"/root/testdata/$s") ++
       Seq("sf1syn" -> synthesize(spark, "/root/testdata/sf0.1"))
-    val names = Seq(
+    val allNames = Seq(
       "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_fuzzy_key",
       "q_dedup_connected", "q_dedup_simhash", "q_dedup_span",
       "q_dedup_embedding_lsh", "q_dedup_embedding_lsh_tight",
       "q_dedup_representative", "q_text_domain_sim",
       "q_dedup_prefix_filter", "q_dedup_containment", "q_graph_components",
-      "q_dedup_sorted_neighborhood")
+      "q_dedup_sorted_neighborhood",
+      // round-7/8 re-planned queries (round-6 verdict required measured
+      // exponents for every de-globalized window re-plan, round-7 for the
+      // new LPT / bigram-LM additions)
+      "q_sample_dsir", "q_text_vocab", "q_text_oov", "q_stat_ks",
+      "q_stat_mannwhitney", "q_text_pmi", "q_quality_label_consistency",
+      "q_pipeline_pack_lpt", "q_text_ngram_lm")
+    // SPARK_GRAFT_SCALE_ONLY=a,b,c to isolate a subset (BENCH_ONLY's twin)
+    val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
+      case Some(s) => allNames.filter(s.split(",").map(_.trim).toSet)
+      case None    => allNames
+    }
 
     // untimed warmup (JVM/codegen)
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
 
     // results(query)(sf) = (inputRows, sec, shuffleBytes)
     val results = scala.collection.mutable.Map.empty[(String, String), (Long, Double, Long)]
+    val tableRows = sfs.map { case (sf, dir) =>
+      sf -> Map(
+        "documents"  -> spark.read.parquet(s"$dir/documents.parquet").count(),
+        "customer"   -> spark.read.parquet(s"$dir/customer.parquet").count(),
+        "embeddings" -> spark.read.parquet(s"$dir/embeddings.parquet").count(),
+        "lineitem"   -> spark.read.parquet(s"$dir/lineitem.parquet").count(),
+        "events"     -> spark.read.parquet(s"$dir/events.parquet").count())
+    }.toMap
     for ((sf, dir) <- sfs; name <- names) {
-      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
-      val cust = spark.read.parquet(s"$dir/customer.parquet").count()
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      val li = spark.read.parquet(s"$dir/lineitem.parquet").count()
-      val rows = name match {
-        case "q_dedup_fuzzy_key" => cust
-        case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" => emb
-        case "q_graph_components" => li
-        case _ => docs
-      }
+      val rows = tableRows(sf)(name match {
+        case "q_dedup_fuzzy_key" => "customer"
+        case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
+            "q_quality_label_consistency" => "embeddings"
+        case "q_graph_components" => "lineitem"
+        case "q_stat_ks" | "q_stat_mannwhitney" => "events"
+        case _ => "documents"
+      })
       val w0 = meter.write.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()

@@ -551,6 +551,101 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Number of portable sign-LSH planes that bounds expected cell size:
+    * the smallest p with targetCell · 2^p ≥ n (exact integer arithmetic —
+    * no float log whose last ulp could flip a ceil at power-of-two corpus
+    * sizes; an oracle replays it as `MIN(j) WHERE (target << j) >= n`).
+    */
+  def lshCellPlanes(n: Long, targetCell: Long): Int = {
+    var p = 0
+    while ((targetCell << p) < n && p < 40) p += 1
+    p
+  }
+
+  /** [[knnGraph]] with CORPUS-SCALED cells: blocking by ONE portable
+    * sign-LSH bucket of `p = lshCellPlanes(n, targetCell)` planes instead
+    * of a fixed codebook. A constant cell count makes within-cell cosine
+    * compute grow ~n²/cells even when the top-k output (and therefore
+    * shuffle) stays linear — the round-8 ScaleStress time-exponent 1.45
+    * finding on the label-codebook variant. Here the plane count grows
+    * with the corpus (p ≈ log2(n/targetCell)), so expected cell size
+    * stays ≤ targetCell and total compute ~n·targetCell — linear. The
+    * trade is LSH's: neighbors are ranked within the direction-bucket
+    * only, and recall vs exact kNN drops as p grows; for audit-style
+    * consumers (label consistency, hard-negative mining) the contract is
+    * "a deterministic, similarity-biased neighborhood", which this is —
+    * and the whole assignment is a pure function of (corpus size, data)
+    * that an oracle replays bit-for-bit (integer sign-dots on 2^20-
+    * quantized vectors, md5-derived ±1 planes — [[lshCosinePairsPortable]]'s
+    * family with nTables = 1).
+    *
+    * The one count() is a scalar driver read (bounded); at p = 0 (corpora
+    * below targetCell) the single cell degenerates to exact brute force.
+    */
+  def knnGraphLsh(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetCell: Long = 512,
+      dim: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = lshCellPlanes(vectors.count(), targetCell)
+    val cell =
+      if (p == 0) lit(0L)
+      else element_at(graft.functions.GraftFunctions.lshBuckets(col(vecCol), 1, p, dim), 1)
+    val assigned = vectors.select(col(idCol), col(vecCol), cell.as("__cell"))
+    val a = assigned.select(col("__cell"), col(idCol).as("src"), col(vecCol).as("__va"))
+    val b = assigned.select(col("__cell"), col(idCol).as("dst"), col(vecCol).as("__vb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst").asc)
+    a.join(b, Seq("__cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining for contrastive training: for every vector,
+    * its top-k most-similar vectors carrying a DIFFERENT label — the
+    * near-boundary impostors a metric-learning loss learns the most
+    * from. Candidates come from the same corpus-scaled sign-LSH cells as
+    * [[knnGraphLsh]] (cells grow with the corpus, so compute stays
+    * ~n·targetCell); the label filter runs BEFORE the rank window, so the
+    * k slots hold negatives only. Vectors whose cell holds no
+    * different-label neighbor emit nothing (at scale, multi-probe or a
+    * larger targetCell raises coverage — a deliberate recall/compute
+    * knob, same contract as [[knnGraph]]'s singleton-cell note).
+    */
+  def hardNegativesLsh(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      targetCell: Long = 512,
+      dim: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = lshCellPlanes(vectors.count(), targetCell)
+    val cell =
+      if (p == 0) lit(0L)
+      else element_at(graft.functions.GraftFunctions.lshBuckets(col(vecCol), 1, p, dim), 1)
+    val assigned =
+      vectors.select(col(idCol), col(vecCol), col(labelCol), cell.as("__cell"))
+    val a = assigned.select(
+      col("__cell"), col(idCol).as("src"), col(labelCol).as("own"), col(vecCol).as("__va"))
+    val b = assigned.select(
+      col("__cell"), col(idCol).as("dst"), col(labelCol).as("nl"), col(vecCol).as("__vb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst").asc)
+    a.join(b, Seq("__cell"))
+      .filter(col("src") =!= col("dst") && col("own") =!= col("nl"))
+      .select(col("src"), col("own"), col("dst"), col("nl"),
+        cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-PQ top-k — the production ANN architecture (coarse quantizer
     * restricts WHICH vectors are scored, product quantization restricts
     * WHAT is read per vector): queries probe their `nProbe` nearest

@@ -384,47 +384,47 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"qid", $"rank")
   }
 
-  /** Approximate kNN graph ([[Similarity.knnGraph]]): every vector's
-    * top-3 cosine neighbors within its IVF cell — the SemDeDup-style
-    * clustering input, every edge hash-checked: the oracle replays
-    * fixed-point codebook training, cell assignment, both-direction
-    * candidate edges, and the (cos DESC, dst) per-source ranking.
+  /** Approximate kNN graph ([[Similarity.knnGraphLsh]]): every vector's
+    * top-3 cosine neighbors within its CORPUS-SCALED sign-LSH cell — the
+    * SemDeDup-style clustering input, every edge hash-checked: the
+    * oracle replays the plane-count derivation, integer sign-dot cell
+    * assignment, both-direction candidate edges, and the (cos DESC, dst)
+    * per-source ranking. (Round 8 migrated this off the label codebook:
+    * constant cell count → ~n²/cells compute; see
+    * q_quality_label_consistency's re-measure in BASELINE.md.)
     */
   val qKnnGraph: GQuery = GQuery(
     "q_graph_knn",
     Some("""
-      WITH flat AS (
-        SELECT label, i,
-               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
-                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
-        FROM (SELECT label, unnest(embedding) AS e,
-                     unnest(generate_series(1, len(embedding))) AS i
-              FROM embeddings)
-        GROUP BY label, i),
-      cents AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY label) - 1 AS cell, list(cv ORDER BY i) AS c
-        FROM flat GROUP BY label),
-      cn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cents),
+      WITH params AS (
+        SELECT MIN(j) AS p
+        FROM (SELECT unnest(generate_series(0, 40)) AS j) js,
+             (SELECT COUNT(*) AS n FROM embeddings) cn
+        WHERE (512::BIGINT << j) >= cn.n),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      cells AS (
+        SELECT vec_id,
+               COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
+                 pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                         d -> (CASE WHEN (('0x' || substr(md5('0|' || (pp-1)::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                                    THEN 1 ELSE -1 END) * q[d])) > 0
+                       THEN '1' ELSE '0' END), ''), '') AS cell
+        FROM qv),
       v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings),
-      assigned AS (
-        SELECT vec_id, cell FROM (
-          SELECT v.vec_id, cn.cell,
-                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                    ORDER BY list_sum(list_transform(generate_series(1, 64),
-                                             i -> v.e[i] * cn.c[i])) / (v.nrm * cn.cnrm) DESC,
-                                             cn.cell) AS rn
-          FROM v CROSS JOIN cn)
-        WHERE rn = 1),
       edges AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_sum(list_transform(generate_series(1, 64),
                         i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
-        FROM assigned a
-        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        FROM cells a
+        JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         JOIN v va ON va.vec_id = a.vec_id
         JOIN v vb ON vb.vec_id = b.vec_id)
       SELECT src, dst, round(s, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
@@ -434,58 +434,57 @@ object SimilarityQueries extends QuerySet {
       ORDER BY src, rank""")
   ) { (spark, dir) =>
     import spark.implicits._
-    val emb = t(spark, dir).embeddings
-    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
     Similarity
-      .knnGraph(emb, "vec_id", "embedding", codebook, k = 3)
+      .knnGraphLsh(t(spark, dir).embeddings, "vec_id", "embedding", k = 3)
       .select($"src", $"dst", round($"cos_sim", 6).as("cos_sim"), $"rank")
       .orderBy($"src", $"rank")
   }
 
-  /** SemDeDup-shape SEMANTIC clustering, end to end: kNN graph within IVF
-    * cells → keep edges with cosine ≥ 0.3 → connected components → the
-    * cluster table (component = min member id, size per cluster,
-    * singletons self-clustered). The full chain — codebook training, cell
-    * assignment, candidate edges, per-source top-3 ranking, thresholding,
-    * recursive-CTE components, singleton fill — is replayed by the
-    * oracle, so the SEMANTIC dedup decision itself is hash-checked, like
-    * its lexical siblings (q_dedup_connected/q_dedup_representative).
+  /** SemDeDup-shape SEMANTIC clustering, end to end: kNN graph within
+    * CORPUS-SCALED sign-LSH cells ([[Similarity.knnGraphLsh]] — round 8
+    * migrated this off the constant-cell-count label codebook, whose
+    * within-cell compute grew ~n²/cells; see q_quality_label_consistency)
+    * → keep edges with cosine ≥ 0.3 → connected components → the cluster
+    * table (component = min member id, size per cluster, singletons
+    * self-clustered). The full chain — plane-count derivation, integer
+    * sign-dot cell assignment, candidate edges, per-source top-3 ranking,
+    * thresholding, recursive-CTE components, singleton fill — is replayed
+    * by the oracle, so the SEMANTIC dedup decision itself is
+    * hash-checked, like its lexical siblings (q_dedup_connected /
+    * q_dedup_representative).
     */
   val qSemCluster: GQuery = GQuery(
     "q_pipeline_semdedup",
     Some("""
-      WITH RECURSIVE flat AS (
-        SELECT label, i,
-               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
-                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
-        FROM (SELECT label, unnest(embedding) AS e,
-                     unnest(generate_series(1, len(embedding))) AS i
-              FROM embeddings)
-        GROUP BY label, i),
-      cents AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY label) - 1 AS cell, list(cv ORDER BY i) AS c
-        FROM flat GROUP BY label),
-      cn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cents),
+      WITH RECURSIVE params AS (
+        SELECT MIN(j) AS p
+        FROM (SELECT unnest(generate_series(0, 40)) AS j) js,
+             (SELECT COUNT(*) AS n FROM embeddings) cn
+        WHERE (512::BIGINT << j) >= cn.n),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      cells AS (
+        SELECT vec_id,
+               COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
+                 pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                         d -> (CASE WHEN (('0x' || substr(md5('0|' || (pp-1)::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                                    THEN 1 ELSE -1 END) * q[d])) > 0
+                       THEN '1' ELSE '0' END), ''), '') AS cell
+        FROM qv),
       v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings),
-      assigned AS (
-        SELECT vec_id, cell FROM (
-          SELECT v.vec_id, cn.cell,
-                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                    ORDER BY list_sum(list_transform(generate_series(1, 64),
-                                             i -> v.e[i] * cn.c[i])) / (v.nrm * cn.cnrm) DESC,
-                                             cn.cell) AS rn
-          FROM v CROSS JOIN cn)
-        WHERE rn = 1),
       edges0 AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_sum(list_transform(generate_series(1, 64),
                         i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
-        FROM assigned a
-        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        FROM cells a
+        JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         JOIN v va ON va.vec_id = a.vec_id
         JOIN v vb ON vb.vec_id = b.vec_id),
       kept AS (
@@ -508,9 +507,8 @@ object SimilarityQueries extends QuerySet {
   ) { (spark, dir) =>
     import spark.implicits._
     val emb = t(spark, dir).embeddings
-    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
     val edges = Similarity
-      .knnGraph(emb, "vec_id", "embedding", codebook, k = 3)
+      .knnGraphLsh(emb, "vec_id", "embedding", k = 3)
       .filter($"cos_sim" >= 0.3)
       .select($"src".as("id_a"), $"dst".as("id_b"))
     graft.operators.Dedup
@@ -1016,53 +1014,57 @@ object SimilarityQueries extends QuerySet {
 
   /** kNN label-consistency screen (the confident-learning/noisy-label
     * detector): each vector's label is voted on by its top-10 cosine
-    * neighbors AMONG vectors sharing its IVF cell
-    * ([[Similarity.knnGraph]] — the same celled candidate restriction as
-    * q_graph_knn / q_pipeline_semdedup), low agreement flags probable
-    * mislabels. The oracle replays the ENTIRE pipeline — fixed-point
-    * codebook training, cell assignment, within-cell edges, per-source
-    * (cos DESC, dst) top-10 — so the celled vote itself is hash-checked.
-    * Agreement is over the neighbors a vector actually has (≤ 10 in
-    * small cells). An all-pairs brute-force formulation would broadcast
-    * the whole corpus as the query side — the 100 TB anti-pattern this
-    * replaced (SimilaritySpec keeps brute force as the small-scale
-    * recall reference).
+    * neighbors AMONG vectors sharing its CORPUS-SCALED sign-LSH cell
+    * ([[Similarity.knnGraphLsh]]), low agreement flags probable
+    * mislabels. Round 8 re-planned the cells: the previous label-centroid
+    * codebook had a CONSTANT cell count, so within-cell cosine compute
+    * grew ~n²/cells even though shuffle stayed linear (ScaleStress
+    * time-exponent 1.45 at the 10× tier); the plane count now grows with
+    * the corpus (p = min planes with 512·2^p ≥ n — exact integer
+    * arithmetic on both sides), bounding expected cell size and making
+    * total compute ~n·512. The oracle replays the ENTIRE pipeline —
+    * plane-count derivation, integer sign-dot bucket bits, within-cell
+    * edges, per-source (cos DESC, dst) top-10 — so the celled vote
+    * itself is hash-checked. Agreement is over the neighbors a vector
+    * actually has (≤ 10 in small cells). An all-pairs brute-force
+    * formulation would broadcast the whole corpus as the query side —
+    * the 100 TB anti-pattern this replaced (SimilaritySpec keeps brute
+    * force as the small-scale recall reference).
     */
   val qLabelConsistency: GQuery = GQuery(
     "q_quality_label_consistency",
     Some("""
-      WITH flat AS (
-        SELECT label, i,
-               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
-                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
-        FROM (SELECT label, unnest(embedding) AS e,
-                     unnest(generate_series(1, len(embedding))) AS i
-              FROM embeddings)
-        GROUP BY label, i),
-      cents AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY label) - 1 AS cell, list(cv ORDER BY i) AS c
-        FROM flat GROUP BY label),
-      cn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cents),
+      WITH params AS (
+        SELECT MIN(j) AS p
+        FROM (SELECT unnest(generate_series(0, 40)) AS j) js,
+             (SELECT COUNT(*) AS n FROM embeddings) cn
+        WHERE (512::BIGINT << j) >= cn.n),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      cells AS (
+        -- COALESCE: at p = 0 the series is empty and array_to_string([])
+        -- is NULL in DuckDB — every vector shares the '' brute-force cell
+        SELECT vec_id,
+               COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
+                 pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                         d -> (CASE WHEN (('0x' || substr(md5('0|' || (pp-1)::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                                    THEN 1 ELSE -1 END) * q[d])) > 0
+                       THEN '1' ELSE '0' END), ''), '') AS cell
+        FROM qv),
       v AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings),
-      assigned AS (
-        SELECT vec_id, cell FROM (
-          SELECT v.vec_id, cn.cell,
-                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                    ORDER BY list_sum(list_transform(generate_series(1, 64),
-                                             i -> v.e[i] * cn.c[i])) / (v.nrm * cn.cnrm) DESC,
-                                             cn.cell) AS rn
-          FROM v CROSS JOIN cn)
-        WHERE rn = 1),
       edges AS (
         SELECT a.vec_id AS src, b.vec_id AS dst, va.label AS own, vb.label AS nl,
                list_sum(list_transform(generate_series(1, 64),
                         i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
-        FROM assigned a
-        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        FROM cells a
+        JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         JOIN v va ON va.vec_id = a.vec_id
         JOIN v vb ON vb.vec_id = b.vec_id),
       top10 AS (
@@ -1084,9 +1086,8 @@ object SimilarityQueries extends QuerySet {
     import spark.implicits._
     val emb = t(spark, dir).embeddings
     val labels = emb.select($"vec_id", $"label".cast("long").as("label"))
-    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
     Similarity
-      .knnGraph(emb, "vec_id", "embedding", codebook, k = 10)
+      .knnGraphLsh(emb, "vec_id", "embedding", k = 10)
       .join(labels.select($"vec_id".as("src"), $"label".as("own")), "src")
       .join(broadcast(labels.select($"vec_id".as("dst"), $"label".as("nl"))), "dst")
       .groupBy($"src", $"own")

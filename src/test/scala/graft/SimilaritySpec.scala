@@ -516,10 +516,14 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("celled label-consistency audit tracks the exact brute-force audit") {
-    // q_quality_label_consistency votes over knnGraph's IVF-celled
-    // neighbors (the 100 TB plan); brute force stays here as the
-    // small-scale reference: the celled agreement rate must agree with
-    // the exact-kNN agreement rate for the vast majority of vectors.
+    // q_quality_label_consistency votes over knnGraphLsh's corpus-scaled
+    // sign-LSH cells (the 100 TB plan; round 8 replaced the constant-
+    // cell-count label codebook whose compute grew ~n²/cells); brute
+    // force stays here as the small-scale reference: the celled agreement
+    // rate must agree with the exact-kNN agreement rate for the vast
+    // majority of vectors. targetCell = 64 forces p = 2 (four cells) on
+    // this fixture, so the CELLED regime is what's tested — the
+    // registered query at sf0.01 sits in the p = 0 brute-force regime.
     import org.apache.spark.sql.functions._
     val labels = emb.select($"vec_id", $"label".cast("long").as("label"))
     def agreements(nbrs: org.apache.spark.sql.DataFrame, qc: String, nc: String) = nbrs
@@ -531,9 +535,10 @@ class SimilaritySpec extends SparkSpec {
       Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10),
       "query_id", "neighbor_id")
       .withColumnRenamed("agr", "agr_exact")
-    val codebook = Similarity.labelCodebook(emb, "label", "embedding")
+    assert(Similarity.lshCellPlanes(emb.count(), 64) >= 2,
+      "fixture too small to exercise the celled regime")
     val celled = agreements(
-      Similarity.knnGraph(emb, "vec_id", "embedding", codebook, k = 10),
+      Similarity.knnGraphLsh(emb, "vec_id", "embedding", k = 10, targetCell = 64),
       "src", "dst")
       .select($"id".as("cid"), $"agr".as("agr_celled"))
     val joined = exact.join(celled, $"id" === $"cid")
