@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+
+/** Round-8 corpus-audit operators: the measurements a training-data team
+  * runs BEFORE committing 100 TB to a tokenizer/packing/mixture decision —
+  * n-gram diversity (synthetic-data self-repetition), Zipf rank-frequency
+  * fit, cross-slice unigram KL divergence, sequence-length truncation
+  * accounting, embedding class separability, and ANN hard-negative mining
+  * for contrastive training.
+  *
+  * Reference analog: none — callysto has no relational/curation surface
+  * (SURVEY §2.5); each entry here is DuckDB-oracle-checked end to end.
+  */
+object AuditQueries extends QuerySet {
+
+  /** Distinct-n diversity audit (the text-generation "distinct-1/2/3"
+    * metric, per document): the fraction of a document's bigrams and
+    * trigrams that are unique within it. Low ratios flag degenerate or
+    * templated text — the primary screen run over synthetic/model-
+    * generated corpora before they enter a training mix.
+    *
+    * Scale shape: ENTIRELY row-local — n-grams come from `zip_with` over
+    * shifted slices (the lambda captures only its formal args, so the
+    * tokenize chain is never re-evaluated per element — the round-1
+    * nested-HOF trap documented in CLAUDE.md), distinct counts from
+    * `array_distinct` in-row. No shuffle at all beyond the scan.
+    */
+  val qDistinctNgrams: GQuery = GQuery(
+    "q_text_distinct_ngrams",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ts) - 1),
+                              i -> ts[i] || ' ' || ts[i+1]) AS b2,
+               list_transform(generate_series(1, len(ts) - 2),
+                              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS b3
+        FROM tk WHERE len(ts) >= 3)
+      SELECT doc_id,
+             CAST(len(b2) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(b2)) AS BIGINT) AS n_bi_distinct,
+             round(CAST(len(list_distinct(b2)) AS DOUBLE) / CAST(len(b2) AS DOUBLE), 6) AS bi_ratio,
+             CAST(len(b3) AS BIGINT) AS n_trigrams,
+             CAST(len(list_distinct(b3)) AS BIGINT) AS n_tri_distinct,
+             round(CAST(len(list_distinct(b3)) AS DOUBLE) / CAST(len(b3) AS DOUBLE), 6) AS tri_ratio
+      FROM g
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val sp = lit(" ")
+    t(spark, dir).documents
+      .select($"doc_id", toks.as("ts"))
+      .filter(size($"ts") >= 3)
+      .select($"doc_id",
+        zip_with(
+          slice($"ts", lit(1), size($"ts") - 1),
+          slice($"ts", lit(2), size($"ts") - 1),
+          (a, b) => concat(a, sp, b)).as("b2"),
+        zip_with(
+          zip_with(
+            slice($"ts", lit(1), size($"ts") - 2),
+            slice($"ts", lit(2), size($"ts") - 2),
+            (a, b) => concat(a, sp, b)),
+          slice($"ts", lit(3), size($"ts") - 2),
+          (ab, c) => concat(ab, sp, c)).as("b3"))
+      .select($"doc_id",
+        size($"b2").cast("long").as("n_bigrams"),
+        size(array_distinct($"b2")).cast("long").as("n_bi_distinct"),
+        round(size(array_distinct($"b2")).cast("double") / size($"b2").cast("double"), 6)
+          .as("bi_ratio"),
+        size($"b3").cast("long").as("n_trigrams"),
+        size(array_distinct($"b3")).cast("long").as("n_tri_distinct"),
+        round(size(array_distinct($"b3")).cast("double") / size($"b3").cast("double"), 6)
+          .as("tri_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Zipf rank-frequency fit: least-squares slope of ln(freq) on
+    * ln(rank) over the whole vocabulary — natural corpora sit near
+    * slope ≈ −1, and departures (too flat: boilerplate-heavy; too steep:
+    * vocabulary collapse) are a cheap corpus-health indicator.
+    *
+    * Scale shape: token-count shuffle, then the DISTRIBUTED total-order
+    * rank ([[graft.operators.Sampling.globalIndexBy]] — never a global
+    * window; vocabulary is corpus-scale), then one exact-decimal
+    * regression aggregate. ln values are rounded to 6 decimals BEFORE
+    * the product/sum so both engines aggregate identical doubles (the
+    * DSIR ln-replay convention); the sums are order-insensitive
+    * DECIMAL(38,6).
+    */
+  val qZipf: GQuery = GQuery(
+    "q_text_zipf",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      f AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(ts) AS t FROM tk) GROUP BY t),
+      r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS rnk FROM f),
+      l AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 6) AS lr,
+                   round(ln(CAST(freq AS DOUBLE)), 6) AS lf FROM r),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(lr AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(lf AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(lr * lr AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(lr * lf AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+            FROM l)
+      SELECT n AS vocab,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+             round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                   / CAST(n AS DOUBLE), 6) AS intercept
+      FROM m""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val f = t(spark, dir).documents
+      .select(explode(toks).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("freq"))
+    val l = graft.operators.Sampling
+      .globalIndexBy(f, Seq($"freq".desc, $"t"))
+      .select(
+        round(log($"global_idx".cast("double")), 6).as("lr"),
+        round(log($"freq".cast("double")), 6).as("lf"))
+    val m = l.agg(
+      count(lit(1)).as("n"),
+      sum($"lr".cast(D)).cast("double").as("sx"),
+      sum($"lf".cast(D)).cast("double").as("sy"),
+      sum(($"lr" * $"lr").cast(D)).cast("double").as("sxx"),
+      sum(($"lr" * $"lf").cast(D)).cast("double").as("sxy"))
+    val nd = $"n".cast("double")
+    val slope = (nd * $"sxy" - $"sx" * $"sy") / (nd * $"sxx" - $"sx" * $"sx")
+    m.select(
+      $"n".as("vocab"),
+      round(slope, 6).as("slope"),
+      round(($"sy" - slope * $"sx") / nd, 6).as("intercept"))
+  }
+
+  /** Unigram KL divergence between corpus slices (en vs the rest) with
+    * add-1 smoothing over the shared vocabulary — the domain-shift
+    * number behind mixture decisions ("how different is this source,
+    * really?"), in both directions (KL is asymmetric; a big gap between
+    * the two is itself a signal).
+    *
+    * Scale shape: one token-count shuffle producing the per-term
+    * (count_en, count_rest) table, a 1-row broadcast of the totals, one
+    * DECIMAL(38,12)-pinned sum. The per-term ln chain is fixed IEEE
+    * arithmetic on identical integer counts, so the sum replays (the
+    * DSIR/ngram-lm convention).
+    */
+  val qKlUnigram: GQuery = GQuery(
+    "q_text_kl_unigram",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      c AS (SELECT t,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+                   CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+            FROM (SELECT lang, unnest(ts) AS t FROM tk) GROUP BY t),
+      tot AS (SELECT CAST(SUM(ce) AS BIGINT) AS ne, CAST(SUM(cr) AS BIGINT) AS nr,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM c)
+      SELECT tot.v AS vocab, tot.ne AS n_en, tot.nr AS n_rest,
+             round(CAST(SUM(CAST(
+               (CAST(ce + 1 AS DOUBLE) / CAST(tot.ne + tot.v AS DOUBLE))
+               * ln((CAST(ce + 1 AS DOUBLE) / CAST(tot.ne + tot.v AS DOUBLE))
+                  / (CAST(cr + 1 AS DOUBLE) / CAST(tot.nr + tot.v AS DOUBLE)))
+               AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_en_rest,
+             round(CAST(SUM(CAST(
+               (CAST(cr + 1 AS DOUBLE) / CAST(tot.nr + tot.v AS DOUBLE))
+               * ln((CAST(cr + 1 AS DOUBLE) / CAST(tot.nr + tot.v AS DOUBLE))
+                  / (CAST(ce + 1 AS DOUBLE) / CAST(tot.ne + tot.v AS DOUBLE)))
+               AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_rest_en
+      FROM c, tot
+      GROUP BY tot.v, tot.ne, tot.nr""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val D12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val c = t(spark, dir).documents
+      .select($"lang", explode(toks).as("t"))
+      .groupBy($"t")
+      .agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("ce"),
+        sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("cr"))
+    val tot = c.agg(
+      sum($"ce").as("ne"), sum($"cr").as("nr"), count(lit(1)).as("v"))
+    val p = ($"ce" + 1).cast("double") / ($"ne" + $"v").cast("double")
+    val q = ($"cr" + 1).cast("double") / ($"nr" + $"v").cast("double")
+    c.crossJoin(broadcast(tot))
+      .groupBy($"v", $"ne", $"nr")
+      .agg(
+        round(sum((p * log(p / q)).cast(D12)).cast("double"), 6).as("kl_en_rest"),
+        round(sum((q * log(q / p)).cast(D12)).cast("double"), 6).as("kl_rest_en"))
+      .select($"v".as("vocab"), $"ne".as("n_en"), $"nr".as("n_rest"),
+        $"kl_en_rest", $"kl_rest_en")
+  }
+
+  /** Sequence-length truncation audit: for candidate context lengths,
+    * how many documents truncate, how many tokens survive, how many are
+    * lost, and what fixed-length batching would waste as padding — the
+    * table that decides max_seq_len (and whether packing is worth it)
+    * before a single shard is written. One corpus pass, a 3-row cap
+    * explode, pure integer aggregates.
+    */
+  val qSeqlenAudit: GQuery = GQuery(
+    "q_pipeline_seqlen_audit",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tk),
+      caps AS (SELECT unnest([32, 64, 128]) AS cap)
+      SELECT CAST(cap AS BIGINT) AS cap,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+             CAST(SUM(LEAST(n, cap)) AS BIGINT) AS kept_tokens,
+             CAST(SUM(GREATEST(n - cap, 0)) AS BIGINT) AS lost_tokens,
+             CAST(SUM(cap - LEAST(n, cap)) AS BIGINT) AS pad_tokens
+      FROM d, caps GROUP BY cap ORDER BY cap""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    t(spark, dir).documents
+      .select(size(toks).cast("long").as("n"))
+      .select($"n", explode(array(lit(32L), lit(64L), lit(128L))).as("cap"))
+      .groupBy($"cap")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"n" > $"cap", 1L).otherwise(0L)).as("n_truncated"),
+        sum(least($"n", $"cap")).as("kept_tokens"),
+        sum(greatest($"n" - $"cap", lit(0L))).as("lost_tokens"),
+        sum($"cap" - least($"n", $"cap")).as("pad_tokens"))
+      .orderBy($"cap")
+  }
+
+  /** Embedding class-separability audit: the pairwise cosine between
+    * per-label centroids (plus class sizes) — near-parallel centroids
+    * mean the labels are not linearly separable in embedding space, the
+    * go/no-go before training a classifier head on them. The centroid
+    * pass is the fixed-point [[graft.functions.CentroidAgg]] (exact
+    * integer sums — bit-identical across partitionings, same aggregate
+    * the IVF codebooks train with); the k×k pair join is broadcast-tiny.
+    */
+  val qClassSeparation: GQuery = GQuery(
+    "q_embed_class_separation",
+    Some("""
+      WITH flat AS (
+        SELECT label, i,
+               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
+        FROM (SELECT label, unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      cents AS (SELECT label, list(cv ORDER BY i) AS c FROM flat GROUP BY label),
+      cn AS (SELECT label, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM cents),
+      sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
+      SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+             sa.n_vecs AS n_a, sb.n_vecs AS n_b,
+             round(list_sum(list_transform(generate_series(1, 64), i -> a.c[i] * b.c[i]))
+                   / (a.nrm * b.nrm), 6) AS centroid_cos
+      FROM cn a JOIN cn b ON a.label < b.label
+      JOIN sz sa ON sa.label = a.label
+      JOIN sz sb ON sb.label = b.label
+      ORDER BY label_a, label_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val centroidAgg = udaf(new graft.functions.CentroidAgg(64))
+    val emb = t(spark, dir).embeddings
+    val cents = emb
+      .groupBy($"label")
+      .agg(centroidAgg($"embedding").as("c"))
+      .select($"label".cast("long").as("label"),
+        transform($"c.values", x => x.cast("float")).as("cv"))
+    val sz = emb.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"))
+      .select($"label".cast("long").as("label"), $"n_vecs")
+    cents.as("a")
+      .join(broadcast(cents.as("b")), col("a.label") < col("b.label"))
+      .select(
+        col("a.label").as("label_a"), col("b.label").as("label_b"),
+        graft.operators.Similarity.cosine(col("a.cv"), col("b.cv")).as("s"))
+      .join(broadcast(sz.select($"label".as("label_a"), $"n_vecs".as("n_a"))), "label_a")
+      .join(broadcast(sz.select($"label".as("label_b"), $"n_vecs".as("n_b"))), "label_b")
+      .select($"label_a", $"label_b", $"n_a", $"n_b",
+        round($"s", 6).as("centroid_cos"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  /** ANN hard-negative mining ([[graft.operators.Similarity.hardNegativesLsh]]):
+    * per vector, the top-3 most-similar DIFFERENT-label vectors from its
+    * corpus-scaled sign-LSH cell — contrastive-training pairs, mined the
+    * only way that scales (celled candidates, label filter before the
+    * rank). The oracle replays plane-count derivation, integer sign-dot
+    * cells, the label filter, and the (cos DESC, dst) top-3 — the full
+    * mining decision is hash-checked, including its deliberate sub-1
+    * coverage (a vector whose cell has no impostor emits nothing, in
+    * both engines).
+    */
+  val qHardNegatives: GQuery = GQuery(
+    "q_ann_hard_negatives",
+    Some("""
+      WITH params AS (
+        SELECT MIN(j) AS p
+        FROM (SELECT unnest(generate_series(0, 40)) AS j) js,
+             (SELECT COUNT(*) AS n FROM embeddings) cn
+        WHERE (512::BIGINT << j) >= cn.n),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      cells AS (
+        SELECT vec_id,
+               COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
+                 pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                         d -> (CASE WHEN (('0x' || substr(md5('0|' || (pp-1)::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                                    THEN 1 ELSE -1 END) * q[d])) > 0
+                       THEN '1' ELSE '0' END), ''), '') AS cell
+        FROM qv),
+      v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst, va.label AS own, vb.label AS nl,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
+        FROM cells a
+        JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE va.label <> vb.label)
+      SELECT src AS vec_id, CAST(own AS BIGINT) AS label,
+             CAST(rank AS INT) AS rank, dst AS neg_id, CAST(nl AS BIGINT) AS neg_label,
+             round(s, 6) AS cos_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rank
+            FROM edges) r
+      WHERE rank <= 3
+      ORDER BY vec_id, rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Similarity
+      .hardNegativesLsh(t(spark, dir).embeddings, "vec_id", "embedding", "label", k = 3)
+      .select(
+        $"src".as("vec_id"), $"own".cast("long").as("label"),
+        $"rank".cast("int").as("rank"), $"dst".as("neg_id"),
+        $"nl".cast("long").as("neg_label"), round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"vec_id", $"rank")
+  }
+
+  override def queries: Seq[GQuery] = Seq(
+    qDistinctNgrams, qZipf, qKlUnigram, qSeqlenAudit, qClassSeparation, qHardNegatives)
+}

@@ -23,7 +23,8 @@ object Registry {
     SequenceQueries,
     LayoutQueries,
     IngestQueries,
-    CurationQueries
+    CurationQueries,
+    AuditQueries
   )
 
   lazy val all: Seq[GQuery] = {
