@@ -128,7 +128,10 @@ object ScaleStress {
       // new LPT / bigram-LM additions)
       "q_sample_dsir", "q_text_vocab", "q_text_oov", "q_stat_ks",
       "q_stat_mannwhitney", "q_text_pmi", "q_quality_label_consistency",
-      "q_pipeline_pack_lpt", "q_text_ngram_lm")
+      "q_pipeline_pack_lpt", "q_text_ngram_lm",
+      // round-8 additions: CDC chunking (row-local + one hash shuffle),
+      // chunk-pair dedup (df-capped self-join), celled hard negatives
+      "q_dedup_cdc_chunks", "q_dedup_cdc_pairs", "q_ann_hard_negatives")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c to isolate a subset (BENCH_ONLY's twin)
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
       case Some(s) => allNames.filter(s.split(",").map(_.trim).toSet)
@@ -152,7 +155,7 @@ object ScaleStress {
       val rows = tableRows(sf)(name match {
         case "q_dedup_fuzzy_key" => "customer"
         case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
-            "q_quality_label_consistency" => "embeddings"
+            "q_quality_label_consistency" | "q_ann_hard_negatives" => "embeddings"
         case "q_graph_components" => "lineitem"
         case "q_stat_ks" | "q_stat_mannwhitney" => "events"
         case _ => "documents"

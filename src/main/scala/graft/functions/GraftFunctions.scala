@@ -72,6 +72,7 @@ object GraftFunctions {
       (args => SubwordTokenize(args(0), args(1), litInt(args(2), "graft_subword"))),
     "graft_deletions" -> (args => DeletionNeighborhood(args(0))),
     "graft_html_strip" -> (args => HtmlStripText(args(0))),
+    "graft_cdc_chunk_starts" -> (args => CdcChunkStarts(args(0))),
     "graft_cell_cosines" -> (args => {
       require(args(1).foldable, "graft_cell_cosines centroid matrix must be a literal")
       val arr = args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -114,6 +115,7 @@ object GraftFunctions {
     call_function("graft_rp_dots", vec, lit(outDim), lit(dim))
   def stripAccents(s: Column): Column = call_function("graft_strip_accents", s)
   def htmlStrip(s: Column): Column = call_function("graft_html_strip", s)
+  def cdcChunkStarts(s: Column): Column = call_function("graft_cdc_chunk_starts", s)
   def zorder(bits: Int, dims: Column*): Column =
     call_function("graft_zorder", (lit(bits) +: dims): _*)
   def subword(text: Column, vocab: Seq[String], maxPieceLen: Int): Column =

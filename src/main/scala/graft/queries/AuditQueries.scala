@@ -366,6 +366,75 @@ object AuditQueries extends QuerySet {
       .orderBy($"vec_id", $"rank")
   }
 
+  /** Windowed co-occurrence counts (the skip-gram context table word2vec/
+    * GloVe-style embedding training consumes): unordered token pairs
+    * within distance ≤ 3, counted per distance (exact integers — no 1/d
+    * float weighting in the stored table; a trainer applies its own decay
+    * at read time), top-100 by total count. Pair generation is ROW-LOCAL
+    * (`zip_with` over d-shifted slices — no self-join, no per-element
+    * lambda capture of the tokenize chain), then one pair-count shuffle;
+    * the top-k plans as TakeOrdered over scored PAIRS, never a global
+    * sort of the corpus.
+    */
+  val qCooccurrence: GQuery = GQuery(
+    "q_text_cooccurrence",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      pr AS (
+        -- single LATERAL over i; d from a plain subquery (DuckDB cannot
+        -- bind a LATERAL that references a preceding LATERAL's column)
+        SELECT least(ts[i], ts[i + d]) AS a, greatest(ts[i], ts[i + d]) AS b, d
+        FROM tk,
+             (SELECT unnest(generate_series(1, 3)) AS d) dd,
+             LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        WHERE len(ts) > d AND i <= len(ts) - d),
+      c AS (
+        SELECT a, b,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_d1,
+               CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_d2,
+               CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_d3
+        FROM pr GROUP BY a, b)
+      SELECT a, b, cnt, cnt_d1, cnt_d2, cnt_d3, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rank FROM c)
+      WHERE rank <= 100
+      ORDER BY rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    def pairsAt(d: Int) =
+      when(size($"ts") > d,
+        zip_with(
+          slice($"ts", lit(1), size($"ts") - d),
+          slice($"ts", lit(1 + d), size($"ts") - d),
+          (x, y) => struct(least(x, y).as("a"), greatest(x, y).as("b"), lit(d).as("d"))))
+        .otherwise(array().cast("array<struct<a:string,b:string,d:int>>"))
+    val pr = t(spark, dir).documents
+      .select(toks.as("ts"))
+      .select(explode(concat(pairsAt(1), pairsAt(2), pairsAt(3))).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"), $"p.d".as("d"))
+    val c = pr.groupBy($"a", $"b")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when($"d" === 1, 1L).otherwise(0L)).as("cnt_d1"),
+        sum(when($"d" === 2, 1L).otherwise(0L)).as("cnt_d2"),
+        sum(when($"d" === 3, 1L).otherwise(0L)).as("cnt_d3"))
+    // top-100 via orderBy().limit() — a distributed TakeOrderedAndProject;
+    // rank over the 100 survivors via the distributed indexer (the
+    // q_text_pmi recipe — no global row_number window over the pair table)
+    val top = c.orderBy($"cnt".desc, $"a", $"b").limit(100)
+    graft.operators.Sampling
+      .globalIndexBy(top, Seq($"cnt".desc, $"a", $"b"))
+      .select($"a", $"b", $"cnt", $"cnt_d1", $"cnt_d2", $"cnt_d3",
+        $"global_idx".cast("long").as("rank"))
+      .orderBy($"rank")
+  }
+
   override def queries: Seq[GQuery] = Seq(
-    qDistinctNgrams, qZipf, qKlUnigram, qSeqlenAudit, qClassSeparation, qHardNegatives)
+    qDistinctNgrams, qZipf, qKlUnigram, qSeqlenAudit, qClassSeparation, qHardNegatives,
+    qCooccurrence)
 }

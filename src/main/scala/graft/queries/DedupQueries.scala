@@ -1011,9 +1011,185 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Content-defined chunking + chunk-level dedup
+    * ([[graft.functions.CdcChunkStarts]], the rsync/LBFS segmentation):
+    * each document splits at rolling-hash boundaries, so an edit early in
+    * a document shifts every FIXED-size chunk but leaves all
+    * content-defined chunks after it byte-identical — the segmentation
+    * under which partial-overlap dedup actually works. Per doc: chunk
+    * count, how many of its chunks recur anywhere in the corpus
+    * (corpus-wide occurrence > 1 — catches cross-doc boilerplate AND
+    * in-doc repetition), and the md5 of the ordered chunk-hash list
+    * (pins the full segmentation without multi-KB cells).
+    *
+    * Implementation-equality oracle: the engine runs the O(n)
+    * incremental codegen expression; DuckDB recomputes every window
+    * hash FROM SCRATCH per position (Σ c_{i−k}·B^k mod P — the
+    * definition), so the hash match proves the sliding-window
+    * optimization equals the definition, plus the whole chunk→count→join
+    * pipeline. Scale: row-local chunking, one chunk-hash shuffle, one
+    * join back — linear, and the chunk-hash table is the input a
+    * corpus-level chunk store would ingest.
+    */
+  val qCdcChunks: GQuery = GQuery(
+    "q_dedup_cdc_chunks",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_transform(generate_series(1, length(text)),
+                              i -> ord(substr(text, i, 1))) AS cp
+        FROM documents),
+      pw AS (
+        SELECT [1, 257, 66049, 16974593, 67503107, 168429323, 336663071, 623063367,
+                1213495441, 483199522, 1775709275, 1090750511, 1150007217, 1346595130,
+                330081243, 1079017218] AS p),
+      bounds AS (
+        SELECT doc_id, i
+        FROM d, pw, LATERAL (SELECT unnest(generate_series(16, n)) AS i) g
+        WHERE i < n
+          AND (list_sum(list_transform(generate_series(0, 15),
+                 k -> CAST(cp[i - k] AS BIGINT) * p[k + 1])) % 2147483647) % 64 = 0),
+      starts AS (
+        -- FILTER: the left join emits one NULL i for boundary-less docs,
+        -- and DuckDB's list() would keep it as [NULL]
+        SELECT d.doc_id, d.text, d.n,
+               [1] || COALESCE(list_sort(list(b.i + 1) FILTER (b.i IS NOT NULL)), []) AS s
+        FROM d LEFT JOIN bounds b USING (doc_id)
+        GROUP BY d.doc_id, d.text, d.n),
+      chunks AS (
+        SELECT doc_id, pos,
+               md5(substr(text, st, COALESCE(s[pos + 1], n + 1) - st)) AS h
+        FROM (SELECT doc_id, text, n, s,
+                     unnest(s) AS st,
+                     unnest(generate_series(1, len(s))) AS pos
+              FROM starts)),
+      df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS occ FROM chunks GROUP BY h)
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN df.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             md5(string_agg(c.h, '' ORDER BY c.pos)) AS chunks_md5
+      FROM chunks c JOIN df USING (h)
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val chunks = t(spark, dir).documents
+      .select($"doc_id", $"text",
+        graft.functions.GraftFunctions.cdcChunkStarts($"text").as("s"))
+      .select($"doc_id",
+        posexplode(
+          zip_with(
+            $"s",
+            concat(slice($"s", lit(2), greatest(size($"s") - 1, lit(0))),
+              array(length($"text") + 1)),
+            (st, en) => $"text".substr(st, en - st))))
+      .select($"doc_id", ($"pos" + 1).as("pos"), md5($"col").as("h"))
+      .localCheckpoint() // feeds the occurrence count AND the join back
+    val df = chunks.groupBy($"h").agg(count(lit(1)).as("occ"))
+    chunks.join(df, "h")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when($"occ" > 1, 1L).otherwise(0L)).as("n_shared"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"pos", $"h"))), x => x.getField("h")),
+          "")).as("chunks_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Partial-overlap dedup pairs from shared CDC chunks: doc pairs
+    * sharing ≥ 2 content-defined chunks, with the shared count and the
+    * overlap fraction vs the smaller doc — the detector for partially
+    * copied documents (quote farms, template+insert spam) that
+    * WHOLE-doc signatures miss and fixed windows mis-align on. Same
+    * hot-key discipline as every pair-generating join in this file:
+    * chunks in more than `maxDf = 20` documents are boilerplate, and
+    * they are anti-joined out BEFORE the self-join (a chunk in half the
+    * corpus would otherwise quadratically pair it — the
+    * [[graft.operators.Dedup.jaccardPairs]] df pre-pass pattern, round-7
+    * verdict).
+    */
+  val qCdcPairs: GQuery = GQuery(
+    "q_dedup_cdc_pairs",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_transform(generate_series(1, length(text)),
+                              i -> ord(substr(text, i, 1))) AS cp
+        FROM documents),
+      pw AS (
+        SELECT [1, 257, 66049, 16974593, 67503107, 168429323, 336663071, 623063367,
+                1213495441, 483199522, 1775709275, 1090750511, 1150007217, 1346595130,
+                330081243, 1079017218] AS p),
+      bounds AS (
+        SELECT doc_id, i
+        FROM d, pw, LATERAL (SELECT unnest(generate_series(16, n)) AS i) g
+        WHERE i < n
+          AND (list_sum(list_transform(generate_series(0, 15),
+                 k -> CAST(cp[i - k] AS BIGINT) * p[k + 1])) % 2147483647) % 64 = 0),
+      starts AS (
+        SELECT d.doc_id, d.text, d.n,
+               [1] || COALESCE(list_sort(list(b.i + 1) FILTER (b.i IS NOT NULL)), []) AS s
+        FROM d LEFT JOIN bounds b USING (doc_id)
+        GROUP BY d.doc_id, d.text, d.n),
+      chunks AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, st, COALESCE(s[pos + 1], n + 1) - st)) AS h
+        FROM (SELECT doc_id, text, n, s,
+                     unnest(s) AS st,
+                     unnest(generate_series(1, len(s))) AS pos
+              FROM starts)),
+      kept AS (
+        SELECT doc_id, h FROM chunks
+        WHERE h NOT IN (SELECT h FROM chunks GROUP BY h HAVING COUNT(*) > 20)),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nc FROM chunks GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2)
+      SELECT p.id_a, p.id_b, p.shared,
+             round(CAST(p.shared AS DOUBLE) / CAST(LEAST(sa.nc, sb.nc) AS DOUBLE), 6) AS overlap
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      ORDER BY id_a, id_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val chunks = t(spark, dir).documents
+      .select($"doc_id", $"text",
+        graft.functions.GraftFunctions.cdcChunkStarts($"text").as("s"))
+      .select($"doc_id",
+        explode(
+          zip_with(
+            $"s",
+            concat(slice($"s", lit(2), greatest(size($"s") - 1, lit(0))),
+              array(length($"text") + 1)),
+            (st, en) => $"text".substr(st, en - st))).as("c"))
+      .select($"doc_id", md5($"c").as("h"))
+      .distinct()
+      .localCheckpoint() // feeds df-cap, sizes, and both self-join sides
+    val hot = chunks.groupBy($"h").agg(count(lit(1)).as("occ"))
+      .filter($"occ" > 20).select($"h")
+    val kept = chunks.join(hot, Seq("h"), "left_anti")
+    val sizes = chunks.groupBy($"doc_id").agg(count(lit(1)).as("nc"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 2)
+    pairs
+      .join(sizes.select($"doc_id".as("id_a"), $"nc".as("na")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"nc".as("nb")), "id_b")
+      .select($"id_a", $"id_b", $"shared",
+        round($"shared".cast("double") / least($"na", $"nb").cast("double"), 6).as("overlap"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
       qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical,
-      qSortedNeighborhood, qBbitMinhash)
+      qSortedNeighborhood, qBbitMinhash, qCdcChunks, qCdcPairs)
 }

@@ -927,8 +927,66 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"pseudonym")
   }
 
+  /** Robust scaling via median/MAD (the outlier-immune z-score): per
+    * language, the exact median of document length, the median absolute
+    * deviation around it, and the count of modified-z outliers
+    * (0.6745·|x − med|/MAD > 3.5, Iglewicz–Hoaglin) — the robust
+    * companion to [[qZscore]]'s moment-based scaling, which a single
+    * 10 GB document would drag arbitrarily. Two grouped exact-percentile
+    * passes (both engines interpolate quantile 0.5 identically) + one
+    * broadcast join back; the outlier comparison rounds at 6dp on both
+    * sides (the IQR-fence convention).
+    */
+  val qMad: GQuery = GQuery(
+    "q_norm_mad",
+    Some("""
+      WITH med AS (
+        SELECT lang, CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS med
+        FROM documents GROUP BY lang),
+      dev AS (
+        SELECT d.lang,
+               CAST(quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.med), 0.5) AS DOUBLE) AS mad
+        FROM documents d JOIN med m USING (lang)
+        GROUP BY d.lang),
+      z AS (
+        SELECT d.lang, m.med, v.mad,
+               CASE WHEN v.mad > 0
+                    THEN round(0.6745 * abs(CAST(d.n_chars AS DOUBLE) - m.med) / v.mad, 6)
+                    ELSE 0.0 END AS mz
+        FROM documents d JOIN med m USING (lang) JOIN dev v USING (lang))
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(MAX(med), 6) AS median_chars,
+             round(MAX(mad), 6) AS mad_chars,
+             round(MAX(mz), 6) AS max_z,
+             CAST(SUM(CASE WHEN mz > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM z
+      GROUP BY lang
+      ORDER BY lang""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents.select($"lang", $"n_chars")
+    val med = docs.groupBy($"lang").agg(percentile($"n_chars", lit(0.5)).as("med"))
+    val dev = docs.join(broadcast(med), "lang")
+      .groupBy($"lang")
+      .agg(percentile(abs($"n_chars".cast("double") - $"med"), lit(0.5)).as("mad"))
+    docs.join(broadcast(med), "lang").join(broadcast(dev), "lang")
+      .select($"lang", $"med", $"mad",
+        when($"mad" > 0,
+          round(lit(0.6745) * abs($"n_chars".cast("double") - $"med") / $"mad", 6))
+          .otherwise(lit(0.0)).as("mz"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(max($"med"), 6).as("median_chars"),
+        round(max($"mad"), 6).as("mad_chars"),
+        round(max($"mz"), 6).as("max_z"),
+        sum(when($"mz" > 3.5, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"lang")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
-      qKsTest, qMannWhitney, qBootstrap, qPseudonym)
+      qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad)
 }

@@ -1212,6 +1212,63 @@ object TextAnalysis extends QuerySet {
       .orderBy($"word")
   }
 
+  /** Tokenizer fertility audit: pieces-per-word by language under the
+    * trained BPE — THE tokenizer-fairness number (a language whose words
+    * fragment into 2× the pieces pays 2× the context budget; Ács/
+    * Rust'21-style fertility comparisons decide whether a vocabulary is
+    * usable across a corpus's languages before anything trains on it).
+    * Corpus word occurrences pre-aggregate to (lang, word, cnt), the
+    * 200-word trained segmentation table broadcast-joins on, and words
+    * OUTSIDE the trained vocabulary take the character fall-back
+    * (n_pieces = word length) exactly as a byte/char-fallback tokenizer
+    * would. The oracle re-derives the segmentation from the same
+    * replayed `syms` chain (MATERIALIZED CTEs — the DuckDB inlining trap,
+    * CLAUDE.md), so train → segment → per-language weighting is
+    * hash-checked end to end.
+    */
+  val qBpeFertility: GQuery = GQuery(
+    "q_text_bpe_fertility",
+    Some(s"""$bpeOracleWith,
+      seg AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+        FROM syms$bpeRounds GROUP BY word),
+      occ AS (
+        SELECT lang, w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+              FROM documents)
+        WHERE length(w) > 0
+        GROUP BY lang, w)
+      SELECT lang,
+             CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(CASE WHEN s.n_pieces IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_invocab,
+             CAST(SUM(cnt * COALESCE(s.n_pieces, CAST(length(o.word) AS BIGINT))) AS BIGINT) AS n_pieces,
+             round(CAST(SUM(cnt * COALESCE(s.n_pieces, CAST(length(o.word) AS BIGINT))) AS DOUBLE)
+                   / CAST(SUM(cnt) AS DOUBLE), 6) AS fertility
+      FROM occ o LEFT JOIN seg s USING (word)
+      GROUP BY lang
+      ORDER BY lang""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val seg = graft.operators.TextOps
+      .bpeSegment(bpeVocab(spark, dir), "word", "freq", rounds = bpeRounds)
+      .select($"word", $"n_pieces")
+    val occ = t(spark, dir).documents
+      .select($"lang", explode(graft.operators.TextOps.tokens($"text")).as("word"))
+      .where(length($"word") > 0)
+      .groupBy($"lang", $"word")
+      .agg(count(lit(1)).as("cnt"))
+    val pieces = coalesce($"n_pieces", length($"word").cast("long"))
+    occ.join(broadcast(seg), Seq("word"), "left")
+      .groupBy($"lang")
+      .agg(
+        sum($"cnt").as("n_words"),
+        sum(when($"n_pieces".isNotNull, $"cnt").otherwise(0L)).as("n_invocab"),
+        sum($"cnt" * pieces).as("n_pieces"),
+        round(sum($"cnt" * pieces).cast("double") / sum($"cnt").cast("double"), 6)
+          .as("fertility"))
+      .orderBy($"lang")
+  }
+
   /** PMI collocation mining: the top-50 adjacent bigrams by pointwise
     * mutual information ln(p(ab) / (p(a)·p(b))) with support ≥ 5 — the
     * classic collocation/keyphrase detector (Church & Hanks 1990) and the
@@ -1295,5 +1352,5 @@ object TextAnalysis extends QuerySet {
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
-      qGopherRules, qBpeTrain, qBpeApply, qPmi)
+      qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi)
 }

@@ -437,4 +437,73 @@ class ExtensionSpec extends SparkSpec {
       assert(have == want, s"canonicalizeUrl($in) = $have, want $want")
     }
   }
+
+  test("CdcChunkStarts: incremental scan equals the per-position definition") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.CdcChunkUtil._
+    // direct (non-incremental) reference: hash every window from scratch
+    def refStarts(text: String): Seq[Int] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      1 +: (Window to n).filter { i =>
+        i < n && {
+          val h = (0 until Window).map(k => cps(i - 1 - k).toLong * powers(k) % Mod).sum % Mod
+          h % Mask == 0L
+        }
+      }.map(_ + 1)
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(200)
+    val got = docs
+      .select($"doc_id", GraftFunctions.cdcChunkStarts($"text").as("s"), $"text")
+      .collect()
+    got.foreach { r =>
+      val want = refStarts(r.getString(2))
+      assert(r.getSeq[Int](1) == want, s"doc ${r.getLong(0)}: starts mismatch")
+    }
+  }
+
+  test("CdcChunkStarts: content-defined boundaries survive an upstream edit") {
+    val s = spark
+    import s.implicits._
+    // the CDC contract fixed-size chunking cannot meet: prepending text
+    // shifts boundary POSITIONS but the chunk CONTENTS after the edit
+    // window realign exactly
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy($"doc_id").select($"text").as[String].take(50).mkString(" ")
+    def chunksOf(text: String): Seq[String] = {
+      val starts = spark.range(1)
+        .select(GraftFunctions.cdcChunkStarts(lit(text)).as("s"))
+        .collect()(0).getSeq[Int](0)
+      val bounds = starts :+ (text.codePointCount(0, text.length) + 1)
+      bounds.sliding(2).map { case Seq(a, b) =>
+        val off = text.offsetByCodePoints(0, a - 1)
+        val end = text.offsetByCodePoints(0, b - 1)
+        text.substring(off, end)
+      }.toSeq
+    }
+    val orig = chunksOf(base)
+    val edited = chunksOf("INSERTED PREFIX 12345 " + base)
+    assert(orig.size >= 4, "fixture produced too few chunks to compare")
+    // all but the first few chunks of the edited doc are byte-identical
+    val common = orig.reverse.zip(edited.reverse).takeWhile { case (a, b) => a == b }.size
+    assert(common >= orig.size - 2,
+      s"expected boundary realignment after the edit; only $common of ${orig.size} suffix chunks matched")
+  }
+
+  test("CdcChunkStarts: non-ASCII code points count as single positions") {
+    val s = spark
+    import s.implicits._
+    // ASCII text interleaved with 2-byte and 3-byte chars: offsets are in
+    // CODE POINTS (matching DuckDB substr/ord), never bytes
+    val t1 = "héllo wörld ¡este és ün téxt con acentós! " * 8
+    val starts = spark.range(1)
+      .select(GraftFunctions.cdcChunkStarts(lit(t1)).as("s"))
+      .collect()(0).getSeq[Int](0)
+    val n = t1.codePointCount(0, t1.length)
+    assert(starts.head == 1)
+    assert(starts.forall(p => p >= 1 && p <= n))
+    assert(starts == starts.sorted && starts.distinct.size == starts.size)
+  }
 }
