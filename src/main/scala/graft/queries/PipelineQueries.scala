@@ -668,8 +668,109 @@ object PipelineQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Split-leakage audit at CHUNK granularity: validation documents
+    * sharing content-defined chunks with the training split — the
+    * evaluation-integrity check every split must pass before metrics on
+    * `val` mean anything. Exact-duplicate leakage is the degenerate
+    * case (a full-dup val doc shares ALL its chunks); the CDC tier also
+    * catches the partial copies whole-doc hashing misses
+    * (q_pipeline_contamination covers the n-gram tier from the test
+    * side). Split assignment is the portable md5 gate
+    * ([[graft.operators.Sampling.splitAssign]]); the val→train chunk
+    * check is a LEFT-SEMI join against the DISTINCT train chunk-hash
+    * set — an existence probe, so a boilerplate chunk in ten thousand
+    * train docs matches each val chunk ONCE (no pair enumeration, no
+    * df-cap needed). One row: sizes, touched (≥ 1 shared chunk) and
+    * leaked (≥ 2) val docs, leak rate.
+    */
+  val qSplitLeakage: GQuery = GQuery(
+    "q_pipeline_split_leakage",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_transform(generate_series(1, length(text)),
+                              i -> ord(substr(text, i, 1))) AS cp
+        FROM documents),
+      pw AS (
+        SELECT [1, 257, 66049, 16974593, 67503107, 168429323, 336663071, 623063367,
+                1213495441, 483199522, 1775709275, 1090750511, 1150007217, 1346595130,
+                330081243, 1079017218] AS p),
+      bounds AS (
+        SELECT doc_id, i
+        FROM d, pw, LATERAL (SELECT unnest(generate_series(16, n)) AS i) g
+        WHERE i < n
+          AND (list_sum(list_transform(generate_series(0, 15),
+                 k -> CAST(cp[i - k] AS BIGINT) * p[k + 1])) % 2147483647) % 64 = 0),
+      starts AS (
+        SELECT d.doc_id, d.text, d.n,
+               [1] || COALESCE(list_sort(list(b.i + 1) FILTER (b.i IS NOT NULL)), []) AS s
+        FROM d LEFT JOIN bounds b USING (doc_id)
+        GROUP BY d.doc_id, d.text, d.n),
+      chunks AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, st, COALESCE(s[pos + 1], n + 1) - st)) AS h
+        FROM (SELECT doc_id, text, n, s,
+                     unnest(s) AS st,
+                     unnest(generate_series(1, len(s))) AS pos
+              FROM starts)),
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(doc_id::VARCHAR || ':13'), 1, 4) < 'e666' THEN 'train'
+                    ELSE 'val' END AS split
+        FROM documents),
+      ch AS (SELECT c.doc_id, c.h, sp.split FROM chunks c JOIN sp USING (doc_id)),
+      trainh AS (SELECT DISTINCT h FROM ch WHERE split = 'train'),
+      valleak AS (
+        SELECT v.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ch v JOIN trainh t USING (h)
+        WHERE v.split = 'val'
+        GROUP BY v.doc_id)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sp WHERE split = 'train') AS n_train,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sp WHERE split = 'val') AS n_val,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM valleak WHERE shared >= 1) AS n_val_touched,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM valleak WHERE shared >= 2) AS n_val_leaked,
+             round(CAST((SELECT COUNT(*) FROM valleak WHERE shared >= 2) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM sp WHERE split = 'val') AS DOUBLE), 6) AS leak_rate""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val chunks = t(spark, dir).documents
+      .select($"doc_id", $"text",
+        graft.functions.GraftFunctions.cdcChunkStarts($"text").as("s"))
+      .select($"doc_id",
+        explode(
+          zip_with(
+            $"s",
+            concat(slice($"s", lit(2), greatest(size($"s") - 1, lit(0))),
+              array(length($"text") + 1)),
+            (st, en) => $"text".substr(st, en - st))).as("c"))
+      .select($"doc_id", md5($"c").as("h"))
+      .distinct()
+    val sp = graft.operators.Sampling
+      .splitAssign(
+        t(spark, dir).documents.select($"doc_id"),
+        keyCol = "doc_id",
+        splits = Seq("train" -> 0.9, "val" -> 0.1),
+        seed = 13)
+      .localCheckpoint() // feeds the size tallies AND the chunk join
+    val ch = chunks.join(sp, "doc_id").localCheckpoint()
+    val trainH = ch.filter($"split" === "train").select($"h").distinct()
+    val valleak = ch.filter($"split" === "val")
+      .join(trainH, Seq("h"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("shared"))
+    val sizes = sp.groupBy().agg(
+      sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when($"split" === "val", 1L).otherwise(0L)).as("n_val"))
+    val leaks = valleak.groupBy().agg(
+      sum(when($"shared" >= 1, 1L).otherwise(0L)).as("n_val_touched"),
+      sum(when($"shared" >= 2, 1L).otherwise(0L)).as("n_val_leaked"))
+    sizes.crossJoin(leaks)
+      .select($"n_train", $"n_val", $"n_val_touched", $"n_val_leaked",
+        round($"n_val_leaked".cast("double") / $"n_val".cast("double"), 6).as("leak_rate"))
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
     qWeighted, qMix, qTemperature, qNegativePairs, qGlobalIndex, qPackPairs,
-    qDedupCascade, qReservoir, qDsir)
+    qDedupCascade, qReservoir, qDsir, qSplitLeakage)
 }

@@ -232,6 +232,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"expected a left-semi join, got:\n$p")
   }
 
+  test("cdc_pairs df-caps boilerplate chunks BEFORE the pair self-join") {
+    // same contract as invertedIndex's df pre-pass: the hot-chunk anti-join
+    // must sit BELOW the pair-generating equi-join, so a chunk in half the
+    // corpus never enumerates its quadratic pair set
+    val df = graft.queries.Registry.all.find(_.name == "q_dedup_cdc_pairs").get
+      .run(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    val pairJoins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+            j.condition.exists(_.toString.contains("doc_id")) => j
+    }
+    assert(pairJoins.nonEmpty, "expected the chunk-pair self-join in the plan")
+    pairJoins.foreach { j =>
+      val antiBelow = j.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Join
+            if a.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => a
+      }
+      assert(antiBelow.nonEmpty,
+        s"hot chunks must be anti-joined out BELOW the pair join; got:\n$j")
+    }
+  }
+
   test("registry-wide lint: no unpartitioned Window over corpus-growing input") {
     // A WindowExec with an empty partitionSpec funnels its WHOLE input
     // through one task — the classic 100 TB scale-killer (round-6 verdict
