@@ -936,6 +936,16 @@ object ProfilingQueries extends QuerySet {
     * passes (both engines interpolate quantile 0.5 identically) + one
     * broadcast join back; the outlier comparison rounds at 6dp on both
     * sides (the IQR-fence convention).
+    *
+    * Scale contract: Spark's EXACT `percentile` buffers per-group VALUE
+    * COUNTS, so its state is the group's value SUPPORT, not its row
+    * count — safe here because n_chars is integer-valued (pass 1) and
+    * |int − med| lands on a half-integer grid (pass 2), both bounded
+    * supports. For continuous columns the same query shape must switch
+    * to `percentile_approx` (mergeable sketch, the q_agg_approx_quantile
+    * path) — an exact percentile over corpus-sized distinct doubles is
+    * per-group state ∝ rows, the aggregation-buffer version of the
+    * round-7 invertedIndex finding.
     */
   val qMad: GQuery = GQuery(
     "q_norm_mad",
