@@ -44,6 +44,15 @@ object MediaCodec {
       mean_luma_milli: Long
   )
 
+  final case class PatchStat(
+      doc_id: Long,
+      py: Int,
+      px: Int,
+      patch_w: Int,
+      patch_h: Int,
+      mean_luma_milli: Long
+  )
+
   final case class AudioMeta(
       doc_id: Long,
       n_bytes: Long,
@@ -77,6 +86,75 @@ object MediaCodec {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Render one real PNG whose gray value runs a horizontal integer
+    * gradient g(x) = x·255 / (w−1) — content an ORACLE can integrate in
+    * closed form per pixel column, unlike the SplitMix64 block patterns
+    * (whose wrapping 64-bit arithmetic SQL cannot replay). The analytic
+    * test image for patch-level decode checks.
+    */
+  def gradientPngFor(id: Long): Array[Byte] = {
+    val w = imgWidth(id)
+    val h = imgHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      val g = (x * 255) / (w - 1)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of real gradient PNGs, one per input doc id. */
+  def syntheticGradientImages(ids: DataFrame): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    spreadIds(ids).mapPartitions(_.map(id => MediaRecord(id, gradientPngFor(id))))
+  }
+
+  /** ViT-style patch extraction over a REAL decode: split each decoded
+    * image into a `grid`×`grid` table of contiguous patches (patch (py,
+    * px) spans pixel columns [px·w/grid, (px+1)·w/grid) — the standard
+    * non-overlapping tiling a vision tokenizer feeds the embedding
+    * layer) and emit per-patch integer mean luma (BT.601 per-mille,
+    * floor — the [[decodeImages]] convention). Row-local per image, one
+    * decoded pass; grid² output rows per image regardless of
+    * resolution, so the patch table is a fixed fan-out of the corpus.
+    */
+  def patchStats(ds: Dataset[MediaRecord], grid: Int): Dataset[PatchStat] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.media))
+        val w = img.getWidth
+        val h = img.getHeight
+        for {
+          py <- 0 until grid
+          px <- 0 until grid
+        } yield {
+          val x0 = px * w / grid; val x1 = (px + 1) * w / grid
+          val y0 = py * h / grid; val y1 = (py + 1) * h / grid
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = img.getRGB(x, y)
+              sum += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val n = (x1 - x0).toLong * (y1 - y0)
+          PatchStat(r.doc_id, py, px, x1 - x0, y1 - y0, if (n == 0) 0L else sum / n)
+        }
+      }
+    }
   }
 
   /** 64 pattern bits for a pattern class (SplitMix64 finalizer — fixed,
@@ -209,6 +287,97 @@ object MediaCodec {
       i += 1
     }
     buf.array()
+  }
+
+  /** [[wavFor]] with alternating 160-sample bursts: segment s (160
+    * samples = 20 ms at 8 kHz) carries the period-16 square wave when s
+    * is even and digital silence when s is odd — the speech-shaped
+    * fixture a frame-energy/VAD pass needs (constant-amplitude audio
+    * makes every frame identical). Segment length is a multiple of the
+    * 80-sample analysis frame, so every frame (including a partial last
+    * one) lies inside ONE segment and its RMS is exactly `amp` or 0 —
+    * closed-form for the oracle.
+    */
+  def burstWavFor(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val amp = wavAmplitude(id)
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)
+    buf.putShort(1)
+    buf.putInt(8000)
+    buf.putInt(8000 * 2)
+    buf.putShort(2)
+    buf.putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val active = (i / 160) % 2 == 0
+      val s =
+        if (!active) 0
+        else if ((i / 8) % 2 == 0) amp.toInt else -amp.toInt
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Media table of burst WAVs, one per input doc id. */
+  def syntheticBurstWavs(ids: DataFrame): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    spreadIds(ids).mapPartitions(_.map(id => MediaRecord(id, burstWavFor(id))))
+  }
+
+  final case class FrameStat(
+      doc_id: Long,
+      frame: Int,
+      n_in_frame: Int,
+      rms: Long,
+      voiced: Boolean
+  )
+
+  /** Frame-energy / voice-activity pass over REAL RIFF parses: split each
+    * WAV's PCM into `frameLen`-sample frames, per frame the integer RMS
+    * (floor sqrt of the mean square — [[decodeWavs]]' convention) and a
+    * threshold gate — the first stage of every speech-data curation
+    * pipeline (silence stripping, speech-ratio quality scores,
+    * segment-level sampling). Row-local per blob; output is
+    * frames-per-doc fan-out, linear in audio seconds.
+    */
+  def frameEnergies(
+      ds: Dataset[MediaRecord],
+      frameLen: Int,
+      voicedRmsAbove: Long
+  ): Dataset[FrameStat] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val buf = java.nio.ByteBuffer.wrap(r.media).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(buf.getInt(0) == 0x46464952, s"doc ${r.doc_id}: not RIFF") // "RIFF" LE
+        val dataLen = buf.getInt(40)
+        val n = dataLen / 2
+        val nFrames = (n + frameLen - 1) / frameLen
+        (0 until nFrames).map { f =>
+          val start = f * frameLen
+          val end = math.min(start + frameLen, n)
+          var sumSq = 0L
+          var i = start
+          while (i < end) {
+            val s = buf.getShort(44 + 2 * i).toLong
+            sumSq += s * s
+            i += 1
+          }
+          val cnt = end - start
+          val rms = math.sqrt(sumSq.toDouble / cnt).toLong
+          FrameStat(r.doc_id, f, cnt, rms, rms > voicedRmsAbove)
+        }
+      }
+    }
   }
 
   /** Codec work is CPU-bound; a small parquet input may arrive as ONE

@@ -189,6 +189,86 @@ object MultimodalQueries extends QuerySet {
       .orderBy($"cluster_min_id")
   }
 
+  /** ViT-style patch extraction ([[MediaCodec.patchStats]]): each doc's
+    * REAL gradient PNG decodes and tiles into the 4×4 non-overlapping
+    * patch grid a vision tokenizer feeds its embedding layer; per patch,
+    * dimensions and integer mean luma. The gradient content g(x) =
+    * x·255/(w−1) is analytic, so the oracle integrates every patch in
+    * closed form per pixel column (rows are identical, so the 2-D floor
+    * mean collapses to the row mean — floor(k·a/(k·b)) = floor(a/b)) —
+    * the hash match proves PNG encode → decode → tiling bounds → pixel
+    * summation end to end on a real codec path.
+    */
+  val qImagePatches: GQuery = GQuery(
+    "q_multimodal_image_patches",
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(16 + doc_id % 48 AS BIGINT) AS w,
+               CAST(16 + (doc_id // 48) % 48 AS BIGINT) AS h,
+               unnest(generate_series(0, 3)) AS py
+        FROM documents),
+      pp AS (SELECT doc_id, w, h, py, unnest(generate_series(0, 3)) AS px FROM p)
+      SELECT doc_id,
+             CAST(py AS INT) AS py,
+             CAST(px AS INT) AS px,
+             CAST((px + 1) * w // 4 - px * w // 4 AS INT) AS patch_w,
+             CAST((py + 1) * h // 4 - py * h // 4 AS INT) AS patch_h,
+             CAST(list_sum(list_transform(
+                    generate_series(px * w // 4, (px + 1) * w // 4 - 1),
+                    x -> 1000 * (x * 255 // (w - 1))))
+                  // ((px + 1) * w // 4 - px * w // 4) AS BIGINT) AS mean_luma_milli
+      FROM pp
+      ORDER BY doc_id, py, px""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    MediaCodec
+      .patchStats(MediaCodec.syntheticGradientImages(t(spark, dir).documents), grid = 4)
+      .select($"doc_id", $"py", $"px", $"patch_w", $"patch_h", $"mean_luma_milli")
+      .orderBy($"doc_id", $"py", $"px")
+  }
+
+  /** Frame-energy / voice-activity detection
+    * ([[MediaCodec.frameEnergies]]): each doc's burst WAV (alternating
+    * 20 ms speech/silence segments) parses through the real RIFF path
+    * and splits into 80-sample (10 ms) frames; per frame the integer RMS
+    * and the energy gate — the first stage of speech-corpus curation
+    * (silence stripping, speech-ratio scores). The burst segment length
+    * is a frame multiple, so every frame's RMS is exactly the doc's
+    * amplitude or 0 and the oracle predicts every row in closed form
+    * from the id — header parse, PCM decode, framing bounds, and the
+    * RMS arithmetic are all hash-checked.
+    */
+  val qAudioVad: GQuery = GQuery(
+    "q_multimodal_audio_vad",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(800 + doc_id % 1600 AS BIGINT) AS n,
+               CAST(1000 + doc_id % 20000 AS BIGINT) AS amp
+        FROM documents),
+      f AS (
+        SELECT doc_id, n, amp,
+               unnest(generate_series(0, (n + 79) // 80 - 1)) AS frame
+        FROM d)
+      SELECT doc_id,
+             CAST(frame AS INT) AS frame,
+             CAST(LEAST(80, n - frame * 80) AS INT) AS n_in_frame,
+             CAST(CASE WHEN frame % 4 <= 1 THEN amp ELSE 0 END AS BIGINT) AS rms,
+             frame % 4 <= 1 AS voiced
+      FROM f
+      ORDER BY doc_id, frame""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    MediaCodec
+      .frameEnergies(
+        MediaCodec.syntheticBurstWavs(t(spark, dir).documents),
+        frameLen = 80, voicedRmsAbove = 500L)
+      .select($"doc_id", $"frame", $"n_in_frame", $"rms", $"voiced")
+      .orderBy($"doc_id", $"frame")
+  }
+
   override def queries: Seq[GQuery] =
-    Seq(qBytes, qMeta, qFrames, qImageDecode, qImageResize, qAudioDecode, qImageDedup)
+    Seq(qBytes, qMeta, qFrames, qImageDecode, qImageResize, qAudioDecode, qImageDedup,
+      qImagePatches, qAudioVad)
 }
