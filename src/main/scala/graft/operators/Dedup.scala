@@ -134,6 +134,66 @@ object Dedup {
       k, bands, threshold)
       .select(col("keep_id"))
 
+  /** Chunk-hash table `(id, h)` (DISTINCT per doc) under the portable
+    * content-defined segmentation ([[graft.functions.CdcChunkStarts]]) —
+    * the persistable index a CHUNK-level incremental gate keeps between
+    * runs (16 bytes per ~64-char chunk; the CDC analog of
+    * [[minhashSigTable]], catching PARTIAL copies whole-doc sketches
+    * miss).
+    */
+  def cdcChunkTable(d: DataFrame, idCol: String, textCol: String): DataFrame = d
+    .select(
+      col(idCol).as("id"),
+      col(textCol).as("t"),
+      graft.functions.GraftFunctions.cdcChunkStarts(col(textCol)).as("s"))
+    .select(
+      col("id"),
+      explode(zip_with(
+        col("s"),
+        concat(
+          slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+          array(length(col("t")) + 1)),
+        (st, en) => col("t").substr(st, en - st))).as("c"))
+    .select(col("id"), md5(col("c")).as("h"))
+    .distinct()
+    .localCheckpoint()
+
+  /** Chunk-level admission gate over a PERSISTED index — the streaming
+    * ingest shape: reject an incoming doc when ≥ `minShared` of its
+    * distinct chunks already exist in the index (partial-copy re-crawl),
+    * or when it shares ≥ `minShared` chunks with a SMALLER-id doc of the
+    * same batch. The corpus check is a LEFT-SEMI existence probe (no
+    * pair enumeration); the within-batch pair join df-caps batch-hot
+    * chunks first (the [[jaccardPairs]] pre-pass discipline). Returns
+    * `keep_id` — the caller appends the admitted docs' `(id, h)` rows
+    * straight back to the index.
+    */
+  def cdcGateFromIndex(
+      indexH: DataFrame,
+      chI: DataFrame,
+      minShared: Long = 2,
+      maxBatchDf: Long = 20
+  ): DataFrame = {
+    val vsCorpus = chI
+      .join(indexH.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("sc"))
+      .filter(col("sc") >= minShared)
+      .select(col("id"))
+    val hot = chI.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBatchDf).select(col("h"))
+    val kept = chI.join(hot, Seq("h"), "left_anti")
+    val within = kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") && col("b.id") < col("a.id"))
+      .groupBy(col("a.id").as("id"), col("b.id").as("o"))
+      .agg(count(lit(1)).as("sc"))
+      .filter(col("sc") >= minShared)
+      .select(col("id")).distinct()
+    chI.select(col("id")).distinct()
+      .join(vsCorpus, Seq("id"), "left_anti")
+      .join(within, Seq("id"), "left_anti")
+      .withColumnRenamed("id", "keep_id")
+  }
+
   /** Sketch a corpus slice to its persistable minhash signature table
     * `(id, sig)` — the ~0.5 KB/doc artifact an incremental ingest keeps
     * between runs so each run sketches ONLY its new batch.
