@@ -73,6 +73,8 @@ object GraftFunctions {
     "graft_deletions" -> (args => DeletionNeighborhood(args(0))),
     "graft_html_strip" -> (args => HtmlStripText(args(0))),
     "graft_cdc_chunk_starts" -> (args => CdcChunkStarts(args(0))),
+    "graft_delta_varint_enc" -> (args => DeltaVarintEncode(args(0))),
+    "graft_delta_varint_dec" -> (args => DeltaVarintDecode(args(0))),
     "graft_cell_cosines" -> (args => {
       require(args(1).foldable, "graft_cell_cosines centroid matrix must be a literal")
       val arr = args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -116,6 +118,8 @@ object GraftFunctions {
   def stripAccents(s: Column): Column = call_function("graft_strip_accents", s)
   def htmlStrip(s: Column): Column = call_function("graft_html_strip", s)
   def cdcChunkStarts(s: Column): Column = call_function("graft_cdc_chunk_starts", s)
+  def deltaVarintEnc(a: Column): Column = call_function("graft_delta_varint_enc", a)
+  def deltaVarintDec(b: Column): Column = call_function("graft_delta_varint_dec", b)
   def zorder(bits: Int, dims: Column*): Column =
     call_function("graft_zorder", (lit(bits) +: dims): _*)
   def subword(text: Column, vocab: Seq[String], maxPieceLen: Int): Column =

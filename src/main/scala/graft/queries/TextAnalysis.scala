@@ -978,6 +978,62 @@ object TextAnalysis extends QuerySet {
       .orderBy(col("term"))
   }
 
+  /** Posting-list compression audit
+    * ([[graft.functions.DeltaVarintEncode]]): every posting list of the
+    * inverted index delta-encodes to LEB128 varints (the Lucene-shape
+    * gap layout: sorted doc ids → small gaps → 1-2 bytes each instead
+    * of 8) — the operator that decides whether the shipped index fits
+    * its storage budget. Per term: raw vs packed bytes, and a
+    * round-trip-equality flag the oracle pins TRUE (so decode ∘ encode
+    * = id is proven engine-side). The packed SIZE is a pure integer
+    * function of the gaps — 1 byte per started 7-bit group — which
+    * DuckDB replays exactly from the same posting lists; the hash match
+    * therefore covers the codec's framing, not just its invertibility.
+    * Row-local after the index aggregation; no extra shuffle.
+    */
+  val qIndexCompress: GQuery = GQuery(
+    "q_text_index_compress",
+    Some("""
+      WITH tf AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1, 2),
+      idx AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               list(doc_id ORDER BY doc_id) AS pd
+        FROM tf GROUP BY term),
+      g AS (
+        SELECT term, df,
+               list_transform(generate_series(1, len(pd)),
+                              i -> pd[i] - COALESCE(pd[i - 1], 0)) AS gaps
+        FROM idx WHERE df <= 390)
+      SELECT term, df,
+             CAST(df * 8 AS BIGINT) AS bytes_raw,
+             CAST(list_sum(list_transform(gaps, x ->
+                    1 + CASE WHEN x >= 128 THEN 1 ELSE 0 END
+                      + CASE WHEN x >= 16384 THEN 1 ELSE 0 END
+                      + CASE WHEN x >= 2097152 THEN 1 ELSE 0 END
+                      + CASE WHEN x >= 268435456 THEN 1 ELSE 0 END
+                      + CASE WHEN x >= 34359738368 THEN 1 ELSE 0 END))
+                  AS BIGINT) AS bytes_packed,
+             TRUE AS roundtrip_ok
+      FROM g
+      ORDER BY term""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.TextOps
+      .invertedIndex(t(spark, dir).documents, "doc_id", "text", maxDf = 390L)
+      .select($"term", $"df",
+        graft.functions.GraftFunctions.deltaVarintEnc($"posting_docs").as("enc"),
+        $"posting_docs")
+      .select($"term", $"df",
+        ($"df" * 8).as("bytes_raw"),
+        length($"enc").cast("long").as("bytes_packed"),
+        (graft.functions.GraftFunctions.deltaVarintDec($"enc") === $"posting_docs")
+          .as("roundtrip_ok"))
+      .orderBy($"term")
+  }
+
   /** Exact phrase search ([[graft.operators.TextOps.phraseSearch]]):
     * token-boundary consecutive-match positions for a two-token phrase,
     * overlapping occurrences counted. The oracle replays the positional
@@ -1352,5 +1408,5 @@ object TextAnalysis extends QuerySet {
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
-      qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi)
+      qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress)
 }

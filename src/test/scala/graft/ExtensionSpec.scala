@@ -438,6 +438,40 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("DeltaVarint: round trip, framing length, and loud contract failures") {
+    import graft.functions.VarintUtil
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def rt(xs: Array[Long]): Seq[Long] = {
+      val dec = VarintUtil.decode(VarintUtil.encode(UnsafeArrayData.fromPrimitiveArray(xs)))
+      (0 until dec.numElements()).map(dec.getLong)
+    }
+    def len(xs: Array[Long]): Int =
+      VarintUtil.encode(UnsafeArrayData.fromPrimitiveArray(xs)).length
+    // round trips across the branchy shapes
+    for (xs <- Seq(
+        Array.empty[Long], Array(0L), Array(0L, 0L, 0L), Array(127L, 128L, 16384L),
+        Array(5L, 6L, 7L, 1000L, 1000000L, (1L << 62) - 1),
+        (0L until 500L).toArray))
+      assert(rt(xs) == xs.toSeq, s"round trip failed for ${xs.take(8).toSeq}...")
+    // framing: 1 byte per started 7-bit group of each GAP
+    assert(len(Array(0L)) == 1)               // gap 0
+    assert(len(Array(127L)) == 1)             // gap 127 = max 1-byte
+    assert(len(Array(128L)) == 2)             // first 2-byte gap
+    assert(len(Array(100L, 227L)) == 2)       // gaps 100, 127 -> 1 + 1
+    assert(len(Array(100L, 228L)) == 3)       // gaps 100, 128 -> 1 + 2
+    assert(len((1L to 100L).toArray) == 100)  // dense gaps of 1
+    // contract violations fail LOUDLY, never round-trip wrong
+    intercept[IllegalArgumentException] {
+      VarintUtil.encode(UnsafeArrayData.fromPrimitiveArray(Array(5L, 3L)))
+    }
+    intercept[IllegalArgumentException] {
+      VarintUtil.encode(UnsafeArrayData.fromPrimitiveArray(Array(-1L)))
+    }
+    intercept[IllegalArgumentException] {
+      VarintUtil.decode(Array(0x80.toByte)) // truncated: continuation with no tail
+    }
+  }
+
   test("CdcChunkStarts: incremental scan equals the per-position definition") {
     val s = spark
     import s.implicits._
