@@ -404,6 +404,43 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic WEIGHTED fixed-size sample per group without
+    * replacement — Efraimidis–Spirakis A-ES, the weighted analog of
+    * [[reservoirPerGroup]] and the sampler mixture construction actually
+    * needs (pick k docs per domain with probability ∝ quality weight).
+    * Each row draws the portable md5 16-bit uniform u ∈ (0, 1] (never
+    * exactly 0 — the +1/65536 shift) and ranks by ln(u)/w DESCENDING
+    * (monotone in the classic u^(1/w) key, without the pow): higher
+    * weight → priority closer to 0 → more likely in the top k. The
+    * priority is one fixed IEEE chain on integers, so any engine ranks
+    * identically and an oracle replays the exact sample; the emitted
+    * rank lets shard-level samples stream-merge (keep the global top-k
+    * by the same key). Plan: one group shuffle + a PARTITIONED top-k
+    * window — never global.
+    *
+    * @return input rows + `priority` (ln(u)/w) + `sample_rank` (1..k)
+    */
+  def weightedReservoirPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Int
+  ): DataFrame = {
+    require(k >= 1, "reservoir size must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(
+      substring(md5(concat(col(keyCol).cast("string"), lit(s":$seed"))), 1, 4), 16, 10)
+      .cast("double") + 1.0) / 65536.0
+    val prio = log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(groupCol)).orderBy(prio.desc, col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", prio)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic negative-pair mining for contrastive training: pair row
     * `i` with row `p(i) = (a·i + b) mod n` under an affine permutation of
     * the DENSE id domain [0, n). With gcd(a, n) = 1 (enforced) `p` is a

@@ -769,8 +769,44 @@ object PipelineQueries extends QuerySet {
         round($"n_val_leaked".cast("double") / $"n_val".cast("double"), 6).as("leak_rate"))
   }
 
+  /** Weighted k-per-group sampling without replacement
+    * ([[graft.operators.Sampling.weightedReservoirPerGroup]] —
+    * Efraimidis–Spirakis A-ES): 5 docs per language drawn with
+    * probability ∝ length, the draw a mixture builder uses when "sample
+    * by quality weight within each domain" must be reproducible across
+    * engines and retries. The md5 uniform, the ln(u)/w priority, the
+    * (priority DESC, doc_id) rank, and the k-cut all replay in the
+    * oracle — the SAMPLE MEMBERSHIP itself is hash-checked, not just
+    * its size.
+    */
+  val qWeightedReservoir: GQuery = GQuery(
+    "q_sample_weighted_reservoir",
+    Some("""
+      WITH u AS (
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+               (('0x' || substr(md5(doc_id::VARCHAR || ':23'), 1, 4))::BIGINT + 1.0)
+                 / 65536.0 AS u
+        FROM documents WHERE n_chars > 0),
+      p AS (
+        SELECT lang, doc_id, w, ln(u) / CAST(w AS DOUBLE) AS prio,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY ln(u) / CAST(w AS DOUBLE) DESC, doc_id) AS rk
+        FROM u)
+      SELECT lang, doc_id, w, round(prio, 9) AS priority, CAST(rk AS BIGINT) AS sample_rank
+      FROM p WHERE rk <= 5
+      ORDER BY lang, sample_rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Sampling
+      .weightedReservoirPerGroup(
+        t(spark, dir).documents.select($"lang", $"doc_id", $"n_chars".cast("long").as("w")),
+        groupCol = "lang", keyCol = "doc_id", weightCol = "w", k = 5, seed = 23)
+      .select($"lang", $"doc_id", $"w", round($"priority", 9).as("priority"), $"sample_rank")
+      .orderBy($"lang", $"sample_rank")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
     qWeighted, qMix, qTemperature, qNegativePairs, qGlobalIndex, qPackPairs,
-    qDedupCascade, qReservoir, qDsir, qSplitLeakage)
+    qDedupCascade, qReservoir, qDsir, qSplitLeakage, qWeightedReservoir)
 }

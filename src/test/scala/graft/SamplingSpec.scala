@@ -222,6 +222,32 @@ class SamplingSpec extends SparkSpec {
     assert(a != c, "seed does not influence the draw")
   }
 
+  test("weightedReservoirPerGroup: k per group, weight-biased, repartition-invariant") {
+    val docs = Tables(spark, sf).documents
+      .select($"lang", $"doc_id", $"n_chars".cast("long").as("w"))
+    val out = Sampling.weightedReservoirPerGroup(docs, "lang", "doc_id", "w", k = 5, seed = 23)
+    val perGroup = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    docs.groupBy($"lang").count().as[(String, Long)].collect().foreach { case (g, n) =>
+      assert(perGroup(g) == math.min(5L, n), s"group $g drew ${perGroup(g)} of $n")
+    }
+    // A-ES bias: across MANY seeds, sampled rows' mean weight exceeds the
+    // population mean (probability ∝ weight; one seed is too noisy)
+    val popMean = docs.agg(org.apache.spark.sql.functions.avg($"w")).as[Double].head()
+    val sampleMeans = (1 to 20).map { s =>
+      Sampling.weightedReservoirPerGroup(docs, "lang", "doc_id", "w", 5, seed = s)
+        .agg(org.apache.spark.sql.functions.avg($"w")).as[Double].head()
+    }
+    val meanOfMeans = sampleMeans.sum / sampleMeans.size.toDouble
+    assert(meanOfMeans > popMean,
+      f"weighted draw not biased toward heavy rows: sample $meanOfMeans%.1f vs pop $popMean%.1f")
+    // deterministic under repartitioning
+    val a = out.select($"doc_id".as[Long]).collect().toSet
+    val b = Sampling
+      .weightedReservoirPerGroup(docs.repartition(7), "lang", "doc_id", "w", 5, 23)
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(a == b, "draw changed under repartitioning")
+  }
+
   test("dsirLogWeights: target-like docs score higher; repartition-invariant") {
     val docs = Tables(spark, sf).documents
     val w = graft.operators.TextOps
