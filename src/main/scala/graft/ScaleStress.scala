@@ -131,7 +131,10 @@ object ScaleStress {
       "q_pipeline_pack_lpt", "q_text_ngram_lm",
       // round-8 additions: CDC chunking (row-local + one hash shuffle),
       // chunk-pair dedup (df-capped self-join), celled hard negatives
-      "q_dedup_cdc_chunks", "q_dedup_cdc_pairs", "q_ann_hard_negatives")
+      "q_dedup_cdc_chunks", "q_dedup_cdc_pairs", "q_ann_hard_negatives",
+      // round-9: semantic admission gate (capped cell join + fp probes),
+      // first-occurrence novelty (df-join-back shape)
+      "q_dedup_incremental_semantic", "q_text_ngram_novelty")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c to isolate a subset (BENCH_ONLY's twin)
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
       case Some(s) => allNames.filter(s.split(",").map(_.trim).toSet)
@@ -155,7 +158,8 @@ object ScaleStress {
       val rows = tableRows(sf)(name match {
         case "q_dedup_fuzzy_key" => "customer"
         case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
-            "q_quality_label_consistency" | "q_ann_hard_negatives" => "embeddings"
+            "q_quality_label_consistency" | "q_ann_hard_negatives" |
+            "q_dedup_incremental_semantic" => "embeddings"
         case "q_graph_components" => "lineitem"
         case "q_stat_ks" | "q_stat_mannwhitney" => "events"
         case _ => "documents"

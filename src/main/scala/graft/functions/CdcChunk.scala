@@ -23,9 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * loop), so the boundary SET — not a sequential scan — defines the
   * chunks, which is exactly what a declarative replay can express.
   * Output: array(1, b_1+1, b_2+1, …) — chunk i spans [s_i, s_{i+1}).
-  * Every term stays below 2^43 (255·16·P), so plain signed 64-bit
-  * arithmetic is exact in both engines — no wraparound semantics to
-  * match.
+  * Code points reach 0x10FFFF, so a term is bounded by 0x10FFFF · P
+  * ≈ 2^52 and the 16-term window sum by 0x10FFFF · 16 · P < 2^56 —
+  * still exact in plain signed 64-bit in both engines, no wraparound
+  * semantics to match. (An earlier comment claimed 2^43 by assuming
+  * byte-sized code points; the conclusion held, the bound was wrong.)
   */
 case class CdcChunkStarts(child: Expression) extends UnaryExpression {
 

@@ -167,6 +167,19 @@ object Dedup {
     * chunks first (the [[jaccardPairs]] pre-pass discipline). Returns
     * `keep_id` — the caller appends the admitted docs' `(id, h)` rows
     * straight back to the index.
+    *
+    * The df-cap trades recall in pair MINING, but in an ADMISSION gate
+    * that loss inverts: a duplicate cluster larger than `maxBatchDf`
+    * arriving in ONE batch shares only hot chunks and would be admitted
+    * wholesale — the heaviest duplication evading the gate precisely
+    * because it is too duplicated (round-9 advice). So docs whose chunk
+    * set is ENTIRELY batch-hot get an exact fallback: one md5
+    * fingerprint over the doc's sorted chunk-hash set (per-doc bounded
+    * collect), keep only the smallest id per fingerprint. Residual
+    * window, documented: an all-hot-chunk doc that is a NEAR-copy (same
+    * hot chunks, different set) of a smaller-id batch doc is still
+    * admitted; catching it needs the pair join the cap exists to
+    * prevent — size `maxBatchDf` to expected per-batch duplication.
     */
   def cdcGateFromIndex(
       indexH: DataFrame,
@@ -174,6 +187,7 @@ object Dedup {
       minShared: Long = 2,
       maxBatchDf: Long = 20
   ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val vsCorpus = chI
       .join(indexH.select(col("h")).distinct(), Seq("h"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("sc"))
@@ -188,9 +202,19 @@ object Dedup {
       .agg(count(lit(1)).as("sc"))
       .filter(col("sc") >= minShared)
       .select(col("id")).distinct()
+    // exact fallback for all-hot-chunk docs (the >maxBatchDf cluster)
+    val allHot = chI.select(col("id")).distinct()
+      .join(kept.select(col("id")).distinct(), Seq("id"), "left_anti")
+    val fpDup = chI.join(allHot, Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("fp"))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("fp")).orderBy(col("id"))))
+      .filter(col("__rk") > 1)
+      .select(col("id"))
     chI.select(col("id")).distinct()
       .join(vsCorpus, Seq("id"), "left_anti")
       .join(within, Seq("id"), "left_anti")
+      .join(fpDup, Seq("id"), "left_anti")
       .withColumnRenamed("id", "keep_id")
   }
 

@@ -322,6 +322,47 @@ object Graphs {
     labels
   }
 
+  /** Per-community Newman modularity contributions for a given
+    * partition: q_term = L_c/m_dir − (D_c/m_dir)² over the symmetrized
+    * unit-weight graph (m_dir = directed edge count = 2m, L_c =
+    * directed intra-community edges = 2·undirected, D_c = degree sum —
+    * the standard Q decomposes identically in directed-symmetric
+    * counts). The community-quality audit for [[labelPropagation]] /
+    * connected components: is the detected structure better than the
+    * degree-preserving random graph. Emitted PER COMMUNITY (exact
+    * BIGINT counts + one IEEE q_term each) — summing Q engine-side
+    * would make the result order-dependent across engines; consumers
+    * (and the oracle) sum the terms themselves. One scalar driver
+    * count() for m_dir; joins are label-key equi-joins, degree sums one
+    * shuffle each — never a pair join beyond the edge list itself.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val md = sym.count().toDouble
+    val lab = labels.select(col("node"), col("label").as("community")).localCheckpoint()
+    val la = lab.select(col("node").as("src"), col("community").as("ca"))
+    val lb = lab.select(col("node").as("dst"), col("community").as("cb"))
+    val e = sym.join(la, "src").join(lb, "dst").localCheckpoint()
+    val intra = e.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val deg = e.groupBy(col("ca").as("community")).agg(count(lit(1)).as("degree_sum"))
+    val nn = lab.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+    nn.join(deg, Seq("community"))
+      .join(intra, Seq("community"), "left")
+      .select(
+        col("community"),
+        col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round(
+          coalesce(col("intra_edges"), lit(0L)).cast("double") / md
+            - (col("degree_sum").cast("double") / md)
+            * (col("degree_sum").cast("double") / md), 6).as("q_term"))
+  }
+
   def ssspWeighted(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

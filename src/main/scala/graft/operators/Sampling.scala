@@ -412,13 +412,18 @@ object Sampling {
     * exactly 0 — the +1/65536 shift) and ranks by ln(u)/w DESCENDING
     * (monotone in the classic u^(1/w) key, without the pow): higher
     * weight → priority closer to 0 → more likely in the top k. The
-    * priority is one fixed IEEE chain on integers, so any engine ranks
-    * identically and an oracle replays the exact sample; the emitted
-    * rank lets shard-level samples stream-merge (keep the global top-k
-    * by the same key). Plan: one group shuffle + a PARTITIONED top-k
-    * window — never global.
+    * priority is ROUNDED to 9 dp BEFORE the rank (round-9 advice:
+    * neither JVM Math.log nor DuckDB ln() is guaranteed correctly
+    * rounded, and a 1-ulp disagreement near a priority near-tie could
+    * flip a rank — the repo's qZipf/DSIR convention of rounding ln
+    * values that feed cross-engine comparisons), with `keyCol` as the
+    * deterministic tie-break; any engine then ranks identically and an
+    * oracle replays the exact sample. The emitted rank lets shard-level
+    * samples stream-merge (keep the global top-k by the same key).
+    * Plan: one group shuffle + a PARTITIONED top-k window — never
+    * global.
     *
-    * @return input rows + `priority` (ln(u)/w) + `sample_rank` (1..k)
+    * @return input rows + `priority` (round(ln(u)/w, 9)) + `sample_rank` (1..k)
     */
   def weightedReservoirPerGroup(
       df: DataFrame,
@@ -433,7 +438,7 @@ object Sampling {
     val u = (conv(
       substring(md5(concat(col(keyCol).cast("string"), lit(s":$seed"))), 1, 4), 16, 10)
       .cast("double") + 1.0) / 65536.0
-    val prio = log(u) / col(weightCol).cast("double")
+    val prio = round(log(u) / col(weightCol).cast("double"), 9)
     val w = Window.partitionBy(col(groupCol)).orderBy(prio.desc, col(keyCol))
     df.filter(col(weightCol) > 0)
       .withColumn("priority", prio)

@@ -326,7 +326,7 @@ object AuditQueries extends QuerySet {
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
         FROM embeddings),
-      cells AS (
+      cells AS MATERIALIZED (
         SELECT vec_id,
                COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
                  pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
@@ -334,6 +334,14 @@ object AuditQueries extends QuerySet {
                                     THEN 1 ELSE -1 END) * q[d])) > 0
                        THEN '1' ELSE '0' END), ''), '') AS cell
         FROM qv),
+      cellcnt AS (SELECT cell, COUNT(*) AS cn FROM cells GROUP BY cell),
+      bkeep AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT c.vec_id, c.cell, n.cn,
+                 ROW_NUMBER() OVER (PARTITION BY c.cell
+                                    ORDER BY md5(CAST(c.vec_id AS VARCHAR)), c.vec_id) AS rk
+          FROM cells c JOIN cellcnt n USING (cell)) t
+        WHERE cn <= 4096 OR rk <= 4096),
       v AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -344,7 +352,7 @@ object AuditQueries extends QuerySet {
                list_sum(list_transform(generate_series(1, 64),
                         i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
         FROM cells a
-        JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN bkeep b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         JOIN v va ON va.vec_id = a.vec_id
         JOIN v vb ON vb.vec_id = b.vec_id
         WHERE va.label <> vb.label)
@@ -359,6 +367,91 @@ object AuditQueries extends QuerySet {
     import spark.implicits._
     graft.operators.Similarity
       .hardNegativesLsh(t(spark, dir).embeddings, "vec_id", "embedding", "label", k = 3)
+      .select(
+        $"src".as("vec_id"), $"own".cast("long").as("label"),
+        $"rank".cast("int").as("rank"), $"dst".as("neg_id"),
+        $"nl".cast("long").as("neg_label"), round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"vec_id", $"rank")
+  }
+
+  /** MULTI-PROBE hard-negative mining
+    * ([[graft.operators.Similarity.hardNegativesLsh]] `multiProbe`,
+    * round-9): each source probes its own sign-LSH cell AND the p
+    * flip-1-bit neighbor cells, the standard multi-probe recall lever —
+    * here raising COVERAGE (a source whose cell holds no impostor
+    * single-probe usually finds one a Hamming step away; the contrastive
+    * miner's real concern at scale). targetCell = 64 keeps the fixture
+    * in the CELLED regime at both verify SFs (p = 3 at 500 vectors,
+    * p = 5 at 2000), so probing itself is what's hash-checked: the
+    * oracle replays the plane count, the cells, the per-cell candidate
+    * cap, and the probe set by flipping each character of the cell
+    * bit-string (set-equal to the engine's plane-bit flips). A dst
+    * lives in exactly one cell, so no (src, dst) pair arises twice —
+    * no DISTINCT needed on either side.
+    */
+  val qHardNegativesProbe: GQuery = GQuery(
+    "q_ann_hard_negatives_probe",
+    Some("""
+      WITH params AS (
+        SELECT MIN(j) AS p
+        FROM (SELECT unnest(generate_series(0, 40)) AS j) js,
+             (SELECT COUNT(*) AS n FROM embeddings) cn
+        WHERE (64::BIGINT << j) >= cn.n),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      cells AS MATERIALIZED (
+        SELECT vec_id,
+               COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
+                 pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                         d -> (CASE WHEN (('0x' || substr(md5('0|' || (pp-1)::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                                    THEN 1 ELSE -1 END) * q[d])) > 0
+                       THEN '1' ELSE '0' END), ''), '') AS cell
+        FROM qv),
+      cellcnt AS (SELECT cell, COUNT(*) AS cn FROM cells GROUP BY cell),
+      bkeep AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT c.vec_id, c.cell, n.cn,
+                 ROW_NUMBER() OVER (PARTITION BY c.cell
+                                    ORDER BY md5(CAST(c.vec_id AS VARCHAR)), c.vec_id) AS rk
+          FROM cells c JOIN cellcnt n USING (cell)) t
+        WHERE cn <= 512 OR rk <= 512),
+      probes AS MATERIALIZED (
+        SELECT vec_id,
+               unnest(list_prepend(cell,
+                 list_transform(generate_series(1, (SELECT p FROM params)),
+                   pp -> substr(cell, 1, pp - 1)
+                         || (CASE WHEN substr(cell, pp, 1) = '1' THEN '0' ELSE '1' END)
+                         || substr(cell, pp + 1)))) AS cell
+        FROM cells),
+      v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst, va.label AS own, vb.label AS nl,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
+        FROM probes a
+        JOIN bkeep b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE va.label <> vb.label)
+      SELECT src AS vec_id, CAST(own AS BIGINT) AS label,
+             CAST(rank AS INT) AS rank, dst AS neg_id, CAST(nl AS BIGINT) AS neg_label,
+             round(s, 6) AS cos_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rank
+            FROM edges) r
+      WHERE rank <= 3
+      ORDER BY vec_id, rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Similarity
+      .hardNegativesLsh(t(spark, dir).embeddings, "vec_id", "embedding", "label", k = 3,
+        targetCell = 64, multiProbe = true)
       .select(
         $"src".as("vec_id"), $"own".cast("long").as("label"),
         $"rank".cast("int").as("rank"), $"dst".as("neg_id"),
@@ -436,5 +529,5 @@ object AuditQueries extends QuerySet {
 
   override def queries: Seq[GQuery] = Seq(
     qDistinctNgrams, qZipf, qKlUnigram, qSeqlenAudit, qClassSeparation, qHardNegatives,
-    qCooccurrence)
+    qHardNegativesProbe, qCooccurrence)
 }

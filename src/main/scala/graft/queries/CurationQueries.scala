@@ -343,38 +343,14 @@ object CurationQueries extends QuerySet {
       ORDER BY user_id""")
   ) { (spark, dir) =>
     import spark.implicits._
-    val maxTurns = 64
     val role = when($"event_type".isin("click", "view"), "user")
       .when($"event_type" === "purchase", "assistant")
       .otherwise("system")
-    val e = t(spark, dir).events.select(
-      $"user_id", $"event_id", expr("ts div 1000").as("tus"), role.as("role"))
-      .localCheckpoint() // feeds both the uncapped tally and the capped collect
-    val tot = e.groupBy($"user_id").agg(count(lit(1)).as("n_turns"))
-    val kept = e
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"user_id").orderBy($"tus", $"event_id")))
-      .filter($"rn" <= maxTurns)
-    kept.groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"tus", $"event_id", $"role"))).as("s"))
-      .join(tot, Seq("user_id"))
-      .select(
-        $"user_id",
-        $"n_turns",
-        size($"s").cast("long").as("kept_turns"),
-        when(size($"s") >= 2,
-          aggregate(
-            sequence(lit(1), size($"s") - 1),
-            lit(0L),
-            (acc, i) => acc + when(
-              element_at($"s", i + 1).getField("role") === element_at($"s", i).getField("role"),
-              1L).otherwise(0L))).otherwise(lit(0L)).as("violations"),
-        md5(array_join(
-          transform($"s", x =>
-            concat(x.getField("role"), lit(":"), x.getField("event_id").cast("string"))),
-          "|")).as("transcript_md5"),
-        ($"n_turns" > maxTurns).as("overflowed"))
+    graft.operators.SftPrep
+      .assembleChat(
+        t(spark, dir).events.select(
+          $"user_id", $"event_id", expr("ts div 1000").as("tus"), role.as("role")),
+        "user_id", "event_id", "tus", "role", maxTurns = 64)
       .orderBy($"user_id")
   }
 

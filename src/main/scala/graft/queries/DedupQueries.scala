@@ -1187,9 +1187,122 @@ object DedupQueries extends QuerySet {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** SEMANTIC incremental admission gate
+    * ([[Similarity.semGateFromIndex]]) — completes the ingest-gate trio
+    * (exact/minhash q_dedup_incremental_fuzzy, partial-copy
+    * q_dedup_cdc_*, and now embedding near-dups that share no lexical
+    * surface). 80% of the embeddings play the persisted index, the
+    * vec_id % 5 == 0 slice arrives as the batch; a vector is rejected
+    * when a same-sign-LSH-cell counterpart (index, or smaller-id batch
+    * vector) has cosine ≥ 0.35, when its quantized-vector fingerprint
+    * already exists in the index, or when a smaller-id batch vector
+    * shares the fingerprint. The oracle replays ALL of it — plane-count
+    * derivation from the INDEX size, integer sign-dot cells, the
+    * per-cell candidate cap (cn ≤ 512 OR md5-rank ≤ 512 — the round-9
+    * hot-cell discipline), the exact-double cosine threshold, and both
+    * fingerprint fallbacks — so the admission decision itself is
+    * hash-checked. Cells are longs engine-side and bit-strings
+    * oracle-side (equal as partitions, not as values), so the output
+    * carries (keep_id, fp), not the cell.
+    */
+  val qIncrementalSemantic: GQuery = GQuery(
+    "q_dedup_incremental_semantic",
+    Some("""
+      WITH ex AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+      inc AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+      params AS (
+        SELECT MIN(j) AS p
+        FROM (SELECT unnest(generate_series(0, 40)) AS j) js,
+             (SELECT COUNT(*) AS n FROM ex) cn
+        WHERE (64::BIGINT << j) >= cn.n),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      cells AS MATERIALIZED (
+        SELECT vec_id,
+               COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
+                 pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                         d -> (CASE WHEN (('0x' || substr(md5('0|' || (pp-1)::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                                    THEN 1 ELSE -1 END) * q[d])) > 0
+                       THEN '1' ELSE '0' END), ''), '') AS cell
+        FROM qv),
+      fps AS MATERIALIZED (
+        SELECT vec_id,
+               md5(array_to_string(list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)::VARCHAR), ',')) AS fp
+        FROM embeddings),
+      v AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      excells AS MATERIALIZED (
+        SELECT c.vec_id, c.cell FROM cells c JOIN ex USING (vec_id)),
+      inccells AS MATERIALIZED (
+        SELECT c.vec_id, c.cell FROM cells c JOIN inc USING (vec_id)),
+      excap AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT s.vec_id, s.cell, n.cn,
+                 ROW_NUMBER() OVER (PARTITION BY s.cell
+                                    ORDER BY md5(CAST(s.vec_id AS VARCHAR)), s.vec_id) AS rk
+          FROM excells s JOIN (SELECT cell, COUNT(*) AS cn FROM excells GROUP BY cell) n
+            USING (cell)) t
+        WHERE cn <= 512 OR rk <= 512),
+      inccap AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT s.vec_id, s.cell, n.cn,
+                 ROW_NUMBER() OVER (PARTITION BY s.cell
+                                    ORDER BY md5(CAST(s.vec_id AS VARCHAR)), s.vec_id) AS rk
+          FROM inccells s JOIN (SELECT cell, COUNT(*) AS cn FROM inccells GROUP BY cell) n
+            USING (cell)) t
+        WHERE cn <= 512 OR rk <= 512),
+      rej AS (
+        SELECT i.vec_id FROM inccells i
+        JOIN excap o ON i.cell = o.cell
+        JOIN v vi ON vi.vec_id = i.vec_id
+        JOIN v vo ON vo.vec_id = o.vec_id
+        WHERE list_sum(list_transform(generate_series(1, 64),
+                d -> vi.e[d] * vo.e[d])) / (vi.nrm * vo.nrm) >= 0.35
+        UNION
+        SELECT i.vec_id FROM inccells i
+        JOIN inccap o ON i.cell = o.cell AND o.vec_id < i.vec_id
+        JOIN v vi ON vi.vec_id = i.vec_id
+        JOIN v vo ON vo.vec_id = o.vec_id
+        WHERE list_sum(list_transform(generate_series(1, 64),
+                d -> vi.e[d] * vo.e[d])) / (vi.nrm * vo.nrm) >= 0.35
+        UNION
+        SELECT f.vec_id FROM fps f JOIN inc USING (vec_id)
+        WHERE f.fp IN (SELECT fp FROM fps JOIN ex USING (vec_id))
+        UNION
+        SELECT vec_id FROM (
+          SELECT f.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY f.fp ORDER BY f.vec_id) AS rk
+          FROM fps f JOIN inc USING (vec_id)) t
+        WHERE rk > 1)
+      SELECT i.vec_id AS keep_id, f.fp
+      FROM inc i JOIN fps f ON f.vec_id = i.vec_id
+      WHERE i.vec_id NOT IN (SELECT vec_id FROM rej)
+      ORDER BY keep_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val existing = emb.filter($"vec_id" % 5 =!= 0)
+    val incoming = emb.filter($"vec_id" % 5 === 0)
+    val p = Similarity.lshCellPlanes(existing.count(), 64)
+    Similarity
+      .semGateFromIndex(
+        Similarity.semIndexTable(existing, "vec_id", "embedding", p),
+        Similarity.semIndexTable(incoming, "vec_id", "embedding", p),
+        tau = 0.35, cellCap = 512L)
+      .select($"keep_id", $"fp")
+      .orderBy($"keep_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
       qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical,
-      qSortedNeighborhood, qBbitMinhash, qCdcChunks, qCdcPairs)
+      qSortedNeighborhood, qBbitMinhash, qCdcChunks, qCdcPairs, qIncrementalSemantic)
 }

@@ -332,6 +332,177 @@ object PipelineQueries extends QuerySet {
     * normalizer → fraction → threshold chain, so the hash match proves
     * the whole mixing computation equal cross-engine.
     */
+  /** Neyman-allocation stratified sampling (the survey-optimal split a
+    * corpus profiler uses when strata differ in VARIANCE, not just
+    * size): per language, n_h ∝ N_h·S_h over doc length — a
+    * high-variance stratum earns more sample than proportional
+    * allocation would give it. Exactness discipline: N_h, Σx, Σx² are
+    * BIGINT; S_h is one IEEE chain from those exact ints; N_h·S_h is
+    * rounded to 6 dp and summed as DECIMAL(38,6) (the normalizer must
+    * not differ by an ulp between engines); n_h = ⌊100·share + 0.5⌋
+    * (floor(x+0.5) spelled out — no engine-specific round-to-int).
+    * Membership is the portable md5 draw (reservoirPerGroup's
+    * convention), so the SAMPLE ITSELF is hash-checked, not just the
+    * allocation. Σn_h may differ from 100 by rounding — by design, and
+    * identically on both engines. Plan: one stats aggregate + a
+    * partitioned top-n_h window — never a global sort.
+    */
+  val qNeyman: GQuery = GQuery(
+    "q_sample_neyman",
+    Some("""
+      WITH st AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sx2
+        FROM documents GROUP BY lang),
+      sd AS (
+        SELECT lang, nh,
+               sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE))
+                    / (CAST(nh AS DOUBLE) - 1.0)) AS sh
+        FROM st),
+      wd AS (
+        SELECT lang, nh, sh,
+               CAST(round(CAST(nh AS DOUBLE) * sh, 6) AS DECIMAL(38,6)) AS nhsh
+        FROM sd),
+      alloc AS (
+        SELECT lang, nh, sh,
+               CAST(floor(100.0 * (CAST(nhsh AS DOUBLE) / CAST(d AS DOUBLE)) + 0.5) AS BIGINT) AS n_alloc
+        FROM wd, (SELECT SUM(nhsh) AS d FROM wd)),
+      ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(doc_id::VARCHAR || ':31'), doc_id) AS rk
+        FROM documents)
+      SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS sample_rank,
+             a.n_alloc, CAST(a.nh AS BIGINT) AS stratum_size, round(a.sh, 6) AS stratum_sd
+      FROM ranked r JOIN alloc a USING (lang)
+      WHERE r.rk <= a.n_alloc
+      ORDER BY lang, sample_rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val docs = t(spark, dir).documents
+    val st = docs.groupBy($"lang").agg(
+      count(lit(1)).as("nh"),
+      sum($"n_chars".cast("long")).as("sx"),
+      sum($"n_chars".cast("long") * $"n_chars").as("sx2"))
+    val sd = st.select($"lang", $"nh",
+      sqrt(($"sx2".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"nh".cast("double"))
+        / ($"nh".cast("double") - 1.0)).as("sh"))
+    val wd = sd.select($"lang", $"nh", $"sh",
+      round($"nh".cast("double") * $"sh", 6).cast(DecimalType(38, 6)).as("nhsh"))
+      .localCheckpoint() // feeds the normalizer sum AND the per-stratum rows
+    val dTot = wd.groupBy().agg(sum($"nhsh").as("d"))
+    val alloc = wd.crossJoin(broadcast(dTot)).select(
+      $"lang", $"nh", $"sh",
+      floor(lit(100.0) * ($"nhsh".cast("double") / $"d".cast("double")) + 0.5)
+        .cast("long").as("n_alloc"))
+    val ranked = docs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+          .orderBy(md5(concat($"doc_id".cast("string"), lit(":31"))), $"doc_id")))
+      .select($"lang", $"doc_id", $"rk")
+    ranked.join(broadcast(alloc), Seq("lang"))
+      .filter($"rk" <= $"n_alloc")
+      .select($"lang", $"doc_id", $"rk".cast("long").as("sample_rank"),
+        $"n_alloc", $"nh".as("stratum_size"), round($"sh", 6).as("stratum_sd"))
+      .orderBy($"lang", $"sample_rank")
+  }
+
+  /** Token-budget allocation across languages (the UniMax/multilingual
+    * mixing-plan shape): a training budget B = 1.2 × corpus tokens is
+    * split by √-temperature weights (α = 0.5 flattens the head), with a
+    * per-language repetition cap of 1.5 epochs and ONE documented
+    * waterfill redistribution round (capped languages return their
+    * overflow, the uncapped re-share it by the same weights, the cap
+    * applies again). Every comparison that picks a branch (capped or
+    * not) is one IEEE chain from EXACT inputs on both engines: token
+    * counts are BIGINT, weights are sqrt rounded to 6 dp and summed as
+    * DECIMAL(38,6) (double sums are order-dependent; the normalizer and
+    * the leftover must not differ by an ulp between engines), B and the
+    * cap are integer-ratio doubles (12·T/10, 3·T/2). The oracle replays
+    * the full two-round allocation, so the mixing PLAN itself — epochs
+    * per language, who got capped — is hash-checked.
+    */
+  val qTokenBudget: GQuery = GQuery(
+    "q_pipeline_token_budget",
+    Some("""
+      WITH tl AS (
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY lang),
+      w AS (
+        SELECT lang, tokens,
+               CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wt
+        FROM tl),
+      tot AS (
+        SELECT CAST(SUM(wt) AS DOUBLE) AS wsum,
+               CAST(SUM(tokens) * 12 AS DOUBLE) / 10.0 AS budget
+        FROM w),
+      r1 AS (
+        SELECT lang, tokens, wt,
+               budget * (CAST(wt AS DOUBLE) / wsum) AS a1,
+               CAST(tokens * 3 AS DOUBLE) / 2.0 AS cap
+        FROM w, tot),
+      r1m AS (
+        SELECT *, a1 > cap AS capped1,
+               CAST(round(least(a1, cap), 6) AS DECIMAL(38,6)) AS s1
+        FROM r1),
+      lo AS (
+        SELECT CAST(CAST(round(budget, 6) AS DECIMAL(38,6)) - SUM(s1) AS DOUBLE) AS leftover,
+               CAST(SUM(CASE WHEN capped1 THEN CAST(0 AS DECIMAL(38,6)) ELSE wt END) AS DOUBLE) AS wu
+        FROM r1m, tot GROUP BY budget),
+      r2 AS (
+        SELECT lang, tokens, wt, cap, capped1,
+               CASE WHEN capped1 THEN CAST(s1 AS DOUBLE)
+                    ELSE a1 + leftover * (CAST(wt AS DOUBLE) / wu) END AS a2
+        FROM r1m, lo)
+      SELECT lang, tokens,
+             CAST(wt AS DOUBLE) AS weight,
+             round(least(a2, cap), 6) AS alloc_tokens,
+             round(CAST(CAST(round(least(a2, cap), 6) AS DECIMAL(38,6)) AS DOUBLE)
+                   / CAST(tokens AS DOUBLE), 6) AS epochs,
+             (capped1 OR a2 > cap) AS capped
+      FROM r2
+      ORDER BY lang""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val tl = t(spark, dir).documents
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("tokens"))
+    val w = tl.select($"lang", $"tokens",
+      round(sqrt($"tokens".cast("double")), 6).cast(DecimalType(38, 6)).as("wt"))
+      .localCheckpoint() // feeds both rounds and both normalizer sums
+    val tot = w.groupBy().agg(
+      sum($"wt").cast("double").as("wsum"),
+      ((sum($"tokens") * 12).cast("double") / 10.0).as("budget"))
+    val r1 = w.crossJoin(broadcast(tot)).select(
+      $"lang", $"tokens", $"wt", $"budget",
+      ($"budget" * ($"wt".cast("double") / $"wsum")).as("a1"),
+      (($"tokens" * 3).cast("double") / 2.0).as("cap"))
+    val r1m = r1.select($"lang", $"tokens", $"wt", $"budget", $"a1", $"cap",
+      ($"a1" > $"cap").as("capped1"),
+      round(least($"a1", $"cap"), 6).cast(DecimalType(38, 6)).as("s1"))
+      .localCheckpoint() // feeds the leftover tally AND round 2
+    val lo = r1m.groupBy($"budget").agg(
+      (round($"budget", 6).cast(DecimalType(38, 6)) - sum($"s1")).cast("double").as("leftover"),
+      sum(when($"capped1", lit(0).cast(DecimalType(38, 6))).otherwise($"wt"))
+        .cast("double").as("wu"))
+      .drop("budget")
+    val r2 = r1m.crossJoin(broadcast(lo)).select(
+      $"lang", $"tokens", $"wt", $"cap", $"capped1",
+      when($"capped1", $"s1".cast("double"))
+        .otherwise($"a1" + $"leftover" * ($"wt".cast("double") / $"wu")).as("a2"))
+    r2.select(
+      $"lang", $"tokens",
+      $"wt".cast("double").as("weight"),
+      round(least($"a2", $"cap"), 6).as("alloc_tokens"),
+      round(round(least($"a2", $"cap"), 6).cast(DecimalType(38, 6)).cast("double")
+        / $"tokens".cast("double"), 6).as("epochs"),
+      ($"capped1" || $"a2" > $"cap").as("capped"))
+      .orderBy($"lang")
+  }
+
   val qTemperature: GQuery = GQuery(
     "q_sample_temperature",
     Some("""
@@ -788,11 +959,14 @@ object PipelineQueries extends QuerySet {
                  / 65536.0 AS u
         FROM documents WHERE n_chars > 0),
       p AS (
-        SELECT lang, doc_id, w, ln(u) / CAST(w AS DOUBLE) AS prio,
+        -- rank on the ROUNDED priority (engine does the same): ln() is
+        -- not guaranteed correctly rounded on either side, and a 1-ulp
+        -- spread near a near-tie must not flip the cross-engine rank
+        SELECT lang, doc_id, w, round(ln(u) / CAST(w AS DOUBLE), 9) AS prio,
                ROW_NUMBER() OVER (PARTITION BY lang
-                                  ORDER BY ln(u) / CAST(w AS DOUBLE) DESC, doc_id) AS rk
+                                  ORDER BY round(ln(u) / CAST(w AS DOUBLE), 9) DESC, doc_id) AS rk
         FROM u)
-      SELECT lang, doc_id, w, round(prio, 9) AS priority, CAST(rk AS BIGINT) AS sample_rank
+      SELECT lang, doc_id, w, prio AS priority, CAST(rk AS BIGINT) AS sample_rank
       FROM p WHERE rk <= 5
       ORDER BY lang, sample_rank""")
   ) { (spark, dir) =>
@@ -808,5 +982,5 @@ object PipelineQueries extends QuerySet {
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
     qWeighted, qMix, qTemperature, qNegativePairs, qGlobalIndex, qPackPairs,
-    qDedupCascade, qReservoir, qDsir, qSplitLeakage, qWeightedReservoir)
+    qDedupCascade, qReservoir, qDsir, qSplitLeakage, qWeightedReservoir, qTokenBudget, qNeyman)
 }

@@ -772,6 +772,71 @@ object SequenceQueries extends QuerySet {
     }
   }
 
+  /** Newman modularity of the 4-round label-propagation partition
+    * ([[graft.operators.Graphs.modularity]]) — the community-quality
+    * audit that decides whether detected structure beats the
+    * degree-preserving random graph. Emitted per community (exact
+    * BIGINT intra-edge and degree counts + one IEEE q_term), never
+    * summed engine-side: a cross-engine double sum over communities is
+    * order-dependent, per-community terms are not. The oracle replays
+    * the full chain — co-purchase edges, weight cut, symmetrization,
+    * all 4 unrolled propagation rounds, then the modularity counts —
+    * so the audit of the partition is as hash-checked as the partition
+    * itself (q_graph_labelprop).
+    */
+  val qGraphModularity: GQuery = {
+    val rounds = 4
+    val prop = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |        SELECT node, label FROM (
+         |          SELECT e.dst AS node, l.label, COUNT(*) AS c,
+         |                 ROW_NUMBER() OVER (PARTITION BY e.dst
+         |                                    ORDER BY COUNT(*) DESC, l.label) AS rk
+         |          FROM e0 e JOIN l${i - 1} l ON e.src = l.node
+         |          GROUP BY e.dst, l.label)
+         |        WHERE rk = 1)""".stripMargin
+    }.mkString(",\n      ")
+    GQuery(
+      "q_graph_modularity",
+      Some(s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      ew AS (SELECT a.i AS s, b.i AS d, COUNT(*) AS w
+             FROM g a JOIN g b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+      ec AS (SELECT s, d FROM ew WHERE w >= 2),
+      e0 AS MATERIALIZED (SELECT s AS src, d AS dst FROM ec UNION SELECT d, s FROM ec),
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e0),
+      $prop,
+      lab AS MATERIALIZED (SELECT node, label AS community FROM l$rounds),
+      mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS md FROM e0),
+      ej AS MATERIALIZED (
+        SELECT a.community AS ca, b.community AS cb
+        FROM e0 e JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node),
+      intra AS (SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+                FROM ej WHERE ca = cb GROUP BY ca),
+      deg AS (SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS degree_sum
+              FROM ej GROUP BY ca),
+      nn AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM lab GROUP BY community)
+      SELECT nn.community, nn.n_nodes,
+             COALESCE(intra.intra_edges, 0) AS intra_edges,
+             deg.degree_sum,
+             round(CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / md
+                   - (CAST(deg.degree_sum AS DOUBLE) / md)
+                   * (CAST(deg.degree_sum AS DOUBLE) / md), 6) AS q_term
+      FROM nn JOIN deg USING (community)
+      LEFT JOIN intra USING (community), mm
+      ORDER BY community""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val edges = graft.operators.Graphs
+        .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+        .filter($"weight" >= 2)
+      graft.operators.Graphs
+        .modularity(edges, graft.operators.Graphs.labelPropagation(edges, rounds = rounds))
+        .orderBy($"community")
+    }
+  }
+
   /** Rolling 7-day EXACT median per event type — the other
     * non-decomposable sliding aggregate next to [[qRollingDistinct]]'s
     * COUNT DISTINCT (no window frame computes an exact quantile
@@ -989,5 +1054,5 @@ object SequenceQueries extends QuerySet {
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
-      qGraphNeighborJaccard, qSeasonalDecompose, qCusum)
+      qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity)
 }

@@ -406,7 +406,7 @@ object SimilarityQueries extends QuerySet {
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
         FROM embeddings),
-      cells AS (
+      cells AS MATERIALIZED (
         SELECT vec_id,
                COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
                  pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
@@ -414,6 +414,14 @@ object SimilarityQueries extends QuerySet {
                                     THEN 1 ELSE -1 END) * q[d])) > 0
                        THEN '1' ELSE '0' END), ''), '') AS cell
         FROM qv),
+      cellcnt AS (SELECT cell, COUNT(*) AS cn FROM cells GROUP BY cell),
+      bkeep AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT c.vec_id, c.cell, n.cn,
+                 ROW_NUMBER() OVER (PARTITION BY c.cell
+                                    ORDER BY md5(CAST(c.vec_id AS VARCHAR)), c.vec_id) AS rk
+          FROM cells c JOIN cellcnt n USING (cell)) t
+        WHERE cn <= 4096 OR rk <= 4096),
       v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -424,7 +432,7 @@ object SimilarityQueries extends QuerySet {
                list_sum(list_transform(generate_series(1, 64),
                         i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
         FROM cells a
-        JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN bkeep b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         JOIN v va ON va.vec_id = a.vec_id
         JOIN v vb ON vb.vec_id = b.vec_id)
       SELECT src, dst, round(s, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
@@ -438,6 +446,104 @@ object SimilarityQueries extends QuerySet {
       .knnGraphLsh(t(spark, dir).embeddings, "vec_id", "embedding", k = 3)
       .select($"src", $"dst", round($"cos_sim", 6).as("cos_sim"), $"rank")
       .orderBy($"src", $"rank")
+  }
+
+  /** ANN recall audit (the accuracy side of the recall/compute knob
+    * every celled operator trades on): recall@3 of the CORPUS-SCALED
+    * sign-LSH kNN graph ([[Similarity.knnGraphLsh]], targetCell = 64 —
+    * deliberately in the celled, sub-1-recall regime at both verify
+    * SFs) against exact brute-force cosine top-3, per probe vector.
+    * The probe set is a deterministic 25% sample (vec_id % 4 — a recall
+    * audit SAMPLES at scale; the probe side is broadcast). BOTH
+    * rankings and the intersection count replay in the oracle, so the
+    * measured recall itself — not a spec-side approximation of it — is
+    * hash-checked. This is the measurement that justifies (or vetoes)
+    * shipping the celled plan for a given targetCell.
+    */
+  val qRecallAudit: GQuery = GQuery(
+    "q_ann_recall_audit",
+    Some("""
+      WITH params AS (
+        SELECT MIN(j) AS p
+        FROM (SELECT unnest(generate_series(0, 40)) AS j) js,
+             (SELECT COUNT(*) AS n FROM embeddings) cn
+        WHERE (64::BIGINT << j) >= cn.n),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      cells AS MATERIALIZED (
+        SELECT vec_id,
+               COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
+                 pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                         d -> (CASE WHEN (('0x' || substr(md5('0|' || (pp-1)::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                                    THEN 1 ELSE -1 END) * q[d])) > 0
+                       THEN '1' ELSE '0' END), ''), '') AS cell
+        FROM qv),
+      cellcnt AS (SELECT cell, COUNT(*) AS cn FROM cells GROUP BY cell),
+      bkeep AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT c.vec_id, c.cell, n.cn,
+                 ROW_NUMBER() OVER (PARTITION BY c.cell
+                                    ORDER BY md5(CAST(c.vec_id AS VARCHAR)), c.vec_id) AS rk
+          FROM cells c JOIN cellcnt n USING (cell)) t
+        WHERE cn <= 512 OR rk <= 512),
+      v AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      probes AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0),
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i -> va.e[i] * vb.e[i]))
+                     / (va.nrm * vb.nrm) DESC, b.vec_id) AS rank
+          FROM probes a JOIN embeddings b ON a.vec_id <> b.vec_id
+          JOIN v va ON va.vec_id = a.vec_id
+          JOIN v vb ON vb.vec_id = b.vec_id) r
+        WHERE rank <= 3),
+      celled AS (
+        SELECT src, dst FROM (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i -> va.e[i] * vb.e[i]))
+                     / (va.nrm * vb.nrm) DESC, b.vec_id) AS rank
+          FROM cells a
+          JOIN bkeep b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          JOIN v va ON va.vec_id = a.vec_id
+          JOIN v vb ON vb.vec_id = b.vec_id) r
+        WHERE rank <= 3),
+      hits AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM exact e JOIN celled c ON c.src = e.query_id AND c.dst = e.neighbor_id
+        GROUP BY e.query_id)
+      SELECT p.vec_id AS query_id,
+             COALESCE(h.n_hit, 0) AS n_hit,
+             round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 3.0, 6) AS recall
+      FROM probes p LEFT JOIN hits h ON h.query_id = p.vec_id
+      ORDER BY query_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val probes = emb.filter($"vec_id" % 4 === 0)
+    val exact = Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id")
+    val celled = Similarity
+      .knnGraphLsh(emb, "vec_id", "embedding", k = 3, targetCell = 64)
+      .select($"src".as("query_id"), $"dst".as("neighbor_id"))
+    val hits = exact
+      .join(celled, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+    probes.select($"vec_id".as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        round(coalesce($"n_hit", lit(0L)).cast("double") / 3.0, 6).as("recall"))
+      .orderBy($"query_id")
   }
 
   /** SemDeDup-shape SEMANTIC clustering, end to end: kNN graph within
@@ -466,7 +572,7 @@ object SimilarityQueries extends QuerySet {
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
         FROM embeddings),
-      cells AS (
+      cells AS MATERIALIZED (
         SELECT vec_id,
                COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
                  pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
@@ -474,6 +580,14 @@ object SimilarityQueries extends QuerySet {
                                     THEN 1 ELSE -1 END) * q[d])) > 0
                        THEN '1' ELSE '0' END), ''), '') AS cell
         FROM qv),
+      cellcnt AS (SELECT cell, COUNT(*) AS cn FROM cells GROUP BY cell),
+      bkeep AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT c.vec_id, c.cell, n.cn,
+                 ROW_NUMBER() OVER (PARTITION BY c.cell
+                                    ORDER BY md5(CAST(c.vec_id AS VARCHAR)), c.vec_id) AS rk
+          FROM cells c JOIN cellcnt n USING (cell)) t
+        WHERE cn <= 4096 OR rk <= 4096),
       v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -484,7 +598,7 @@ object SimilarityQueries extends QuerySet {
                list_sum(list_transform(generate_series(1, 64),
                         i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
         FROM cells a
-        JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN bkeep b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         JOIN v va ON va.vec_id = a.vec_id
         JOIN v vb ON vb.vec_id = b.vec_id),
       kept AS (
@@ -1044,7 +1158,7 @@ object SimilarityQueries extends QuerySet {
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
         FROM embeddings),
-      cells AS (
+      cells AS MATERIALIZED (
         -- COALESCE: at p = 0 the series is empty and array_to_string([])
         -- is NULL in DuckDB — every vector shares the '' brute-force cell
         SELECT vec_id,
@@ -1054,6 +1168,14 @@ object SimilarityQueries extends QuerySet {
                                     THEN 1 ELSE -1 END) * q[d])) > 0
                        THEN '1' ELSE '0' END), ''), '') AS cell
         FROM qv),
+      cellcnt AS (SELECT cell, COUNT(*) AS cn FROM cells GROUP BY cell),
+      bkeep AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT c.vec_id, c.cell, n.cn,
+                 ROW_NUMBER() OVER (PARTITION BY c.cell
+                                    ORDER BY md5(CAST(c.vec_id AS VARCHAR)), c.vec_id) AS rk
+          FROM cells c JOIN cellcnt n USING (cell)) t
+        WHERE cn <= 4096 OR rk <= 4096),
       v AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -1064,7 +1186,7 @@ object SimilarityQueries extends QuerySet {
                list_sum(list_transform(generate_series(1, 64),
                         i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
         FROM cells a
-        JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN bkeep b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         JOIN v va ON va.vec_id = a.vec_id
         JOIN v vb ON vb.vec_id = b.vec_id),
       top10 AS (
@@ -1103,6 +1225,6 @@ object SimilarityQueries extends QuerySet {
 
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
-      qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr, qPca,
-      qKmeans, qLabelConsistency)
+      qRecallAudit, qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr,
+      qPca, qKmeans, qLabelConsistency)
 }

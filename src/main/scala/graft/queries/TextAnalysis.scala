@@ -989,7 +989,11 @@ object TextAnalysis extends QuerySet {
     * function of the gaps — 1 byte per started 7-bit group — which
     * DuckDB replays exactly from the same posting lists; the hash match
     * therefore covers the codec's framing, not just its invertibility.
-    * Row-local after the index aggregation; no extra shuffle.
+    * The oracle's CASE chain covers the FULL non-negative long range
+    * (thresholds through 2^56 = 9 LEB128 bytes; round-9 advice — gaps
+    * of ascending non-negative ids are never negative, so the codec's
+    * 10-byte case is unreachable here). Row-local after the index
+    * aggregation; no extra shuffle.
     */
   val qIndexCompress: GQuery = GQuery(
     "q_text_index_compress",
@@ -1014,7 +1018,10 @@ object TextAnalysis extends QuerySet {
                       + CASE WHEN x >= 16384 THEN 1 ELSE 0 END
                       + CASE WHEN x >= 2097152 THEN 1 ELSE 0 END
                       + CASE WHEN x >= 268435456 THEN 1 ELSE 0 END
-                      + CASE WHEN x >= 34359738368 THEN 1 ELSE 0 END))
+                      + CASE WHEN x >= 34359738368 THEN 1 ELSE 0 END
+                      + CASE WHEN x >= 4398046511104 THEN 1 ELSE 0 END
+                      + CASE WHEN x >= 562949953421312 THEN 1 ELSE 0 END
+                      + CASE WHEN x >= 72057594037927936 THEN 1 ELSE 0 END))
                   AS BIGINT) AS bytes_packed,
              TRUE AS roundtrip_ok
       FROM g
@@ -1404,9 +1411,63 @@ object TextAnalysis extends QuerySet {
       .orderBy($"rank")
   }
 
+  /** Marginal n-gram novelty per document (the corpus-ordering audit a
+    * dedup-aware ingest keeps: how much of each doc's distinct trigram
+    * mass first appears IN that doc, under the deterministic doc_id
+    * order — late crawls of boilerplate score near 0, fresh content near
+    * 1; the curve decides where continued crawling stops paying).
+    * Plan is the linear df-join-back shape (q_dedup_shared_shingles'
+    * discipline): explode DISTINCT word trigrams per doc, one groupBy
+    * for the global first-occurrence table (min doc_id per trigram — a
+    * partial-agg shuffle, never a pair join), join back, per-doc ratio.
+    * Single-level HOF only (transform over an attribute — never nested
+    * lambdas over the tokenize chain, the round-1 re-evaluation bug).
+    */
+  val qNgramNovelty: GQuery = GQuery(
+    "q_text_ngram_novelty",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+          FROM tk)),
+      f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g)
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             round(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+      FROM sh JOIN f USING (g)
+      GROUP BY sh.doc_id
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = t(spark, dir).documents
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+    val sh = toks.select($"doc_id", explode(array_distinct(
+      transform(sequence(lit(1), size($"t") - 2),
+        i => concat_ws(" ",
+          element_at($"t", i), element_at($"t", i + 1), element_at($"t", i + 2))))).as("g"))
+      .localCheckpoint() // feeds the first-occurrence pass AND the join-back
+    val first = sh.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, "g")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        round($"n_novel".cast("double") / $"n_shingles".cast("double"), 6).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
-      qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress)
+      qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty)
 }

@@ -104,15 +104,28 @@ object TarShards {
               current = shard
               fin = java.nio.file.Paths.get(outDir, f"shard-$shard%05d.tar")
               tmp = java.nio.file.Paths.get(outDir, f".shard-$shard%05d.tar.$attempt%d.tmp")
-              // reap temp files a killed/lost earlier attempt left behind —
-              // they never rename, so nothing else cleans them. Deleting a
-              // LIVE speculative twin's temp just fails that twin's rename;
-              // Spark keeps whichever attempt completes (archives are
-              // byte-identical by determinism), so this is safe.
+              // reap temp files a killed/lost EARLIER attempt left behind —
+              // they never rename, so nothing else cleans them. Only temps
+              // that are BOTH from a lower attempt id (speculative twins
+              // and retries launch later, so a live concurrent attempt is
+              // never lower) AND cold by mtime (a zombie lower attempt
+              // still writing keeps its mtime fresh) are deleted: unlinking
+              // a live attempt's temp would make its later rename throw and
+              // burn a failure toward spark.task.maxFailures (round-9
+              // advice), instead of the benign lost-twin rename race.
+              val staleMs = 60000L
+              val now = System.currentTimeMillis()
               val stale = java.nio.file.Files.newDirectoryStream(
                 java.nio.file.Paths.get(outDir), f".shard-$shard%05d.tar.*.tmp")
               try stale.forEach { p =>
-                if (p != tmp) java.nio.file.Files.deleteIfExists(p)
+                val otherAttempt = p.getFileName.toString
+                  .stripSuffix(".tmp").split('.').lastOption
+                  .flatMap(s => scala.util.Try(s.toLong).toOption)
+                val cold = scala.util.Try(
+                  java.nio.file.Files.getLastModifiedTime(p).toMillis < now - staleMs
+                ).getOrElse(false)
+                if (p != tmp && otherAttempt.exists(_ < attempt) && cold)
+                  java.nio.file.Files.deleteIfExists(p)
               } finally stale.close()
               out = java.nio.file.Files.newOutputStream(tmp)
             }

@@ -283,6 +283,57 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned Window over unbounded input (fix or justify in the bounded map): $offenders")
   }
 
+  test("registry-wide lint: every collect_list/collect_set is capped or bounded") {
+    // An uncapped collect over a corpus-scaled grouping key materializes
+    // an unbounded array in one aggregation buffer — the row-size analog
+    // of the unpartitioned Window (round-7 found two by hand; round-8
+    // verdict asked to make the class unrepresentable). A collect passes
+    // when (a) a rank-cap Filter or a df-cap LeftAnti join sits BELOW it
+    // in the same subtree, or (b) the query is allowlisted with the
+    // intrinsic bound stated.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    val bounded: Map[String, String] = Map(
+      // 25-nation / 5-region dimension table: group count AND group size
+      // are schema constants, not corpus-scaled
+      "q_agg_collect" -> "nation dim table (25 rows, 5 groups)",
+      // per-doc collects: group key is doc_id, array length bounded by
+      // the document's own length (pieces / paragraphs / ~64-char CDC
+      // chunks) — the intrinsically-bounded class the Window lint also
+      // allows
+      "q_text_bpe_apply" -> "per-doc BPE pieces",
+      "q_dedup_paragraph" -> "per-doc paragraphs",
+      "q_dedup_cdc_chunks" -> "per-doc CDC chunks (~len/64)"
+    )
+    val offenders = graft.queries.Registry.all.flatMap { q =>
+      try {
+        val plan = q.run(spark, sf).queryExecution.optimizedPlan
+        val uncapped = plan.collect {
+          case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+            case _: CollectList | _: CollectSet => true
+            case _ => false
+          }) => a
+        }.filterNot { a =>
+          val hasAnti = a.child.collectFirst {
+            case j: Join if j.joinType == LeftAnti => j
+          }.isDefined
+          val hasRankCap = a.child.collectFirst {
+            case f: Filter
+                if "(?i)(rank|__rk|row_number|\\brn#)".r
+                  .findFirstIn(f.condition.toString).isDefined => f
+          }.isDefined
+          hasAnti || hasRankCap
+        }
+        if (uncapped.nonEmpty && !bounded.contains(q.name))
+          Some(q.name -> s"${uncapped.size} uncapped collect aggregate(s)")
+        else None
+      } catch { case e: Throwable => Some(q.name -> s"FAILED TO PLAN: $e") }
+    }
+    assert(offenders.isEmpty,
+      s"uncapped collect over a corpus-scaled key (cap it or justify in the bounded map): $offenders")
+  }
+
   test("registry-wide lint: NO registered query plans a CartesianProduct") {
     // The one classic scale-killer no operator may ever reintroduce. Even
     // the explicit cross join must plan as a BROADCAST nested loop (bounded

@@ -55,6 +55,29 @@ class TarShardsSpec extends SparkSpec {
     }
   }
 
+  test("reaper deletes only cold lower-attempt temps; live twins survive") {
+    // round-9 advice: unlinking a LIVE concurrent attempt's temp makes
+    // its rename throw and burns a task failure. The reaper must delete
+    // a cold (old-mtime) LOWER-attempt leftover, but spare (a) a
+    // higher-attempt temp regardless of age and (b) any fresh temp.
+    val dir = java.nio.file.Files.createTempDirectory("tar_reap")
+    try {
+      val deadCold = dir.resolve(".shard-00000.tar.0.tmp")
+      val liveTwin = dir.resolve(".shard-00000.tar.999999999999.tmp")
+      java.nio.file.Files.write(deadCold, Array[Byte](1))
+      java.nio.file.Files.write(liveTwin, Array[Byte](2))
+      java.nio.file.Files.setLastModifiedTime(deadCold,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 300000))
+      // liveTwin keeps its fresh mtime AND a higher attempt id
+      writeTo(dir)
+      assert(!java.nio.file.Files.exists(deadCold), "cold lower-attempt temp not reaped")
+      assert(java.nio.file.Files.exists(liveTwin), "live higher-attempt twin was unlinked")
+      assert(java.nio.file.Files.exists(dir.resolve("shard-00000.tar")))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
   test("a corrupted header byte fails the checksum loudly") {
     val dir = java.nio.file.Files.createTempDirectory("tar_c")
     try {

@@ -137,4 +137,22 @@ class StreamCdcDedupSpec extends SparkSpec {
       s"post-restart: 4 admitted, 5 (within-batch partial) and 6 (pre-restart partial) " +
         s"rejected; corpus = $afterRestart")
   }
+
+  test("a >maxBatchDf verbatim cluster in ONE batch cannot evade the gate") {
+    // round-9 advice (medium): 25 identical docs in one batch push every
+    // chunk's batch-df over maxBatchDf=20, so the df-capped pair join
+    // sees nothing — the heaviest duplication evading the gate because
+    // it is too duplicated. The exact chunk-set-fingerprint fallback
+    // must keep exactly one (the smallest id); the unrelated doc rides
+    // along untouched.
+    val s = spark
+    import s.implicits._
+    val batch = ((1L to 25L).map(i => (i, docA)) :+ (100L, docB)).toDF("doc_id", "text")
+    val chI = Dedup.cdcChunkTable(batch, "doc_id", "text")
+    val emptyIdx =
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
+    val keep = Dedup.cdcGateFromIndex(emptyIdx, chI)
+      .select($"keep_id").as[Long].collect().toSet
+    assert(keep === Set(1L, 100L), s"verbatim cluster evaded the gate: kept $keep")
+  }
 }
