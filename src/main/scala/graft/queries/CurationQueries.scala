@@ -391,6 +391,69 @@ object CurationQueries extends QuerySet {
       .orderBy($"vec_id")
   }
 
+  /** Embedding outlier screen: per-vector Euclidean distance to its OWN
+    * label centroid, flagged past the label's exact p95 — the
+    * complement of q_quality_label_consistency for embedding curation
+    * (that one finds vectors whose NEIGHBORS disagree; this finds
+    * vectors far from their class mass — encoder glitches, mislabels,
+    * out-of-distribution rows). Determinism end to end: centroids are
+    * the fixed-point exact means (q_agg_centroid's floor(v·2^20)
+    * convention — partition-order-proof), the distance is ONE row-local
+    * left-fold over (v−c)² (never a cross-partition double sum, whose
+    * order differs between engines), and the p95 is the exact
+    * interpolated percentile both engines compute identically
+    * (q_ts_rolling_median precedent). Centroid table is 5 labels × 64
+    * dims — broadcast.
+    */
+  val qEmbedOutlier: GQuery = GQuery(
+    "q_embed_outlier",
+    Some("""
+      WITH cflat AS (
+        SELECT label, i,
+               (CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                / COUNT(*)) / 1048576.0 AS cv
+        FROM (SELECT label, unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      cents AS (SELECT label, list(cv ORDER BY i) AS c FROM cflat GROUP BY label),
+      dists AS (
+        SELECT v.vec_id, v.label,
+               sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - ct.c[i])
+                      * (CAST(v.embedding[i] AS DOUBLE) - ct.c[i])))) AS dist
+        FROM embeddings v JOIN cents ct USING (label)),
+      p AS (SELECT label, quantile_cont(dist, 0.95) AS p95 FROM dists GROUP BY label)
+      SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
+             round(d.dist, 6) AS dist, round(p.p95, 6) AS p95,
+             d.dist > p.p95 AS is_outlier
+      FROM dists d JOIN p USING (label)
+      ORDER BY vec_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val cflat = emb
+      .select($"label", posexplode($"embedding").as(Seq("i", "e")))
+      .groupBy($"label", $"i")
+      .agg(((sum(floor($"e".cast("double") * 1048576.0).cast("long")).cast("double")
+        / count(lit(1))) / 1048576.0).as("cv"))
+    val cents = cflat.groupBy($"label")
+      .agg(transform(sort_array(collect_list(struct($"i", $"cv"))), s => s.getField("cv")).as("c"))
+    val dists = emb.join(broadcast(cents), Seq("label"))
+      .select($"vec_id", $"label",
+        sqrt(aggregate(
+          zip_with($"embedding", $"c", (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+          lit(0.0), (acc, t) => acc + t)).as("dist"))
+      .localCheckpoint() // feeds the percentile pass AND the final join
+    val p = dists.groupBy($"label").agg(percentile($"dist", lit(0.95)).as("p95"))
+    dists.join(broadcast(p), Seq("label"))
+      .select($"vec_id", $"label".cast("long").as("label"),
+        round($"dist", 6).as("dist"), round($"p95", 6).as("p95"),
+        ($"dist" > $"p95").as("is_outlier"))
+      .orderBy($"vec_id")
+  }
+
   override def queries: Seq[GQuery] = Seq(
-    qNgramLm, qPackLpt, qDpCounts, qGzipJsonl, qAnova, qChatAssembly, qMatryoshka)
+    qNgramLm, qPackLpt, qDpCounts, qGzipJsonl, qAnova, qChatAssembly, qMatryoshka,
+    qEmbedOutlier)
 }

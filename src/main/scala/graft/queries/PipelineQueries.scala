@@ -332,6 +332,132 @@ object PipelineQueries extends QuerySet {
     * normalizer → fraction → threshold chain, so the hash match proves
     * the whole mixing computation equal cross-engine.
     */
+  /** Shard-merge proof for weighted reservoir sampling: the property
+    * that makes [[graft.operators.Sampling.weightedReservoirPerGroup]]
+    * usable on a 1000-shard corpus — per-shard top-k samples UNION'd
+    * and re-ranked equal the single-pass global sample, because the
+    * A-ES priority is a pure per-row function (a row in the global
+    * top-k is in its shard's top-k a fortiori). The ENGINE runs the
+    * two-level merge (4 doc_id%4 shards → per-shard k-cut → global
+    * re-rank); the ORACLE computes the direct global sample — the hash
+    * match IS the mergeability proof, the implementation-equality
+    * pattern (HtmlStripText precedent). Priorities round to 9 dp
+    * before every rank on both sides (the round-9 cross-engine ulp
+    * rule).
+    */
+  val qReservoirMerge: GQuery = GQuery(
+    "q_sample_reservoir_merge",
+    Some("""
+      WITH u AS (
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+               (('0x' || substr(md5(doc_id::VARCHAR || ':23'), 1, 4))::BIGINT + 1.0)
+                 / 65536.0 AS u
+        FROM documents WHERE n_chars > 0),
+      p AS (
+        SELECT lang, doc_id, w, round(ln(u) / CAST(w AS DOUBLE), 9) AS prio,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY round(ln(u) / CAST(w AS DOUBLE), 9) DESC, doc_id) AS rk
+        FROM u)
+      SELECT lang, doc_id, w, prio AS priority, CAST(rk AS BIGINT) AS sample_rank
+      FROM p WHERE rk <= 5
+      ORDER BY lang, sample_rank""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // stage 1: each shard computes its own k-cut independently
+    val d = t(spark, dir).documents
+      .filter($"n_chars" > 0)
+      .select($"lang", $"doc_id", $"n_chars".cast("long").as("w"),
+        ($"doc_id" % 4).as("shard"))
+    val u = (conv(substring(md5(concat($"doc_id".cast("string"), lit(":23"))), 1, 4), 16, 10)
+      .cast("double") + 1.0) / 65536.0
+    val prio = round(log(u) / $"w".cast("double"), 9)
+    val wShard = Window.partitionBy($"lang", $"shard").orderBy($"priority".desc, $"doc_id")
+    val shardTop = d.withColumn("priority", prio)
+      .withColumn("srk", row_number().over(wShard))
+      .filter($"srk" <= 5)
+    // stage 2: merge the 4 shard samples, global re-rank, same k-cut
+    val wGlobal = Window.partitionBy($"lang").orderBy($"priority".desc, $"doc_id")
+    shardTop
+      .withColumn("sample_rank", row_number().over(wGlobal).cast("long"))
+      .filter($"sample_rank" <= 5)
+      .select($"lang", $"doc_id", $"w", $"priority", $"sample_rank")
+      .orderBy($"lang", $"sample_rank")
+  }
+
+  /** Curation attrition funnel: the per-stage survival report every
+    * corpus prep publishes (and the first thing a data audit asks for —
+    * WHERE did the tokens go). Four chained gates over documents:
+    * token-length window → token-diversity floor (the dup-token
+    * repetition proxy) → language whitelist → exact dedup (min doc_id
+    * per normalized-text md5). Each stage's count comes from ONE
+    * cumulative filter chain over a single scan (the dedup decision
+    * table is the only shuffle); attrition is reported per stage as
+    * exact BIGINTs + one IEEE rate. Fully replayed by the oracle, so
+    * the funnel's every cell is hash-checked.
+    */
+  val qAttrition: GQuery = GQuery(
+    "q_pipeline_attrition",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS diversity,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        FROM documents),
+      s1 AS (SELECT * FROM d WHERE n_tok BETWEEN 10 AND 5000),
+      s2 AS (SELECT * FROM s1 WHERE diversity >= 0.4),
+      s3 AS (SELECT * FROM s2 WHERE lang IN ('en', 'es', 'fr', 'de')),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM s3 GROUP BY h),
+      s4 AS (SELECT s3.* FROM s3 JOIN keep USING (doc_id)),
+      counts AS (
+        SELECT 0 AS stage_ord, 'input' AS stage, (SELECT COUNT(*) FROM d) AS survivors
+        UNION ALL SELECT 1, 'len_gate', (SELECT COUNT(*) FROM s1)
+        UNION ALL SELECT 2, 'diversity_gate', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, 'lang_gate', (SELECT COUNT(*) FROM s3)
+        UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4))
+      SELECT CAST(stage_ord AS INT) AS stage_ord, stage,
+             CAST(survivors AS BIGINT) AS survivors,
+             CAST(COALESCE(LAG(survivors) OVER (ORDER BY stage_ord) - survivors, 0) AS BIGINT) AS dropped,
+             round(CASE WHEN stage_ord = 0 THEN 0.0
+                        ELSE CAST(LAG(survivors) OVER (ORDER BY stage_ord) - survivors AS DOUBLE)
+                             / CAST(LAG(survivors) OVER (ORDER BY stage_ord) AS DOUBLE) END,
+                   6) AS drop_rate
+      FROM counts
+      ORDER BY stage_ord""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val d = t(spark, dir).documents.select(
+      $"doc_id", $"lang",
+      size(toks).as("n_tok"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("diversity"),
+      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("h"))
+      .localCheckpoint() // one scan feeds every cumulative stage count
+    val s1 = d.filter($"n_tok".between(10, 5000))
+    val s2 = s1.filter($"diversity" >= 0.4)
+    val s3 = s2.filter($"lang".isin("en", "es", "fr", "de"))
+    val keep = s3.groupBy($"h").agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val s4 = s3.join(keep, Seq("doc_id"), "left_semi")
+    def cnt(df: org.apache.spark.sql.DataFrame, ord: Int, name: String) =
+      df.agg(count(lit(1)).as("survivors"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"), $"survivors")
+    val counts = cnt(d, 0, "input")
+      .unionAll(cnt(s1, 1, "len_gate"))
+      .unionAll(cnt(s2, 2, "diversity_gate"))
+      .unionAll(cnt(s3, 3, "lang_gate"))
+      .unionAll(cnt(s4, 4, "exact_dedup"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"stage_ord")
+    counts
+      .select($"stage_ord".cast("int").as("stage_ord"), $"stage", $"survivors",
+        coalesce(lag($"survivors", 1).over(w) - $"survivors", lit(0L)).cast("long").as("dropped"),
+        round(when($"stage_ord" === 0, 0.0)
+          .otherwise((lag($"survivors", 1).over(w) - $"survivors").cast("double")
+            / lag($"survivors", 1).over(w).cast("double")), 6).as("drop_rate"))
+      .orderBy($"stage_ord")
+  }
+
   /** Neyman-allocation stratified sampling (the survey-optimal split a
     * corpus profiler uses when strata differ in VARIANCE, not just
     * size): per language, n_h ∝ N_h·S_h over doc length — a
@@ -982,5 +1108,6 @@ object PipelineQueries extends QuerySet {
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
     qWeighted, qMix, qTemperature, qNegativePairs, qGlobalIndex, qPackPairs,
-    qDedupCascade, qReservoir, qDsir, qSplitLeakage, qWeightedReservoir, qTokenBudget, qNeyman)
+    qDedupCascade, qReservoir, qDsir, qSplitLeakage, qWeightedReservoir, qTokenBudget, qNeyman,
+    qAttrition, qReservoirMerge)
 }

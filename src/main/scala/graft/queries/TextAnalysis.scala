@@ -1411,6 +1411,52 @@ object TextAnalysis extends QuerySet {
       .orderBy($"rank")
   }
 
+  /** Per-document token-distribution entropy (base-2 Shannon over the
+    * doc's own unigram counts) — the quality signal that separates
+    * natural prose from keyword-stuffed or template spam at a glance
+    * (low H = few tokens dominate; H near log2(n_distinct) = flat).
+    * Plan: explode → (doc, token) count → per-doc Σ −p·log2 p — two
+    * linear shuffles keyed on doc_id, no per-row O(d²) HOF scans. The
+    * entropy sums per doc in DECIMAL(38,6) from 6-dp-rounded terms
+    * (cross-engine double sums are order-dependent; rounded-term
+    * decimal sums are not — the qZipf/DSIR ln-rounding convention).
+    */
+  val qTokenEntropy: GQuery = GQuery(
+    "q_text_token_entropy",
+    Some("""
+      WITH tc AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term),
+      n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nt,
+                   CAST(COUNT(*) AS BIGINT) AS nd FROM tc GROUP BY doc_id)
+      SELECT tc.doc_id, n.nt AS n_tokens, n.nd AS n_distinct,
+             CAST(SUM(CAST(round(
+               -(CAST(tc.c AS DOUBLE) / CAST(n.nt AS DOUBLE))
+                 * log2(CAST(tc.c AS DOUBLE) / CAST(n.nt AS DOUBLE)), 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS entropy
+      FROM tc JOIN n USING (doc_id)
+      GROUP BY tc.doc_id, n.nt, n.nd
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val tc = t(spark, dir).documents
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the per-doc totals AND the entropy sum
+    val n = tc.groupBy($"doc_id")
+      .agg(sum($"c").as("nt"), count(lit(1)).as("nd"))
+    tc.join(n, "doc_id")
+      .groupBy($"doc_id", $"nt", $"nd")
+      .agg(sum(
+        round(-($"c".cast("double") / $"nt".cast("double"))
+          * log(2.0, $"c".cast("double") / $"nt".cast("double")), 6)
+          .cast(DecimalType(38, 6))).cast("double").as("entropy"))
+      .select($"doc_id", $"nt".as("n_tokens"), $"nd".as("n_distinct"), $"entropy")
+      .orderBy($"doc_id")
+  }
+
   /** Marginal n-gram novelty per document (the corpus-ordering audit a
     * dedup-aware ingest keeps: how much of each doc's distinct trigram
     * mass first appears IN that doc, under the deterministic doc_id
@@ -1469,5 +1515,6 @@ object TextAnalysis extends QuerySet {
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
-      qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty)
+      qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty,
+      qTokenEntropy)
 }

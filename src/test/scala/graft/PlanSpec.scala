@@ -265,7 +265,9 @@ class PlanSpec extends SparkSpec {
       "q_ts_cusum" -> "day-grain series",
       "q_ts_seasonal_decompose" -> "day-grain series",
       // fixed-cardinality replicate table
-      "q_stat_bootstrap" -> "32 bootstrap replicates"
+      "q_stat_bootstrap" -> "32 bootstrap replicates",
+      // 5 stage-count rows (one per funnel gate), not corpus-scaled
+      "q_pipeline_attrition" -> "5 funnel-stage counts"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       // a query that fails to BUILD here is itself an offense — swallowing
