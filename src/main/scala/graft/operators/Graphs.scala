@@ -363,6 +363,64 @@ object Graphs {
             * (col("degree_sum").cast("double") / md), 6).as("q_term"))
   }
 
+  /** HITS hubs & authorities (Kleinberg) over a DIRECTED edge set, k
+    * mutual-reinforcement iterations with L1 normalization per half-step:
+    * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each rescaled to
+    * sum 1. On a bipartite src→dst graph (supplier→part, user→domain)
+    * this separates "prolific pointers" from "widely pointed-at" — the
+    * two-sided importance signal PageRank's single score conflates.
+    *
+    * Node ids must be globally unique across both sides (callers tag the
+    * sides when keys can collide). Nodes with no out-edges get hub 0,
+    * nodes with no in-edges auth 0 — they still appear.
+    *
+    * Scale shape: each half-iteration is one edge-keyed shuffle join plus
+    * a 1-row normalizer broadcast; scores stay on the nodes (never
+    * collected), iterations localCheckpoint (the iterative-lineage rule).
+    * Contribution and normalizer sums go through floor(x·1e15) integers
+    * summed as DECIMAL(38,0) — order-insensitive and exact at ANY edge
+    * count (a BIGINT sum overflows past ~9k unnormalized contributions;
+    * DuckDB's SUM(BIGINT) is already HUGEINT) — so every score is
+    * reproducible bit-for-bit across partitionings and engines.
+    */
+  def hits(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "hits: need at least one iteration")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    def l1(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(
+        (sum(floor(col(c) * 1e15).cast("decimal(38,0)")).cast("double") / 1e15)
+          .as("__tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col("node"), (col(c) / col("__tot")).as(c))
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("hub")).localCheckpoint()
+    var auth = hub.select(col("node"), col("hub").as("auth"))
+    for (_ <- 1 to k) {
+      val a = e.join(hub, e("src") === hub("node"))
+        .select(col("dst").as("node"),
+          floor(col("hub") * 1e15).cast("decimal(38,0)").as("c"))
+        .groupBy(col("node"))
+        .agg((sum(col("c")).cast("double") / 1e15).as("auth"))
+      auth = l1(a, "auth").localCheckpoint()
+      val h = e.join(auth, e("dst") === auth("node"))
+        .select(e("src").as("node"),
+          floor(col("auth") * 1e15).cast("decimal(38,0)").as("c"))
+        .groupBy(col("node"))
+        .agg((sum(col("c")).cast("double") / 1e15).as("hub"))
+      hub = l1(h, "hub").localCheckpoint()
+    }
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+  }
+
   def ssspWeighted(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

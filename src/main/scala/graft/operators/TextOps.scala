@@ -269,6 +269,118 @@ object TextOps {
       .select(col(idCol), col("n_hits"), col("dl"), col("score"))
   }
 
+  /** 1/log2(rank+1) DCG discount weights, computed ONCE in the driver
+    * JVM and consumed by BOTH engines — Spark via `lit`, DuckDB via the
+    * shortest-round-trip decimal literal (`Double.toString`) — so the
+    * cross-engine ln-implementation question never arises inside the
+    * metric. */
+  def ndcgWeights(k: Int): IndexedSeq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Retrieval-quality evaluation of the BM25 ranker: per query term,
+    * MRR@k (binary relevance: tf ≥ `relTf`) and NDCG@k (graded gain
+    * 2^min(tf,4) − 1) of the score-ranked candidates against the
+    * term-frequency relevance labels. This is the eval a RAG / search
+    * team runs before trusting a ranker at corpus scale — and because
+    * BM25's dl-normalization reorders docs relative to raw tf, the
+    * metrics are genuinely informative, not tautologies.
+    *
+    * Scale shape: candidates are ONLY docs containing a query term (the
+    * posting lists — corpus scans once, then |postings| rows). Both
+    * rank windows partition by term with an immediate rank ≤ k filter,
+    * so they plan as map-side WindowGroupLimit; the tf table
+    * localCheckpoints (reused by ranking, ideal ranking, and candidate
+    * counts). Gains are exact small integers, discounts are the shared
+    * [[ndcgWeights]] literals, per-term DCG sums run over ≤ k 6-dp
+    * DECIMAL terms — the whole metric is hash-exact.
+    */
+  def retrievalEval(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      relTf: Int = 2,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1 && k <= 100, s"retrievalEval: k=$k out of [1,100]")
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 6)
+    val toks = split(col(textCol), " ")
+    val withDl = docs.select(
+      col(idCol),
+      size(toks).as("dl"),
+      filter(toks, t => t.isin(queryTerms.map(x => x: Any): _*)).as("__hits"))
+    val stats = withDl
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+      .withColumn("__avgdl", col("__sumdl").cast("double") / col("__n").cast("double"))
+    val tf = withDl
+      .select(col(idCol), col("dl"), explode(col("__hits")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Identical IEEE chain to bm25TopK (tf·k1 + tf form — see the
+    // constant-folding note there).
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats.select(col("__n"), col("__avgdl"))))
+      .withColumn(
+        "__idf",
+        (col("__n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn(
+        "score",
+        col("__idf") * ((col("tf").cast("double") * lit(k1) + col("tf").cast("double")) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("__avgdl"))))))
+      .withColumn("rel", least(col("tf"), lit(4L)))
+      .withColumn("rel_bin", col("tf") >= relTf)
+    val ws = ndcgWeights(k)
+    def wOf(rnk: org.apache.spark.sql.Column) =
+      ws.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (w, i)) =>
+        when(rnk === (i + 1), lit(w)).otherwise(acc)
+      }
+    // gain 2^rel − 1 as an exact small-integer CASE (rel ∈ 1..4).
+    def gainOf(rel: org.apache.spark.sql.Column) =
+      when(rel === 1, lit(1.0)).when(rel === 2, lit(3.0))
+        .when(rel === 3, lit(7.0)).otherwise(lit(15.0))
+    val ranked = scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("rnk") <= k)
+    val dcgAgg = ranked
+      .groupBy(col("term"))
+      .agg(
+        sum(round(gainOf(col("rel")) * wOf(col("rnk")), 6).cast(D))
+          .cast("double").as("dcg"),
+        min(when(col("rel_bin"), col("rnk"))).as("first_rel_rank"))
+    val ideal = scored
+      .withColumn("irnk",
+        row_number().over(Window.partitionBy(col("term"))
+          .orderBy(col("rel").desc, col(idCol).asc)))
+      .filter(col("irnk") <= k)
+      .groupBy(col("term"))
+      .agg(sum(round(gainOf(col("rel")) * wOf(col("irnk")), 6).cast(D))
+        .cast("double").as("idcg"))
+    val cand = tf.groupBy(col("term")).agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("tf") >= relTf, 1)).as("n_rel"))
+    cand
+      .join(dcgAgg, "term")
+      .join(ideal, "term")
+      .select(
+        col("term"), col("n_candidates"), col("n_rel"),
+        coalesce(col("first_rel_rank"), lit(-1L)).as("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6).as("mrr"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy(col("term"))
+  }
+
   /** Hashed-feature linear classifier inference — the fastText-style
     * quality-gate scoring pass (Joulin et al., "Bag of Tricks for
     * Efficient Text Classification", EACL 2017: hashed uni+bigram

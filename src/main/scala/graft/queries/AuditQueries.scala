@@ -527,7 +527,181 @@ object AuditQueries extends QuerySet {
       .orderBy($"rank")
   }
 
+  /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β over the token
+    * stream in (doc_id, position) order — the audit behind "is this
+    * corpus still contributing new vocabulary, or are we re-crawling the
+    * same material?" (β collapsing toward 0 at the tail is the
+    * saturation signal; natural English sits near β ≈ 0.5). Eight
+    * prefix checkpoints at k·N/8 give the curve; the log-log
+    * least-squares fit gives (β, ln K).
+    *
+    * Scale shape: V(n) is NEVER computed as a running distinct (the
+    * sequential trap). Instead: one distributed total-order index over
+    * the token stream ([[graft.operators.Sampling.globalIndexBy]]),
+    * min(global_idx) per type = each type's FIRST-occurrence position,
+    * and V(n_k) = count(first ≤ n_k) — eight conditional counts in ONE
+    * aggregate pass. ln values round to 6 decimals before the
+    * DECIMAL(38,6) regression sums (the qZipf convention); the fit runs
+    * over 8 rows.
+    */
+  val qHeapsLaw: GQuery = GQuery(
+    "q_text_heaps_law",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i, ts[i] AS t
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+        WHERE len(ts) > 0),
+      idx AS (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY doc_id, i) AS gi FROM pos),
+      fo AS (SELECT t, MIN(gi) AS first_idx FROM idx GROUP BY t),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pos),
+      cp AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST((k * tot.n) // 8 AS BIGINT) AS n_prefix,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fo
+                WHERE first_idx <= (k * tot.n) // 8) AS vocab_prefix
+        FROM range(1, 9) g(k) CROSS JOIN tot),
+      l AS (SELECT k, n_prefix, vocab_prefix,
+                   round(ln(CAST(n_prefix AS DOUBLE)), 6) AS lx,
+                   round(ln(CAST(vocab_prefix AS DOUBLE)), 6) AS ly
+            FROM cp),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(lx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ly AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(lx * lx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(lx * ly AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+            FROM l)
+      SELECT l.k, l.n_prefix, l.vocab_prefix,
+             round((CAST(m.n AS DOUBLE) * m.sxy - m.sx * m.sy)
+                   / (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx), 6) AS beta,
+             round((m.sy - ((CAST(m.n AS DOUBLE) * m.sxy - m.sx * m.sy)
+                            / (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx)) * m.sx)
+                   / CAST(m.n AS DOUBLE), 6) AS ln_k
+      FROM l CROSS JOIN m
+      ORDER BY l.k""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val pos = t(spark, dir).documents
+      .select($"doc_id", posexplode(toks))
+      .toDF("doc_id", "i0", "t")
+    val idx = graft.operators.Sampling
+      .globalIndexBy(pos, Seq($"doc_id", $"i0"))
+      .select($"t", $"global_idx".as("gi"))
+      .localCheckpoint()
+    val fo = idx.groupBy($"t").agg(min($"gi").as("first_idx")).localCheckpoint()
+    val tot = idx.agg(count(lit(1)).as("n"))
+    val cp = spark.range(1, 9).select($"id".as("k"))
+      .crossJoin(broadcast(tot))
+      .select($"k", expr("(k * n) div 8").as("n_prefix"))
+    val l = fo.crossJoin(broadcast(cp))
+      .groupBy($"k", $"n_prefix")
+      .agg(count(when($"first_idx" <= $"n_prefix", 1)).as("vocab_prefix"))
+      .select($"k", $"n_prefix", $"vocab_prefix",
+        round(log($"n_prefix".cast("double")), 6).as("lx"),
+        round(log($"vocab_prefix".cast("double")), 6).as("ly"))
+      .localCheckpoint()
+    val m = l.agg(
+      count(lit(1)).as("n"),
+      sum($"lx".cast(D)).cast("double").as("sx"),
+      sum($"ly".cast(D)).cast("double").as("sy"),
+      sum(($"lx" * $"lx").cast(D)).cast("double").as("sxx"),
+      sum(($"lx" * $"ly").cast(D)).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    l.crossJoin(broadcast(m))
+      .select($"k", $"n_prefix", $"vocab_prefix",
+        round(slope, 6).as("beta"),
+        round((col("sy") - slope * col("sx")) / nd, 6).as("ln_k"))
+      .orderBy($"k")
+  }
+
+  /** Source-concentration audit: Gini coefficient, Simpson index,
+    * normalized Shannon entropy, and the top source's share, over
+    * per-source token counts — the "is the mixture dominated by one
+    * crawl?" number a corpus team reads before setting mixture weights
+    * (a Gini near 1 means the domain-cap / temperature samplers have
+    * real work to do).
+    *
+    * Scale shape: ONE linear token-count aggregate to |sources| rows;
+    * everything after is bounded-cardinality math on exact BIGINTs —
+    * Gini via the sorted-rank formula (2·Σ i·x_(i) − (n+1)·ΣX) / (n·ΣX)
+    * (no pairwise |x_i − x_j| join), ranks from a bounded window.
+    * Simpson/entropy terms round to 6 decimals before DECIMAL sums.
+    */
+  val qDomainGini: GQuery = GQuery(
+    "q_audit_domain_gini",
+    Some("""
+      WITH tk AS (
+        SELECT source,
+               len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                               t -> length(t) > 0)) AS ntok
+        FROM documents),
+      s AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS x FROM tk GROUP BY source),
+      r AS (SELECT source, x, ROW_NUMBER() OVER (ORDER BY x, source) AS i FROM s),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS tot,
+                   CAST(SUM(i * x) AS BIGINT) AS ix,
+                   CAST(MAX(x) AS BIGINT) AS mx
+            FROM r),
+      term AS (
+        SELECT round((CAST(x AS DOUBLE) / CAST(m.tot AS DOUBLE))
+                     * (CAST(x AS DOUBLE) / CAST(m.tot AS DOUBLE)), 6) AS simp_t,
+               round((CAST(x AS DOUBLE) / CAST(m.tot AS DOUBLE))
+                     * ln(CAST(x AS DOUBLE) / CAST(m.tot AS DOUBLE)), 6) AS ent_t
+        FROM s CROSS JOIN m),
+      ta AS (SELECT CAST(SUM(CAST(simp_t AS DECIMAL(38,6))) AS DOUBLE) AS simpson,
+                    CAST(SUM(CAST(ent_t AS DECIMAL(38,6))) AS DOUBLE) AS ent
+             FROM term)
+      SELECT m.n AS n_sources, m.tot AS total_tokens,
+             round(CAST(2 * m.ix - (m.n + 1) * m.tot AS DOUBLE)
+                   / CAST(m.n * m.tot AS DOUBLE), 6) AS gini,
+             round(ta.simpson, 6) AS simpson,
+             round(-ta.ent / ln(CAST(m.n AS DOUBLE)), 6) AS norm_entropy,
+             round(CAST(m.mx AS DOUBLE) / CAST(m.tot AS DOUBLE), 6) AS top_share
+      FROM m CROSS JOIN ta""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val s = t(spark, dir).documents
+      .select($"source", size(toks).cast("long").as("ntok"))
+      .groupBy($"source").agg(sum($"ntok").as("x"))
+      .localCheckpoint()
+    // |sources| is bounded (a handful of crawl names) — the single-
+    // partition rank window over |sources| rows is deliberate, not the
+    // corpus-window trap.
+    val r = s.withColumn("i", row_number().over(Window.orderBy($"x", $"source")))
+    val m = r.agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("tot"),
+      sum($"i" * $"x").as("ix"),
+      max($"x").as("mx"))
+    val term = s.crossJoin(broadcast(m)).select(
+      round(($"x".cast("double") / $"tot".cast("double"))
+        * ($"x".cast("double") / $"tot".cast("double")), 6).as("simp_t"),
+      round(($"x".cast("double") / $"tot".cast("double"))
+        * log($"x".cast("double") / $"tot".cast("double")), 6).as("ent_t"))
+    val ta = term.agg(
+      sum($"simp_t".cast(D)).cast("double").as("simpson"),
+      sum($"ent_t".cast(D)).cast("double").as("ent"))
+    m.crossJoin(broadcast(ta)).select(
+      $"n".as("n_sources"),
+      $"tot".as("total_tokens"),
+      round((lit(2) * $"ix" - ($"n" + 1) * $"tot").cast("double")
+        / ($"n" * $"tot").cast("double"), 6).as("gini"),
+      round($"simpson", 6).as("simpson"),
+      round(-$"ent" / log($"n".cast("double")), 6).as("norm_entropy"),
+      round($"mx".cast("double") / $"tot".cast("double"), 6).as("top_share"))
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qDistinctNgrams, qZipf, qKlUnigram, qSeqlenAudit, qClassSeparation, qHardNegatives,
-    qHardNegativesProbe, qCooccurrence)
+    qHardNegativesProbe, qCooccurrence, qHeapsLaw, qDomainGini)
 }

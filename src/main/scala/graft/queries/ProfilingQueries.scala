@@ -995,8 +995,193 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"lang")
   }
 
+  /** The three deterministic "raters" behind the agreement audits: each
+    * grades a document 0/1/2 from a different row-local quality signal
+    * (mean token length, type-token ratio, stopword ratio). Thresholds
+    * sit at the sf0.01 signal terciles so the contingency table is
+    * non-degenerate. Entirely row-local — one corpus scan, no shuffle
+    * until the final 1-row aggregate; every ratio is exact-integer /
+    * exact-integer, so the grades replay bit-identically in any engine.
+    */
+  private def raters(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val stop = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+    t(spark, dir).documents
+      .select($"doc_id", toks.as("ts"))
+      .filter(size($"ts") > 0)
+      .select(
+        $"doc_id",
+        (aggregate($"ts", lit(0), (a, x) => a + length(x)).cast("double")
+          / size($"ts").cast("double")).as("atl"),
+        (size(array_distinct($"ts")).cast("double")
+          / size($"ts").cast("double")).as("ttr"),
+        (size(filter($"ts", x => x.isin(stop: _*))).cast("double")
+          / size($"ts").cast("double")).as("swr"))
+      .select(
+        $"doc_id",
+        when($"atl" < 4.4, 0L).when($"atl" < 4.6, 1L).otherwise(2L).as("ra"),
+        when($"ttr" < 0.40, 0L).when($"ttr" < 0.55, 1L).otherwise(2L).as("rb"),
+        when($"swr" < 0.03, 0L).when($"swr" < 0.07, 1L).otherwise(2L).as("rc"))
+  }
+
+  /** SQL twin of [[raters]] — identical token pipeline, CASE chains, and
+    * integer-ratio arithmetic. */
+  private val ratersSql = """
+      tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      sig AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+                 / CAST(len(ts) AS DOUBLE) AS atl,
+               CAST(len(list_distinct(ts)) AS DOUBLE)
+                 / CAST(len(ts) AS DOUBLE) AS ttr,
+               CAST(len(list_filter(ts, t -> t IN
+                 ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE)
+                 / CAST(len(ts) AS DOUBLE) AS swr
+        FROM tk WHERE len(ts) > 0),
+      rt AS (
+        SELECT doc_id,
+               CASE WHEN atl < 4.4 THEN 0 WHEN atl < 4.6 THEN 1 ELSE 2 END AS ra,
+               CASE WHEN ttr < 0.40 THEN 0 WHEN ttr < 0.55 THEN 1 ELSE 2 END AS rb,
+               CASE WHEN swr < 0.03 THEN 0 WHEN swr < 0.07 THEN 1 ELSE 2 END AS rc
+        FROM sig)"""
+
+  /** Cohen's kappa between two deterministic quality raters — the
+    * label-quality audit run before trusting any annotation source
+    * (human or heuristic): chance-corrected agreement from the 3×3
+    * contingency's exact integer counts, po = observed agreement,
+    * pe = Σ marginal products / n². One corpus scan into a single 1-row
+    * aggregate; every division is IEEE on integer-derived operands, so
+    * kappa hash-matches.
+    */
+  val qCohenKappa: GQuery = GQuery(
+    "q_stat_cohen_kappa",
+    Some(s"""
+      WITH $ratersSql,
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+               CAST(SUM(CASE WHEN ra = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+               CAST(SUM(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+               CAST(SUM(CASE WHEN ra = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+               CAST(SUM(CASE WHEN rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN rb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2
+        FROM rt)
+      SELECT n, agree,
+             round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+             round(CAST(a0*b0 + a1*b1 + a2*b2 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+             round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(a0*b0 + a1*b1 + a2*b2 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (CAST(1 AS DOUBLE)
+                      - CAST(a0*b0 + a1*b1 + a2*b2 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+      FROM agg""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val agg = raters(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when($"ra" === $"rb", 1L).otherwise(0L)).as("agree"),
+      sum(when($"ra" === 0, 1L).otherwise(0L)).as("a0"),
+      sum(when($"ra" === 1, 1L).otherwise(0L)).as("a1"),
+      sum(when($"ra" === 2, 1L).otherwise(0L)).as("a2"),
+      sum(when($"rb" === 0, 1L).otherwise(0L)).as("b0"),
+      sum(when($"rb" === 1, 1L).otherwise(0L)).as("b1"),
+      sum(when($"rb" === 2, 1L).otherwise(0L)).as("b2"))
+    val nd = $"n".cast("double")
+    val po = $"agree".cast("double") / nd
+    val pe = ($"a0" * $"b0" + $"a1" * $"b1" + $"a2" * $"b2").cast("double") / (nd * nd)
+    agg.select(
+      $"n", $"agree",
+      round(po, 6).as("po"),
+      round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Fleiss' kappa across all three raters — the multi-annotator
+    * agreement number (m = 3 raters, 3 categories): per-item category
+    * counts n_ij, P_i = (Σ n_ij² − m)/(m(m−1)), chance agreement from
+    * squared category shares. P_i is a small rational (denominator 6),
+    * NOT exact in binary — so the per-item NUMERATORS (Σ n_ij² − 3,
+    * exact integers) are summed and divided ONCE, never a float sum of
+    * thirds (the order-dependence trap). Still one scan, one 1-row agg.
+    */
+  val qFleissKappa: GQuery = GQuery(
+    "q_stat_fleiss_kappa",
+    Some(s"""
+      WITH $ratersSql,
+      cnt AS (
+        SELECT doc_id,
+               CAST((CASE WHEN ra=0 THEN 1 ELSE 0 END) + (CASE WHEN rb=0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rc=0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST((CASE WHEN ra=1 THEN 1 ELSE 0 END) + (CASE WHEN rb=1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rc=1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST((CASE WHEN ra=2 THEN 1 ELSE 0 END) + (CASE WHEN rb=2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rc=2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM rt),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n0*n0 + n1*n1 + n2*n2 - 3) AS BIGINT) AS num,
+               CAST(SUM(n0) AS BIGINT) AS c0,
+               CAST(SUM(n1) AS BIGINT) AS c1,
+               CAST(SUM(n2) AS BIGINT) AS c2
+        FROM cnt)
+      SELECT n_docs, c0, c1, c2,
+             round(CAST(num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(6 AS DOUBLE)), 6) AS p_bar,
+             round((CAST(c0 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                   * (CAST(c0 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                   + (CAST(c1 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                   * (CAST(c1 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                   + (CAST(c2 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                   * (CAST(c2 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE))), 6) AS p_e,
+             round((CAST(num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(6 AS DOUBLE))
+                    - ((CAST(c0 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                       * (CAST(c0 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                       + (CAST(c1 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                       * (CAST(c1 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                       + (CAST(c2 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                       * (CAST(c2 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))))
+                   / (CAST(1 AS DOUBLE)
+                      - ((CAST(c0 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                         * (CAST(c0 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                         + (CAST(c1 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                         * (CAST(c1 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                         + (CAST(c2 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                         * (CAST(c2 AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(n_docs AS DOUBLE))))), 6) AS kappa
+      FROM agg""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    def ind(c: org.apache.spark.sql.Column, v: Int) = when(c === v, 1L).otherwise(0L)
+    val cnt = raters(spark, dir).select(
+      (ind($"ra", 0) + ind($"rb", 0) + ind($"rc", 0)).as("n0"),
+      (ind($"ra", 1) + ind($"rb", 1) + ind($"rc", 1)).as("n1"),
+      (ind($"ra", 2) + ind($"rb", 2) + ind($"rc", 2)).as("n2"))
+    val agg = cnt.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n0" * $"n0" + $"n1" * $"n1" + $"n2" * $"n2" - 3L).as("num"),
+      sum($"n0").as("c0"),
+      sum($"n1").as("c1"),
+      sum($"n2").as("c2"))
+    val nd = $"n_docs".cast("double")
+    val pBar = $"num".cast("double") / (nd * lit(3.0 * 2.0))
+    def share(c: org.apache.spark.sql.Column) = c.cast("double") / (lit(3.0) * nd)
+    val pE = share($"c0") * share($"c0") + share($"c1") * share($"c1") +
+      share($"c2") * share($"c2")
+    agg.select(
+      $"n_docs", $"c0", $"c1", $"c2",
+      round(pBar, 6).as("p_bar"),
+      round(pE, 6).as("p_e"),
+      round((pBar - pE) / (lit(1.0) - pE), 6).as("kappa"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
-      qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad)
+      qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa)
 }

@@ -837,6 +837,66 @@ object SequenceQueries extends QuerySet {
     }
   }
 
+  /** HITS hubs & authorities ([[graft.operators.Graphs.hits]], 3
+    * iterations) on the DIRECTED supplier→part shipping graph — the
+    * two-sided importance signal: hub suppliers ship many widely-sourced
+    * parts, authority parts are shipped by many strong suppliers. Node
+    * ids are side-tagged ('s'/'p' prefixes) because the key domains
+    * overlap. The oracle unrolls all three mutual-reinforcement
+    * iterations as plain CTE aggregations with the SAME floor(x·1e15)
+    * BIGINT contribution/normalizer sums — every hub and authority
+    * score hash-checked.
+    */
+  val qGraphHits: GQuery = {
+    val iters = 3
+    val chain = (1 to iters).map { r =>
+      s"""
+      ar$r AS MATERIALIZED (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(floor(h.hub * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS auth
+        FROM e JOIN h${r - 1} h ON h.node = e.src GROUP BY 1),
+      a$r AS MATERIALIZED (
+        SELECT node, auth / t.tot AS auth FROM ar$r,
+          (SELECT CAST(SUM(CAST(floor(auth * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS tot
+           FROM ar$r) t),
+      hr$r AS MATERIALIZED (
+        SELECT e.src AS node,
+               CAST(SUM(CAST(floor(a.auth * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS hub
+        FROM e JOIN a$r a ON a.node = e.dst GROUP BY 1),
+      h$r AS MATERIALIZED (
+        SELECT node, hub / t.tot AS hub FROM hr$r,
+          (SELECT CAST(SUM(CAST(floor(hub * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS tot
+           FROM hr$r) t)"""
+    }.mkString(",")
+    GQuery(
+      "q_graph_hits",
+      Some(s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem),
+      nodes AS MATERIALIZED (
+        SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),$chain
+      SELECT n.node,
+             round(COALESCE(h.hub, CAST(0 AS DOUBLE)), 6) AS hub,
+             round(COALESCE(a.auth, CAST(0 AS DOUBLE)), 6) AS auth
+      FROM nodes n
+      LEFT JOIN h$iters h ON h.node = n.node
+      LEFT JOIN a$iters a ON a.node = n.node
+      ORDER BY n.node""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val edges = t(spark, dir).lineitem.select(
+        concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+      graft.operators.Graphs
+        .hits(edges, k = iters)
+        .select($"node", round($"hub", 6).as("hub"), round($"auth", 6).as("auth"))
+        .orderBy($"node")
+    }
+  }
+
   /** Rolling 7-day EXACT median per event type — the other
     * non-decomposable sliding aggregate next to [[qRollingDistinct]]'s
     * COUNT DISTINCT (no window frame computes an exact quantile
@@ -1054,5 +1114,5 @@ object SequenceQueries extends QuerySet {
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
-      qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity)
+      qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits)
 }

@@ -944,6 +944,179 @@ object TextAnalysis extends QuerySet {
       .orderBy($"k")
   }
 
+  /** Reliability diagram + expected calibration error for the quality
+    * classifier — the audit AFTER [[qClassifierSweep]] picks a cutoff:
+    * does the score MEAN what it claims? Scores map to a pseudo-
+    * probability p = (margin/(1000·nf) + 1)/2, bucket into 10 fixed
+    * bins, and each bin's mean confidence is compared to its observed
+    * positive rate (label = `lang = 'en'`, as in the sweep);
+    * ECE = Σ (n_b/N)·|conf_b − acc_b|.
+    *
+    * Scale shape: the scoring aggregate (linear), a 10-row bin
+    * aggregate, a 1-row ECE aggregate broadcast back onto the bins.
+    * Per-doc p rounds to 6 decimals before the DECIMAL(38,6) bin sums
+    * (the qZipf convention — bin means must not depend on engine double
+    * summation order); conf/acc/ece are each one IEEE division/product
+    * chain on exact-integer-derived values, rounded to 6.
+    */
+  val qCalibration: GQuery = GQuery(
+    "q_quality_calibration",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      feats AS (
+        SELECT doc_id,
+               unnest(list_concat(t,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+                      ELSE CAST([] AS VARCHAR[]) END)) AS feat
+        FROM toks),
+      w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('w:' ||
+                 CAST(CAST(('0x' || substr(md5(feat || ':11'), 1, 8))::UBIGINT % 4096 AS BIGINT)
+                   AS VARCHAR) || ':11'), 1, 8))::UBIGINT % 2001 AS BIGINT) - 1000 AS w
+        FROM feats),
+      m AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS margin,
+                   CAST(COUNT(*) AS BIGINT) AS nf
+            FROM w GROUP BY doc_id),
+      p AS (
+        SELECT m.doc_id,
+               (CAST(margin AS DOUBLE) / (1000.0 * CAST(nf AS DOUBLE)) + 1.0) / 2.0 AS p,
+               (d.lang = 'en') AS label
+        FROM m JOIN documents d ON d.doc_id = m.doc_id),
+      b AS (
+        SELECT LEAST(CAST(floor(p * 10.0) AS BIGINT), 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(round(p, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_conf
+        FROM p GROUP BY 1),
+      c AS (
+        SELECT bin, n, n_pos,
+               round(sum_conf / CAST(n AS BIGINT), 6) AS conf,
+               round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc
+        FROM b),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+      e AS (
+        SELECT CAST(SUM(CAST(round((CAST(n AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+                                    * abs(conf - acc), 6) AS DECIMAL(38,6))) AS DOUBLE) AS ece
+        FROM c CROSS JOIN tot)
+      SELECT bin, n, n_pos, conf, acc, round(e.ece, 6) AS ece
+      FROM c CROSS JOIN e
+      ORDER BY bin""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val p = graft.operators.TextOps
+      .hashedLinearScore(docs, "doc_id", "text", buckets = 4096, seed = 11)
+      .select($"doc_id",
+        (($"margin".cast("double") / (lit(1000.0) * $"n_features".cast("double"))
+          + lit(1.0)) / lit(2.0)).as("p"))
+      .join(docs.select($"doc_id", ($"lang" === "en").as("label")), "doc_id")
+    val c = p
+      .groupBy(least(floor($"p" * 10.0).cast("long"), lit(9L)).as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when($"label", 1)).as("n_pos"),
+        sum(round($"p", 6).cast(D)).cast("double").as("sum_conf"))
+      .select($"bin", $"n", $"n_pos",
+        round($"sum_conf" / $"n".cast("bigint"), 6).as("conf"),
+        round($"n_pos".cast("double") / $"n".cast("double"), 6).as("acc"))
+      .localCheckpoint()
+    val tot = c.agg(sum($"n").as("nn"))
+    val e = c.crossJoin(broadcast(tot))
+      .agg(sum(round(($"n".cast("double") / $"nn".cast("double"))
+        * abs($"conf" - $"acc"), 6).cast(D)).cast("double").as("ece"))
+    c.crossJoin(broadcast(e))
+      .select($"bin", $"n", $"n_pos", $"conf", $"acc", round($"ece", 6).as("ece"))
+      .orderBy($"bin")
+  }
+
+  /** Retrieval-quality eval ([[graft.operators.TextOps.retrievalEval]]):
+    * MRR@10 and NDCG@10 of the single-term BM25 rankings against
+    * tf-derived relevance labels, per query term — the ranker audit a
+    * RAG/search team runs before trusting retrieval at corpus scale.
+    * The oracle replays candidates → df/avgdl → the exact qBm25 IEEE
+    * score chain → both rank windows → gain·discount DCG sums. DCG
+    * discount literals are the SAME JVM doubles on both sides
+    * (Double.toString round-trip, `e0`-suffixed so DuckDB parses DOUBLE
+    * not DECIMAL) — the metric is hash-exact end to end.
+    */
+  val qRetrievalEval: GQuery = {
+    val ws = graft.operators.TextOps.ndcgWeights(10)
+    val wCase = ws.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}e0" }
+      .mkString(" ")
+    GQuery(
+      "q_text_retrieval_eval",
+      Some(s"""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      dl AS (
+        SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+               list_filter(toks, t -> t IN ('dup', 'spark', 'window')) AS hits
+        FROM d),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(hits) AS term FROM dl)
+        GROUP BY 1, 2, 3),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((CAST(s.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+               ((CAST(tf.tf AS DOUBLE) * 1.2 + CAST(tf.tf AS DOUBLE)) /
+                (CAST(tf.tf AS DOUBLE) +
+                 1.2 * (1.0 - 0.75 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl)))) AS score,
+               LEAST(tf.tf, 4) AS rel,
+               (tf.tf >= 2) AS rel_bin
+        FROM tf JOIN df USING (term) CROSS JOIN stats s),
+      top AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 10),
+      dcga AS (
+        SELECT term,
+               CAST(SUM(CAST(round(
+                 CAST(CASE rel WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 WHEN 3 THEN 7.0
+                               ELSE 15.0 END AS DOUBLE)
+                 * CAST(CASE rnk $wCase END AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE) AS dcg,
+               MIN(CASE WHEN rel_bin THEN rnk END) AS first_rel_rank
+        FROM top GROUP BY 1),
+      itop AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS irnk
+          FROM scored)
+        WHERE irnk <= 10),
+      ideala AS (
+        SELECT term,
+               CAST(SUM(CAST(round(
+                 CAST(CASE rel WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 WHEN 3 THEN 7.0
+                               ELSE 15.0 END AS DOUBLE)
+                 * CAST(CASE irnk $wCase END AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE) AS idcg
+        FROM itop GROUP BY 1),
+      cand AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COUNT(*) FILTER (WHERE tf >= 2) AS BIGINT) AS n_rel
+        FROM tf GROUP BY 1)
+      SELECT term, n_candidates, n_rel,
+             CAST(COALESCE(first_rel_rank, -1) AS BIGINT) AS first_rel_rank,
+             round(COALESCE(1.0 / first_rel_rank, CAST(0 AS DOUBLE)), 6) AS mrr,
+             round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+             round(dcg / idcg, 6) AS ndcg
+      FROM cand JOIN dcga USING (term) JOIN ideala USING (term)
+      ORDER BY term""")
+    ) { (spark, dir) =>
+      graft.operators.TextOps.retrievalEval(
+        t(spark, dir).documents, "doc_id", "text",
+        queryTerms = Seq("dup", "spark", "window"), k = 10, relTf = 2)
+    }
+  }
+
   /** Inverted-index export ([[graft.operators.TextOps.invertedIndex]]):
     * per-term posting lists (doc-id-sorted parallel arrays) with the
     * stopword df-cap. The oracle rebuilds every posting list with
@@ -1516,5 +1689,5 @@ object TextAnalysis extends QuerySet {
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
       qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty,
-      qTokenEntropy)
+      qTokenEntropy, qCalibration, qRetrievalEval)
 }

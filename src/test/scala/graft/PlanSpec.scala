@@ -267,7 +267,10 @@ class PlanSpec extends SparkSpec {
       // fixed-cardinality replicate table
       "q_stat_bootstrap" -> "32 bootstrap replicates",
       // 5 stage-count rows (one per funnel gate), not corpus-scaled
-      "q_pipeline_attrition" -> "5 funnel-stage counts"
+      "q_pipeline_attrition" -> "5 funnel-stage counts",
+      // |sources| rows (a handful of crawl names) — the Gini rank window
+      // runs over the per-source aggregate, never the corpus
+      "q_audit_domain_gini" -> "per-source aggregate (|sources| rows)"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       // a query that fails to BUILD here is itself an offense — swallowing
