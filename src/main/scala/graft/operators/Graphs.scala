@@ -174,6 +174,57 @@ object Graphs {
     ranks.select(col("node"), col("pr"))
   }
 
+  /** Personalized PageRank: the random walk restarts at the SEED set
+    * (teleport mass (1−d)/|S| on seeds, zero elsewhere) instead of
+    * uniformly — the "importance relative to these nodes" signal behind
+    * seed-expansion curation (find documents/domains close to a trusted
+    * whitelist) and related-item retrieval. Same fixed-k, damped,
+    * symmetrized-graph recipe as [[pagerank]] with the identical
+    * floor(x·1e15) exact contribution sums; seeds not present in the
+    * graph are ignored (loudly — require at least one survives).
+    *
+    * Scale shape: identical to [[pagerank]] — one edge-keyed shuffle
+    * join per round plus a broadcast of the seed flag; scores never
+    * leave the cluster; per-round localCheckpoint.
+    */
+  def personalizedPagerank(
+      edges: DataFrame,
+      seeds: DataFrame, // one column: node
+      k: Int,
+      damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val seed = deg.join(broadcast(seeds.select(col("node"))), Seq("node"), "left_semi")
+      .select(col("node"), lit(true).as("is_seed"))
+    val ns = seed.count()
+    require(ns > 0, "personalizedPagerank: no seed is present in the graph")
+    val withTele = deg.join(broadcast(seed), Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        when(col("is_seed"), lit(1.0) / ns).otherwise(lit(0.0)).as("tele"))
+      .localCheckpoint()
+    var ranks = withTele.select(col("node"), col("tele").as("pr"), col("deg"))
+      .localCheckpoint()
+    for (_ <- 1 to k) {
+      val contrib = sym
+        .join(ranks, sym("src") === ranks("node"))
+        .select(col("dst").as("node"), floor((col("pr") / col("deg")) * 1e15).as("c"))
+        .groupBy(col("node"))
+        .agg((sum(col("c")).cast("double") / 1e15).as("acc"))
+      ranks = withTele
+        .join(contrib, Seq("node"), "left_outer")
+        .select(
+          col("node"),
+          (lit(1.0 - damping) * col("tele")
+            + lit(damping) * coalesce(col("acc"), lit(0.0))).as("pr"),
+          col("deg"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("pr"))
+  }
+
   /** Unweighted single-source shortest paths (BFS hop counts) from
     * `source` over the symmetrized edge set. Classic iterative frontier
     * expansion: each round joins the CURRENT frontier (not the whole

@@ -587,15 +587,18 @@ object AuditQueries extends QuerySet {
   ) { (spark, dir) =>
     import spark.implicits._
     val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
-    val pos = t(spark, dir).documents
-      .select($"doc_id", posexplode(toks))
+    val docs = t(spark, dir).documents.select($"doc_id", toks.as("ts"))
+    val pos = docs
+      .select($"doc_id", posexplode($"ts"))
       .toDF("doc_id", "i0", "t")
-    val idx = graft.operators.Sampling
+    // single-consumer chain — no corpus-scale checkpoint needed: the
+    // token stream flows once into the first-occurrence aggregate, and
+    // the total comes from the (already-scanned) per-doc counts
+    val fo = graft.operators.Sampling
       .globalIndexBy(pos, Seq($"doc_id", $"i0"))
       .select($"t", $"global_idx".as("gi"))
-      .localCheckpoint()
-    val fo = idx.groupBy($"t").agg(min($"gi").as("first_idx")).localCheckpoint()
-    val tot = idx.agg(count(lit(1)).as("n"))
+      .groupBy($"t").agg(min($"gi").as("first_idx"))
+    val tot = docs.agg(sum(size($"ts")).cast("long").as("n"))
     val cp = spark.range(1, 9).select($"id".as("k"))
       .crossJoin(broadcast(tot))
       .select($"k", expr("(k * n) div 8").as("n_prefix"))
@@ -701,7 +704,69 @@ object AuditQueries extends QuerySet {
       round($"mx".cast("double") / $"tot".cast("double"), 6).as("top_share"))
   }
 
+  /** Embedding-space two-sample drift: linear-kernel MMD² between two
+    * corpus slices (= squared L2 distance of their mean embeddings —
+    * Gretton et al.'s kernel two-sample statistic with k(x,y)=x·y) plus
+    * the per-slice sizes. Slices are the vec_id parity classes, standing
+    * in for "yesterday's crawl vs today's": a drifting MMD² is the
+    * go-look signal that a new snapshot's embedding distribution moved.
+    *
+    * Scale shape: two fixed-point-exact centroid aggregates
+    * ([[graft.functions.CentroidAgg]], same pass q_embed_class_separation
+    * uses — ONE corpus scan, d-row state), then the metric is ONE
+    * row-local left-fold over the two 64-dim vectors (the
+    * q_embed_outlier distance convention: identical sequential double
+    * adds on both engines, never a cross-partition sum); sqrt is
+    * IEEE-correctly-rounded everywhere, so l2 replays.
+    */
+  val qEmbedMmd: GQuery = GQuery(
+    "q_embed_mmd",
+    Some("""
+      WITH flat AS (
+        SELECT vec_id % 2 AS grp, i,
+               CAST(CAST((CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) / 1048576.0 AS REAL) AS DOUBLE) AS cv
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY 1, 2),
+      cents AS (SELECT grp, list(cv ORDER BY i) AS c FROM flat GROUP BY grp),
+      sz AS (SELECT vec_id % 2 AS grp, CAST(COUNT(*) AS BIGINT) AS n
+             FROM embeddings GROUP BY 1),
+      m AS (
+        SELECT list_sum(list_transform(generate_series(1, 64),
+                 i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i]))) AS mmd2
+        FROM cents a, cents b
+        WHERE a.grp = 0 AND b.grp = 1)
+      SELECT sa.n AS n_a, sb.n AS n_b,
+             round(m.mmd2, 6) AS mmd2,
+             round(sqrt(m.mmd2), 6) AS l2
+      FROM m, sz sa, sz sb
+      WHERE sa.grp = 0 AND sb.grp = 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val centroidAgg = udaf(new graft.functions.CentroidAgg(64))
+    val cents = t(spark, dir).embeddings
+      .groupBy(($"vec_id" % 2).as("grp"))
+      .agg(centroidAgg($"embedding").as("c"), count(lit(1)).as("n"))
+      .select($"grp",
+        transform($"c.values", x => x.cast("float").cast("double")).as("cv"),
+        $"n")
+      .localCheckpoint()
+    val a = cents.filter($"grp" === 0).select($"cv".as("ca"), $"n".as("n_a"))
+    val b = cents.filter($"grp" === 1).select($"cv".as("cb"), $"n".as("n_b"))
+    a.crossJoin(broadcast(b))
+      .select($"n_a", $"n_b",
+        aggregate(
+          zip_with($"ca", $"cb", (x, y) => (x - y) * (x - y)),
+          lit(0.0),
+          (acc, v) => acc + v).as("mmd2"))
+      .select($"n_a", $"n_b",
+        round($"mmd2", 6).as("mmd2"),
+        round(sqrt($"mmd2"), 6).as("l2"))
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qDistinctNgrams, qZipf, qKlUnigram, qSeqlenAudit, qClassSeparation, qHardNegatives,
-    qHardNegativesProbe, qCooccurrence, qHeapsLaw, qDomainGini)
+    qHardNegativesProbe, qCooccurrence, qHeapsLaw, qDomainGini, qEmbedMmd)
 }

@@ -453,7 +453,64 @@ object CurationQueries extends QuerySet {
       .orderBy($"vec_id")
   }
 
+  /** Deterministic word-dropout augmentation (the contrastive-pair /
+    * regularization transform): each token survives iff a portable md5
+    * draw over (doc_id, position, token, seed) lands outside the 20%
+    * drop band — so the SAME document always augments identically, on
+    * any engine, at any partitioning, which is what makes augmented
+    * corpora reproducible and the positive pairs for SimCSE-style
+    * training joinable by doc_id.
+    *
+    * Scale shape: ENTIRELY row-local — the keep gate runs inside an
+    * indexed `filter` lambda over the materialized token array (no
+    * explode, no re-group, no shuffle at all beyond the scan). The
+    * lambda captures only attribute references, never the tokenize
+    * chain (the round-1 nested-HOF trap).
+    */
+  val qAugment: GQuery = GQuery(
+    "q_text_augment",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i, ts[i] AS w
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g),
+      kept AS (
+        SELECT doc_id, i, w FROM pos
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+                                  || ':' || w || ':17'), 1, 8))::UBIGINT % 10 < 8),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(w, ' ' ORDER BY i) AS text_aug
+        FROM kept GROUP BY doc_id)
+      SELECT tk.doc_id, CAST(len(tk.ts) AS BIGINT) AS n_tokens,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             COALESCE(a.text_aug, '') AS text_aug
+      FROM tk LEFT JOIN agg a ON a.doc_id = tk.doc_id
+      ORDER BY tk.doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    t(spark, dir).documents
+      .select($"doc_id", toks.as("ts"))
+      .select(
+        $"doc_id",
+        size($"ts").cast("long").as("n_tokens"),
+        filter($"ts", (x, i) =>
+          conv(substring(md5(concat(
+            $"doc_id".cast("string"), lit(":"), (i + 1).cast("string"),
+            lit(":"), x, lit(":17"))), 1, 8), 16, 10).cast("long") % 10 < 8).as("kept"))
+      .select(
+        $"doc_id", $"n_tokens",
+        size($"kept").cast("long").as("n_kept"),
+        array_join($"kept", " ").as("text_aug"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qNgramLm, qPackLpt, qDpCounts, qGzipJsonl, qAnova, qChatAssembly, qMatryoshka,
-    qEmbedOutlier)
+    qEmbedOutlier, qAugment)
 }

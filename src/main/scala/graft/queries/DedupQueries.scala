@@ -1300,9 +1300,90 @@ object DedupQueries extends QuerySet {
       .orderBy($"keep_id")
   }
 
+  /** Duplicate-cluster impact report: the size histogram of the
+    * near-dup connected components (same Jaccard ≥ 0.5 pipeline and
+    * parameters as q_dedup_connected) with per-size redundancy
+    * accounting — docs and characters that dedup would REMOVE when one
+    * representative (max n_chars) is kept per cluster. This is the
+    * "what did dedup actually buy us" table a corpus team reads after
+    * any dedup run; a heavy tail here is also the input that justifies
+    * the hot-key caps everywhere else.
+    *
+    * Scale shape: rides the pair pipeline's existing df-cap +
+    * pointer-halving CC; after components exist, everything is two
+    * keyed aggregates (per-component, then per-size — the second over
+    * ≤ max-cluster-size rows). Redundant chars need only SUM − MAX per
+    * component, never a window or a representative join.
+    */
+  val qClusterStats: GQuery = GQuery(
+    "q_dedup_cluster_stats",
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3
+             UNION
+             SELECT doc_id, array_to_string(ts, ' ') AS s FROM t WHERE len(ts) < 3),
+      shf AS (SELECT * FROM sh WHERE s NOT IN (
+                SELECT s FROM sh GROUP BY s
+                HAVING COUNT(*) > (SELECT CAST(ceil(0.1 * COUNT(*)) AS BIGINT) FROM documents))),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      jp AS (SELECT id_a, id_b FROM (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+               FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2) p
+             JOIN sz sa ON sa.doc_id = p.id_a
+             JOIN sz sb ON sb.doc_id = p.id_b
+             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS component
+               FROM reach GROUP BY src),
+      per AS (SELECT c.component,
+                     CAST(COUNT(*) AS BIGINT) AS csz,
+                     CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+                     CAST(MAX(d.n_chars) AS BIGINT) AS rep_chars
+              FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+              GROUP BY 1)
+      SELECT csz AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(csz) AS BIGINT) AS n_docs,
+             CAST(SUM(csz - 1) AS BIGINT) AS redundant_docs,
+             CAST(SUM(total_chars - rep_chars) AS BIGINT) AS redundant_chars
+      FROM per GROUP BY 1 ORDER BY 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val cap = math.ceil(0.1 * docs.count()).toLong
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxDocFreq = cap)
+      .select($"id_a", $"id_b")
+    val per = Dedup.connectedComponents(pairs)
+      .join(docs.select($"doc_id".as("id"), $"n_chars"), "id")
+      .groupBy($"component")
+      .agg(
+        count(lit(1)).as("csz"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        max($"n_chars").cast("long").as("rep_chars"))
+    per.groupBy($"csz".as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum($"csz").as("n_docs"),
+        sum($"csz" - 1).as("redundant_docs"),
+        sum($"total_chars" - $"rep_chars").as("redundant_chars"))
+      .orderBy($"cluster_size")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
       qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical,
-      qSortedNeighborhood, qBbitMinhash, qCdcChunks, qCdcPairs, qIncrementalSemantic)
+      qSortedNeighborhood, qBbitMinhash, qCdcChunks, qCdcPairs, qIncrementalSemantic,
+      qClusterStats)
 }

@@ -1105,9 +1105,70 @@ object PipelineQueries extends QuerySet {
       .orderBy($"lang", $"sample_rank")
   }
 
+  /** Curriculum training manifest: docs staged easy→hard by a row-local
+    * difficulty signal (mean token length, the rater-threshold terciles),
+    * deterministically RESHUFFLED within each stage per epoch (md5 over
+    * doc_id:epoch) — the dataloader contract for curriculum learning at
+    * corpus scale: difficulty order is stable across runs, within-stage
+    * order differs across epochs, and every position is reproducible
+    * from (doc_id, epoch) alone, so a crashed epoch resumes exactly.
+    *
+    * Scale shape: the difficulty signal and the shuffle draw are
+    * row-local; the only distributed structure is the total-order
+    * position ([[graft.operators.Sampling.globalIndexBy]] over
+    * (epoch, stage, draw, doc_id) — never a global window).
+    */
+  val qCurriculum: GQuery = GQuery(
+    "q_pipeline_curriculum",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      sig AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+                 / CAST(len(ts) AS DOUBLE) AS atl
+        FROM tk WHERE len(ts) > 0),
+      st AS (
+        SELECT doc_id,
+               CASE WHEN atl < 4.4 THEN 0 WHEN atl < 4.6 THEN 1 ELSE 2 END AS stage
+        FROM sig),
+      ep AS (
+        SELECT s.doc_id, CAST(e.epoch AS BIGINT) AS epoch, CAST(s.stage AS BIGINT) AS stage,
+               substr(md5(CAST(s.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR) || ':23'),
+                      1, 8) AS draw
+        FROM st s, (SELECT unnest([1, 2]) AS epoch) e)
+      SELECT epoch, doc_id, stage, draw,
+             ROW_NUMBER() OVER (ORDER BY epoch, stage, draw, doc_id) AS ord
+      FROM ep
+      ORDER BY ord""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val st = t(spark, dir).documents
+      .select($"doc_id", toks.as("ts"))
+      .filter(size($"ts") > 0)
+      .select($"doc_id",
+        (aggregate($"ts", lit(0), (a, x) => a + length(x)).cast("double")
+          / size($"ts").cast("double")).as("atl"))
+      .select($"doc_id",
+        when($"atl" < 4.4, 0L).when($"atl" < 4.6, 1L).otherwise(2L).as("stage"))
+    val ep = st
+      .select($"doc_id", $"stage", explode(array(lit(1L), lit(2L))).as("epoch"))
+      .select($"doc_id", $"epoch", $"stage",
+        substring(md5(concat($"doc_id".cast("string"), lit(":"),
+          $"epoch".cast("string"), lit(":23"))), 1, 8).as("draw"))
+    graft.operators.Sampling
+      .globalIndexBy(ep, Seq($"epoch", $"stage", $"draw", $"doc_id"))
+      .select($"epoch", $"doc_id", $"stage", $"draw", $"global_idx".as("ord"))
+      .orderBy($"ord")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
     qWeighted, qMix, qTemperature, qNegativePairs, qGlobalIndex, qPackPairs,
     qDedupCascade, qReservoir, qDsir, qSplitLeakage, qWeightedReservoir, qTokenBudget, qNeyman,
-    qAttrition, qReservoirMerge)
+    qAttrition, qReservoirMerge, qCurriculum)
 }

@@ -1180,8 +1180,97 @@ object ProfilingQueries extends QuerySet {
       round((pBar - pE) / (lit(1.0) - pE), 6).as("kappa"))
   }
 
+  /** Spearman rank correlation between two per-doc quality signals
+    * (mean token length vs type-token ratio) — the signal-agreement
+    * audit run before trusting any single quality score for filtering:
+    * if two cheap signals rank the corpus differently (ρ near 0), a
+    * one-signal gate is making arbitrary keep decisions. Ties get the
+    * standard AVERAGE rank, carried as 2·rank (exact integers: r2 =
+    * 2·cnt_less + cnt_eq + 1) so no half-rank double ever enters a sum.
+    *
+    * Scale shape: per-value rank tables come from a count aggregate +
+    * the distributed prefix scan ([[graft.operators.Sampling.prefixSumsBy]]
+    * — never `sum().over(Window.orderBy)`, the single-partition trap);
+    * ranks join back by value (two keyed shuffles); the moment sums are
+    * DECIMAL(38,0) products (a BIGINT Σ rx2·ry2 overflows past ~10⁶
+    * rows). The final ρ is one fixed IEEE chain on exact-integer-derived
+    * doubles.
+    */
+  val qSpearman: GQuery = GQuery(
+    "q_stat_spearman",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      sig AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+                 / CAST(len(ts) AS DOUBLE) AS x,
+               CAST(len(list_distinct(ts)) AS DOUBLE)
+                 / CAST(len(ts) AS DOUBLE) AS y
+        FROM tk WHERE len(ts) > 0),
+      xd AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM sig GROUP BY x),
+      xr AS (SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS rx2 FROM xd),
+      yd AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM sig GROUP BY y),
+      yr AS (SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS ry2 FROM yd),
+      j AS (SELECT s.doc_id, xr.rx2, yr.ry2
+            FROM sig s JOIN xr ON xr.x = s.x JOIN yr ON yr.y = s.y),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(ry2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+            FROM j)
+      SELECT n AS n_docs,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS spearman_rho
+      FROM m""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val sig = t(spark, dir).documents
+      .select($"doc_id", toks.as("ts"))
+      .filter(size($"ts") > 0)
+      .select(
+        $"doc_id",
+        (aggregate($"ts", lit(0), (a, x) => a + length(x)).cast("double")
+          / size($"ts").cast("double")).as("x"),
+        (size(array_distinct($"ts")).cast("double")
+          / size($"ts").cast("double")).as("y"))
+      .localCheckpoint()
+    def rank2(c: String, out: String): org.apache.spark.sql.DataFrame = {
+      val d = sig.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      graft.operators.Sampling
+        .prefixSumsBy(d, Seq(col(c)), Seq("cnt"))
+        .select(col(c),
+          (lit(2) * (col("cum_cnt") - col("cnt")) + col("cnt") + 1).as(out))
+    }
+    val j = sig
+      .join(rank2("x", "rx2"), "x")
+      .join(rank2("y", "ry2"), "y")
+    val m = j.agg(
+      count(lit(1)).as("n"),
+      sum($"rx2".cast(D0)).cast("double").as("sx"),
+      sum($"ry2".cast(D0)).cast("double").as("sy"),
+      sum($"rx2".cast(D0) * $"rx2".cast(D0)).cast("double").as("sxx"),
+      sum($"ry2".cast(D0) * $"ry2".cast(D0)).cast("double").as("syy"),
+      sum($"rx2".cast(D0) * $"ry2".cast(D0)).cast("double").as("sxy"))
+    val nd = $"n".cast("double")
+    m.select(
+      $"n".as("n_docs"),
+      round((nd * $"sxy" - $"sx" * $"sy")
+        / sqrt((nd * $"sxx" - $"sx" * $"sx") * (nd * $"syy" - $"sy" * $"sy")), 6)
+        .as("spearman_rho"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
-      qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa)
+      qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
+      qSpearman)
 }

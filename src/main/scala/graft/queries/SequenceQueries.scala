@@ -323,6 +323,71 @@ object SequenceQueries extends QuerySet {
       .orderBy($"node")
   }
 
+  /** Personalized PageRank ([[graft.operators.Graphs.personalizedPagerank]],
+    * 3 damped iterations) on the co-purchase graph, teleporting to the
+    * three smallest node ids as the trusted seed set — the
+    * seed-expansion signal ("how close is each part to this whitelist")
+    * behind curated-neighborhood sampling. The oracle chains the
+    * iterations exactly like q_graph_pagerank's, with the seed-indicator
+    * teleport column threaded through every round and the same
+    * floor(x·1e15) exact contribution sums.
+    */
+  val qGraphPpr: GQuery = GQuery(
+    "q_graph_ppr",
+    Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS w
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2),
+      e2 AS (SELECT src, dst FROM e WHERE w >= 2),
+      sym AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+      seeds AS (SELECT node FROM deg ORDER BY node LIMIT 3),
+      ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds),
+      tl AS (SELECT d.node, d.deg,
+                    CASE WHEN s.node IS NOT NULL THEN CAST(1 AS DOUBLE) / ns.ns
+                         ELSE CAST(0 AS DOUBLE) END AS tele
+             FROM deg d CROSS JOIN ns LEFT JOIN seeds s ON s.node = d.node),
+      p0 AS (SELECT node, tele AS pr, deg FROM tl),
+      c1 AS (SELECT s.dst AS node,
+                    CAST(SUM(CAST(floor((p.pr / p.deg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS acc
+             FROM sym s JOIN p0 p ON p.node = s.src GROUP BY 1),
+      p1 AS (SELECT t.node,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c1.acc, CAST(0 AS DOUBLE)) AS pr,
+                    t.deg
+             FROM tl t LEFT JOIN c1 ON c1.node = t.node),
+      c2 AS (SELECT s.dst AS node,
+                    CAST(SUM(CAST(floor((p.pr / p.deg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS acc
+             FROM sym s JOIN p1 p ON p.node = s.src GROUP BY 1),
+      p2 AS (SELECT t.node,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c2.acc, CAST(0 AS DOUBLE)) AS pr,
+                    t.deg
+             FROM tl t LEFT JOIN c2 ON c2.node = t.node),
+      c3 AS (SELECT s.dst AS node,
+                    CAST(SUM(CAST(floor((p.pr / p.deg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS acc
+             FROM sym s JOIN p2 p ON p.node = s.src GROUP BY 1),
+      p3 AS (SELECT t.node,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c3.acc, CAST(0 AS DOUBLE)) AS pr,
+                    t.deg
+             FROM tl t LEFT JOIN c3 ON c3.node = t.node)
+      SELECT node, pr FROM p3 ORDER BY node""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node")))
+      .distinct()
+    val seeds = nodes.orderBy($"node").limit(3)
+    graft.operators.Graphs
+      .personalizedPagerank(edges, seeds, k = 3)
+      .orderBy($"node")
+  }
+
   /** Local clustering coefficient on the same co-purchase graph
     * ([[graft.operators.Graphs.clusteringCoefficient]]): 2T/(d(d−1)) per
     * node of degree ≥ 2, zero-filled for triangle-free nodes — exact
@@ -1114,5 +1179,6 @@ object SequenceQueries extends QuerySet {
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
-      qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits)
+      qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
+      qGraphPpr)
 }
