@@ -1268,9 +1268,89 @@ object ProfilingQueries extends QuerySet {
         .as("spearman_rho"))
   }
 
+  /** Randomization (permutation) test for the difference of mean doc
+    * length between `lang = 'en'` and the rest — the distribution-free
+    * companion to [[qAbTest]]/[[qBootstrap]]: under the null, group
+    * labels are exchangeable, so the observed mean gap is compared
+    * against 32 md5-deterministic label re-assignments. A p-value near
+    * the bottom says the English slice genuinely differs in length —
+    * the kind of slice-vs-corpus check run before per-language length
+    * gates.
+    *
+    * Scale shape: the 32-way replicate fan-out is row-local (the
+    * qBootstrap recipe); each replicate's means are one keyed aggregate
+    * of exact BIGINT char sums, one IEEE division each. Both |diff|
+    * values round to 6 decimals BEFORE the exceed comparison so a
+    * boundary near-tie can never flip between engines.
+    */
+  val qPermutation: GQuery = GQuery(
+    "q_stat_permutation",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS v, (lang = 'en') AS grp
+        FROM documents),
+      obs AS (
+        SELECT CAST(SUM(CASE WHEN grp THEN v END) AS DOUBLE)
+                 / CAST(COUNT(*) FILTER (WHERE grp) AS DOUBLE)
+               - CAST(SUM(CASE WHEN NOT grp THEN v END) AS DOUBLE)
+                 / CAST(COUNT(*) FILTER (WHERE NOT grp) AS DOUBLE) AS diff_obs,
+               CAST(COUNT(*) FILTER (WHERE grp) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE NOT grp) AS BIGINT) AS n_b
+        FROM d),
+      reps AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN pg THEN v END) AS DOUBLE)
+                 / CAST(COUNT(*) FILTER (WHERE pg) AS DOUBLE)
+               - CAST(SUM(CASE WHEN NOT pg THEN v END) AS DOUBLE)
+                 / CAST(COUNT(*) FILTER (WHERE NOT pg) AS DOUBLE) AS diff_b
+        FROM (
+          SELECT d.v, b.b,
+                 (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                   || CAST(b.b AS VARCHAR) || ':29'), 1, 8))::UBIGINT
+                  % 2 = 0) AS pg
+          FROM d, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) b)
+        GROUP BY b),
+      ex AS (
+        SELECT CAST(SUM(CASE WHEN round(abs(r.diff_b), 6) >= round(abs(o.diff_obs), 6)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+        FROM reps r CROSS JOIN obs o)
+      SELECT o.n_a, o.n_b,
+             round(o.diff_obs, 6) AS diff_obs,
+             ex.n_exceed,
+             round(CAST(ex.n_exceed AS DOUBLE) / CAST(32 AS DOUBLE), 6) AS p_value
+      FROM obs o CROSS JOIN ex""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val d = t(spark, dir).documents
+      .select($"doc_id", $"n_chars".cast("long").as("v"), ($"lang" === "en").as("grp"))
+      .localCheckpoint()
+    def meanDiff(g: org.apache.spark.sql.Column) =
+      sum(when(g, $"v")).cast("double") / count(when(g, 1)).cast("double") -
+        sum(when(!g, $"v")).cast("double") / count(when(!g, 1)).cast("double")
+    val obs = d.agg(
+      meanDiff($"grp").as("diff_obs"),
+      count(when($"grp", 1)).as("n_a"),
+      count(when(!$"grp", 1)).as("n_b"))
+    val reps = d
+      .select($"doc_id", $"v", explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("pg",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+          $"b".cast("string"), lit(":29"))), 1, 8), 16, 10).cast("long") % 2 === 0)
+      .groupBy($"b")
+      .agg(meanDiff($"pg").as("diff_b"))
+    val ex = reps.crossJoin(broadcast(obs))
+      .agg(sum(when(round(abs($"diff_b"), 6) >= round(abs($"diff_obs"), 6), 1L)
+        .otherwise(0L)).as("n_exceed"))
+    obs.crossJoin(broadcast(ex))
+      .select($"n_a", $"n_b",
+        round($"diff_obs", 6).as("diff_obs"),
+        $"n_exceed",
+        round($"n_exceed".cast("double") / lit(32).cast("double"), 6).as("p_value"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
-      qSpearman)
+      qSpearman, qPermutation)
 }

@@ -1175,10 +1175,133 @@ object SequenceQueries extends QuerySet {
       .orderBy($"day")
   }
 
+  /** Single changepoint estimation over the daily click-count series —
+    * binary segmentation's first split: t* = argmax_t |n·S_t − t·S_n|
+    * (the cross-multiplied form of the centered-CUSUM statistic, kept in
+    * EXACT BIGINTs so the argmax can never be flipped by a float
+    * rounding), reporting the split day, the means either side, and the
+    * level shift. This is "WHERE did the metric move" next to
+    * [[qCusum]]'s "did it move".
+    *
+    * Scale shape: one corpus-scale day aggregate; everything after runs
+    * on the bounded day-grain series (the window-lint allowed class).
+    * Interior splits only (t < n); ties resolve to the earliest day.
+    */
+  val qChangepoint: GQuery = GQuery(
+    "q_ts_changepoint",
+    Some("""
+      WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      c AS (
+        SELECT day, v,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(SUM(v) OVER (ORDER BY day) AS BIGINT) AS s
+        FROM daily),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sn
+            FROM daily),
+      stat AS (
+        SELECT c.day, c.t, c.s, m.n, m.sn,
+               abs(m.n * c.s - c.t * m.sn) AS g
+        FROM c CROSS JOIN m
+        WHERE c.t < m.n)
+      SELECT day AS split_day, t AS split_idx, g AS stat,
+             round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mean_before,
+             round(CAST(sn - s AS DOUBLE) / CAST(n - t AS DOUBLE), 6) AS mean_after,
+             round(CAST(sn - s AS DOUBLE) / CAST(n - t AS DOUBLE)
+                   - CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS shift
+      FROM stat
+      ORDER BY g DESC, day
+      LIMIT 1""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir).events
+      .filter($"event_type" === "click")
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("v"))
+    val win = Window.orderBy($"day")
+    val c = daily
+      .withColumn("t", row_number().over(win).cast("long"))
+      .withColumn("s",
+        sum($"v").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val m = daily.agg(count(lit(1)).as("n"), sum($"v").as("sn"))
+    c.crossJoin(broadcast(m))
+      .filter($"t" < $"n")
+      .withColumn("g", abs($"n" * $"s" - $"t" * $"sn"))
+      .orderBy($"g".desc, $"day")
+      .limit(1)
+      .select(
+        $"day".as("split_day"), $"t".as("split_idx"), $"g".as("stat"),
+        round($"s".cast("double") / $"t".cast("double"), 6).as("mean_before"),
+        round(($"sn" - $"s").cast("double") / ($"n" - $"t").cast("double"), 6)
+          .as("mean_after"),
+        round(($"sn" - $"s").cast("double") / ($"n" - $"t").cast("double")
+          - $"s".cast("double") / $"t".cast("double"), 6).as("shift"))
+  }
+
+  /** Degree distribution + power-law exponent of the co-purchase graph:
+    * the degree histogram and the Clauset-style continuous MLE
+    * α̂ = 1 + n / Σ ln(d / (xmin − ½)) at xmin = 1 — the graph-shape
+    * audit ("is this scale-free? how heavy is the hub tail?") read
+    * before choosing partition strategies for graph workloads (a heavy
+    * tail predicts the skew the salted-join / hot-cap machinery exists
+    * for).
+    *
+    * Scale shape: degree is one edge-keyed count; the histogram and the
+    * MLE run over |distinct degrees| / |nodes| rows. ln terms round to
+    * 6 decimals before the DECIMAL(38,6) sum (the qZipf convention);
+    * the histogram rows carry the fit as broadcast constants.
+    */
+  val qDegreeDist: GQuery = GQuery(
+    "q_graph_degree_dist",
+    Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS w
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2),
+      e2 AS (SELECT src, dst FROM e WHERE w >= 2),
+      sym AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+      hist AS (SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+               FROM deg GROUP BY d),
+      fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(ln(CAST(d AS DOUBLE) / CAST(0.5 AS DOUBLE)), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sl
+        FROM deg)
+      SELECT h.degree, h.n_nodes, f.n AS total_nodes,
+             round(CAST(1 AS DOUBLE) + CAST(f.n AS DOUBLE) / f.sl, 6) AS alpha
+      FROM hist h CROSS JOIN fit f
+      ORDER BY h.degree""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    val deg = sym.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val hist = deg.groupBy($"d".as("degree")).agg(count(lit(1)).as("n_nodes"))
+    val fit = deg.agg(
+      count(lit(1)).as("n"),
+      sum(round(log($"d".cast("double") / lit(0.5).cast("double")), 6).cast(Common.D))
+        .cast("double").as("sl"))
+    hist.crossJoin(broadcast(fit))
+      .select($"degree", $"n_nodes", $"n".as("total_nodes"),
+        round(lit(1.0) + $"n".cast("double") / $"sl", 6).as("alpha"))
+      .orderBy($"degree")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
-      qGraphPpr)
+      qGraphPpr, qChangepoint, qDegreeDist)
 }

@@ -1223,8 +1223,83 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"vec_id")
   }
 
+  /** Cell-balance audit of the corpus-scaled sign-LSH index — the
+    * index-health number behind the knnGraphLsh family: the cell-size
+    * histogram plus max/expected imbalance. A heavy tail here is
+    * exactly the hot-cell regime [[graft.operators.Similarity.cappedCellSides]]
+    * caps; this query is the MONITOR for it (run it before trusting the
+    * celled kNN's recall, and after any embedding-model change).
+    *
+    * Scale shape: one scan to (cell → count), a bounded histogram
+    * aggregate over the count table, a 1-row summary broadcast back.
+    * The oracle replays the exact plane-count derivation and integer
+    * sign-dot cells (the q_ann_hard_negatives cells CTE); cell identity
+    * is internal (bit-string vs long bucket — bijective), the HISTOGRAM
+    * is the contract.
+    */
+  val qCellBalance: GQuery = GQuery(
+    "q_ann_cell_balance",
+    Some("""
+      WITH params AS (
+        SELECT MIN(j) AS p
+        FROM (SELECT unnest(generate_series(0, 40)) AS j) js,
+             (SELECT COUNT(*) AS n FROM embeddings) cn
+        WHERE (512::BIGINT << j) >= cn.n),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      cells AS (
+        SELECT vec_id,
+               COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
+                 pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                         d -> (CASE WHEN (('0x' || substr(md5('0|' || (pp-1)::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                                    THEN 1 ELSE -1 END) * q[d])) > 0
+                       THEN '1' ELSE '0' END), ''), '') AS cell
+        FROM qv),
+      cc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz FROM cells GROUP BY cell),
+      hist AS (SELECT sz AS cell_size, CAST(COUNT(*) AS BIGINT) AS n_cells
+               FROM cc GROUP BY sz),
+      summ AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_cells,
+               CAST(SUM(sz) AS BIGINT) AS n_vecs,
+               CAST(MAX(sz) AS BIGINT) AS max_size
+        FROM cc)
+      SELECT h.cell_size, h.n_cells,
+             CAST(params.p AS BIGINT) AS planes,
+             s.total_cells, s.max_size,
+             round(CAST(s.max_size AS DOUBLE) * CAST(s.total_cells AS DOUBLE)
+                   / CAST(s.n_vecs AS DOUBLE), 6) AS imbalance
+      FROM hist h CROSS JOIN summ s CROSS JOIN params
+      ORDER BY h.cell_size""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val emb = t(spark, dir).embeddings
+    val p = Similarity.lshCellPlanes(emb.count(), 512)
+    val cell =
+      if (p == 0) lit(0L)
+      else element_at(graft.functions.GraftFunctions.lshBuckets($"embedding", 1, p, 64), 1)
+    val cc = emb
+      .select($"vec_id", cell.as("cell"))
+      .groupBy($"cell").agg(count(lit(1)).as("sz"))
+      .localCheckpoint()
+    val hist = cc.groupBy($"sz".as("cell_size")).agg(count(lit(1)).as("n_cells"))
+    val summ = cc.agg(
+      count(lit(1)).as("total_cells"),
+      sum($"sz").as("n_vecs"),
+      max($"sz").as("max_size"))
+    hist.crossJoin(broadcast(summ))
+      .select($"cell_size", $"n_cells",
+        lit(p.toLong).as("planes"),
+        $"total_cells", $"max_size",
+        round($"max_size".cast("double") * $"total_cells".cast("double")
+          / $"n_vecs".cast("double"), 6).as("imbalance"))
+      .orderBy($"cell_size")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
       qRecallAudit, qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr,
-      qPca, qKmeans, qLabelConsistency)
+      qPca, qKmeans, qLabelConsistency, qCellBalance)
 }

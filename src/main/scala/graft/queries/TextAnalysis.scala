@@ -1117,6 +1117,120 @@ object TextAnalysis extends QuerySet {
     }
   }
 
+  /** Boilerplate-template mining: the 20 most frequent 8-token document
+    * PREFIXES with doc counts, corpus share, and an example doc — the
+    * "what template is flooding this crawl" report (scraper banners,
+    * license headers, SEO stubs open identically; prefix grouping finds
+    * them without any pair enumeration).
+    *
+    * Scale shape: the prefix is a row-local slice+join; one keyed count
+    * aggregate; top-20 as orderBy+limit (TakeOrdered — never a global
+    * sort materialization). Linear end to end.
+    */
+  val qTemplateMining: GQuery = GQuery(
+    "q_text_template_mining",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           t -> length(t) > 0) AS ts
+        FROM documents),
+      p AS (SELECT doc_id, array_to_string(ts[1:8], ' ') AS prefix
+            FROM tk WHERE len(ts) >= 8),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+      g AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(doc_id) AS BIGINT) AS example_doc
+            FROM p GROUP BY prefix),
+      top AS (SELECT * FROM g ORDER BY n_docs DESC, prefix LIMIT 20)
+      SELECT prefix, n_docs, example_doc,
+             round(CAST(n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS share
+      FROM top CROSS JOIN tot
+      ORDER BY n_docs DESC, prefix""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val p = t(spark, dir).documents
+      .select($"doc_id", toks.as("ts"))
+      .filter(size($"ts") >= 8)
+      .select($"doc_id", array_join(slice($"ts", 1, 8), " ").as("prefix"))
+      .localCheckpoint()
+    val tot = p.agg(count(lit(1)).as("n"))
+    p.groupBy($"prefix")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("example_doc"))
+      .orderBy($"n_docs".desc, $"prefix")
+      .limit(20)
+      .crossJoin(broadcast(tot))
+      .select($"prefix", $"n_docs", $"example_doc",
+        round($"n_docs".cast("double") / $"n".cast("double"), 6).as("share"))
+      .orderBy($"n_docs".desc, $"prefix")
+  }
+
+  /** Length-bias audit of the quality classifier: Pearson correlation
+    * between the exact integer margin and the document's character
+    * count — the confound check run before shipping ANY learned quality
+    * gate ("is the score just measuring length?"). Both variables are
+    * exact BIGINTs, so every moment sum is order-insensitive
+    * DECIMAL(38,0) integer arithmetic and r is ONE fixed IEEE chain —
+    * no rounding convention needed anywhere upstream of the final
+    * round. Complements [[graft.queries.ProfilingQueries.qSpearman]]
+    * (rank agreement between signals) with the linear-association view.
+    */
+  val qLengthBias: GQuery = GQuery(
+    "q_quality_length_bias",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      feats AS (
+        SELECT doc_id,
+               unnest(list_concat(t,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+                      ELSE CAST([] AS VARCHAR[]) END)) AS feat
+        FROM toks),
+      w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('w:' ||
+                 CAST(CAST(('0x' || substr(md5(feat || ':11'), 1, 8))::UBIGINT % 4096 AS BIGINT)
+                   AS VARCHAR) || ':11'), 1, 8))::UBIGINT % 2001 AS BIGINT) - 1000 AS w
+        FROM feats),
+      m AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS x FROM w GROUP BY doc_id),
+      j AS (SELECT m.x, CAST(d.n_chars AS BIGINT) AS y
+            FROM m JOIN documents d ON d.doc_id = m.doc_id),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+            FROM j)
+      SELECT n AS n_docs,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS pearson_r
+      FROM s""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = t(spark, dir).documents
+    val j = graft.operators.TextOps
+      .hashedLinearScore(docs, "doc_id", "text", buckets = 4096, seed = 11)
+      .select($"doc_id", $"margin".as("x"))
+      .join(docs.select($"doc_id", $"n_chars".cast("long").as("y")), "doc_id")
+    val s = j.agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast(D0)).cast("double").as("sx"),
+      sum($"y".cast(D0)).cast("double").as("sy"),
+      sum($"x".cast(D0) * $"x".cast(D0)).cast("double").as("sxx"),
+      sum($"y".cast(D0) * $"y".cast(D0)).cast("double").as("syy"),
+      sum($"x".cast(D0) * $"y".cast(D0)).cast("double").as("sxy"))
+    val nd = $"n".cast("double")
+    s.select(
+      $"n".as("n_docs"),
+      round((nd * $"sxy" - $"sx" * $"sy")
+        / sqrt((nd * $"sxx" - $"sx" * $"sx") * (nd * $"syy" - $"sy" * $"sy")), 6)
+        .as("pearson_r"))
+  }
+
   /** Inverted-index export ([[graft.operators.TextOps.invertedIndex]]):
     * per-term posting lists (doc-id-sorted parallel arrays) with the
     * stopword df-cap. The oracle rebuilds every posting list with
@@ -1689,5 +1803,5 @@ object TextAnalysis extends QuerySet {
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
       qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty,
-      qTokenEntropy, qCalibration, qRetrievalEval)
+      qTokenEntropy, qCalibration, qRetrievalEval, qTemplateMining, qLengthBias)
 }

@@ -99,4 +99,42 @@ class GraphsSpec extends SparkSpec {
     val b = Graphs.labelPropagation(e, rounds = 3).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b)
   }
+
+  test("hits: authorities collect in-links, hubs collect out-links, L1 halves sum to 1") {
+    // directed 1→3, 2→3, 2→4: node 3 is the stronger authority (two
+    // in-links), node 2 the stronger hub (two out-links); pure sources
+    // have auth 0, pure sinks hub 0.
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val m = Graphs.hits(e, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 4L))
+    val (hub, auth) = (m.view.mapValues(_._1).toMap, m.view.mapValues(_._2).toMap)
+    assert(auth(3L) > auth(4L) && auth(4L) > 0.0)
+    assert(auth(1L) == 0.0 && auth(2L) == 0.0)
+    assert(hub(2L) > hub(1L) && hub(1L) > 0.0)
+    assert(hub(3L) == 0.0 && hub(4L) == 0.0)
+    assert(math.abs(hub.values.sum - 1.0) < 1e-9, s"hub mass ${hub.values.sum}")
+    assert(math.abs(auth.values.sum - 1.0) < 1e-9, s"auth mass ${auth.values.sum}")
+  }
+
+  test("personalizedPagerank concentrates mass near the seed; missing seeds fail loud") {
+    // path 1-2-3-4-5, seed {1}. Finite-k walk parity makes strict
+    // per-hop monotonicity false on a path (even distances hold more
+    // mass after even k), so assert the parity-robust properties: the
+    // seed dominates, both far nodes sit below both near nodes, total
+    // mass is conserved at 1, and the seed holds far more than the
+    // uniform 1/5 share.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val pr = Graphs.personalizedPagerank(e, seeds, k = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) == pr.values.max, s"seed not dominant: $pr")
+    assert(pr(1L) > 0.3, s"seed below concentration bound: $pr")
+    assert(Seq(pr(4L), pr(5L)).max < Seq(pr(2L), pr(3L)).min,
+      s"far nodes not below near nodes: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass not conserved: ${pr.values.sum}")
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPagerank(e, Seq(Tuple1(99L)).toDF("node"), k = 1)
+    }
+  }
 }

@@ -264,6 +264,7 @@ class PlanSpec extends SparkSpec {
       // day-grain series: rows = days in the fixture window, not corpus size
       "q_ts_cusum" -> "day-grain series",
       "q_ts_seasonal_decompose" -> "day-grain series",
+      "q_ts_changepoint" -> "day-grain series",
       // fixed-cardinality replicate table
       "q_stat_bootstrap" -> "32 bootstrap replicates",
       // 5 stage-count rows (one per funnel gate), not corpus-scaled

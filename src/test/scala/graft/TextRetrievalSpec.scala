@@ -145,4 +145,56 @@ class TextRetrievalSpec extends SparkSpec {
       .orderBy($"term").collect().map(r => (r.getString(0), r.getSeq[Long](2), r.getSeq[Long](3)))
     assert(a.toSeq == b.toSeq)
   }
+
+  private def evalRow(df: org.apache.spark.sql.DataFrame, term: String) =
+    df.filter($"term" === term).collect().head
+
+  test("retrievalEval: counts, MRR from the first relevant rank, perfect NDCG when ranks agree") {
+    // tf(x): doc1=3, doc2=1, doc3=2 → BM25 order (short docs, same-ish
+    // dl) follows tf: 1, 3, 2 — which is also the relevance order, so
+    // NDCG@10 = 1 and the first binary-relevant (tf ≥ 2) doc is rank 1.
+    val docs = Seq(
+      (1L, "x x x"),
+      (2L, "x y z"),
+      (3L, "x x y"),
+      (4L, "no hits here")
+    ).toDF("doc_id", "text")
+    val r = evalRow(TextOps.retrievalEval(docs, "doc_id", "text", Seq("x"), k = 10, relTf = 2), "x")
+    assert(r.getAs[Long]("n_candidates") == 3)
+    assert(r.getAs[Long]("n_rel") == 2)
+    assert(r.getAs[Long]("first_rel_rank") == 1L)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    assert(r.getAs[Double]("ndcg") == 1.0)
+  }
+
+  test("retrievalEval: dl-normalization reordering vs relevance drives NDCG below 1") {
+    // docA has MORE hits (rel 3) but is long; docB has fewer (rel 2) and
+    // is short — BM25 ranks B first, the ideal ranking puts A first.
+    val docs = Seq(
+      (1L, "x x x " + Seq.fill(60)("pad").mkString(" ")),
+      (2L, "x x y")
+    ).toDF("doc_id", "text")
+    val r = evalRow(TextOps.retrievalEval(docs, "doc_id", "text", Seq("x"), k = 10, relTf = 2), "x")
+    assert(r.getAs[Long]("first_rel_rank") == 1L) // both are binary-relevant
+    val ndcg = r.getAs[Double]("ndcg")
+    assert(ndcg < 1.0 && ndcg > 0.5, s"expected genuine reordering penalty, got $ndcg")
+  }
+
+  test("retrievalEval: no binary-relevant candidate → mrr 0, sentinel rank") {
+    val docs = Seq((1L, "x a"), (2L, "x b")).toDF("doc_id", "text")
+    val r = evalRow(TextOps.retrievalEval(docs, "doc_id", "text", Seq("x"), k = 10, relTf = 3), "x")
+    assert(r.getAs[Long]("n_rel") == 0)
+    assert(r.getAs[Long]("first_rel_rank") == -1L)
+    assert(r.getAs[Double]("mrr") == 0.0)
+    assert(r.getAs[Double]("ndcg") > 0.0) // graded gains still rank
+  }
+
+  test("retrievalEval is repartition-invariant") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(i % 5 + 1)("x").mkString(" ") + " filler"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.retrievalEval(d, "doc_id", "text", Seq("x"), k = 10, relTf = 2)
+        .collect().map(_.toSeq).toSeq
+    assert(run(docs.repartition(7)) == run(docs))
+  }
 }
