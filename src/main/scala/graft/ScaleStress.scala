@@ -134,7 +134,13 @@ object ScaleStress {
       "q_dedup_cdc_chunks", "q_dedup_cdc_pairs", "q_ann_hard_negatives",
       // round-9: semantic admission gate (capped cell join + fp probes),
       // first-occurrence novelty (df-join-back shape)
-      "q_dedup_incremental_semantic", "q_text_ngram_novelty")
+      "q_dedup_incremental_semantic", "q_text_ngram_novelty",
+      // round-9 late additions: the corpus-heavy new shapes — token-stream
+      // global index (heaps), the cluster-impact ride on jaccardPairs,
+      // prefix-group template mining, posting-window retrieval eval,
+      // double value-keyed rank join (spearman), edge-iterative HITS
+      "q_text_heaps_law", "q_dedup_cluster_stats", "q_text_template_mining",
+      "q_text_retrieval_eval", "q_stat_spearman", "q_graph_hits")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c to isolate a subset (BENCH_ONLY's twin)
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
       case Some(s) => allNames.filter(s.split(",").map(_.trim).toSet)
@@ -160,7 +166,7 @@ object ScaleStress {
         case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
             "q_quality_label_consistency" | "q_ann_hard_negatives" |
             "q_dedup_incremental_semantic" => "embeddings"
-        case "q_graph_components" => "lineitem"
+        case "q_graph_components" | "q_graph_hits" => "lineitem"
         case "q_stat_ks" | "q_stat_mannwhitney" => "events"
         case _ => "documents"
       })

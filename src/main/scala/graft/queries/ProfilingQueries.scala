@@ -1348,9 +1348,82 @@ object ProfilingQueries extends QuerySet {
         round($"n_exceed".cast("double") / lit(32).cast("double"), 6).as("p_value"))
   }
 
+  /** Cramér's V effect size for the language × quality-tercile
+    * contingency — the magnitude companion to [[qChi2]]'s significance:
+    * at corpus scale EVERYTHING is "significant", and V =
+    * sqrt(χ²/(n·min(r−1,c−1))) ∈ [0,1] is the number that says whether
+    * the association is worth acting on (per-language quality gates) or
+    * noise. Quality tercile is the deterministic atl rater from the
+    * kappa audits.
+    *
+    * Scale shape: one row-local scan into a (langs × 3)-cell count
+    * table; expected counts, χ² terms (6-dp rounded, DECIMAL-summed
+    * over the bounded cells), and V are bounded-cardinality math.
+    */
+  val qCramersV: GQuery = GQuery(
+    "q_stat_cramers_v",
+    Some(s"""
+      WITH $ratersSql,
+      ct AS (
+        SELECT d.lang, rt.ra, CAST(COUNT(*) AS BIGINT) AS o
+        FROM rt JOIN documents d ON d.doc_id = rt.doc_id
+        GROUP BY 1, 2),
+      rowt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rtot FROM ct GROUP BY 1),
+      colt AS (SELECT ra, CAST(SUM(o) AS BIGINT) AS ctot FROM ct GROUP BY 1),
+      nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_rows,
+                    CAST(COUNT(DISTINCT ra) AS BIGINT) AS n_cols
+             FROM ct),
+      terms AS (
+        SELECT round((CAST(ct.o AS DOUBLE)
+                      - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                     * (CAST(ct.o AS DOUBLE)
+                        - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                     / (CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE) / CAST(nn.n AS DOUBLE)),
+                     6) AS t
+        FROM ct JOIN rowt r ON r.lang = ct.lang
+        JOIN colt c ON c.ra = ct.ra
+        CROSS JOIN nn),
+      chi AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS chi2 FROM terms)
+      SELECT nn.n AS n_docs, nn.n_rows, nn.n_cols,
+             round(chi.chi2, 6) AS chi2,
+             round(sqrt(chi.chi2
+                        / (CAST(nn.n AS DOUBLE)
+                           * CAST(LEAST(nn.n_rows - 1, nn.n_cols - 1) AS DOUBLE))), 6)
+               AS cramers_v
+      FROM nn CROSS JOIN chi""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val ct = raters(spark, dir)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang", $"ra")
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rowt = ct.groupBy($"lang").agg(sum($"o").as("rtot"))
+    val colt = ct.groupBy($"ra").agg(sum($"o").as("ctot"))
+    val nn = ct.agg(
+      sum($"o").as("n"),
+      countDistinct($"lang").as("n_rows"),
+      countDistinct($"ra").as("n_cols"))
+    val e = $"rtot".cast("double") * $"ctot".cast("double") / $"n".cast("double")
+    val terms = ct
+      .join(broadcast(rowt), "lang")
+      .join(broadcast(colt), "ra")
+      .crossJoin(broadcast(nn))
+      .select(round(($"o".cast("double") - e) * ($"o".cast("double") - e) / e, 6).as("t"))
+    val chi = terms.agg(sum($"t".cast(Common.D)).cast("double").as("chi2"))
+    nn.crossJoin(broadcast(chi))
+      .select(
+        $"n".as("n_docs"), $"n_rows", $"n_cols",
+        round($"chi2", 6).as("chi2"),
+        round(sqrt($"chi2" / ($"n".cast("double")
+          * least($"n_rows" - 1, $"n_cols" - 1).cast("double"))), 6).as("cramers_v"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
-      qSpearman, qPermutation)
+      qSpearman, qPermutation, qCramersV)
 }

@@ -1298,10 +1298,89 @@ object SequenceQueries extends QuerySet {
       .orderBy($"degree")
   }
 
+  /** Autocorrelation function of the daily value series at lags 1–7 —
+    * the seasonality detector ([[qSeasonalDecompose]] ASSUMES a weekly
+    * period; the ACF peak at lag 7 is what justifies it) and the
+    * independence check behind every bootstrap/permutation p-value on
+    * time-ordered data. r_k = Σ(v_t−μ)(v_{t+k}−μ) / Σ(v_t−μ)², pairs in
+    * ROW order over the ranked days.
+    *
+    * Scale shape: one corpus-scale day aggregate; the series itself is
+    * day-grain bounded (window-lint allowed class) — ranked self-join
+    * on t+k, cross-product terms rounded to 6 decimals into
+    * DECIMAL(38,6) sums (engine double-summation order must not matter
+    * even over 90 rows).
+    */
+  val qAutocorr: GQuery = GQuery(
+    "q_ts_autocorrelation",
+    Some("""
+      WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS mu
+        FROM daily),
+      r AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily),
+      den AS (
+        SELECT CAST(SUM(CAST(round((v - m.mu) * (v - m.mu), 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS d
+        FROM r CROSS JOIN m),
+      num AS (
+        SELECT k.k,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(round((a.v - m.mu) * (b.v - m.mu), 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s
+        FROM r a
+        JOIN (SELECT unnest(generate_series(1, 7)) AS k) k ON TRUE
+        JOIN r b ON b.t = a.t + k.k
+        CROSS JOIN m
+        GROUP BY k.k)
+      SELECT CAST(num.k AS BIGINT) AS lag, num.n_pairs,
+             round(num.s / den.d, 6) AS acf
+      FROM num CROSS JOIN den
+      ORDER BY lag""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"), $"value")
+      .groupBy($"day")
+      .agg(sum($"value".cast(Common.D)).cast("double").as("v"))
+      .localCheckpoint()
+    val m = daily.agg(
+      count(lit(1)).as("n"),
+      (sum($"v".cast(Common.D)).cast("double") / count(lit(1)).cast("double")).as("mu"))
+    val r = daily
+      .withColumn("t", row_number().over(Window.orderBy($"day")).cast("long"))
+      .select($"t", $"v")
+      .crossJoin(broadcast(m.select($"mu")))
+      .localCheckpoint()
+    val den = r.agg(
+      sum(round(($"v" - $"mu") * ($"v" - $"mu"), 6).cast(Common.D))
+        .cast("double").as("d"))
+    val a = r.select($"t", $"v", $"mu")
+      .crossJoin(broadcast(spark.range(1, 8).select($"id".as("k"))))
+      .withColumn("tb", $"t" + $"k")
+    val num = a.as("a")
+      .join(r.select($"t".as("tb"), $"v".as("vb")), "tb")
+      .groupBy($"k")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(round(($"v" - $"mu") * ($"vb" - $"mu"), 6).cast(Common.D))
+          .cast("double").as("s"))
+    num.crossJoin(broadcast(den))
+      .select($"k".as("lag"), $"n_pairs", round($"s" / $"d", 6).as("acf"))
+      .orderBy($"lag")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
-      qGraphPpr, qChangepoint, qDegreeDist)
+      qGraphPpr, qChangepoint, qDegreeDist, qAutocorr)
 }

@@ -265,6 +265,7 @@ class PlanSpec extends SparkSpec {
       "q_ts_cusum" -> "day-grain series",
       "q_ts_seasonal_decompose" -> "day-grain series",
       "q_ts_changepoint" -> "day-grain series",
+      "q_ts_autocorrelation" -> "day-grain series",
       // fixed-cardinality replicate table
       "q_stat_bootstrap" -> "32 bootstrap replicates",
       // 5 stage-count rows (one per funnel gate), not corpus-scaled
