@@ -43,7 +43,8 @@ object ScaleStress {
     import org.apache.spark.sql.functions._
     val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf1syn"
     // v3: also synthesizes events (KS / Mann-Whitney prefix-scan tier)
-    if (new java.io.File(s"$dir/_SYNTH_OK3").exists()) return dir
+    // v4: lineitem carries l_suppkey (HITS bipartite tier)
+    if (new java.io.File(s"$dir/_SYNTH_OK4").exists()) return dir
     val docs = spark.read.parquet(s"$from/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val copies = spark.range(10).toDF("copy")
@@ -82,13 +83,15 @@ object ScaleStress {
     // edge/component density stays constant as the corpus grows, the same
     // constant-density contract as the perturbed documents.
     val li = spark.read.parquet(s"$from/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
     val nOrd  = li.agg(max("l_orderkey")).head.getLong(0) + 1
     val nPart = li.agg(max("l_partkey")).head.getLong(0) + 1
+    val nSupp = li.agg(max("l_suppkey")).head.getLong(0) + 1
     li.crossJoin(copies)
       .select(
         (col("l_orderkey") + col("copy") * nOrd).as("l_orderkey"),
-        (col("l_partkey") + col("copy") * nPart).as("l_partkey"))
+        (col("l_partkey") + col("copy") * nPart).as("l_partkey"),
+        (col("l_suppkey") + col("copy") * nSupp).as("l_suppkey"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     // events: ids offset per copy; `value` gets a per-copy 1e-6 jitter so
     // the DISTINCT-value count (what the KS/MW prefix scan keys on) grows
@@ -106,7 +109,7 @@ object ScaleStress {
         (col("value") + col("copy").cast("double") * lit(1e-6)).as("value"),
         col("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK3"), Array.empty[Byte])
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK4"), Array.empty[Byte])
     dir
   }
 

@@ -1231,6 +1231,107 @@ object TextAnalysis extends QuerySet {
         .as("pearson_r"))
   }
 
+  /** Code-vs-prose routing signal: per-doc symbol-density and
+    * keyword-hit screen — mixed crawls route code to a different
+    * tokenizer/mixture than prose, and this row-local pass is the
+    * router. Symbol counting is the q_text_script class-removal trick
+    * (length minus length-after-removal — no explode); keyword hits are
+    * fixed-list containment. All ratios are exact-integer/exact-integer.
+    */
+  val qCodeDetection: GQuery = GQuery(
+    "q_text_code_detection",
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               CAST(strlen(text) - strlen(regexp_replace(text, '[{}()\[\];=<>]', '', 'g'))
+                    AS BIGINT) AS n_sym,
+               CAST((CASE WHEN position('def ' IN text) > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN position('return ' IN text) > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN position('import ' IN text) > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN position('void ' IN text) > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN position('function ' IN text) > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS kw_hits
+        FROM documents WHERE strlen(text) > 0)
+      SELECT doc_id, n_chars, n_sym, kw_hits,
+             round(CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS sym_ratio,
+             (CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.02 OR kw_hits >= 2)
+               AS is_code
+      FROM s
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    def hit(kw: String) =
+      when(instr($"text", kw) > 0, 1L).otherwise(0L)
+    t(spark, dir).documents
+      .filter(length($"text") > 0)
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        (length($"text") - length(regexp_replace($"text", "[{}()\\[\\];=<>]", "")))
+          .cast("long").as("n_sym"),
+        (hit("def ") + hit("return ") + hit("import ") + hit("void ")
+          + hit("function ")).as("kw_hits"))
+      .select($"doc_id", $"n_chars", $"n_sym", $"kw_hits",
+        round($"n_sym".cast("double") / $"n_chars".cast("double"), 6).as("sym_ratio"),
+        ($"n_sym".cast("double") / $"n_chars".cast("double") > 0.02 || $"kw_hits" >= 2)
+          .as("is_code"))
+      .orderBy($"doc_id")
+  }
+
+  /** Flesch reading-ease scoring with the vowel-group syllable proxy —
+    * the classic readability quality signal (low scores flag legalese
+    * and gibberish, implausibly high ones flag word salad). Syllables
+    * per doc = vowel-group count via the class-removal trick: replacing
+    * each [aeiouy]+ run with ONE marker and subtracting the
+    * fully-removed length counts the RUNS, not the vowels. Sentences
+    * floor at 1. Entirely row-local; the formula is one fixed IEEE
+    * chain on exact integers (constants parse identically — short
+    * decimals).
+    */
+  val qReadability: GQuery = GQuery(
+    "q_text_readability",
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                                    t -> length(t) > 0)) AS BIGINT) AS n_words,
+               GREATEST(CAST(strlen(text) - strlen(regexp_replace(text, '[.!?]', '', 'g'))
+                             AS BIGINT), 1) AS n_sentences,
+               CAST(strlen(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+                    - strlen(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+                    AS BIGINT) AS n_syllables
+        FROM documents),
+      f AS (SELECT * FROM s WHERE n_words > 0)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             round(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                   6) AS flesch
+      FROM f
+      ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
+    val lo = lower($"text")
+    t(spark, dir).documents
+      .select(
+        $"doc_id",
+        size(toks).cast("long").as("n_words"),
+        greatest(
+          (length($"text") - length(regexp_replace($"text", "[.!?]", ""))).cast("long"),
+          lit(1L)).as("n_sentences"),
+        (length(regexp_replace(lo, "[aeiouy]+", "#"))
+          - length(regexp_replace(lo, "[aeiouy]+", ""))).cast("long").as("n_syllables"))
+      .filter($"n_words" > 0)
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+        round(lit(206.835)
+          - lit(1.015) * ($"n_words".cast("double") / $"n_sentences".cast("double"))
+          - lit(84.6) * ($"n_syllables".cast("double") / $"n_words".cast("double")), 6)
+          .as("flesch"))
+      .orderBy($"doc_id")
+  }
+
   /** Inverted-index export ([[graft.operators.TextOps.invertedIndex]]):
     * per-term posting lists (doc-id-sorted parallel arrays) with the
     * stopword df-cap. The oracle rebuilds every posting list with
@@ -1803,5 +1904,6 @@ object TextAnalysis extends QuerySet {
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
       qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty,
-      qTokenEntropy, qCalibration, qRetrievalEval, qTemplateMining, qLengthBias)
+      qTokenEntropy, qCalibration, qRetrievalEval, qTemplateMining, qLengthBias,
+      qCodeDetection, qReadability)
 }
