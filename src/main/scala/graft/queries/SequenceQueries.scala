@@ -1377,10 +1377,108 @@ object SequenceQueries extends QuerySet {
       .orderBy($"lag")
   }
 
+  /** Gaps-and-islands: per-user consecutive-ACTIVE-DAY streaks via the
+    * classic day − dense-day-rank grouping constant (consecutive days
+    * share `day − rank`), reporting each user's longest streak, streak
+    * count, and total active days — the engagement-contiguity signal
+    * [[qSessionize]]'s time-gap sessions don't give (a session is
+    * minutes; a streak is calendar days).
+    *
+    * Scale shape: distinct (user, day) is one shuffle; BOTH windows are
+    * partitioned by user (bounded by a user's distinct days), then two
+    * keyed aggregates. No unpartitioned anything.
+    */
+  val qStreaks: GQuery = GQuery(
+    "q_seq_streaks",
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      g AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM ud),
+      s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM g GROUP BY user_id, grp)
+      SELECT user_id,
+             CAST(MAX(len) AS BIGINT) AS longest_streak,
+             CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             CAST(SUM(len) AS BIGINT) AS active_days
+      FROM s GROUP BY user_id
+      ORDER BY user_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ud = t(spark, dir).events
+      .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val g = ud.withColumn("grp",
+      $"day" - row_number().over(Window.partitionBy($"user_id").orderBy($"day")))
+    g.groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(
+        max($"len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum($"len").as("active_days"))
+      .orderBy($"user_id")
+  }
+
+  /** Top-20 three-event behavioural paths: the most common consecutive
+    * (e1 → e2 → e3) trigrams over per-user event order — the
+    * sequence-mining step above [[qTransitions]]' pair matrix (funnels
+    * hypothesize an order; this DISCOVERS the dominant ones).
+    *
+    * Scale shape: both lead() windows are partitioned by user (bounded
+    * by a user's own history), one path-count shuffle, TakeOrdered
+    * top-20. Ties break on the path string for a deterministic cut.
+    */
+  val qEventPaths: GQuery = GQuery(
+    "q_seq_event_paths",
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      p AS (
+        SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+        FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+      c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY path),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+      SELECT c.path, c.n,
+             round(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS share
+      FROM c CROSS JOIN tot
+      ORDER BY c.n DESC, c.path
+      LIMIT 20""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // order on the µs value on BOTH sides — DuckDB's parquet view
+    // truncates ns timestamps to µs, so raw-ts ordering could break
+    // ties differently (CLAUDE.md convention)
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val p = t(spark, dir).events
+      .select($"user_id", $"event_type", expr("ts div 1000").as("ts_us"), $"event_id")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .select(concat($"event_type", lit(" > "), $"e2", lit(" > "), $"e3").as("path"))
+    val c = p.groupBy($"path").agg(count(lit(1)).as("n")).localCheckpoint()
+    val tot = c.agg(sum($"n").as("t"))
+    c.crossJoin(broadcast(tot))
+      .select($"path", $"n",
+        round($"n".cast("double") / $"t".cast("double"), 6).as("share"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
-      qGraphPpr, qChangepoint, qDegreeDist, qAutocorr)
+      qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths)
 }
