@@ -383,7 +383,12 @@ object Graphs {
     * degree-preserving random graph. Emitted PER COMMUNITY (exact
     * BIGINT counts + one IEEE q_term each) — summing Q engine-side
     * would make the result order-dependent across engines; consumers
-    * (and the oracle) sum the terms themselves. One scalar driver
+    * (and the oracle) sum the terms themselves. The q_term is emitted
+    * UNROUNDED: the int→double casts are exact and the div/mul/sub
+    * chain is IEEE-defined, so the raw bits match any engine — whereas
+    * `round(DOUBLE, 6)` semantics differ across DuckDB builds (the
+    * round-9 driver-red lesson; the driver's build rounds a boundary
+    * cell the other way from local 1.0.0). One scalar driver
     * count() for m_dir; joins are label-key equi-joins, degree sums one
     * shuffle each — never a pair join beyond the edge list itself.
     */
@@ -408,10 +413,9 @@ object Graphs {
         col("n_nodes"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
         col("degree_sum"),
-        round(
-          coalesce(col("intra_edges"), lit(0L)).cast("double") / md
-            - (col("degree_sum").cast("double") / md)
-            * (col("degree_sum").cast("double") / md), 6).as("q_term"))
+        (coalesce(col("intra_edges"), lit(0L)).cast("double") / md
+          - (col("degree_sum").cast("double") / md)
+            * (col("degree_sum").cast("double") / md)).as("q_term"))
   }
 
   /** HITS hubs & authorities (Kleinberg) over a DIRECTED edge set, k

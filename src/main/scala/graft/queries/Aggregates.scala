@@ -563,11 +563,18 @@ object Aggregates extends QuerySet {
 
   /** Linear-regression aggregates (regr_slope / regr_intercept / R²) from
     * the same explicit decimal moment sums as [[qStats]] — one map-side-
-    * combinable pass, no Welford order-dependence. The compound divisions
-    * round to 9dp on both engines (the corr lesson: last-ulp drift);
-    * the raw slope feeds the intercept and R² BEFORE rounding, computed
-    * from an identical CTE expression on both sides, so rounding never
-    * compounds.
+    * combinable pass, no Welford order-dependence. Slope and intercept
+    * are RAW IEEE doubles (round-10): the chain is div/mul/sub over
+    * DECIMAL-exact sums written identically on both sides, so the bits
+    * match any engine — whereas `round(x, 9)` on a ~5e4-magnitude
+    * intercept left only ~10² ulps between grid points, a cross-build
+    * round-impl lottery (the round-boundary audit flagged exactly this;
+    * PARITY.md "Rounding portability"). R² keeps round(·, 9): its spp
+    * input is large enough (~6e14 at DECIMAL(38,6)) that DuckDB's
+    * two-step int128→double→scale conversion lands 1 ulp off the JVM's
+    * correctly-rounded Decimal.toDouble, so the raw bits genuinely
+    * differ — but R² ≤ 1, so the 9dp grid is ~10¹⁰ ulps wide and the
+    * round is boundary-safe by magnitude.
     */
   val qRegression: GQuery = GQuery(
     "q_agg_regression",
@@ -586,8 +593,8 @@ object Aggregates extends QuerySet {
                (sqp - sq * sp / n) / (sqq - sq * sq / n) AS slope_raw
         FROM m)
       SELECT l_returnflag, n,
-             round(slope_raw, 9) AS regr_slope,
-             round((sp - slope_raw * sq) / n, 9) AS regr_intercept,
+             slope_raw AS regr_slope,
+             (sp - slope_raw * sq) / n AS regr_intercept,
              round(slope_raw * slope_raw * (sqq - sq * sq / n) / (spp - sp * sp / n), 9)
                AS regr_r2
       FROM s
@@ -612,8 +619,8 @@ object Aggregates extends QuerySet {
       .select(
         $"l_returnflag",
         $"n",
-        round($"__slope_raw", 9).as("regr_slope"),
-        round(($"__sp" - $"__slope_raw" * $"__sq") / $"n".cast("double"), 9)
+        $"__slope_raw".as("regr_slope"),
+        (($"__sp" - $"__slope_raw" * $"__sq") / $"n".cast("double"))
           .as("regr_intercept"),
         round(
           $"__slope_raw" * $"__slope_raw" *

@@ -240,8 +240,11 @@ object CurationQueries extends QuerySet {
     * squares are exact BIGINT aggregates (one map-side-combined corpus
     * pass); the k per-group IEEE terms combine through DECIMAL(38,6)
     * (order-insensitive), and F = (SSB/(k−1))/(SSW/(N−k)) is one fixed
-    * chain — the whole statistic replays exactly. Driver state: none;
-    * the group table is k rows.
+    * chain — the whole statistic replays exactly, emitted as RAW
+    * doubles (round-10: `round(x, 6)` on a ~9.4e6-magnitude SSW left
+    * only ~10³ ulps between grid points — the cross-build round-impl
+    * lottery the boundary audit flagged; PARITY.md "Rounding
+    * portability"). Driver state: none; the group table is k rows.
     */
   val qAnova: GQuery = GQuery(
     "q_stat_anova",
@@ -263,12 +266,12 @@ object CurationQueries extends QuerySet {
                                / CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS ssw
         FROM g)
       SELECT k, n,
-             round(sum_sb - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE)
-                            / CAST(n AS DOUBLE), 6) AS ssb,
-             round(ssw, 6) AS ssw,
-             round(((sum_sb - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE)
-                              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-                   / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat
+             sum_sb - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE)
+                      / CAST(n AS DOUBLE) AS ssb,
+             ssw,
+             ((sum_sb - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+               / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
       FROM parts""")
   ) { (spark, dir) =>
     import spark.implicits._
@@ -288,9 +291,9 @@ object CurationQueries extends QuerySet {
     val ssb = $"sum_sb" - $"grand".cast("double") * $"grand".cast("double") / $"n".cast("double")
     parts.select(
       $"k", $"n",
-      round(ssb, 6).as("ssb"),
-      round($"ssw", 6).as("ssw"),
-      round((ssb / ($"k" - 1).cast("double")) / ($"ssw" / ($"n" - $"k").cast("double")), 6)
+      ssb.as("ssb"),
+      $"ssw",
+      ((ssb / ($"k" - 1).cast("double")) / ($"ssw" / ($"n" - $"k").cast("double")))
         .as("f_stat"))
   }
 

@@ -130,8 +130,11 @@ object ProfilingQueries extends QuerySet {
     * Two-pass broadcast-back: the per-group stats table (≤ #groups rows)
     * is broadcast-joined back onto the events scan — no second shuffle of
     * the big side. Moments go through DECIMAL(38,6) so mean/std combine
-    * bit-identically cross-engine (see Common); the compound z division is
-    * rounded at 9dp like q_agg_stats' corr.
+    * bit-identically cross-engine (see Common); z and mm are RAW IEEE
+    * doubles (round-10) — sub/div/sqrt are all exactly rounded per
+    * IEEE-754, so the bits match any engine, while `round(x, 9)` carries
+    * the cross-build round-impl lottery (PARITY.md "Rounding
+    * portability").
     */
   val qZscore: GQuery = GQuery(
     "q_norm_zscore",
@@ -145,8 +148,8 @@ object ProfilingQueries extends QuerySet {
                MAX(value) AS mx
         FROM events GROUP BY event_type)
       SELECT e.event_id, e.event_type,
-             round((e.value - m.sv / m.n) / sqrt((m.svv - m.sv * m.sv / m.n) / m.n), 9) AS z,
-             round((e.value - m.mn) / (m.mx - m.mn), 9) AS mm
+             (e.value - m.sv / m.n) / sqrt((m.svv - m.sv * m.sv / m.n) / m.n) AS z,
+             (e.value - m.mn) / (m.mx - m.mn) AS mm
       FROM events e JOIN m USING (event_type)
       ORDER BY e.event_id""")
   ) { (spark, dir) =>
@@ -162,8 +165,8 @@ object ProfilingQueries extends QuerySet {
     e.join(broadcast(stats), "event_type")
       .select(
         $"event_id", $"event_type",
-        round(($"value" - $"sv" / $"n") / sqrt(($"svv" - $"sv" * $"sv" / $"n") / $"n"), 9).as("z"),
-        round(($"value" - $"mn") / ($"mx" - $"mn"), 9).as("mm"))
+        (($"value" - $"sv" / $"n") / sqrt(($"svv" - $"sv" * $"sv" / $"n") / $"n")).as("z"),
+        (($"value" - $"mn") / ($"mx" - $"mn")).as("mm"))
       .orderBy($"event_id")
   }
 
@@ -627,7 +630,9 @@ object ProfilingQueries extends QuerySet {
     * (S_c − x) / (n_c − 1) — the standard leakage-guard for categorical
     * features feeding a model. Group sums go through DECIMAL(38,6)
     * ([[Common.dsum]]) so S_c is identical cross-engine; the per-row
-    * chain is fixed IEEE arithmetic. Singleton categories fall back to
+    * chain is fixed IEEE arithmetic, emitted as a RAW double (round-10 —
+    * `round(x, 9)` was the only cross-build-sensitive step; PARITY.md
+    * "Rounding portability"). Singleton categories fall back to
     * the global LOO mean. Broadcast-back two-pass, same shape as
     * q_norm_zscore.
     */
@@ -638,10 +643,10 @@ object ProfilingQueries extends QuerySet {
                  FROM events GROUP BY event_type),
       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn, ${sqlSum("value")} AS ts_sum FROM events)
       SELECT e.event_id, e.event_type,
-             round(CASE WHEN g.n > 1
-                        THEN (g.s - e.value) / (CAST(g.n AS DOUBLE) - 1.0)
-                        ELSE (tot.ts_sum - e.value) / (CAST(tot.tn AS DOUBLE) - 1.0)
-                   END, 9) AS te
+             CASE WHEN g.n > 1
+                  THEN (g.s - e.value) / (CAST(g.n AS DOUBLE) - 1.0)
+                  ELSE (tot.ts_sum - e.value) / (CAST(tot.tn AS DOUBLE) - 1.0)
+             END AS te
       FROM events e JOIN g USING (event_type), tot
       ORDER BY e.event_id""")
   ) { (spark, dir) =>
@@ -653,9 +658,8 @@ object ProfilingQueries extends QuerySet {
       .crossJoin(broadcast(tot))
       .select(
         $"event_id", $"event_type",
-        round(
-          when($"n" > 1, ($"s" - $"value") / ($"n".cast("double") - 1.0))
-            .otherwise(($"ts_sum" - $"value") / ($"tn".cast("double") - 1.0)), 9).as("te"))
+        when($"n" > 1, ($"s" - $"value") / ($"n".cast("double") - 1.0))
+          .otherwise(($"ts_sum" - $"value") / ($"tn".cast("double") - 1.0)).as("te"))
       .orderBy($"event_id")
   }
 

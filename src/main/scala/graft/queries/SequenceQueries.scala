@@ -843,7 +843,12 @@ object SequenceQueries extends QuerySet {
     * degree-preserving random graph. Emitted per community (exact
     * BIGINT intra-edge and degree counts + one IEEE q_term), never
     * summed engine-side: a cross-engine double sum over communities is
-    * order-dependent, per-community terms are not. The oracle replays
+    * order-dependent, per-community terms are not. The q_term is
+    * UNROUNDED on both sides — exact-int→double casts plus an
+    * IEEE-defined div/mul/sub chain are bit-identical across engines,
+    * while `round(DOUBLE, 6)` is not (DuckDB's rounding of a 6-dp
+    * boundary cell changed across releases; the round-9 driver gate
+    * proved the local build and the driver's disagree). The oracle replays
     * the full chain — co-purchase edges, weight cut, symmetrization,
     * all 4 unrolled propagation rounds, then the modularity counts —
     * so the audit of the partition is as hash-checked as the partition
@@ -885,9 +890,9 @@ object SequenceQueries extends QuerySet {
       SELECT nn.community, nn.n_nodes,
              COALESCE(intra.intra_edges, 0) AS intra_edges,
              deg.degree_sum,
-             round(CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / md
+             CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / md
                    - (CAST(deg.degree_sum AS DOUBLE) / md)
-                   * (CAST(deg.degree_sum AS DOUBLE) / md), 6) AS q_term
+                   * (CAST(deg.degree_sum AS DOUBLE) / md) AS q_term
       FROM nn JOIN deg USING (community)
       LEFT JOIN intra USING (community), mm
       ORDER BY community""")

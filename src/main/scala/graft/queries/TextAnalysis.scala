@@ -1237,13 +1237,18 @@ object TextAnalysis extends QuerySet {
     * router. Symbol counting is the q_text_script class-removal trick
     * (length minus length-after-removal — no explode); keyword hits are
     * fixed-list containment. All ratios are exact-integer/exact-integer.
+    * Oracle n_chars uses DuckDB `length` (CHARACTER count, matching
+    * Spark `length`) — strlen is byte length and would diverge on any
+    * multibyte document at the 0.02 sym_ratio boundary; the class-
+    * removal differences stay on strlen (removed chars are ASCII, so
+    * the byte difference equals the char difference).
     */
   val qCodeDetection: GQuery = GQuery(
     "q_text_code_detection",
     Some("""
       WITH s AS (
         SELECT doc_id,
-               CAST(strlen(text) AS BIGINT) AS n_chars,
+               CAST(length(text) AS BIGINT) AS n_chars,
                CAST(strlen(text) - strlen(regexp_replace(text, '[{}()\[\];=<>]', '', 'g'))
                     AS BIGINT) AS n_sym,
                CAST((CASE WHEN position('def ' IN text) > 0 THEN 1 ELSE 0 END)
@@ -1252,7 +1257,7 @@ object TextAnalysis extends QuerySet {
                     + (CASE WHEN position('void ' IN text) > 0 THEN 1 ELSE 0 END)
                     + (CASE WHEN position('function ' IN text) > 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS kw_hits
-        FROM documents WHERE strlen(text) > 0)
+        FROM documents WHERE length(text) > 0)
       SELECT doc_id, n_chars, n_sym, kw_hits,
              round(CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS sym_ratio,
              (CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.02 OR kw_hits >= 2)

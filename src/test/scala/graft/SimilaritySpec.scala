@@ -644,6 +644,30 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.size >= single.size)
   }
 
+  test("knnGraphLsh multiProbe: neighborhood coverage is a superset of single-probe") {
+    // the round-9 verdict's singleton-cell gap: a vector alone in its
+    // cell emits NO neighborhood single-probe (SemDeDup consumers skip
+    // it silently); flip-1-bit probing must never lose a covered source
+    // and should add coverage in the celled regime (p >= 3 here).
+    assert(Similarity.lshCellPlanes(emb.count(), 64) >= 3)
+    val single = Similarity
+      .knnGraphLsh(emb, "vec_id", "embedding", k = 3, targetCell = 64)
+      .select($"src").distinct().as[Long].collect().toSet
+    val probed = Similarity
+      .knnGraphLsh(emb, "vec_id", "embedding", k = 3, targetCell = 64, multiProbe = true)
+      .select($"src").distinct().as[Long].collect().toSet
+    assert(single.subsetOf(probed),
+      s"multi-probe lost sources: ${(single -- probed).take(5)}")
+    info(s"coverage: single-probe ${single.size}, multi-probe ${probed.size} of ${emb.count()}")
+    assert(probed.size >= single.size)
+    // no duplicate (src, dst) pair may arise from probing (a dst lives
+    // in exactly one cell)
+    val pairs = Similarity
+      .knnGraphLsh(emb, "vec_id", "embedding", k = 3, targetCell = 64, multiProbe = true)
+      .select($"src", $"dst").as[(Long, Long)].collect()
+    assert(pairs.length == pairs.distinct.length, "duplicate pair from multi-probe")
+  }
+
   test("semGateFromIndex: cos-reject, fp-reject, batch-min-id, novel kept") {
     // a 4-way contract drive over planted vectors: (10) verbatim copy of
     // an index vector -> fingerprint reject; (11) same-direction
