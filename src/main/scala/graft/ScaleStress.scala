@@ -44,7 +44,8 @@ object ScaleStress {
     val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf1syn"
     // v3: also synthesizes events (KS / Mann-Whitney prefix-scan tier)
     // v4: lineitem carries l_suppkey (HITS bipartite tier)
-    if (new java.io.File(s"$dir/_SYNTH_OK4").exists()) return dir
+    // v5: orders (itemcf custkey→basket join tier; offsets match lineitem)
+    if (new java.io.File(s"$dir/_SYNTH_OK5").exists()) return dir
     val docs = spark.read.parquet(s"$from/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val copies = spark.range(10).toDF("copy")
@@ -93,6 +94,19 @@ object ScaleStress {
         (col("l_partkey") + col("copy") * nPart).as("l_partkey"),
         (col("l_suppkey") + col("copy") * nSupp).as("l_suppkey"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // orders: orderkey offset MUST equal lineitem's (max keys align in the
+    // fixtures — asserted), custkey offset MUST equal customer's, so the
+    // order→basket and customer→basket joins stay within-copy.
+    val ord = spark.read.parquet(s"$from/orders.parquet")
+    require(ord.agg(max("o_orderkey")).head.getLong(0) + 1 == nOrd,
+      "orders/lineitem max orderkey drifted; itemcf synth offsets would split baskets")
+    ord.crossJoin(copies)
+      .select(
+        (col("o_orderkey") + col("copy") * nOrd).as("o_orderkey"),
+        (col("o_custkey") + col("copy") * nCust).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     // events: ids offset per copy; `value` gets a per-copy 1e-6 jitter so
     // the DISTINCT-value count (what the KS/MW prefix scan keys on) grows
     // with the corpus instead of saturating at the base tier's support —
@@ -109,7 +123,7 @@ object ScaleStress {
         (col("value") + col("copy").cast("double") * lit(1e-6)).as("value"),
         col("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK4"), Array.empty[Byte])
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK5"), Array.empty[Byte])
     dir
   }
 
@@ -143,7 +157,11 @@ object ScaleStress {
       // prefix-group template mining, posting-window retrieval eval,
       // double value-keyed rank join (spearman), edge-iterative HITS
       "q_text_heaps_law", "q_dedup_cluster_stats", "q_text_template_mining",
-      "q_text_retrieval_eval", "q_stat_spearman", "q_graph_hits")
+      "q_text_retrieval_eval", "q_stat_spearman", "q_graph_hits",
+      // round-10: the two new corpus-scaled pair joins — capped-basket
+      // itemcf (customer-keyed self-join, md5-rank cap 30) and the
+      // conversion×touch interval join (rank cap 32 per conversion)
+      "q_rec_itemcf", "q_seq_attribution")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c to isolate a subset (BENCH_ONLY's twin)
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
       case Some(s) => allNames.filter(s.split(",").map(_.trim).toSet)
@@ -169,8 +187,8 @@ object ScaleStress {
         case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
             "q_quality_label_consistency" | "q_ann_hard_negatives" |
             "q_dedup_incremental_semantic" => "embeddings"
-        case "q_graph_components" | "q_graph_hits" => "lineitem"
-        case "q_stat_ks" | "q_stat_mannwhitney" => "events"
+        case "q_graph_components" | "q_graph_hits" | "q_rec_itemcf" => "lineitem"
+        case "q_stat_ks" | "q_stat_mannwhitney" | "q_seq_attribution" => "events"
         case _ => "documents"
       })
       val w0 = meter.write.get()

@@ -1380,10 +1380,91 @@ object DedupQueries extends QuerySet {
       .orderBy($"cluster_size")
   }
 
+  /** Bloom-filter admission gate with a measured false-positive audit:
+    * the train split's normalized content fingerprints populate a Bloom
+    * set (k = 3 md5-derived positions into m = 8·n_train bits — the
+    * bits-per-key parameterization, so the fill factor and FP rate stay
+    * constant as the corpus grows); each probe doc is gated on all-k
+    * membership, then audited against the EXACT fingerprint set: false
+    * positives are counted (docs the gate would wrongly reject as dups),
+    * false negatives are structurally impossible (a true dup's positions
+    * are all set by its own train copy) and the query proves the zero.
+    *
+    * This is the cheap first tier of incremental ingest dedup at 100 TB:
+    * membership is a position-key semi-join (3n ints), never a pair
+    * enumeration, and the Bloom set is orders of magnitude smaller than
+    * the fingerprint table. The gate errs toward FALSE POSITIVES
+    * (over-rejection) only, so the CLAUDE cap-inversion rule is
+    * satisfied by construction — and the production path would route
+    * bloom-hits through the exact fingerprint check exactly as the
+    * audit here does (the [[Dedup]] incremental family's fallback).
+    */
+  val qBloomGate: GQuery = GQuery(
+    "q_dedup_bloom_gate",
+    Some("""
+      WITH d AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':41'), 1, 4) < 'b333' AS is_train
+                 FROM documents),
+      m AS (SELECT 8 * COUNT(DISTINCT fp) AS m_bits FROM d WHERE is_train),
+      train_pos AS (SELECT DISTINCT ('0x' || substr(md5(fp || ':' || j), 1, 8))::BIGINT % m.m_bits AS pos
+                    FROM d, LATERAL (SELECT unnest(generate_series(1, 3)) AS j) g, m
+                    WHERE is_train),
+      probe_pos AS (SELECT doc_id, fp,
+                           ('0x' || substr(md5(fp || ':' || j), 1, 8))::BIGINT % m.m_bits AS pos
+                    FROM d, LATERAL (SELECT unnest(generate_series(1, 3)) AS j) g, m
+                    WHERE NOT is_train),
+      hits AS (SELECT p.doc_id, p.fp, CAST(COUNT(t.pos) AS BIGINT) AS n_hit
+               FROM probe_pos p LEFT JOIN train_pos t ON p.pos = t.pos
+               GROUP BY 1, 2),
+      exact AS (SELECT DISTINCT fp FROM d WHERE is_train),
+      flag AS (SELECT h.doc_id, (h.n_hit = 3) AS bloom_hit, (e.fp IS NOT NULL) AS exact_dup
+               FROM hits h LEFT JOIN exact e ON h.fp = e.fp)
+      SELECT (SELECT CAST(m_bits AS BIGINT) FROM m) AS m_bits,
+             CAST(COUNT(*) AS BIGINT) AS n_probe,
+             CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+             CAST(SUM(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+             CAST(SUM(CASE WHEN bloom_hit AND NOT exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+             CAST(SUM(CASE WHEN exact_dup AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+             CAST(SUM(CASE WHEN bloom_hit AND NOT exact_dup THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS fp_rate
+      FROM flag""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val d = t(spark, dir).documents.select(
+      $"doc_id",
+      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"),
+      (substring(md5(concat($"doc_id".cast("string"), lit(":41"))), 1, 4) < "b333").as("is_train"))
+    val m = d.filter($"is_train").agg((countDistinct($"fp") * 8).as("m_bits"))
+    def positions(df: org.apache.spark.sql.DataFrame) = df
+      .select(df.columns.map(col) :+ explode(sequence(lit(1), lit(3))).as("j"): _*)
+      .crossJoin(broadcast(m))
+      .withColumn("pos",
+        conv(substring(md5(concat($"fp", lit(":"), $"j")), 1, 8), 16, 10).cast("long") % $"m_bits")
+    val trainPos = positions(d.filter($"is_train")).select($"pos").distinct()
+    val probePos = positions(d.filter(!$"is_train")).select($"doc_id", $"fp", $"pos")
+    val hits = probePos.as("p")
+      .join(trainPos.as("t").withColumnRenamed("pos", "tpos"), $"pos" === $"tpos", "left")
+      .groupBy($"doc_id", $"fp")
+      .agg(count($"tpos").as("n_hit"))
+    val exact = d.filter($"is_train").select($"fp".as("efp")).distinct()
+    val flag = hits.join(exact, $"fp" === $"efp", "left")
+      .select(($"n_hit" === 3).as("bloom_hit"), $"efp".isNotNull.as("exact_dup"))
+    flag.crossJoin(broadcast(m))
+      .groupBy($"m_bits")
+      .agg(
+        count(lit(1)).as("n_probe"),
+        sum(when($"bloom_hit", 1L).otherwise(0L)).as("n_bloom_hit"),
+        sum(when($"exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when($"bloom_hit" && !$"exact_dup", 1L).otherwise(0L)).as("n_false_pos"),
+        sum(when($"exact_dup" && !$"bloom_hit", 1L).otherwise(0L)).as("n_false_neg"))
+      .select($"m_bits", $"n_probe", $"n_bloom_hit", $"n_exact_dup", $"n_false_pos", $"n_false_neg",
+        ($"n_false_pos".cast("double") / $"n_probe".cast("double")).as("fp_rate"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
       qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical,
       qSortedNeighborhood, qBbitMinhash, qCdcChunks, qCdcPairs, qIncrementalSemantic,
-      qClusterStats)
+      qClusterStats, qBloomGate)
 }

@@ -1425,9 +1425,64 @@ object ProfilingQueries extends QuerySet {
           * least($"n_rows" - 1, $"n_cols" - 1).cast("double"))), 6).as("cramers_v"))
   }
 
+  /** McNemar's test (continuity-corrected) for PAIRED classifier
+    * comparison — the right test when two quality filters score the SAME
+    * documents (the independent-samples chi² of q_stat_chi2 is wrong
+    * there): only the discordant counts b (A right, B wrong) and c
+    * (A wrong, B right) carry signal, χ² = (max(|b−c|−1, 0))²/(b+c).
+    * Here A = byte-length gate, B = token-count gate, truth = lang='en'.
+    *
+    * Scale shape: one scan, row-local predicates, one 4-cell aggregate —
+    * nothing grows with the corpus. χ² is an exact integer ratio and the
+    * significance flag compares identical doubles to a literal, so every
+    * cell is hash-portable.
+    */
+  val qMcnemar: GQuery = GQuery(
+    "q_stat_mcnemar",
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        (lang = 'en') AS truth,
+                        (n_chars > 300) AS pred_a,
+                        (len(string_split(text, ' ')) > 45) AS pred_b
+                 FROM documents),
+      cells AS (SELECT
+                  CAST(SUM(CASE WHEN (pred_a = truth) AND (pred_b = truth) THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+                  CAST(SUM(CASE WHEN (pred_a = truth) AND (pred_b <> truth) THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+                  CAST(SUM(CASE WHEN (pred_a <> truth) AND (pred_b = truth) THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+                  CAST(SUM(CASE WHEN (pred_a <> truth) AND (pred_b <> truth) THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+                FROM d),
+      s AS (SELECT both_right, a_only, b_only, both_wrong,
+                   CASE WHEN a_only + b_only = 0 THEN 0.0
+                        ELSE CAST(greatest(abs(a_only - b_only) - 1, 0)
+                                  * greatest(abs(a_only - b_only) - 1, 0) AS DOUBLE)
+                             / CAST(a_only + b_only AS DOUBLE) END AS chi2
+            FROM cells)
+      SELECT both_right, a_only, b_only, both_wrong, chi2,
+             (chi2 > 3.841458820694124) AS significant
+      FROM s""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val d = t(spark, dir).documents.select(
+      ($"lang" === "en").as("truth"),
+      ($"n_chars" > 300).as("pred_a"),
+      (size(split($"text", " ")) > 45).as("pred_b"))
+    val cells = d.agg(
+      sum(when($"pred_a" === $"truth" && $"pred_b" === $"truth", 1L).otherwise(0L)).as("both_right"),
+      sum(when($"pred_a" === $"truth" && $"pred_b" =!= $"truth", 1L).otherwise(0L)).as("a_only"),
+      sum(when($"pred_a" =!= $"truth" && $"pred_b" === $"truth", 1L).otherwise(0L)).as("b_only"),
+      sum(when($"pred_a" =!= $"truth" && $"pred_b" =!= $"truth", 1L).otherwise(0L)).as("both_wrong"))
+    val s = cells.select($"both_right", $"a_only", $"b_only", $"both_wrong",
+      when($"a_only" + $"b_only" === 0, 0.0)
+        .otherwise((greatest(abs($"a_only" - $"b_only") - 1, lit(0L))
+          * greatest(abs($"a_only" - $"b_only") - 1, lit(0L))).cast("double")
+          / ($"a_only" + $"b_only").cast("double")).as("chi2"))
+    s.select($"both_right", $"a_only", $"b_only", $"both_wrong", $"chi2",
+      ($"chi2" > 3.841458820694124).as("significant"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
-      qSpearman, qPermutation, qCramersV)
+      qSpearman, qPermutation, qCramersV, qMcnemar)
 }

@@ -24,7 +24,8 @@ object Registry {
     LayoutQueries,
     IngestQueries,
     CurationQueries,
-    AuditQueries
+    AuditQueries,
+    MiningQueries
   )
 
   lazy val all: Seq[GQuery] = {

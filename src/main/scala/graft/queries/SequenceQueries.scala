@@ -1480,10 +1480,65 @@ object SequenceQueries extends QuerySet {
       .limit(20)
   }
 
+  /** CEP-style sequence pattern matching (the MATCH_RECOGNIZE shape,
+    * SQL:2016): per user, the event-type stream becomes a character
+    * string in event-time order and a regex counts non-overlapping
+    * browse-then-click-then-buy motifs (`v+c+p`) — the declarative
+    * batch analog of what the reference's table agents hand-roll as
+    * per-key state machines (callysto/src/types/table_agent.rs:116-179).
+    *
+    * Scale shape: per-user sequences are rank-capped at 512 events (the
+    * hot-key discipline — an always-on user's history is unbounded at
+    * 100 TB; the cap is deterministic earliest-512, replayed in the
+    * oracle), so the collect and the regex both run on bounded strings;
+    * the output is the match-count histogram, not per-user rows. The
+    * `v+c+p` class of regex is scan-once with no backtracking blowup in
+    * both engines.
+    */
+  val qPatternMatch: GQuery = GQuery(
+    "q_seq_pattern_match",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                        CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                             WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' ELSE 'e' END AS ch
+                 FROM events),
+      capped AS (SELECT * FROM (
+                   SELECT user_id, tus, event_id, ch,
+                          row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+                   FROM e) WHERE rn <= 512),
+      seqs AS (SELECT user_id, string_agg(ch, '' ORDER BY tus, event_id) AS seq
+               FROM capped GROUP BY 1),
+      m AS (SELECT user_id, CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT) AS n_matches,
+                   CAST(len(seq) AS BIGINT) AS seq_len
+            FROM seqs)
+      SELECT n_matches, CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(seq_len) AS BIGINT) AS total_events
+      FROM m GROUP BY 1 ORDER BY n_matches""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val e = t(spark, dir).events.select(
+      $"user_id", $"event_id", expr("ts div 1000").as("tus"),
+      when($"event_type" === "signup", "s")
+        .when($"event_type" === "view", "v")
+        .when($"event_type" === "click", "c")
+        .when($"event_type" === "purchase", "p")
+        .otherwise("e").as("ch"))
+    val wCap = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val capped = e.withColumn("rn", row_number().over(wCap)).filter($"rn" <= 512)
+    val seqs = capped.groupBy($"user_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, ch))), x -> x.ch), '')")
+        .as("seq"))
+    val m = seqs.select(
+      expr("cast(size(regexp_extract_all(seq, 'v+c+p', 0)) as bigint)").as("n_matches"),
+      length($"seq").cast("long").as("seq_len"))
+    m.groupBy($"n_matches")
+      .agg(count(lit(1)).as("n_users"), sum($"seq_len").as("total_events"))
+      .orderBy($"n_matches")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
-      qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths)
+      qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch)
 }

@@ -272,7 +272,12 @@ class PlanSpec extends SparkSpec {
       "q_pipeline_attrition" -> "5 funnel-stage counts",
       // |sources| rows (a handful of crawl names) — the Gini rank window
       // runs over the per-source aggregate, never the corpus
-      "q_audit_domain_gini" -> "per-source aggregate (|sources| rows)"
+      "q_audit_domain_gini" -> "per-source aggregate (|sources| rows)",
+      // rank windows run on the two top-100 candidate lists (a `limit`
+      // sits directly below each window), never the corpus
+      "q_text_rank_fusion" -> "top-100 candidate lists (limit below)",
+      // running max over the 64-cell price grid aggregate
+      "q_agg_skyline" -> "64-cell price-grid aggregate"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       // a query that fails to BUILD here is itself an offense — swallowing
