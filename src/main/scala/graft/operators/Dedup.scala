@@ -1080,4 +1080,43 @@ object Dedup {
         col("__best.s").as("rep_score"),
         col("n_docs"))
   }
+
+  // ——— Bloom-filter admission gate (q_dedup_bloom_gate, StreamBloomDedupSpec)
+
+  /** Normalized content fingerprint — the exact-dedup key ([[exact]]'s
+    * hash) as (id, fp) rows, the input to the Bloom position derivation
+    * and to the exact-fingerprint fallback check.
+    */
+  def contentFp(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      md5(encode(normText(col(textCol)), "UTF-8")).as("fp"))
+
+  /** k md5-derived Bloom positions of each fingerprint into [0, mBits).
+    * `mBits` is a Column so callers can size bits-per-key from a measured
+    * count (the batch audit) or pin a config constant (the stream gate);
+    * position j = first 8 hex chars of md5(fp ":" j) mod mBits — exactly
+    * replayable in any engine with md5.
+    */
+  def bloomPositions(fps: DataFrame, k: Int, mBits: Column): DataFrame =
+    fps
+      .select(col("id"), col("fp"), mBits.as("__m"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col("id"), col("fp"),
+        (conv(substring(md5(concat(col("fp"), lit(":"), col("j"))), 1, 8), 16, 10)
+          .cast("long") % col("__m")).as("pos"))
+
+  /** Per-probe Bloom verdict against a position index: bloom_hit ⇔ all k
+    * positions are set. A membership SEMI-probe on the integer position
+    * key — never a pair enumeration — so the gate costs k index lookups
+    * per doc at any corpus size. One-sided by construction: a true dup's
+    * positions were all set by its own copy, so false NEGATIVES are
+    * impossible; bloom-hits are suspects that the caller routes through
+    * the exact fingerprint check (the cap-inversion rule's fallback).
+    */
+  def bloomVerdict(indexPos: DataFrame, probePos: DataFrame, k: Int): DataFrame =
+    probePos
+      .join(indexPos.select(col("pos").as("ipos")).distinct(),
+        col("pos") === col("ipos"), "left")
+      .groupBy(col("id"), col("fp"))
+      .agg((count(col("ipos")) === k).as("bloom_hit"))
 }

@@ -778,7 +778,66 @@ object AuditQueries extends QuerySet {
         round(sqrt($"mmd2"), 6).as("l2"))
   }
 
+  /** Stopword-profile stylometry: each source's frequency vector over a
+    * fixed 10-stopword basis (the classic authorship/register signal —
+    * function words survive topic shift), compared pairwise by cosine —
+    * flags crawl sources that are restyled mirrors of each other even
+    * when content-level dedup misses them.
+    *
+    * Scale shape: the profile is ONE token-scan pre-aggregated to
+    * (source, word, count) — 10 rows per source; the pair join runs on
+    * the |sources|-sized aggregate, never the corpus (the domain-gini
+    * bounded class). Cosine is integer dot / √(integer sums) — exact
+    * `÷ × sqrt` chain, hash-portable.
+    */
+  val qStylometry: GQuery = GQuery(
+    "q_text_stylometry",
+    Some("""
+      WITH sw AS (SELECT unnest(['the','a','of','and','to','in','is','on','for','with']) AS w),
+      tk AS (SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+             FROM documents),
+      spine AS (SELECT s.source, sw.w FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN sw),
+      cnts AS (SELECT tk.source, tk.tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM tk JOIN sw ON tk.tok = sw.w GROUP BY 1, 2),
+      dense AS (SELECT sp.source, sp.w, COALESCE(c.c, 0) AS c
+                FROM spine sp LEFT JOIN cnts c ON sp.source = c.source AND sp.w = c.w),
+      nrm AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS ss FROM dense GROUP BY 1),
+      pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                       CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+                FROM dense a JOIN dense b ON a.w = b.w AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT p.src_a, p.src_b, p.dot,
+             CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cos_sim
+      FROM pairs p JOIN nrm na ON p.src_a = na.source JOIN nrm nb ON p.src_b = nb.source
+      ORDER BY src_a, src_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    val docs = t(spark, dir).documents
+    val tk = docs.select($"source",
+      explode(split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ")).as("tok"))
+    val sw = stopwords.toDF("w")
+    val spine = docs.select($"source").distinct().crossJoin(broadcast(sw))
+    val cnts = tk.join(broadcast(sw), $"tok" === $"w")
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val dense = spine.as("sp")
+      .join(cnts.as("c"), $"sp.source" === $"c.source" && $"sp.w" === $"c.w", "left")
+      .select($"sp.source".as("source"), $"sp.w".as("w"), coalesce($"c.c", lit(0L)).as("c"))
+    val nrm = dense.groupBy($"source").agg(sum($"c" * $"c").as("ss"))
+    val pairs = dense.as("a")
+      .join(dense.as("b"), $"a.w" === $"b.w" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(sum($"a.c" * $"b.c").as("dot"))
+    pairs.as("p")
+      .join(broadcast(nrm.as("na")), $"src_a" === $"na.source")
+      .join(broadcast(nrm.as("nb")), $"src_b" === $"nb.source")
+      .select($"src_a", $"src_b", $"dot",
+        ($"dot".cast("double") /
+          (sqrt($"na.ss".cast("double")) * sqrt($"nb.ss".cast("double")))).as("cos_sim"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qDistinctNgrams, qZipf, qKlUnigram, qSeqlenAudit, qClassSeparation, qHardNegatives,
-    qHardNegativesProbe, qCooccurrence, qHeapsLaw, qDomainGini, qEmbedMmd)
+    qHardNegativesProbe, qCooccurrence, qHeapsLaw, qDomainGini, qEmbedMmd, qStylometry)
 }

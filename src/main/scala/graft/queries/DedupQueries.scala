@@ -1430,25 +1430,18 @@ object DedupQueries extends QuerySet {
       FROM flag""")
   ) { (spark, dir) =>
     import spark.implicits._
-    val d = t(spark, dir).documents.select(
-      $"doc_id",
-      md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"),
-      (substring(md5(concat($"doc_id".cast("string"), lit(":41"))), 1, 4) < "b333").as("is_train"))
+    val d = Dedup.contentFp(t(spark, dir).documents, "doc_id", "text")
+      .withColumn("is_train",
+        substring(md5(concat($"id".cast("string"), lit(":41"))), 1, 4) < "b333")
     val m = d.filter($"is_train").agg((countDistinct($"fp") * 8).as("m_bits"))
-    def positions(df: org.apache.spark.sql.DataFrame) = df
-      .select(df.columns.map(col) :+ explode(sequence(lit(1), lit(3))).as("j"): _*)
-      .crossJoin(broadcast(m))
-      .withColumn("pos",
-        conv(substring(md5(concat($"fp", lit(":"), $"j")), 1, 8), 16, 10).cast("long") % $"m_bits")
-    val trainPos = positions(d.filter($"is_train")).select($"pos").distinct()
-    val probePos = positions(d.filter(!$"is_train")).select($"doc_id", $"fp", $"pos")
-    val hits = probePos.as("p")
-      .join(trainPos.as("t").withColumnRenamed("pos", "tpos"), $"pos" === $"tpos", "left")
-      .groupBy($"doc_id", $"fp")
-      .agg(count($"tpos").as("n_hit"))
+    def positions(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bloomPositions(df.crossJoin(broadcast(m)), k = 3, mBits = $"m_bits")
+    val trainPos = positions(d.filter($"is_train")).select($"pos")
+    val probePos = positions(d.filter(!$"is_train"))
+    val verdict = Dedup.bloomVerdict(trainPos, probePos, k = 3)
     val exact = d.filter($"is_train").select($"fp".as("efp")).distinct()
-    val flag = hits.join(exact, $"fp" === $"efp", "left")
-      .select(($"n_hit" === 3).as("bloom_hit"), $"efp".isNotNull.as("exact_dup"))
+    val flag = verdict.join(exact, $"fp" === $"efp", "left")
+      .select($"bloom_hit", $"efp".isNotNull.as("exact_dup"))
     flag.crossJoin(broadcast(m))
       .groupBy($"m_bits")
       .agg(

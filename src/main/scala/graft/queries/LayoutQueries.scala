@@ -50,5 +50,65 @@ object LayoutQueries extends QuerySet {
       .orderBy($"event_id")
   }
 
-  override def queries: Seq[GQuery] = Seq(qZorder)
+  /** Small-file compaction audit + rewrite — the table-maintenance
+    * operation every 100 TB lake runs nightly: measure files per
+    * partition against a target row-count budget, then compact with a
+    * (partition, bucket) repartition whose file count is bounded by the
+    * target BY CONSTRUCTION (each (type, bucket = id % target) group
+    * lands wholly in one task; same-type groups sharing a task merge
+    * into one file — so files_after ≤ target always, without a
+    * driver-side loop over partitions).
+    *
+    * Oracle contract: row counts, id sums, and the target plan are exact
+    * and recomputable from `events`; physical file counts are
+    * layout-dependent (task parallelism), so the fragmentation and
+    * compaction claims ship as ENGINE-MEASURED booleans the oracle pins
+    * TRUE (the q_source_file_provenance bound-encoded pattern) — a hash
+    * match proves the deliberately fragmented write really was over
+    * target and the rewrite really landed at-or-under it, and sum_id
+    * proves the rewrite lost nothing.
+    */
+  val qCompaction: GQuery = GQuery(
+    "q_layout_compaction",
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(event_id) AS BIGINT) AS sum_id,
+             CAST(ceil(COUNT(*) / 4000.0) AS BIGINT) AS target_files,
+             TRUE AS fragmented, TRUE AS compacted_to_target
+      FROM events GROUP BY 1 ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val root = Scratch.dir("graft_compact")
+    val frag = root.resolve("frag").toString
+    val tidy = root.resolve("tidy").toString
+    t(spark, dir).events
+      .select($"event_id", $"event_type", $"value")
+      .repartition(32, $"event_id") // deliberate fragmentation: ~32 files/partition
+      .write.partitionBy("event_type").mode("overwrite").parquet(frag)
+    val before = spark.read.parquet(frag)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("_metadata.file_path")).as("files_before"),
+        ceil(count(lit(1)) / lit(4000.0)).cast("long").as("target_files"))
+      .localCheckpoint() // pin the audit before the rewrite below
+    spark.read.parquet(frag)
+      .join(broadcast(before.select($"event_type", $"target_files")), "event_type")
+      .withColumn("bucket", pmod($"event_id", $"target_files"))
+      .repartition($"event_type", $"bucket")
+      .drop("bucket", "target_files")
+      .write.partitionBy("event_type").mode("overwrite").parquet(tidy)
+    val after = spark.read.parquet(tidy)
+      .groupBy($"event_type")
+      .agg(
+        sum($"event_id").as("sum_id"),
+        countDistinct(col("_metadata.file_path")).as("files_after"))
+    before.join(after, "event_type")
+      .select($"event_type", $"n_rows", $"sum_id", $"target_files",
+        ($"files_before" > $"target_files").as("fragmented"),
+        ($"files_after" <= $"target_files").as("compacted_to_target"))
+      .orderBy($"event_type")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qZorder, qCompaction)
 }

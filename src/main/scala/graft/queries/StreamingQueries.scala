@@ -510,7 +510,123 @@ object StreamingQueries extends QuerySet {
       .orderBy($"user_id", $"probe_ts")
   }
 
+  /** Incremental view maintenance of an AGGREGATE from the changelog:
+    * instead of merging the ops into the row store and re-aggregating
+    * (q_state_merge_upsert's shape), the maintained path derives per-op
+    * DELTAS (update → price diff, delete → −row, insert → +row) and
+    * folds them into the previous aggregate — refresh cost ∝ changelog
+    * size, NOT corpus size, which is the only viable refresh at 100 TB
+    * (the base is touched only by a semi-join on the op keys, to read
+    * the old values the deltas need). The query runs BOTH paths and the
+    * oracle pins their exact equality per group: all arithmetic is
+    * DECIMAL(38,6), so maintained ≡ direct as exact rationals, and the
+    * `consistent` booleans are a proven invariant, not a tolerance.
+    * Reference analog: the changelog-table contract the reference keeps
+    * per CTable (callysto/src/table/table.rs:79-113) — this is what its
+    * users would build on top for materialized aggregates.
+    */
+  val qIncrementalAgg: GQuery = GQuery(
+    "q_state_incremental_agg",
+    Some("""
+      WITH ops AS (
+        SELECT o_orderkey AS k, 1 AS seq, NULL AS pri,
+               o_totalprice + 100.0 AS price, FALSE AS deleted
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, NULL, 0.0, TRUE
+        FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey + 50000000, 1, '1-URGENT', 1.0, FALSE
+        FROM orders WHERE o_orderkey % 1000 = 1),
+      latest AS (
+        SELECT k, pri, price, deleted FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ops)
+        WHERE rn = 1),
+      base_agg AS (
+        SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS cnt,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+        FROM orders GROUP BY 1),
+      deltas AS (
+        SELECT b.o_orderpriority AS pri,
+               CASE WHEN l.deleted THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dcnt,
+               CASE WHEN l.deleted THEN -CAST(b.o_totalprice AS DECIMAL(38,6))
+                    ELSE CAST(l.price AS DECIMAL(38,6)) - CAST(b.o_totalprice AS DECIMAL(38,6)) END AS dtotal
+        FROM latest l JOIN orders b ON l.k = b.o_orderkey
+        UNION ALL
+        SELECT l.pri, CAST(1 AS BIGINT), CAST(l.price AS DECIMAL(38,6))
+        FROM latest l LEFT JOIN orders b ON l.k = b.o_orderkey
+        WHERE b.o_orderkey IS NULL AND NOT l.deleted),
+      delta_agg AS (
+        SELECT pri, CAST(SUM(dcnt) AS BIGINT) AS dcnt, SUM(dtotal) AS dtotal
+        FROM deltas GROUP BY 1),
+      maintained AS (
+        SELECT COALESCE(b.pri, d.pri) AS pri,
+               COALESCE(b.cnt, 0) + COALESCE(d.dcnt, 0) AS cnt,
+               COALESCE(b.total, 0) + COALESCE(d.dtotal, 0) AS total
+        FROM base_agg b FULL OUTER JOIN delta_agg d ON b.pri = d.pri),
+      final_state AS (
+        SELECT b.o_orderpriority AS pri, CAST(b.o_totalprice AS DECIMAL(38,6)) AS price
+        FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.k WHERE l.k IS NULL
+        UNION ALL
+        SELECT COALESCE(b.o_orderpriority, l.pri), CAST(l.price AS DECIMAL(38,6))
+        FROM latest l LEFT JOIN orders b ON l.k = b.o_orderkey WHERE NOT l.deleted),
+      direct AS (
+        SELECT pri, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(price) AS total
+        FROM final_state GROUP BY 1)
+      SELECT m.pri, m.cnt AS cnt_maintained, d.cnt AS cnt_direct,
+             CAST(m.total AS DOUBLE) AS total_maintained, CAST(d.total AS DOUBLE) AS total_direct,
+             (m.cnt = d.cnt AND m.total = d.total) AS consistent
+      FROM maintained m JOIN direct d ON m.pri = d.pri
+      ORDER BY m.pri""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val D = Common.D
+    val ord = t(spark, dir).orders
+    val setOps = ord.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey".as("k"), lit(1L).as("seq"), lit(null).cast("string").as("pri"),
+        ($"o_totalprice" + 100.0).as("price"), lit(false).as("deleted"))
+    val delOps = ord.filter($"o_orderkey" % 6 === 0)
+      .select($"o_orderkey".as("k"), lit(2L).as("seq"), lit(null).cast("string").as("pri"),
+        lit(0.0).as("price"), lit(true).as("deleted"))
+    val insOps = ord.filter($"o_orderkey" % 1000 === 1)
+      .select(($"o_orderkey" + 50000000L).as("k"), lit(1L).as("seq"), lit("1-URGENT").as("pri"),
+        lit(1.0).as("price"), lit(false).as("deleted"))
+    val latest = graft.operators.Joins
+      .collapseChangelog(setOps.unionByName(delOps).unionByName(insOps), Seq("k"), "seq")
+      .localCheckpoint()
+    val baseAgg = ord.groupBy($"o_orderpriority".as("pri"))
+      .agg(count(lit(1)).as("cnt"), sum($"o_totalprice".cast(D)).as("total"))
+    val existing = latest.join(ord, $"k" === $"o_orderkey")
+      .select($"o_orderpriority".as("pri"),
+        when($"deleted", -1L).otherwise(0L).as("dcnt"),
+        when($"deleted", -$"o_totalprice".cast(D))
+          .otherwise($"price".cast(D) - $"o_totalprice".cast(D)).as("dtotal"))
+    val inserted = latest.join(ord, $"k" === $"o_orderkey", "left")
+      .filter($"o_orderkey".isNull && !$"deleted")
+      .select($"pri", lit(1L).as("dcnt"), $"price".cast(D).as("dtotal"))
+    val deltaAgg = existing.unionByName(inserted)
+      .groupBy($"pri").agg(sum($"dcnt").as("dcnt"), sum($"dtotal").as("dtotal"))
+    val maintained = baseAgg.as("b").join(deltaAgg.as("d"), Seq("pri"), "full_outer")
+      .select($"pri",
+        (coalesce($"b.cnt", lit(0L)) + coalesce($"d.dcnt", lit(0L))).as("cnt"),
+        (coalesce($"b.total", lit(0).cast(D)) + coalesce($"d.dtotal", lit(0).cast(D))).as("total"))
+    val untouched = ord.join(latest, $"o_orderkey" === $"k", "left_anti")
+      .select($"o_orderpriority".as("pri"), $"o_totalprice".cast(D).as("price"))
+    val fromOps = latest.filter(!$"deleted")
+      .join(ord, $"k" === $"o_orderkey", "left")
+      .select(coalesce($"o_orderpriority", $"pri").as("pri"), $"price".cast(D).as("price"))
+    val direct = untouched.unionByName(fromOps)
+      .groupBy($"pri").agg(count(lit(1)).as("cnt"), sum($"price").as("total"))
+    maintained.as("m").join(direct.as("d"), Seq("pri"))
+      .select($"pri", $"m.cnt".as("cnt_maintained"), $"d.cnt".as("cnt_direct"),
+        $"m.total".cast("double").as("total_maintained"),
+        $"d.total".cast("double").as("total_direct"),
+        ($"m.cnt" === $"d.cnt" && $"m.total" === $"d.total").as("consistent"))
+      .orderBy($"pri")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStateSnapshot, qTumbling, qSliding, qSession, qSessionDynamic, qAvroRoundtrip,
-      qAvroFileRoundtrip, qGapFill, qInterpolate, qMergeUpsert, qScd2, qTemporal)
+      qAvroFileRoundtrip, qGapFill, qInterpolate, qMergeUpsert, qScd2, qTemporal,
+      qIncrementalAgg)
 }

@@ -277,7 +277,11 @@ class PlanSpec extends SparkSpec {
       // sits directly below each window), never the corpus
       "q_text_rank_fusion" -> "top-100 candidate lists (limit below)",
       // running max over the 64-cell price grid aggregate
-      "q_agg_skyline" -> "64-cell price-grid aggregate"
+      "q_agg_skyline" -> "64-cell price-grid aggregate",
+      // cum window over <=65536 grid cells + rank inside ONE cell
+      // (expected n/65536 rows; degenerate single-value data collapses
+      // the grid, in which case the cell IS the answer)
+      "q_agg_exact_kth" -> "65536-cell selection grid + one cell"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       // a query that fails to BUILD here is itself an offense — swallowing
