@@ -125,14 +125,24 @@ object MiningQueries extends QuerySet {
       .distinct()
     val wCap = Window.partitionBy($"u")
       .orderBy(md5(concat($"u".cast("string"), lit(":"), $"i".cast("string"))), $"i")
+    // localCheckpoint the CAPPED basket (tiny: ≤30 rows/customer) — it
+    // feeds ni + both self-join sides, and Spark shares no subtrees
+    // across those consumers, so without materialization the
+    // scan→join→distinct→cap pipeline runs 3× at full cost
+    // (plan-audited round 10). The big pair table is NOT checkpointed:
+    // symmetrization is a 2-row explode on the single co pass instead
+    // of a union of two co reads — same rows, one pair join.
     val cap = ub.withColumn("rn", row_number().over(wCap)).filter($"rn" <= 30).drop("rn")
+      .localCheckpoint()
     val ni = cap.groupBy($"i").agg(count(lit(1)).as("n_i"))
     val co = cap.as("a")
       .join(cap.as("c"), $"a.u" === $"c.u" && $"a.i" < $"c.i")
       .groupBy($"a.i".as("ia"), $"c.i".as("ib"))
       .agg(count(lit(1)).as("co"))
-    val sym = co.select($"ia".as("item"), $"ib".as("nb"), $"co")
-      .unionAll(co.select($"ib".as("item"), $"ia".as("nb"), $"co"))
+    val sym = co.select(explode(array(
+        struct($"ia".as("item"), $"ib".as("nb")),
+        struct($"ib".as("item"), $"ia".as("nb")))).as("p"), $"co")
+      .select($"p.item".as("item"), $"p.nb".as("nb"), $"co")
     val sc = sym.as("s")
       .join(ni.as("na"), $"s.item" === $"na.i")
       .join(ni.as("nbi"), $"s.nb" === $"nbi.i")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1480,9 +1481,122 @@ object ProfilingQueries extends QuerySet {
       ($"chi2" > 3.841458820694124).as("significant"))
   }
 
+  /** Benjamini–Hochberg FDR over a family of permutation tests: each
+    * non-control event_type is tested against the 'view' control (mean
+    * value shift, 32 md5-derived permutation replicates — the
+    * q_stat_permutation recipe), then the m p-values pass the BH step-up
+    * at q = 0.05 — the multiple-testing correction any segment-sweep
+    * ("which cohorts moved?") needs before acting on per-test p's. The
+    * plant-and-detect calibration (HotCliqueStress philosophy): the
+    * purchase group carries a deterministic +15 shift, so the pipeline
+    * must reject exactly the planted effect while the null groups ride
+    * the uniform p grid.
+    *
+    * Portability: p-values are exact rationals (n_exceed/32) and the BH
+    * gate is the INTEGER cross-multiplication n_exceed·m·20 ≤ 32·rank
+    * (q = 1/20) — no p-value division is ever compared. Scale shape: the
+    * replicate fan-out is 32× row-local (bootstrap class); each test's
+    * rows are its group + the shared control (the control replicates m×,
+    * m = |groups| − 1, a schema constant); the BH ranking runs on the
+    * m-row p-value table (bounded window, see PlanSpec allowlist).
+    */
+  val qFdrBh: GQuery = GQuery(
+    "q_stat_fdr_bh",
+    Some("""
+      WITH d AS (SELECT event_id, event_type AS g,
+                        value + CASE WHEN event_type = 'purchase' THEN 15.0 ELSE 0.0 END AS v
+                 FROM events),
+      ctrl AS (SELECT event_id, v FROM d WHERE g = 'view'),
+      nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM ctrl),
+      grps AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM d WHERE g <> 'view' GROUP BY 1),
+      mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM grps),
+      pool AS (
+        SELECT g, ng, event_id, v, TRUE AS in_g
+        FROM d JOIN grps USING (g)
+        UNION ALL
+        SELECT s.g, s.ng, c.event_id, c.v, FALSE
+        FROM ctrl c CROSS JOIN grps s),
+      fan AS (
+        SELECT p.g, p.ng, p.event_id, p.v, p.in_g, b.b,
+               ((('0x' || substr(md5(CAST(p.event_id AS VARCHAR) || ':' || p.g || ':'
+                                || CAST(b.b AS VARCHAR) || ':37'), 1, 8))::UBIGINT
+                 % (p.ng + nc.nc)) < p.ng) AS pg
+        FROM pool p CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b CROSS JOIN nc),
+      obs AS (
+        SELECT g,
+               CAST(SUM(CAST(CASE WHEN in_g THEN v END AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN in_g THEN 1 ELSE 0 END) AS DOUBLE)
+             - CAST(SUM(CAST(CASE WHEN NOT in_g THEN v END AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN NOT in_g THEN 1 ELSE 0 END) AS DOUBLE) AS diff_obs
+        FROM fan WHERE b = 0 GROUP BY g),
+      reps AS (
+        SELECT g, b,
+               CAST(SUM(CAST(CASE WHEN pg THEN v END AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN pg THEN 1 ELSE 0 END) AS DOUBLE)
+             - CAST(SUM(CAST(CASE WHEN NOT pg THEN v END AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN NOT pg THEN 1 ELSE 0 END) AS DOUBLE) AS diff_b
+        FROM fan GROUP BY g, b),
+      pv AS (
+        SELECT o.g, CAST(SUM(CASE WHEN round(abs(r.diff_b), 6) >= round(abs(o.diff_obs), 6)
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+        FROM obs o JOIN reps r ON o.g = r.g GROUP BY o.g),
+      rk AS (
+        SELECT pv.g, pv.n_exceed,
+               CAST(row_number() OVER (ORDER BY pv.n_exceed, pv.g) AS BIGINT) AS rank
+        FROM pv),
+      thr AS (
+        SELECT COALESCE(MAX(rk.rank), 0) AS kstar
+        FROM rk CROSS JOIN mm WHERE rk.n_exceed * mm.m * 20 <= rk.rank * 32)
+      SELECT rk.g AS grp, rk.n_exceed,
+             CAST(rk.n_exceed AS DOUBLE) / 32.0 AS p_value, rk.rank,
+             (rk.rank <= thr.kstar) AS rejected
+      FROM rk CROSS JOIN thr ORDER BY rank, grp""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val D6 = Common.D
+    val d = t(spark, dir).events.select(
+      $"event_id", $"event_type".as("g"),
+      ($"value" + when($"event_type" === "purchase", 15.0).otherwise(0.0)).as("v"))
+    val ctrl = d.filter($"g" === "view").select($"event_id", $"v").localCheckpoint()
+    val nc = ctrl.count()
+    val grps = d.filter($"g" =!= "view").groupBy($"g").agg(count(lit(1)).as("ng"))
+    val pool = d.filter($"g" =!= "view").join(broadcast(grps), "g")
+      .select($"g", $"ng", $"event_id", $"v", lit(true).as("in_g"))
+      .unionByName(ctrl.crossJoin(broadcast(grps))
+        .select($"g", $"ng", $"event_id", $"v", lit(false).as("in_g")))
+    val fan = pool
+      .select($"g", $"ng", $"event_id", $"v", $"in_g",
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("pg",
+        conv(substring(md5(concat($"event_id".cast("string"), lit(":"), $"g", lit(":"),
+          $"b".cast("string"), lit(":37"))), 1, 8), 16, 10).cast("long")
+          % ($"ng" + nc) < $"ng")
+    def mdiff(flag: Column) =
+      sum(when(flag, $"v").cast(D6)).cast("double") /
+        sum(when(flag, 1L).otherwise(0L)).cast("double") -
+        sum(when(!flag, $"v").cast(D6)).cast("double") /
+          sum(when(!flag, 1L).otherwise(0L)).cast("double")
+    val obs = fan.filter($"b" === 0).groupBy($"g").agg(mdiff($"in_g").as("diff_obs"))
+    val reps = fan.groupBy($"g", $"b").agg(mdiff($"pg").as("diff_b"))
+    val pv = obs.join(reps, "g")
+      .groupBy($"g")
+      .agg(sum(when(round(abs($"diff_b"), 6) >= round(abs($"diff_obs"), 6), 1L).otherwise(0L))
+        .as("n_exceed"))
+    val m = grps.count()
+    val wRank = Window.orderBy($"n_exceed", $"g") // bounded: m = |groups|-1 tests
+    val rk = pv.withColumn("rank", row_number().over(wRank).cast("long"))
+    val kstar = rk.filter($"n_exceed" * m * 20 <= $"rank" * 32)
+      .agg(coalesce(max($"rank"), lit(0L)).as("kstar"))
+    rk.crossJoin(broadcast(kstar))
+      .select($"g".as("grp"), $"n_exceed",
+        ($"n_exceed".cast("double") / 32.0).as("p_value"), $"rank",
+        ($"rank" <= $"kstar").as("rejected"))
+      .orderBy($"rank", $"grp")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
-      qSpearman, qPermutation, qCramersV, qMcnemar)
+      qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh)
 }

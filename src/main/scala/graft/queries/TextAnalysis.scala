@@ -1904,11 +1904,92 @@ object TextAnalysis extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  /** Per-class precision / recall / F1 of the q_text_langid heuristic
+    * against the labeled `lang` column — the multiclass-eval operator
+    * every classifier in the quality stack needs (calibration measures
+    * probability honesty, length-bias measures confounding; this is the
+    * plain confusion-matrix scorecard). The class spine is the union of
+    * truth and prediction labels, so never-predicted classes (zh has no
+    * marker list) and never-true classes (unknown) both get honest
+    * zero-precision/recall rows instead of vanishing.
+    *
+    * Scale shape: predictions are row-local marker counts; everything
+    * downstream runs on the ≤ |classes|² confusion-cell aggregate. All
+    * metrics are exact integer ratios (F1 = 2tp/(2tp+fp+fn) — a SINGLE
+    * division, not the P·R composition, so no intermediate float feeds
+    * a float).
+    */
+  val qPrf1: GQuery = GQuery(
+    "q_quality_prf1",
+    Some("""
+      WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','is','with'], t))) AS en_score,
+               len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist'], t))) AS de_score,
+               len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','est','avec'], t))) AS fr_score,
+               len(list_filter(string_split(text,' '), t -> list_contains(['el','los','y','es','con'], t))) AS es_score
+        FROM documents),
+      p AS (SELECT lang AS truth,
+                   CASE WHEN en_score = 0 AND de_score = 0 AND fr_score = 0 AND es_score = 0 THEN 'unknown'
+                        WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+                        WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+                        WHEN es_score >= fr_score THEN 'es'
+                        ELSE 'fr' END AS pred
+            FROM s),
+      cells AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+      cls AS (SELECT DISTINCT truth AS c FROM cells UNION SELECT DISTINCT pred FROM cells),
+      m AS (SELECT cls.c,
+                   CAST(COALESCE(SUM(CASE WHEN cells.truth = cls.c AND cells.pred = cls.c THEN cells.n END), 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(SUM(CASE WHEN cells.pred = cls.c AND cells.truth <> cls.c THEN cells.n END), 0) AS BIGINT) AS fp,
+                   CAST(COALESCE(SUM(CASE WHEN cells.truth = cls.c AND cells.pred <> cls.c THEN cells.n END), 0) AS BIGINT) AS fn
+            FROM cls LEFT JOIN cells ON TRUE
+            GROUP BY 1)
+      SELECT c AS class, tp, fp, fn, tp + fn AS support,
+             CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+             CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+             CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                  ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+      FROM m ORDER BY class""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.TextOps.markerHits
+    val toks = split($"text", " ")
+    val s = t(spark, dir).documents.select(
+      $"lang",
+      markerHits(toks, Seq("the", "a", "and", "is", "with")).as("en_score"),
+      markerHits(toks, Seq("der", "die", "das", "und", "ist")).as("de_score"),
+      markerHits(toks, Seq("le", "la", "et", "est", "avec")).as("fr_score"),
+      markerHits(toks, Seq("el", "los", "y", "es", "con")).as("es_score"))
+    val p = s.select($"lang".as("truth"),
+      when($"en_score" === 0 && $"de_score" === 0 && $"fr_score" === 0 && $"es_score" === 0, "unknown")
+        .when($"en_score" >= $"de_score" && $"en_score" >= $"fr_score" && $"en_score" >= $"es_score", "en")
+        .when($"de_score" >= $"fr_score" && $"de_score" >= $"es_score", "de")
+        .when($"es_score" >= $"fr_score", "es")
+        .otherwise("fr").as("pred"))
+    val cells = p.groupBy($"truth", $"pred").agg(count(lit(1)).as("n")).localCheckpoint()
+    val cls = cells.select($"truth".as("c")).union(cells.select($"pred")).distinct()
+    val m = cls.crossJoin(broadcast(cells))
+      .groupBy($"c")
+      .agg(
+        coalesce(sum(when($"truth" === $"c" && $"pred" === $"c", $"n")), lit(0L)).as("tp"),
+        coalesce(sum(when($"pred" === $"c" && $"truth" =!= $"c", $"n")), lit(0L)).as("fp"),
+        coalesce(sum(when($"truth" === $"c" && $"pred" =!= $"c", $"n")), lit(0L)).as("fn"))
+    m.select($"c".as("class"), $"tp", $"fp", $"fn", ($"tp" + $"fn").as("support"),
+      when($"tp" + $"fp" === 0, 0.0)
+        .otherwise($"tp".cast("double") / ($"tp" + $"fp").cast("double")).as("precision"),
+      when($"tp" + $"fn" === 0, 0.0)
+        .otherwise($"tp".cast("double") / ($"tp" + $"fn").cast("double")).as("recall"),
+      when(lit(2) * $"tp" + $"fp" + $"fn" === 0, 0.0)
+        .otherwise((lit(2) * $"tp").cast("double") / (lit(2) * $"tp" + $"fp" + $"fn").cast("double"))
+        .as("f1"))
+      .orderBy($"class")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
       qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty,
       qTokenEntropy, qCalibration, qRetrievalEval, qTemplateMining, qLengthBias,
-      qCodeDetection, qReadability)
+      qCodeDetection, qReadability, qPrf1)
 }

@@ -281,7 +281,9 @@ class PlanSpec extends SparkSpec {
       // cum window over <=65536 grid cells + rank inside ONE cell
       // (expected n/65536 rows; degenerate single-value data collapses
       // the grid, in which case the cell IS the answer)
-      "q_agg_exact_kth" -> "65536-cell selection grid + one cell"
+      "q_agg_exact_kth" -> "65536-cell selection grid + one cell",
+      // BH ranking over the m-row p-value table (m = |groups|-1 tests)
+      "q_stat_fdr_bh" -> "m per-group tests (schema constant)"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       // a query that fails to BUILD here is itself an offense — swallowing
