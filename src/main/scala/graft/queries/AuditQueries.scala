@@ -837,7 +837,53 @@ object AuditQueries extends QuerySet {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** Word burstiness (variance-to-mean dispersion index of per-doc
+    * counts, zeros included) for the top-20 corpus words: D ≈ 1 means a
+    * word arrives Poisson-uniformly (function words), D ≫ 1 means it
+    * clumps into few documents (topical/boilerplate words) — the signal
+    * that separates stopword-like tokens from burst terms when building
+    * stopword lists or tf saturation caps without a curated lexicon.
+    *
+    * Scale shape: one token scan pre-aggregated to (word, doc, count);
+    * per-word moments are integer sums (zeros enter via N·Σc² − (Σc)²,
+    * never a dense doc×word table); top-20 is TakeOrdered. D is one
+    * exact integer ratio — hash-portable.
+    */
+  val qBurstiness: GQuery = GQuery(
+    "q_text_burstiness",
+    Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                  FROM documents),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+      cnt AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+      tot AS (SELECT w, CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS df,
+                     CAST(SUM(c * c) AS BIGINT) AS sq
+              FROM cnt GROUP BY 1),
+      top AS (SELECT * FROM tot ORDER BY total DESC, w LIMIT 20)
+      SELECT t.w AS word, t.total, t.df,
+             CAST(nd.nd * t.sq - t.total * t.total AS DOUBLE)
+               / CAST(nd.nd * t.total AS DOUBLE) AS burstiness
+      FROM top t CROSS JOIN nd
+      ORDER BY total DESC, word""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val tk = docs.select($"doc_id",
+      explode(split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ")).as("w"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val cnt = tk.groupBy($"w", $"doc_id").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy($"w").agg(
+      sum($"c").as("total"), count(lit(1)).as("df"), sum($"c" * $"c").as("sq"))
+    tot.orderBy($"total".desc, $"w").limit(20)
+      .crossJoin(broadcast(nd))
+      .select($"w".as("word"), $"total", $"df",
+        (($"nd" * $"sq" - $"total" * $"total").cast("double") /
+          ($"nd" * $"total").cast("double")).as("burstiness"))
+      .orderBy($"total".desc, $"word")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qDistinctNgrams, qZipf, qKlUnigram, qSeqlenAudit, qClassSeparation, qHardNegatives,
-    qHardNegativesProbe, qCooccurrence, qHeapsLaw, qDomainGini, qEmbedMmd, qStylometry)
+    qHardNegativesProbe, qCooccurrence, qHeapsLaw, qDomainGini, qEmbedMmd, qStylometry,
+    qBurstiness)
 }

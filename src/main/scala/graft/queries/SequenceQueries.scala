@@ -1535,10 +1535,76 @@ object SequenceQueries extends QuerySet {
       .orderBy($"n_matches")
   }
 
+  /** Degree assortativity of the part co-purchase graph — Newman's r:
+    * the Pearson correlation of (deg u, deg v) over the directed edge
+    * list; positive = hubs link to hubs, ~0 = degree-random (this
+    * fixture), negative = hub-and-spoke. The structural companion to
+    * q_graph_degree_dist's marginal (same marginal, different wiring —
+    * assortativity tells them apart).
+    *
+    * Scale shape: edge generation is the basket-bounded order self-join
+    * (≤ C(13,2) pairs/order — linear); degrees come from one groupBy of
+    * the exploded edge list; moment sums go through DECIMAL and cast to
+    * double while still < 2^53 (exact), and the final r is a fixed-order
+    * IEEE `× − ÷` chain over those exact doubles — portable even though
+    * the intermediate products exceed 2^53 (IEEE rounding is
+    * deterministic; only the INPUTS must be exact). Beyond ~1e6-degree
+    * graphs lift the moments to DECIMAL(38,0) and divide there first.
+    */
+  val qAssortativity: GQuery = GQuery(
+    "q_graph_assortativity",
+    Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+              FROM (SELECT u FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      de AS (SELECT du.d AS x, dv.d AS y
+             FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+             UNION ALL
+             SELECT dv.d, du.d
+             FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+      s AS (SELECT CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS se,
+                   CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy
+            FROM de),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+      ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+      SELECT nn.n_nodes, ne.n_edges,
+             (s.se * s.sxy - s.sx * s.sx) / (s.se * s.sxx - s.sx * s.sx) AS assortativity
+      FROM s, nn, ne""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val op = t(spark, dir).lineitem.select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      .localCheckpoint() // feeds degrees + the edge-degree join (no subtree sharing)
+    val deg = e.select($"u".as("node")).unionAll(e.select($"v"))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val de = e.join(deg.as("du"), $"u" === $"du.node")
+      .join(deg.as("dv"), $"v" === $"dv.node")
+      .select(explode(array(
+        struct($"du.d".as("x"), $"dv.d".as("y")),
+        struct($"dv.d".as("x"), $"du.d".as("y")))).as("q"))
+      .select($"q.x".as("x"), $"q.y".as("y"))
+    val s = de.agg(
+      count(lit(1)).cast("double").as("se"),
+      sum($"x").cast("long").cast("double").as("sx"),
+      sum($"x" * $"x").cast("long").cast("double").as("sxx"),
+      sum($"x" * $"y").cast("long").cast("double").as("sxy"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(s))
+      .select($"n_nodes", $"n_edges",
+        (($"se" * $"sxy" - $"sx" * $"sx") / ($"se" * $"sxx" - $"sx" * $"sx"))
+          .as("assortativity"))
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
-      qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch)
+      qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch,
+      qAssortativity)
 }
