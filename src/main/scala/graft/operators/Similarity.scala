@@ -1103,6 +1103,23 @@ object Similarity {
       rounds: Int,
       seed: Int
   ): DataFrame = {
+    val (x, cents) = kmeansFit(df, idCol, vecCol, dim, k, rounds, seed)
+    kmeansAssign(x, cents)
+      .select(col("id").as(idCol), col("cl").cast("long").as("cluster"),
+        round(col("dist"), 6).as("dist"))
+  }
+
+  /** The shared Lloyd fit: normalized vector table + final centroids
+    * (driver-side — k·dim doubles, the codebook pattern). */
+  private def kmeansFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      rounds: Int,
+      seed: Int
+  ): (DataFrame, Array[Array[Double]]) = {
     require(k >= 1 && rounds >= 1 && dim >= 1, "kmeansLloyd: bad k/rounds/dim")
     import org.apache.spark.sql.types.DecimalType
     val x = df
@@ -1115,22 +1132,8 @@ object Similarity {
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(cents.length == k, s"need at least $k vectors to seed")
-    // (dist, j) struct array; array_min is lexicographic, so ties go to
-    // the lower cluster index
-    def assign(c: Array[Array[Double]]) = {
-      val dj = array(c.zipWithIndex.map { case (cent, j) =>
-        val cLit = array(cent.map(lit): _*)
-        struct(
-          aggregate(zip_with(col("v"), cLit, (xv, m) => (xv - m) * (xv - m)),
-            lit(0.0), (acc, t) => acc + t).as("d"),
-          lit(j).as("j"))
-      }: _*)
-      x.withColumn("mm", array_min(dj))
-        .select(col("id"), col("v"),
-          col("mm.j").as("cl"), col("mm.d").as("dist"))
-    }
     for (_ <- 1 to rounds) {
-      val means = assign(cents)
+      val means = kmeansAssign(x, cents)
         .select(col("cl"), posexplode(col("v")).as(Seq("dim", "xv")))
         .groupBy(col("cl"), col("dim"))
         .agg((sum(col("xv").cast(DecimalType(38, 6))).cast("double")
@@ -1143,9 +1146,64 @@ object Similarity {
         else cents(j) // empty cluster: carry the previous centroid
       }
     }
-    assign(cents)
+    (x, cents)
+  }
+
+  // (dist, j) struct array; array_min is lexicographic, so ties go to
+  // the lower cluster index
+  private def kmeansAssign(x: DataFrame, c: Array[Array[Double]]): DataFrame = {
+    val dj = array(c.zipWithIndex.map { case (cent, j) =>
+      val cLit = array(cent.map(lit): _*)
+      struct(
+        aggregate(zip_with(col("v"), cLit, (xv, m) => (xv - m) * (xv - m)),
+          lit(0.0), (acc, t) => acc + t).as("d"),
+        lit(j).as("j"))
+    }: _*)
+    x.withColumn("mm", array_min(dj))
+      .select(col("id"), col("v"),
+        col("mm.j").as("cl"), col("mm.d").as("dist"))
+  }
+
+  /** Simplified silhouette (Hruschka et al.) over the [[kmeansLloyd]]
+    * fit — per-vector s = (b − a) / max(a, b) with a = distance to the
+    * OWN final centroid and b = the nearest OTHER centroid distance
+    * (the O(n·k) centroid-based variant; the classic all-pairs
+    * silhouette is O(n²) and cannot scale). Returns one row per vector
+    * (id, cluster, a, b, s).
+    *
+    * Portability: each distance is the same codegen'd sequential fold
+    * the assignment uses, under one IEEE `sqrt` (correctly rounded by
+    * the standard, so engine-identical); s is one subtract/divide chain
+    * on those. Callers aggregating s across rows must micro-quantize
+    * first (floor(1e6·s + 0.5) — unordered double sums are not
+    * portable).
+    */
+  def kmeansSilhouette(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      rounds: Int,
+      seed: Int
+  ): DataFrame = {
+    val (x, cents) = kmeansFit(df, idCol, vecCol, dim, k, rounds, seed)
+    val ds = array(cents.zipWithIndex.map { case (cent, j) =>
+      val cLit = array(cent.map(lit): _*)
+      struct(
+        sqrt(aggregate(zip_with(col("v"), cLit, (xv, m) => (xv - m) * (xv - m)),
+          lit(0.0), (acc, t) => acc + t)).as("d"),
+        lit(j).as("j"))
+    }: _*)
+    kmeansAssign(x, cents)
+      .withColumn("b",
+        array_min(filter(ds, s => s.getField("j") =!= col("cl"))).getField("d"))
+      .withColumn("a", sqrt(col("dist")))
       .select(col("id").as(idCol), col("cl").cast("long").as("cluster"),
-        round(col("dist"), 6).as("dist"))
+        col("a"), col("b"),
+        when(greatest(col("a"), col("b")) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(0.0).as("s"))
   }
 
   /** Portable md5 fingerprint of the 2^20-quantized embedding — the

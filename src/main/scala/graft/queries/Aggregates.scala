@@ -867,6 +867,75 @@ object Aggregates extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** EXACT distributed weighted median (lower weighted median of
+    * l_extendedprice weighted by l_quantity, per return flag) — the
+    * robust center for weighted populations (token-weighted doc length,
+    * spend-weighted price) where the plain median over rows answers the
+    * wrong question. Definition: smallest v with cumweight(v) ≥
+    * ⌈W/2⌉ = (W+1) div 2, all-integer weights so the threshold and every
+    * cumulative are exact BIGINTs.
+    *
+    * Scale shape: one (flag, value)-keyed pre-aggregate shuffles the fact
+    * table once; the cumulative weights come from the range-partitioned
+    * two-pass prefix scan ([[graft.operators.Sampling.prefixSumsBy]] over
+    * the composite (flag, value) order) — NEVER a per-group
+    * `Window.orderBy` (a flag group is a third of the fact table, which
+    * would funnel through one task). Per-group exclusive offsets need no
+    * window at all: groups are contiguous in the scan order, so
+    * offset(g) = max(cum) − sum(w) per group. Threshold math uses `div`
+    * (CLAUDE.md: Spark `/` on integers is DOUBLE division). The oracle
+    * recomputes the same integers with a per-flag window — the
+    * cum_at_median witness pins the selection, not just the value.
+    */
+  val qWeightedMedian: GQuery = GQuery(
+    "q_agg_weighted_median",
+    Some("""
+      WITH f AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT flag, v, w,
+               CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cumw
+        FROM f),
+      t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS w_total FROM f GROUP BY 1),
+      m AS (
+        SELECT c.flag, min(c.v) AS median_value
+        FROM c JOIN t USING (flag)
+        WHERE c.cumw >= (t.w_total + 1) // 2
+        GROUP BY 1)
+      SELECT t.flag AS l_returnflag, t.w_total,
+             (t.w_total + 1) // 2 AS threshold,
+             m.median_value, cm.cumw AS cum_at_median
+      FROM t JOIN m ON m.flag = t.flag
+      JOIN c cm ON cm.flag = t.flag AND cm.v = m.median_value
+      ORDER BY l_returnflag""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val f = t(spark, dir).lineitem
+      .groupBy($"l_returnflag".as("flag"), $"l_extendedprice".as("v"))
+      .agg(sum($"l_quantity".cast("long")).as("w"))
+    // global two-pass prefix scan over the composite (flag, v) order
+    val c = graft.operators.Sampling
+      .prefixSumsBy(f, Seq($"flag", $"v"), Seq("w"))
+    // groups are contiguous in scan order: per-flag exclusive offset =
+    // cumulative at group end minus the group's own total — no window
+    val tt = c.groupBy($"flag")
+      .agg(sum($"w").as("w_total"), max($"cum_w").as("grp_end"))
+      .select($"flag", $"w_total", ($"grp_end" - $"w_total").as("offset"),
+        expr("(w_total + 1) div 2").as("threshold"))
+    val cl = c.join(broadcast(tt), "flag")
+      .select($"flag", $"v", ($"cum_w" - $"offset").as("cumw"),
+        $"w_total", $"threshold")
+    val m = cl.filter($"cumw" >= $"threshold")
+      .groupBy($"flag").agg(min($"v").as("median_value"))
+    cl.join(broadcast(m), "flag")
+      .filter($"v" === $"median_value")
+      .select($"flag".as("l_returnflag"), $"w_total", $"threshold",
+        $"median_value", $"cumw".as("cum_at_median"))
+      .orderBy($"l_returnflag")
+  }
+
   /** EXACT distributed k-th order statistic (k = ⌈0.9·n⌉ of
     * l_extendedprice) via two-pass grid selection — the scale path for
     * exact quantiles over ONE huge group, where the sort-within-group
@@ -927,6 +996,6 @@ object Aggregates extends QuerySet {
     qDistinct, qRollup, qCube, qGroupingSets, qConditional, qFilterClause, qCollect,
     qApproxDistinct, qMinMax, qPercentiles, qStats, qPivot, qHeavyHitters, qMedianMode,
     qHllRollup, qHllIntersect, qDiagSkew, qOutlierIqr, qBools, qRegression, qCountMin,
-    qApproxQuantile, qExactKth
+    qApproxQuantile, qExactKth, qWeightedMedian
   )
 }

@@ -1454,10 +1454,107 @@ object DedupQueries extends QuerySet {
         ($"n_false_pos".cast("double") / $"n_probe".cast("double")).as("fp_rate"))
   }
 
+  /** Fellegi–Sunter probabilistic record linkage over customer — the
+    * classic match/possible/non-match decision rule that upgrades
+    * [[qFuzzyKey]]'s single edit-distance test to a weighted
+    * field-agreement vector. The corpus has no true duplicates, so the
+    * query plants a DETERMINISTIC dirty copy for every 10th customer
+    * (id + 10⁹, acctbal + 0.01 always; every 20th is a CLEAN copy — name
+    * and segment kept — while the others get last name char → 'x' and
+    * segment 'MOVED') — the augmentation-fixture discipline: clean
+    * planted pairs must score 16 ('match'), dirty planted pairs 0
+    * ('possible'), original×original pairs mostly negative
+    * ('non_match'), and the oracle replays fixture, blocking, weights
+    * and classification.
+    *
+    * Blocking key = (c_nationkey, substr(name,1,16)): TPC-H names are
+    * fixed-width "Customer#" + 9 digits, so a 16-char prefix frees the
+    * last two digits → blocks are bounded at ~100 originals + copies
+    * regardless of table size (the hot-key discipline for this
+    * pair-generating join), and the planted perturbation never touches
+    * the prefix, so fixture recall is 1 by construction.
+    *
+    * Portability: agreement weights are the Fellegi–Sunter log-odds
+    * rounded to INTEGER-VALUED doubles (+8/−4 name, +6/−3 balance,
+    * +2/−2 segment) fed as literals; every score is a 3-term sum of
+    * small integer-valued doubles (exact in IEEE at any association),
+    * and the |Δbal| ≤ 0.02 test is one subtraction + compare of
+    * identical doubles on both engines.
+    */
+  val qRecordLinkage: GQuery = GQuery(
+    "q_dedup_record_linkage",
+    Some("""
+      WITH base AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+               c_acctbal AS bal, c_mktsegment AS seg
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000000,
+               CASE WHEN c_custkey % 20 = 0 THEN c_name
+                    ELSE substr(c_name, 1, 17) || 'x' END,
+               c_nationkey, c_acctbal + 0.01,
+               CASE WHEN c_custkey % 20 = 0 THEN c_mktsegment ELSE 'MOVED' END
+        FROM customer WHERE c_custkey % 10 = 0),
+      blocked AS (SELECT *, substr(name, 1, 16) AS blk FROM base),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CASE WHEN a.name = b.name THEN 8.0e0 ELSE -4.0e0 END
+               + CASE WHEN abs(a.bal - b.bal) <= 0.02 THEN 6.0e0 ELSE -3.0e0 END
+               + CASE WHEN a.seg = b.seg THEN 2.0e0 ELSE -2.0e0 END AS score
+        FROM blocked a JOIN blocked b
+          ON a.nat = b.nat AND a.blk = b.blk AND a.id < b.id),
+      classed AS (
+        SELECT id_a, id_b, score,
+               CASE WHEN score >= 10.0 THEN 'match'
+                    WHEN score >= 0.0 THEN 'possible'
+                    ELSE 'non_match' END AS class,
+               (id_b = id_a + 1000000000) AS is_planted
+        FROM pairs)
+      SELECT class,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN is_planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+             SUM(score) AS sum_score,
+             MIN(score) AS min_score, MAX(score) AS max_score
+      FROM classed GROUP BY class ORDER BY class""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val c = t(spark, dir).customer
+    val base = c.select($"c_custkey".as("id"), $"c_name".as("name"),
+        $"c_nationkey".as("nat"), $"c_acctbal".as("bal"), $"c_mktsegment".as("seg"))
+      .unionAll(c.filter($"c_custkey" % 10 === 0)
+        .select(($"c_custkey" + 1000000000L).as("id"),
+          when($"c_custkey" % 20 === 0, $"c_name")
+            .otherwise(concat($"c_name".substr(1, 17), lit("x"))).as("name"),
+          $"c_nationkey".as("nat"), ($"c_acctbal" + 0.01).as("bal"),
+          when($"c_custkey" % 20 === 0, $"c_mktsegment").otherwise("MOVED").as("seg")))
+      .withColumn("blk", substring($"name", 1, 16))
+    val a = base.select($"id".as("id_a"), $"name".as("name_a"), $"nat",
+      $"bal".as("bal_a"), $"seg".as("seg_a"), $"blk")
+    val b = base.select($"id".as("id_b"), $"name".as("name_b"), $"nat",
+      $"bal".as("bal_b"), $"seg".as("seg_b"), $"blk")
+    val pairs = a.join(b, Seq("nat", "blk")).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        (when($"name_a" === $"name_b", 8.0).otherwise(-4.0)
+          + when(abs($"bal_a" - $"bal_b") <= 0.02, 6.0).otherwise(-3.0)
+          + when($"seg_a" === $"seg_b", 2.0).otherwise(-2.0)).as("score"))
+    pairs
+      .select($"id_a", $"id_b", $"score",
+        when($"score" >= 10.0, "match")
+          .when($"score" >= 0.0, "possible")
+          .otherwise("non_match").as("class"),
+        ($"id_b" === $"id_a" + 1000000000L).as("is_planted"))
+      .groupBy($"class")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"is_planted", 1L).otherwise(0L)).as("n_planted"),
+        sum($"score").as("sum_score"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .orderBy($"class")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
       qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical,
       qSortedNeighborhood, qBbitMinhash, qCdcChunks, qCdcPairs, qIncrementalSemantic,
-      qClusterStats, qBloomGate)
+      qClusterStats, qBloomGate, qRecordLinkage)
 }

@@ -593,7 +593,207 @@ object MiningQueries extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** RFM customer segmentation — recency / frequency / monetary quintile
+    * scores concatenated into the classic 125-cell segment grid, reported
+    * as a per-segment roll-up (the retention/marketing slicing operator;
+    * for a corpus pipeline, the same recipe segments SOURCES by
+    * last-crawl/first-party-volume/quality mass).
+    *
+    * Scale shape: one orders shuffle to per-customer (r, f, m), then each
+    * metric's quintile edges come from a value-grouped count table run
+    * through the range-partitioned two-pass prefix scan
+    * ([[graft.operators.Sampling.prefixSumsBy]]) — NEVER ntile over a
+    * global `Window.orderBy` (one task would sort every customer). The
+    * bucket rule is the deterministic tie-stable form
+    * b = 1 + 5·(cum_exclusive) div n — every row sharing a value lands in
+    * the same bucket on both engines, all-integer arithmetic (`div`, not
+    * `/` — CLAUDE.md integer-division trap). Monetary is the
+    * DECIMAL(38,6)-exact spend sum cast to DOUBLE (short-decimal inputs,
+    * so the cast is portable), reused as an exact join key for the
+    * bucket map. Output is the bounded ≤125-row segment table with exact
+    * integer witnesses.
+    */
+  val qRfm: GQuery = GQuery(
+    "q_mining_rfm",
+    Some("""
+      WITH maxd AS (SELECT max(o_orderdate) AS md FROM orders),
+      cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', max(o_orderdate), (SELECT md FROM maxd)) AS BIGINT) AS r,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS m
+        FROM orders GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+      rc AS (SELECT r AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM cust GROUP BY 1),
+      rb AS (SELECT v, 1 + (CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT) * 5) // n.n AS b
+             FROM rc, n),
+      fc AS (SELECT f AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM cust GROUP BY 1),
+      fb AS (SELECT v, 1 + (CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT) * 5) // n.n AS b
+             FROM fc, n),
+      mc AS (SELECT m AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM cust GROUP BY 1),
+      mb AS (SELECT v, 1 + (CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT) * 5) // n.n AS b
+             FROM mc, n),
+      scored AS (
+        SELECT c.o_custkey, 6 - rb.b AS rs, fb.b AS fs, mb.b AS ms, c.m, c.r
+        FROM cust c
+        JOIN rb ON c.r = rb.v JOIN fb ON c.f = fb.v JOIN mb ON c.m = mb.v)
+      SELECT CAST(rs AS VARCHAR) || CAST(fs AS VARCHAR) || CAST(ms AS VARCHAR) AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE) AS total_monetary,
+             CAST(SUM(r) AS BIGINT) AS sum_recency_days
+      FROM scored GROUP BY 1 ORDER BY segment""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val o = t(spark, dir).orders
+    val maxd = o.agg(max($"o_orderdate").as("maxd"))
+    val cust = o.groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_d"), count(lit(1)).as("f"),
+        sum($"o_totalprice".cast(D)).as("mdec"))
+      .crossJoin(broadcast(maxd))
+      .select($"o_custkey", datediff($"maxd", $"last_d").cast("long").as("r"),
+        $"f", $"mdec".cast("double").as("m"))
+      .localCheckpoint() // feeds three bucket maps + the final join
+    val n = cust.agg(count(lit(1)).as("n"))
+    // deterministic tie-stable quintile map for one metric: value ->
+    // bucket via the two-pass prefix scan over the value-count table
+    def bucketMap(c: String): DataFrame = {
+      val vc = cust.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      graft.operators.Sampling.prefixSumsBy(vc, Seq(col("v")), Seq("cnt"))
+        .crossJoin(broadcast(n))
+        .select($"v", expr("1 + (((cum_cnt - cnt) * 5) div n)").as("b"))
+    }
+    val scored = cust
+      .join(bucketMap("r").withColumnRenamed("b", "rb"), $"r" === $"v").drop("v")
+      .join(bucketMap("f").withColumnRenamed("b", "fb"), $"f" === $"v").drop("v")
+      .join(bucketMap("m").withColumnRenamed("b", "mb"), $"m" === $"v").drop("v")
+      .select($"o_custkey", (lit(6L) - $"rb").as("rs"), $"fb".as("fs"),
+        $"mb".as("ms"), $"m", $"r")
+    scored
+      .groupBy(concat($"rs".cast("string"), $"fs".cast("string"),
+        $"ms".cast("string")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum($"m").as("total_monetary"),
+        sum($"r").as("sum_recency_days"))
+      .orderBy($"segment")
+  }
+
+  /** 1-D DBSCAN over o_totalprice (eps = 100, minPts = 5) — exact
+    * density-based clustering with noise, the distribution-shape
+    * discovery that k-means (fixed k, spherical) can't do. In 1-D the
+    * algorithm is fully relational: a value is CORE iff the total row
+    * weight in [v−eps, v+eps] ≥ minPts; clusters are maximal runs of
+    * core values with gaps ≤ eps; border values attach to the nearest
+    * core within eps (tie → lower core value); everything else is noise
+    * (cluster −1). Output is the bounded per-cluster summary.
+    *
+    * Scale shape: all neighborhoods resolve through a floor(v/eps) grid
+    * bucket join — a center's ±eps window spans exactly 3 buckets, so
+    * the join volume is Σ (per-bucket distinct values)², bounded by the
+    * grid instead of O(n²), and it shuffles on bucket id like any
+    * equi-join. The run/island numbering is the range-partitioned
+    * two-pass prefix scan ([[graft.operators.Sampling.prefixSumsBy]]
+    * over break flags) — never a global `Window.orderBy` funnel; the
+    * oracle replays it as a window because DuckDB's replay scale is the
+    * test SF, not 100 TB. Float portability: floor(v/eps), |Δv| ≤ eps
+    * and the nearest-core compare are single IEEE ops on identical
+    * doubles; all emitted aggregates are exact (BIGINT counts, raw data
+    * min/max).
+    */
+  val qDbscan1d: GQuery = GQuery(
+    "q_mining_dbscan_1d",
+    Some("""
+      WITH vals AS (SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM orders GROUP BY 1),
+      bv AS (SELECT v, cnt, CAST(floor(v / 100.0) AS BIGINT) AS bk FROM vals),
+      nb AS (SELECT c.v, CAST(SUM(o.cnt) AS BIGINT) AS w
+             FROM bv c JOIN bv o
+               ON o.bk BETWEEN c.bk - 1 AND c.bk + 1 AND abs(o.v - c.v) <= 100.0
+             GROUP BY 1),
+      core AS (SELECT n.v, CAST(floor(n.v / 100.0) AS BIGINT) AS bk
+               FROM nb n WHERE n.w >= 5),
+      brk AS (SELECT c.v,
+                     CASE WHEN EXISTS (SELECT 1 FROM core p
+                                       WHERE p.v < c.v AND c.v - p.v <= 100.0)
+                          THEN 0 ELSE 1 END AS is_break
+              FROM core c),
+      cid AS (SELECT v, CAST(SUM(is_break) OVER (ORDER BY v) AS BIGINT) AS cluster_id
+              FROM brk),
+      corec AS (SELECT cid.v AS cv, cid.cluster_id, core.bk
+                FROM cid JOIN core ON core.v = cid.v),
+      cand AS (SELECT b.v, corec.cluster_id,
+                      ROW_NUMBER() OVER (PARTITION BY b.v
+                                         ORDER BY abs(b.v - corec.cv), corec.cv) AS rn
+               FROM bv b JOIN corec
+                 ON corec.bk BETWEEN b.bk - 1 AND b.bk + 1
+                AND abs(b.v - corec.cv) <= 100.0),
+      asg AS (SELECT b.v, b.cnt, COALESCE(c.cluster_id, -1) AS cluster_id
+              FROM bv b LEFT JOIN (SELECT v, cluster_id FROM cand WHERE rn = 1) c
+                ON c.v = b.v),
+      ncore AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_core_values
+                FROM corec GROUP BY 1)
+      SELECT a.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(a.cnt) AS BIGINT) AS n_points,
+             COALESCE(nc.n_core_values, 0) AS n_core_values,
+             MIN(a.v) AS min_v, MAX(a.v) AS max_v
+      FROM asg a LEFT JOIN ncore nc ON nc.cluster_id = a.cluster_id
+      GROUP BY a.cluster_id, nc.n_core_values
+      ORDER BY a.cluster_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val eps = 100.0
+    val minPts = 5L
+    val vals = t(spark, dir).orders
+      .groupBy($"o_totalprice".as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bk", floor($"v" / eps).cast("long"))
+      .localCheckpoint() // feeds neighborhood (both sides), assignment, summary
+    val other = vals.select($"bk".as("obk"), $"v".as("ov"), $"cnt".as("ocnt"))
+    val nb = vals
+      .select($"v", explode(array($"bk" - 1, $"bk", $"bk" + 1)).as("obk"))
+      .join(other, Seq("obk"))
+      .filter(abs($"ov" - $"v") <= eps)
+      .groupBy($"v").agg(sum($"ocnt").as("w"))
+    val core = nb.filter($"w" >= minPts)
+      .select($"v", floor($"v" / eps).cast("long").as("bk"))
+      .localCheckpoint() // feeds the break probe (both sides) + cluster ids
+    // island starts: no core predecessor within eps (2-bucket probe)
+    val pred = core
+      .select($"v", explode(array($"bk" - 1, $"bk")).as("obk"))
+      .join(core.select($"bk".as("obk"), $"v".as("uv")), Seq("obk"))
+      .filter($"uv" < $"v" && $"v" - $"uv" <= eps)
+      .select($"v").distinct()
+    val breaks = core
+      .join(pred.withColumn("has_pred", lit(1L)), Seq("v"), "left")
+      .select($"v", $"bk",
+        when($"has_pred".isNull, 1L).otherwise(0L).as("is_break"))
+    val corec = graft.operators.Sampling
+      .prefixSumsBy(breaks, Seq(col("v")), Seq("is_break"))
+      .select($"v".as("cv"), $"bk".as("cbk"), $"cum_is_break".as("cluster_id"))
+    // nearest-core assignment: min (distance, core value) struct is the
+    // deterministic tie-break the oracle replays as ROW_NUMBER
+    val cand = vals
+      .select($"v", explode(array($"bk" - 1, $"bk", $"bk" + 1)).as("cbk"))
+      .join(corec, Seq("cbk"))
+      .filter(abs($"v" - $"cv") <= eps)
+      .groupBy($"v")
+      .agg(min(struct(abs($"v" - $"cv").as("d"), $"cv", $"cluster_id")).as("m"))
+      .select($"v", $"m.cluster_id".as("cluster_id"))
+    val asg = vals.join(cand, Seq("v"), "left")
+      .na.fill(-1L, Seq("cluster_id"))
+    val ncore = corec.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_core_values"))
+    asg.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_values"), sum($"cnt").as("n_points"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .join(ncore, Seq("cluster_id"), "left")
+      .na.fill(0L, Seq("n_core_values"))
+      .select($"cluster_id", $"n_values", $"n_points", $"n_core_values",
+        $"min_v", $"max_v")
+      .orderBy($"cluster_id")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qItemsets, qItemCf, qRankFusion, qSkyline,
-    qConformal, qTClose, qAttribution, qTheilSen)
+    qConformal, qTClose, qAttribution, qTheilSen, qRfm, qDbscan1d)
 }

@@ -1594,9 +1594,77 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"rank", $"grp")
   }
 
+  /** Benford first-significant-digit audit of o_totalprice — the
+    * classic fabricated/synthetic-data screen: organically-grown
+    * magnitudes follow P(d) = log10(1 + 1/d); generator artifacts and
+    * fraud concentrate digits. One scan into nine groups, left-joined to
+    * the full 1–9 digit spine so missing digits report honest zeros.
+    *
+    * Portability: the first digit comes from the INTEGER part's string
+    * (floor → BIGINT → VARCHAR → first char — never double→string, whose
+    * shortest-round-trip formatting is engine-specific); the log10
+    * expectations are computed ONCE in the driver JVM and fed to both
+    * engines as literals (TextOps.ndcgWeights convention, `e0`-suffixed
+    * on the DuckDB side so a 16-digit literal can't parse as DECIMAL).
+    * Each chi term is one fixed `+ − × ÷` IEEE chain over exact integers
+    * and those shared literals — emitted RAW (PARITY rounding
+    * convention); the chi-square TOTAL is summed as floor(1e6·x + 0.5)
+    * micro-units, the integer-quantization pattern that makes an
+    * unordered sum of arbitrary doubles exact.
+    */
+  val qBenford: GQuery = {
+    val probs = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val valuesSql = probs
+      .map { case (d, p) => s"($d, ${p}e0)" }
+      .mkString(", ")
+    GQuery(
+      "q_stat_benford",
+      Some(s"""
+      WITH d AS (SELECT * FROM (VALUES $valuesSql) AS t(digit, p_expected)),
+      o AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                        AS INT) AS digit
+            FROM orders),
+      c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM o GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+      f AS (SELECT d.digit, COALESCE(c.n_obs, 0) AS n_obs, d.p_expected,
+                   CAST(nn.n AS DOUBLE) * d.p_expected AS expected
+            FROM d LEFT JOIN c USING (digit), nn),
+      g AS (SELECT digit, n_obs, p_expected, expected,
+                   (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+                     / expected AS chi_term
+            FROM f),
+      h AS (SELECT *, CAST(floor(chi_term * 1e6 + 0.5) AS BIGINT) AS chi_term_micro FROM g),
+      tot AS (SELECT CAST(SUM(chi_term_micro) AS BIGINT) AS chi2_total_micro FROM h)
+      SELECT digit, n_obs, p_expected, expected, chi_term, chi_term_micro,
+             tot.chi2_total_micro
+      FROM h, tot ORDER BY digit""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val spine = probs.toDF("digit", "p_expected")
+      val o = t(spark, dir).orders
+        .select(substring(floor($"o_totalprice").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val c = o.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      val nn = o.agg(count(lit(1)).as("n"))
+      val g = broadcast(spine)
+        .join(c, Seq("digit"), "left")
+        .na.fill(0L, Seq("n_obs"))
+        .crossJoin(broadcast(nn))
+        .select($"digit", $"n_obs", $"p_expected",
+          ($"n".cast("double") * $"p_expected").as("expected"))
+        .select($"digit", $"n_obs", $"p_expected", $"expected",
+          (($"n_obs".cast("double") - $"expected")
+            * ($"n_obs".cast("double") - $"expected") / $"expected").as("chi_term"))
+        .withColumn("chi_term_micro",
+          floor($"chi_term" * 1e6 + 0.5).cast("long"))
+      val tot = g.agg(sum($"chi_term_micro").as("chi2_total_micro"))
+      g.crossJoin(broadcast(tot)).orderBy($"digit")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
-      qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh)
+      qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford)
 }

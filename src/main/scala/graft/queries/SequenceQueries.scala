@@ -1600,11 +1600,62 @@ object SequenceQueries extends QuerySet {
           .as("assortativity"))
   }
 
+  /** Resource-allocation link prediction over the co-purchase graph
+    * ([[graft.operators.Graphs.resourceAllocation]]) — scores NON-edges
+    * (u,v) by Σ 1/deg(z) over common neighbors z, the recommend-new-links
+    * complement to [[qGraphNeighborJaccard]]'s existing-edge scoring.
+    * Top 100 candidates by score.
+    *
+    * Scale shape: wedge join through the middle node with the deg ≤ 64
+    * hot-middle cap (wedge volume is Σ deg(z)²; the cap is replayed by
+    * the oracle so both engines see identical truncation), left_anti
+    * against the known edges, and a global top-k that plans as
+    * TakeOrderedAndProject (per-partition heaps, no full sort).
+    * Portability: scores are exact BIGINT picounits (10^12 div deg
+    * summed); ra_score is ONE IEEE division of an exact integer.
+    */
+  val qGraphLinkPredRa: GQuery = GQuery(
+    "q_graph_link_pred_ra",
+    Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      ew AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS w
+             FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+             GROUP BY 1, 2),
+      e AS (SELECT src, dst FROM ew WHERE w >= 2),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+      adj AS (SELECT s.src AS z, s.dst AS u, 1000000000000 // d.deg AS unit
+              FROM sym s JOIN deg d ON d.node = s.src
+              WHERE d.deg <= 64),
+      pairs AS (SELECT a.u AS src, b.u AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS n_common,
+                       CAST(SUM(a.unit) AS BIGINT) AS ra_pico
+                FROM adj a JOIN adj b ON a.z = b.z AND a.u < b.u
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2),
+      cand AS (SELECT p.* FROM pairs p
+               ANTI JOIN e ON e.src = p.src AND e.dst = p.dst)
+      SELECT src, dst, n_common, ra_pico,
+             CAST(ra_pico AS DOUBLE) / 1e12 AS ra_score
+      FROM cand
+      ORDER BY ra_pico DESC, src, dst
+      LIMIT 100""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+    graft.operators.Graphs
+      .resourceAllocation(edges, minCommon = 2, maxMiddleDeg = 64L)
+      .orderBy($"ra_pico".desc, $"src", $"dst")
+      .limit(100)
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
       qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch,
-      qAssortativity)
+      qAssortativity, qGraphLinkPredRa)
 }

@@ -1276,8 +1276,11 @@ object SimilarityQueries extends QuerySet {
     * carry — so the hash match proves all three Lloyd iterations, per
     * vector. Round CTEs MATERIALIZED (iterative-chain rule).
     */
-  val qKmeans: GQuery = {
-    val km = 3 // Lloyd rounds
+  /** The shared k-means oracle prelude: x (doubles), md5-seeded c0, and
+    * `km` MATERIALIZED Lloyd rounds ending at centroid CTE c$km —
+    * composed by both [[qKmeans]] and [[qSilhouette]] so the two oracles
+    * replay the identical fit. */
+  private def kmeansOracleCtes(km: Int): String = {
     val roundCtes = (1 to km).map { r =>
       s"""
       a$r AS MATERIALIZED (
@@ -1302,9 +1305,7 @@ object SimilarityQueries extends QuerySet {
         LEFT JOIN (SELECT j, list(m ORDER BY dim) AS cv FROM m$r GROUP BY j) nl
           ON nl.j = p.j)"""
     }.mkString(",")
-    GQuery(
-      "q_cluster_kmeans",
-      Some(s"""
+    s"""
       WITH x AS MATERIALIZED (
         SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
         FROM embeddings),
@@ -1313,7 +1314,14 @@ object SimilarityQueries extends QuerySet {
                v AS cv
         FROM x
         ORDER BY md5(vec_id::VARCHAR || ':17'), vec_id
-        LIMIT 8),$roundCtes
+        LIMIT 8),$roundCtes"""
+  }
+
+  val qKmeans: GQuery = {
+    val km = 3 // Lloyd rounds
+    GQuery(
+      "q_cluster_kmeans",
+      Some(s"""${kmeansOracleCtes(km)}
       SELECT fin.vec_id, CAST(fin.j AS BIGINT) AS cluster, round(fin.dist, 6) AS dist
       FROM (
         SELECT vec_id, j, dist FROM (
@@ -1331,6 +1339,68 @@ object SimilarityQueries extends QuerySet {
         .kmeansLloyd(t(spark, dir).embeddings, "vec_id", "embedding",
           dim = 64, k = 8, rounds = km, seed = 17)
         .orderBy($"vec_id")
+    }
+  }
+
+  /** Cluster-quality audit: simplified silhouette
+    * ([[Similarity.kmeansSilhouette]] — a = own-centroid distance,
+    * b = nearest other centroid, s = (b−a)/max(a,b); the O(n·k)
+    * centroid variant, since all-pairs silhouette is O(n²)) rolled up
+    * per cluster. The oracle replays the ENTIRE fit through the shared
+    * [[kmeansOracleCtes]] prelude — the hash match proves fit,
+    * assignment, both distances and the roll-up.
+    *
+    * Portability: a and b are IEEE `sqrt` (correctly rounded → engine-
+    * identical) of the same sequential folds the kmeans oracle already
+    * hash-matches; per-row s is one subtract/divide chain; the ONLY
+    * cross-row float aggregate goes through floor(1e6·s + 0.5)
+    * micro-units (exact unordered BIGINT sums), and mean_silhouette is
+    * a two-division chain over exact integers.
+    */
+  val qSilhouette: GQuery = {
+    val km = 3
+    GQuery(
+      "q_cluster_silhouette",
+      Some(s"""${kmeansOracleCtes(km)},
+      dists AS MATERIALIZED (
+        SELECT x.vec_id, c.j,
+               sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i])))) AS d
+        FROM x, c$km c),
+      fin AS MATERIALIZED (
+        SELECT vec_id, j FROM (
+          SELECT vec_id, j,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+          FROM dists)
+        WHERE rk = 1),
+      s AS (
+        SELECT f.vec_id, f.j,
+               CASE WHEN greatest(own.d, oth.b) > 0
+                    THEN (oth.b - own.d) / greatest(own.d, oth.b)
+                    ELSE 0e0 END AS s
+        FROM fin f
+        JOIN dists own ON own.vec_id = f.vec_id AND own.j = f.j
+        JOIN (SELECT d.vec_id, MIN(d.d) AS b
+              FROM dists d JOIN fin f2 ON f2.vec_id = d.vec_id AND d.j <> f2.j
+              GROUP BY 1) oth ON oth.vec_id = f.vec_id)
+      SELECT CAST(j AS BIGINT) AS cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(floor(s * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_s_micro,
+             CAST(SUM(CAST(floor(s * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+               / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+      FROM s GROUP BY 1 ORDER BY cluster""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Similarity
+        .kmeansSilhouette(t(spark, dir).embeddings, "vec_id", "embedding",
+          dim = 64, k = 8, rounds = km, seed = 17)
+        .select($"cluster", floor($"s" * 1e6 + 0.5).cast("long").as("sm"))
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_vectors"), sum($"sm").as("sum_s_micro"))
+        .select($"cluster", $"n_vectors", $"sum_s_micro",
+          ($"sum_s_micro".cast("double") / 1e6 / $"n_vectors".cast("double"))
+            .as("mean_silhouette"))
+        .orderBy($"cluster")
     }
   }
 
@@ -1510,5 +1580,5 @@ object SimilarityQueries extends QuerySet {
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
       qKnnGraphProbe, qRecallProbeLift,
       qRecallAudit, qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr,
-      qPca, qKmeans, qLabelConsistency, qCellBalance)
+      qPca, qKmeans, qLabelConsistency, qCellBalance, qSilhouette)
 }

@@ -1985,11 +1985,186 @@ object TextAnalysis extends QuerySet {
       .orderBy($"class")
   }
 
+  /** Luhn-validated card-number detection — the CHECKSUM tier of PII
+    * scrubbing above [[qRedact]]'s regex tier: a 16-digit run is only
+    * treated as a payment card if its Luhn check digit verifies, which
+    * cuts the false-positive rate on order ids / phone numbers by 10×.
+    * The corpus has no digit runs, so the query plants a DETERMINISTIC
+    * fixture (the augmentation-query discipline): 15 payload digits from
+    * translate(md5(doc_id), 'abcdef', '012345'), plus a check digit that
+    * is CORRECT iff doc_id % 3 = 0 and off-by-one otherwise — planted
+    * valids must verify, planted corruptions must fail, and the oracle
+    * replays the construction, the \d{13,19} extraction, and the mod-10
+    * sum per document.
+    *
+    * Entirely row-local (zero shuffle). The Luhn sums run as ONE
+    * `aggregate` over a POST-PROJECTION attribute (never a lambda
+    * capturing the md5 tree — the CLAUDE.md HOF-recapture trap): digit at
+    * position j of a 16-char candidate is doubled iff j is odd (odd
+    * left-positions are even positions from the right when length = 16).
+    */
+  val qLuhn: GQuery = GQuery(
+    "q_text_pii_luhn",
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               substr(translate(md5('card:' || CAST(doc_id AS VARCHAR)),
+                                'abcdef', '012345'), 1, 15) AS b15
+        FROM documents),
+      s AS (
+        SELECT doc_id, b15,
+               CAST(list_sum(list_transform(generate_series(1, 15), i ->
+                 CASE WHEN (i % 2) = 1 THEN
+                   CASE WHEN 2 * CAST(substr(b15, i, 1) AS INT) > 9
+                        THEN 2 * CAST(substr(b15, i, 1) AS INT) - 9
+                        ELSE 2 * CAST(substr(b15, i, 1) AS INT) END
+                 ELSE CAST(substr(b15, i, 1) AS INT) END)) AS BIGINT) AS psum
+        FROM b),
+      c AS (
+        SELECT doc_id,
+               b15 || CAST(CASE WHEN doc_id % 3 = 0
+                                THEN (10 - psum % 10) % 10
+                                ELSE ((10 - psum % 10) % 10 + 1) % 10
+                           END AS VARCHAR) AS planted
+        FROM s),
+      x AS (
+        SELECT c.doc_id, c.planted,
+               regexp_extract(substr(d.text, 1, 40) || ' ' || c.planted || ' x',
+                              '[0-9]{13,19}') AS extracted
+        FROM c JOIN documents d ON c.doc_id = d.doc_id),
+      v AS (
+        SELECT doc_id, planted, extracted,
+               CAST(list_sum(list_transform(generate_series(1, 16), j ->
+                 CASE WHEN (j % 2) = 1 THEN
+                   CASE WHEN 2 * CAST(substr(extracted, j, 1) AS INT) > 9
+                        THEN 2 * CAST(substr(extracted, j, 1) AS INT) - 9
+                        ELSE 2 * CAST(substr(extracted, j, 1) AS INT) END
+                 ELSE CAST(substr(extracted, j, 1) AS INT) END)) AS BIGINT) AS luhn_sum
+        FROM x)
+      SELECT doc_id, planted, extracted, luhn_sum,
+             (luhn_sum % 10 = 0) AS is_valid_card,
+             (doc_id % 3 = 0) AS expected_valid,
+             ((luhn_sum % 10 = 0) = (doc_id % 3 = 0)) AS detector_correct
+      FROM v ORDER BY doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // Luhn mod-10 sum of an attached digit-string attribute: positions
+    // double when odd (left-indexed, total length 16 incl. check digit)
+    def luhnSum(cand: Column, len: Int): Column =
+      aggregate(sequence(lit(1), lit(len)), lit(0L), (acc, i) => {
+        val d = cand.substr(i, lit(1)).cast("int")
+        acc + when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d).cast("long")
+      })
+    val b = t(spark, dir).documents
+      .select($"doc_id", $"text",
+        translate(md5(concat(lit("card:"), $"doc_id".cast("string"))),
+          "abcdef", "012345").substr(1, 15).as("b15"))
+      .select($"doc_id", $"text", $"b15") // attribute boundary pre-HOF
+    val s = b.withColumn("psum", luhnSum($"b15", 15))
+    val c = s.select($"doc_id", $"text",
+      concat($"b15",
+        when($"doc_id" % 3 === 0, (lit(10) - $"psum" % 10) % 10)
+          .otherwise(((lit(10) - $"psum" % 10) % 10 + 1) % 10)
+          .cast("string")).as("planted"))
+    val x = c.select($"doc_id", $"planted",
+      regexp_extract(
+        concat($"text".substr(1, 40), lit(" "), $"planted", lit(" x")),
+        "[0-9]{13,19}", 0).as("extracted"))
+    x.withColumn("luhn_sum", luhnSum($"extracted", 16))
+      .select($"doc_id", $"planted", $"extracted", $"luhn_sum",
+        ($"luhn_sum" % 10 === 0).as("is_valid_card"),
+        ($"doc_id" % 3 === 0).as("expected_valid"),
+        (($"luhn_sum" % 10 === 0) === ($"doc_id" % 3 === 0)).as("detector_correct"))
+      .orderBy($"doc_id")
+  }
+
+  /** Good–Turing frequency-of-frequencies smoothing over the corpus
+    * 3-gram counts — N_r (number of trigram TYPES seen exactly r times)
+    * for r = 1..10, the adjusted count r* = (r+1)·N_{r+1}/N_r, and the
+    * unseen-mass estimate p₀ = N₁/N (the missing-species probability a
+    * language model reserves for unseen n-grams). Trigrams, not
+    * unigrams: the synthetic corpus has a ~31-word closed vocabulary
+    * (every unigram count ≫ 10 — the q_text_heaps_law saturation
+    * lesson), while its trigram frequency-of-frequencies is properly
+    * Zipfian (N₁ ≈ 9.4k at sf0.01), so the estimator measures something
+    * real. Occurrences count with MULTIPLICITY (unlike the distinct-set
+    * shingle pipeline) over docs with ≥ 3 tokens.
+    *
+    * Scale shape: one corpus-scale explode→groupBy to per-type counts
+    * (map-side partial agg), then the frequency histogram and everything
+    * after runs on ≤ max(r) rows. The shingle transform runs over a
+    * POST-PROJECTION token-array attribute (the HOF-recapture
+    * discipline). Portability: N_r, the numerator (r+1)·N_{r+1} and N
+    * are exact BIGINTs; r* and p₀ are each ONE IEEE division of exact
+    * integers (no rounding). The 1..10 spine is left-joined so missing
+    * frequencies report honest zeros, and r* is NULL (not ÷0) when
+    * N_r = 0.
+    */
+  val qGoodTuring: GQuery = GQuery(
+    "q_text_good_turing",
+    Some("""
+      WITH d AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      sh AS (SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM d, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+             WHERE len(ts) >= 3),
+      tc AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS r FROM sh GROUP BY 1),
+      ff AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM tc GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM sh),
+      spine AS (SELECT unnest(generate_series(1, 10)) AS r)
+      SELECT s.r,
+             COALESCE(f.nr, 0) AS n_types_r,
+             COALESCE(f1.nr, 0) AS n_types_r_plus_1,
+             (s.r + 1) * COALESCE(f1.nr, 0) AS gt_numerator,
+             CASE WHEN COALESCE(f.nr, 0) > 0
+                  THEN CAST((s.r + 1) * COALESCE(f1.nr, 0) AS DOUBLE)
+                       / CAST(f.nr AS DOUBLE)
+                  ELSE NULL END AS r_star,
+             tot.n_total,
+             CAST(COALESCE((SELECT nr FROM ff WHERE r = 1), 0) AS DOUBLE)
+               / CAST(tot.n_total AS DOUBLE) AS p0_unseen_mass
+      FROM spine s
+      LEFT JOIN ff f ON f.r = s.r
+      LEFT JOIN ff f1 ON f1.r = s.r + 1, tot
+      ORDER BY s.r""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val sh = t(spark, dir).documents
+      .select(graft.operators.TextOps.tokens($"text").as("ts")) // attribute boundary pre-HOF
+      .filter(size($"ts") >= 3)
+      .select(explode(transform(sequence(lit(1), size($"ts") - 2),
+        i => concat_ws(" ",
+          element_at($"ts", i), element_at($"ts", i + 1), element_at($"ts", i + 2))))
+        .as("s"))
+    val tc = sh.groupBy($"s").agg(count(lit(1)).as("r"))
+    val ff = tc.groupBy($"r").agg(count(lit(1)).as("nr")).localCheckpoint()
+    val tot = sh.agg(count(lit(1)).as("n_total"))
+    val n1 = ff.filter($"r" === 1)
+      .agg(coalesce(sum($"nr"), lit(0L)).as("n1"))
+    val spine = (1L to 10L).toDF("r")
+    spine
+      .join(broadcast(ff), Seq("r"), "left")
+      .join(broadcast(ff.select(($"r" - 1).as("r"), $"nr".as("nr1"))), Seq("r"), "left")
+      .na.fill(0L, Seq("nr", "nr1"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(n1))
+      .select($"r", $"nr".as("n_types_r"), $"nr1".as("n_types_r_plus_1"),
+        (($"r" + 1) * $"nr1").as("gt_numerator"),
+        when($"nr" > 0,
+          (($"r" + 1) * $"nr1").cast("double") / $"nr".cast("double"))
+          .as("r_star"),
+        $"n_total",
+        ($"n1".cast("double") / $"n_total".cast("double")).as("p0_unseen_mass"))
+      .orderBy($"r")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
       qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty,
       qTokenEntropy, qCalibration, qRetrievalEval, qTemplateMining, qLengthBias,
-      qCodeDetection, qReadability, qPrf1)
+      qCodeDetection, qReadability, qPrf1, qLuhn, qGoodTuring)
 }
