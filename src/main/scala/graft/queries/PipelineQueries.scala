@@ -1166,9 +1166,56 @@ object PipelineQueries extends QuerySet {
       .orderBy($"ord")
   }
 
+  /** Group-aware 5-fold cross-validation assignment (GroupKFold):
+    * folds are keyed by md5(source), so every document of a source lands
+    * in ONE fold — the leakage-proof split for correlated items (same
+    * crawl host, same author) that [[qSplit]]'s per-row hash split
+    * cannot give. Emits the per-fold census plus an explicit
+    * zero-leakage witness: the count of sources spanning >1 fold, which
+    * is 0 by construction and recomputed (not assumed) on both engines.
+    *
+    * Portable fold function: first 8 md5 hex digits as an integer,
+    * mod k (the established md5-gate family). Scale shape: fold
+    * assignment is row-local; the census is one groupBy; the witness
+    * aggregates the (source, fold) distinct pairs — O(sources).
+    */
+  val qGroupKfold: GQuery = GQuery(
+    "q_sample_group_kfold",
+    Some("""
+      WITH a AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('gkf:' || source), 1, 8))::UBIGINT % 5 AS BIGINT) AS fold
+        FROM documents),
+      sf AS (SELECT DISTINCT source, fold FROM a),
+      leak AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_sources
+        FROM (SELECT source, COUNT(*) AS nf FROM sf GROUP BY 1))
+      SELECT a.fold,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT a.source) AS BIGINT) AS n_sources,
+             leak.n_leaky_sources
+      FROM a, leak
+      GROUP BY a.fold, leak.n_leaky_sources
+      ORDER BY a.fold""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val a = t(spark, dir).documents
+      .select($"doc_id", $"source",
+        (conv(substring(md5(concat(lit("gkf:"), $"source")), 1, 8), 16, 10)
+          .cast("long") % 5).as("fold"))
+    val leak = a.select($"source", $"fold").distinct()
+      .groupBy($"source").agg(count(lit(1)).as("nf"))
+      .agg(coalesce(sum(when($"nf" > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_leaky_sources"))
+    a.groupBy($"fold")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"source").as("n_sources"))
+      .crossJoin(broadcast(leak))
+      .orderBy($"fold")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
     qWeighted, qMix, qTemperature, qNegativePairs, qGlobalIndex, qPackPairs,
     qDedupCascade, qReservoir, qDsir, qSplitLeakage, qWeightedReservoir, qTokenBudget, qNeyman,
-    qAttrition, qReservoirMerge, qCurriculum)
+    qAttrition, qReservoirMerge, qCurriculum, qGroupKfold)
 }

@@ -1662,9 +1662,82 @@ object ProfilingQueries extends QuerySet {
     }
   }
 
+  /** Mutual-information feature ranking — I(X; status) in nats for three
+    * candidate features of orders (priority, order month, 50k price
+    * band), the model-free feature-selection screen that [[qCramersV]]'s
+    * effect size complements. One union-shaped scan builds the generic
+    * (feature, x, y) table; each feature's MI is Σ (n_xy/n)·
+    * ln(n·n_xy/(n_x·n_y)) over its contingency cells.
+    *
+    * Portability: every count is an exact BIGINT; each cell term is one
+    * fixed `×÷` IEEE chain into `ln`, and the ONLY cross-row float sum is
+    * DECIMAL(38,6)-pinned (order-insensitive) — the q_profile_entropy
+    * convention, boundary-audited by tools/round_boundary_audit.py.
+    * Scale shape: one fact-table shuffle per feature to the contingency
+    * cells (map-side partial agg); marginals and MI run on cell counts,
+    * so cost is O(distinct cells), not rows.
+    */
+  val qMutualInfo: GQuery = GQuery(
+    "q_stat_mutual_info",
+    Some("""
+      WITH f AS (
+        SELECT 'priority' AS feature, o_orderpriority AS x, o_orderstatus AS y FROM orders
+        UNION ALL
+        SELECT 'month', CAST(month(o_orderdate) AS VARCHAR), o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'price_band', CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR),
+               o_orderstatus FROM orders),
+      xy AS (SELECT feature, x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM f GROUP BY 1, 2, 3),
+      mx AS (SELECT feature, x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY 1, 2),
+      my AS (SELECT feature, y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY 1, 2),
+      nn AS (SELECT feature, CAST(SUM(n_xy) AS BIGINT) AS n FROM xy GROUP BY 1),
+      terms AS (
+        SELECT xy.feature,
+               (CAST(xy.n_xy AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                 * ln(CAST(xy.n_xy AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                      / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))) AS term
+        FROM xy
+        JOIN mx ON mx.feature = xy.feature AND mx.x = xy.x
+        JOIN my ON my.feature = xy.feature AND my.y = xy.y
+        JOIN nn ON nn.feature = xy.feature)
+      SELECT t.feature,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             ANY_VALUE(nn.n) AS n_rows,
+             CAST(SUM(CAST(t.term AS DECIMAL(38,6))) AS DOUBLE) AS mi_nats
+      FROM terms t JOIN nn ON nn.feature = t.feature
+      GROUP BY t.feature ORDER BY t.feature""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    val o = t(spark, dir).orders
+    val f = o.select(lit("priority").as("feature"), $"o_orderpriority".as("x"),
+        $"o_orderstatus".as("y"))
+      .unionAll(o.select(lit("month").as("feature"),
+        month($"o_orderdate").cast("string").as("x"), $"o_orderstatus".as("y")))
+      .unionAll(o.select(lit("price_band").as("feature"),
+        floor($"o_totalprice" / 50000.0).cast("long").cast("string").as("x"),
+        $"o_orderstatus".as("y")))
+    val xy = f.groupBy($"feature", $"x", $"y").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint() // feeds marginals + terms
+    val mx = xy.groupBy($"feature", $"x").agg(sum($"n_xy").as("n_x"))
+    val my = xy.groupBy($"feature", $"y").agg(sum($"n_xy").as("n_y"))
+    val nn = xy.groupBy($"feature").agg(sum($"n_xy").as("n"))
+    xy.join(mx, Seq("feature", "x"))
+      .join(my, Seq("feature", "y"))
+      .join(broadcast(nn), Seq("feature"))
+      .select($"feature", $"n",
+        (($"n_xy".cast("double") / $"n".cast("double"))
+          * log($"n_xy".cast("double") * $"n".cast("double")
+            / ($"n_x".cast("double") * $"n_y".cast("double")))).as("term"))
+      .groupBy($"feature")
+      .agg(count(lit(1)).as("n_cells"), first($"n").as("n_rows"),
+        sum($"term".cast(D)).cast("double").as("mi_nats"))
+      .orderBy($"feature")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
-      qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford)
+      qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford, qMutualInfo)
 }

@@ -2160,11 +2160,134 @@ object TextAnalysis extends QuerySet {
       .orderBy($"r")
   }
 
+  /** Trained multinomial naive Bayes (predict `lang` from unigram
+    * counts; Laplace α = 1) with an 80/20 doc_id-mod split — the
+    * in-engine TRAINED classifier that [[qClassifier]]'s hashed linear
+    * scorer (fixed random weights) is not. Output is the test-set
+    * confusion matrix with per-cell margin witnesses.
+    *
+    * Deterministic-serving design (the portability core): every
+    * log-probability is quantized AT TRAIN TIME to integer micro-log
+    * units — lp = floor(1e6·ln(c+1) + 0.5), and likewise the prior and
+    * the per-class normalizer ln(n_tok + V) — so scoring is PURE INTEGER
+    * arithmetic: score = prior + Σ n_t·lp(t,c) − |d|·lnZ_c. Integer sums
+    * are order-insensitive and engine-exact; argmax/margins have NO
+    * float boundary at all (exact integer ties break to the lower
+    * class label on both engines). The only transcendental is inside
+    * the quantizer, where a cross-build ln ulp (≈1e-16 relative) would
+    * have to land within 1e-13 of a 0.5 micro-boundary to flip a model
+    * weight (~1e-7 per weight; fixed data, ~200 weights). This mirrors
+    * production serving, where the trained model ships as a quantized
+    * artifact and scorers never re-derive floats.
+    *
+    * Scale shape: the model is a (class × vocab) table joined broadcast
+    * to the test token counts; one groupBy per (doc, class) of integer
+    * products; the class spine is a broadcast cross join. Sums stay
+    * < 2^53 for any corpus where |d|·1e6·ln-range fits — i.e. up to
+    * ~10⁹-token documents.
+    */
+  val qNaiveBayes: GQuery = GQuery(
+    "q_text_naive_bayes",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tk
+        FROM documents),
+      train AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+      v AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM train),
+      cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM train GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM cls),
+      model AS (
+        SELECT lang, tk,
+               CAST(floor(ln(CAST(COUNT(*) + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lp
+        FROM train GROUP BY 1, 2),
+      clsq AS (
+        SELECT c.lang,
+               CAST(floor(ln(CAST(c.n_docs AS DOUBLE) / CAST(tot.total_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS prior_micro,
+               CAST(floor(ln(CAST(c.n_tok + v.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lnz_micro
+        FROM cls c, tot, v),
+      testc AS (
+        SELECT doc_id, MIN(lang) AS actual, tk, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok WHERE doc_id % 5 = 0 GROUP BY doc_id, tk),
+      dlen AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS len FROM testc GROUP BY 1),
+      hits AS (
+        SELECT t.doc_id, m.lang, CAST(SUM(t.n * m.lp) AS BIGINT) AS lsum
+        FROM testc t JOIN model m ON m.tk = t.tk
+        GROUP BY 1, 2),
+      spine AS (SELECT d.doc_id, d.len, c.lang, c.prior_micro, c.lnz_micro
+                FROM dlen d CROSS JOIN clsq c),
+      scores AS (
+        SELECT s.doc_id, s.lang,
+               s.prior_micro + COALESCE(h.lsum, 0) - s.len * s.lnz_micro AS score_micro
+        FROM spine s LEFT JOIN hits h ON h.doc_id = s.doc_id AND h.lang = s.lang),
+      rk AS (SELECT doc_id, lang, score_micro,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score_micro DESC, lang) AS rn
+             FROM scores),
+      pred AS (
+        SELECT a.doc_id, a.lang AS pred, a.score_micro - b.score_micro AS margin_micro
+        FROM rk a JOIN rk b ON b.doc_id = a.doc_id AND a.rn = 1 AND b.rn = 2),
+      lab AS (SELECT doc_id, MIN(actual) AS actual FROM testc GROUP BY 1)
+      SELECT lab.actual, p.pred,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(p.margin_micro) AS BIGINT) AS min_margin_micro,
+             CAST(SUM(p.margin_micro) AS BIGINT) AS sum_margin_micro
+      FROM lab JOIN pred p ON p.doc_id = lab.doc_id
+      GROUP BY 1, 2 ORDER BY actual, pred""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir).documents
+      .select($"doc_id", $"lang",
+        explode(graft.operators.TextOps.tokens($"text")).as("tk"))
+    val train = tok.filter($"doc_id" % 5 =!= 0).localCheckpoint() // feeds v/cls/model
+    val v = train.agg(countDistinct($"tk").as("v"))
+    val cls = train.groupBy($"lang")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"doc_id").as("n_docs"))
+    val tot = cls.agg(sum($"n_docs").as("total_docs"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * 1e6 + 0.5).cast("long")
+    val model = train.groupBy($"lang", $"tk")
+      .agg(q6(log((count(lit(1)) + 1).cast("double"))).as("lp"))
+    val clsq = cls.crossJoin(broadcast(tot)).crossJoin(broadcast(v))
+      .select($"lang",
+        q6(log($"n_docs".cast("double") / $"total_docs".cast("double"))).as("prior_micro"),
+        q6(log(($"n_tok" + $"v").cast("double"))).as("lnz_micro"))
+    val testc = tok.filter($"doc_id" % 5 === 0)
+      .groupBy($"doc_id", $"tk")
+      .agg(min($"lang").as("actual"), count(lit(1)).as("n"))
+      .localCheckpoint() // feeds hits, dlen, labels
+    val dlen = testc.groupBy($"doc_id").agg(sum($"n").as("len"))
+    val hits = testc.join(broadcast(model), Seq("tk"))
+      .groupBy($"doc_id", $"lang").agg(sum($"n" * $"lp").as("lsum"))
+    val scores = dlen.crossJoin(broadcast(clsq))
+      .join(hits, Seq("doc_id", "lang"), "left")
+      .na.fill(0L, Seq("lsum"))
+      .select($"doc_id", $"lang",
+        ($"prior_micro" + $"lsum" - $"len" * $"lnz_micro").as("score_micro"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score_micro".desc, $"lang")
+    val rk = scores.withColumn("rn", row_number().over(w))
+    val pred = rk.filter($"rn" === 1)
+      .select($"doc_id", $"lang".as("pred"), $"score_micro".as("s1"))
+      .join(rk.filter($"rn" === 2)
+        .select($"doc_id", $"score_micro".as("s2")), Seq("doc_id"))
+      .select($"doc_id", $"pred", ($"s1" - $"s2").as("margin_micro"))
+    val lab = testc.groupBy($"doc_id").agg(min($"actual").as("actual"))
+    lab.join(pred, Seq("doc_id"))
+      .groupBy($"actual", $"pred")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"margin_micro").as("min_margin_micro"),
+        sum($"margin_micro").as("sum_margin_micro"))
+      .orderBy($"actual", $"pred")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
       qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty,
       qTokenEntropy, qCalibration, qRetrievalEval, qTemplateMining, qLengthBias,
-      qCodeDetection, qReadability, qPrf1, qLuhn, qGoodTuring)
+      qCodeDetection, qReadability, qPrf1, qLuhn, qGoodTuring, qNaiveBayes)
 }
