@@ -161,7 +161,11 @@ object ScaleStress {
       // round-10: the two new corpus-scaled pair joins — capped-basket
       // itemcf (customer-keyed self-join, md5-rank cap 30) and the
       // conversion×touch interval join (rank cap 32 per conversion)
-      "q_rec_itemcf", "q_seq_attribution")
+      "q_rec_itemcf", "q_seq_attribution",
+      // round-10 late additions: RA link prediction (wedge join, deg<=64
+      // middle cap), 1-D DBSCAN (3-bucket grid neighborhood join),
+      // Fellegi-Sunter linkage (bounded name-prefix block join)
+      "q_graph_link_pred_ra", "q_mining_dbscan_1d", "q_dedup_record_linkage")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c to isolate a subset (BENCH_ONLY's twin)
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
       case Some(s) => allNames.filter(s.split(",").map(_.trim).toSet)
@@ -179,15 +183,18 @@ object ScaleStress {
         "customer"   -> spark.read.parquet(s"$dir/customer.parquet").count(),
         "embeddings" -> spark.read.parquet(s"$dir/embeddings.parquet").count(),
         "lineitem"   -> spark.read.parquet(s"$dir/lineitem.parquet").count(),
-        "events"     -> spark.read.parquet(s"$dir/events.parquet").count())
+        "events"     -> spark.read.parquet(s"$dir/events.parquet").count(),
+        "orders"     -> spark.read.parquet(s"$dir/orders.parquet").count())
     }.toMap
     for ((sf, dir) <- sfs; name <- names) {
       val rows = tableRows(sf)(name match {
-        case "q_dedup_fuzzy_key" => "customer"
+        case "q_dedup_fuzzy_key" | "q_dedup_record_linkage" => "customer"
+        case "q_mining_dbscan_1d" => "orders"
         case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
             "q_quality_label_consistency" | "q_ann_hard_negatives" |
             "q_dedup_incremental_semantic" => "embeddings"
-        case "q_graph_components" | "q_graph_hits" | "q_rec_itemcf" => "lineitem"
+        case "q_graph_components" | "q_graph_hits" | "q_rec_itemcf" |
+            "q_graph_link_pred_ra" => "lineitem"
         case "q_stat_ks" | "q_stat_mannwhitney" | "q_seq_attribution" => "events"
         case _ => "documents"
       })

@@ -793,7 +793,81 @@ object MiningQueries extends QuerySet {
       .orderBy($"cluster_id")
   }
 
+  /** Frequent 3-itemsets with rule metrics — the apriori level above
+    * [[qItemsets]]' pairs: distinct brand triples per basket, support ≥
+    * n_baskets/100, confidence(ab→c) against the pair support and the
+    * 3-way lift supp_abc·n²/(s_a·s_b·s_c). Triple enumeration is the
+    * 3-way within-basket self-join a < b < c — volume Σ C(|basket|,3),
+    * bounded because baskets are order-sized (≤ ~7 lineitems; the same
+    * basket-bounded contract as the co-purchase edge build — a retail
+    * 10⁴-item basket would need the md5-rank item cap first). Every
+    * ratio is one IEEE division chain over exact BIGINT supports.
+    */
+  val qItemsets3: GQuery = GQuery(
+    "q_mining_itemsets3",
+    Some("""
+      WITH b AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+                 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM b),
+      s AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS supp FROM b GROUP BY 1),
+      p2 AS (SELECT a.item AS ia, c.item AS ib, CAST(COUNT(*) AS BIGINT) AS supp_ab
+             FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item GROUP BY 1, 2),
+      p3 AS (SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,
+                    CAST(COUNT(*) AS BIGINT) AS supp_abc
+             FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+                      JOIN b z ON y.bk = z.bk AND y.item < z.item
+             GROUP BY 1, 2, 3)
+      SELECT p3.item_a, p3.item_b, p3.item_c, p3.supp_abc,
+             p2.supp_ab,
+             CAST(p3.supp_abc AS DOUBLE) / CAST(p2.supp_ab AS DOUBLE) AS conf_ab_c,
+             CAST(p3.supp_abc AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+               * CAST(n.n_baskets AS DOUBLE)
+               / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)
+                  * CAST(sc.supp AS DOUBLE)) AS lift3
+      FROM p3
+      JOIN p2 ON p2.ia = p3.item_a AND p2.ib = p3.item_b
+      JOIN s sa ON sa.item = p3.item_a
+      JOIN s sb ON sb.item = p3.item_b
+      JOIN s sc ON sc.item = p3.item_c
+      CROSS JOIN n
+      WHERE p3.supp_abc * 100 >= n.n_baskets
+      ORDER BY item_a, item_b, item_c""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tb = t(spark, dir)
+    val b = tb.lineitem
+      .join(tb.part, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("bk"), $"p_brand".as("item"))
+      .distinct()
+      .localCheckpoint() // feeds the 3-way self-join, pair supports, item supports
+    val n = b.agg(countDistinct($"bk").as("n_baskets"))
+    val s = b.groupBy($"item").agg(count(lit(1)).as("supp"))
+    val p2 = b.as("a").join(b.as("c"),
+        col("a.bk") === col("c.bk") && col("a.item") < col("c.item"))
+      .groupBy(col("a.item").as("ia"), col("c.item").as("ib"))
+      .agg(count(lit(1)).as("supp_ab"))
+    val p3 = b.as("x")
+      .join(b.as("y"), col("x.bk") === col("y.bk") && col("x.item") < col("y.item"))
+      .join(b.as("z"), col("y.bk") === col("z.bk") && col("y.item") < col("z.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"),
+        col("z.item").as("item_c"))
+      .agg(count(lit(1)).as("supp_abc"))
+    p3.crossJoin(broadcast(n))
+      .filter($"supp_abc" * 100 >= $"n_baskets")
+      .join(broadcast(p2), $"item_a" === $"ia" && $"item_b" === $"ib")
+      .join(broadcast(s.select($"item".as("item_a"), $"supp".as("sa"))), Seq("item_a"))
+      .join(broadcast(s.select($"item".as("item_b"), $"supp".as("sb"))), Seq("item_b"))
+      .join(broadcast(s.select($"item".as("item_c"), $"supp".as("sc"))), Seq("item_c"))
+      .select($"item_a", $"item_b", $"item_c", $"supp_abc", $"supp_ab",
+        ($"supp_abc".cast("double") / $"supp_ab".cast("double")).as("conf_ab_c"),
+        ($"supp_abc".cast("double") * $"n_baskets".cast("double")
+          * $"n_baskets".cast("double")
+          / ($"sa".cast("double") * $"sb".cast("double") * $"sc".cast("double")))
+          .as("lift3"))
+      .orderBy($"item_a", $"item_b", $"item_c")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qItemsets, qItemCf, qRankFusion, qSkyline,
-    qConformal, qTClose, qAttribution, qTheilSen, qRfm, qDbscan1d)
+    qConformal, qTClose, qAttribution, qTheilSen, qRfm, qDbscan1d, qItemsets3)
 }

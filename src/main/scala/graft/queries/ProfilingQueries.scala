@@ -1735,9 +1735,170 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"feature")
   }
 
+  /** Stratified treatment-effect estimate (IPTW-lite): the order-month
+    * strata adjust the URGENT-priority "treatment" effect on totalprice —
+    * ATT = Σ_s w_s·(mean_T,s − mean_C,s) with w_s = treated-count share,
+    * the confounder-adjusted contrast a naive global mean difference
+    * gets wrong when treatment assignment correlates with the stratum
+    * (the observational-data replacement for [[qAbTest]]'s randomized
+    * contrast). Strata lacking either arm are excluded and REPORTED
+    * (n_excluded_strata), not silently dropped into the estimate.
+    *
+    * Portability: per-stratum means are DECIMAL(38,6)-pinned sums over
+    * short-decimal prices divided once (exact, order-insensitive); each
+    * stratum's weighted effect is a fixed IEEE chain on those identical
+    * doubles, micro-quantized (floor(1e6·x + 0.5) of engine-identical
+    * inputs) so the cross-stratum sum is an exact integer. Scale shape:
+    * one fact shuffle to (stratum, arm) cells; everything after runs on
+    * ≤ 12·2 rows.
+    */
+  val qStratifiedEffect: GQuery = GQuery(
+    "q_stat_stratified_effect",
+    Some("""
+      WITH o AS (
+        SELECT month(o_orderdate) AS stratum,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS treated,
+               o_totalprice AS y
+        FROM orders),
+      cell AS (
+        SELECT stratum, treated, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_y
+        FROM o GROUP BY 1, 2),
+      s AS (
+        SELECT t.stratum, t.n AS n_treated, c.n AS n_control,
+               t.mean_y - c.mean_y AS effect
+        FROM cell t JOIN cell c ON c.stratum = t.stratum
+        WHERE t.treated = 1 AND c.treated = 0),
+      tt AS (SELECT CAST(SUM(n_treated) AS BIGINT) AS total_treated FROM s),
+      q AS (
+        SELECT s.stratum, s.n_treated, s.n_control, s.effect,
+               CAST(floor(s.effect * (CAST(s.n_treated AS DOUBLE) / CAST(tt.total_treated AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS w_effect_micro
+        FROM s, tt),
+      excl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded_strata
+        FROM (SELECT stratum FROM cell GROUP BY 1 HAVING COUNT(*) < 2)),
+      att AS (SELECT CAST(SUM(w_effect_micro) AS BIGINT) AS att_micro FROM q)
+      SELECT q.stratum, q.n_treated, q.n_control, q.effect, q.w_effect_micro,
+             att.att_micro, excl.n_excluded_strata
+      FROM q, att, excl
+      ORDER BY q.stratum""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    val o = t(spark, dir).orders
+      .select(month($"o_orderdate").as("stratum"),
+        when($"o_orderpriority" === "1-URGENT", 1).otherwise(0).as("treated"),
+        $"o_totalprice".as("y"))
+    val cell = o.groupBy($"stratum", $"treated")
+      .agg(count(lit(1)).as("n"),
+        (sum($"y".cast(D)).cast("double") / count(lit(1)).cast("double")).as("mean_y"))
+      .localCheckpoint() // feeds the arm join + the exclusion census
+    val s = cell.filter($"treated" === 1)
+      .select($"stratum", $"n".as("n_treated"), $"mean_y".as("mt"))
+      .join(cell.filter($"treated" === 0)
+        .select($"stratum", $"n".as("n_control"), $"mean_y".as("mc")), Seq("stratum"))
+      .select($"stratum", $"n_treated", $"n_control", ($"mt" - $"mc").as("effect"))
+    val tt = s.agg(sum($"n_treated").as("total_treated"))
+    val q = s.crossJoin(broadcast(tt))
+      .select($"stratum", $"n_treated", $"n_control", $"effect",
+        floor($"effect" * ($"n_treated".cast("double") / $"total_treated".cast("double"))
+          * 1e6 + 0.5).cast("long").as("w_effect_micro"))
+    val excl = cell.groupBy($"stratum").agg(count(lit(1)).as("n_arms"))
+      .agg(coalesce(sum(when($"n_arms" < 2, 1L).otherwise(0L)), lit(0L))
+        .as("n_excluded_strata"))
+    val att = q.agg(sum($"w_effect_micro").as("att_micro"))
+    q.crossJoin(broadcast(att)).crossJoin(broadcast(excl))
+      .orderBy($"stratum")
+  }
+
+  /** Quantile normalization of event values onto the POOLED reference
+    * distribution — every group's rank-r value maps to the pooled order
+    * statistic at the matching relative position k = ((2r−1)·N) div
+    * (2·n_g) + 1 (the midpoint rule; all-`div` integer rank math), the
+    * cross-group distribution equalizer behind batch-effect removal —
+    * [[qWinsorize]] rescales moments, this replaces the SHAPE. Exact by
+    * construction: every normalized value IS a pooled data value (no
+    * float interpolation at all), so the per-type roll-up (DECIMAL-
+    * pinned sums of original vs normalized mass, min/max, distinct
+    * support) hash-matches bit-for-bit.
+    *
+    * Scale shape: BOTH rank tables come from the range-partitioned
+    * two-pass prefix scan (per-type ranks via the composite (type,
+    * value) order + contiguous-group offsets, pooled ranks via the
+    * value order) — never a per-type `Window.orderBy` funnel; the
+    * rank→value mapping explodes each distinct value's count range
+    * once (linear) and resolves through ONE integer-keyed equi-join.
+    * The oracle replays ranks as partitioned windows (its replay scale
+    * is the test SF).
+    */
+  val qQuantileNorm: GQuery = GQuery(
+    "q_norm_quantile",
+    Some("""
+      WITH ev AS (SELECT event_type AS typ, value AS v FROM events),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM ev),
+      gv AS MATERIALIZED (
+        SELECT typ, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2),
+      sc AS MATERIALIZED (
+        SELECT typ, v, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY typ ORDER BY v) AS BIGINT) AS cum
+        FROM gv),
+      tt AS (SELECT typ, CAST(SUM(cnt) AS BIGINT) AS n_g FROM gv GROUP BY 1),
+      ranks AS MATERIALIZED (
+        SELECT sc.typ, sc.v, ((2 * g.r - 1) * tot.nn) // (2 * tt.n_g) + 1 AS k
+        FROM sc JOIN tt ON tt.typ = sc.typ, tot,
+             LATERAL (SELECT unnest(generate_series(sc.cum - sc.cnt + 1, sc.cum)) AS r) g),
+      pv AS MATERIALIZED (
+        SELECT v AS pvv, CAST(COUNT(*) AS BIGINT) AS gcnt FROM ev GROUP BY 1),
+      psc AS MATERIALIZED (
+        SELECT pvv, gcnt, CAST(SUM(gcnt) OVER (ORDER BY pvv) AS BIGINT) AS gcum FROM pv),
+      pooled AS MATERIALIZED (
+        SELECT pvv AS norm_v, g.k
+        FROM psc, LATERAL (SELECT unnest(generate_series(gcum - gcnt + 1, gcum)) AS k) g),
+      j AS (SELECT r.typ, r.v, p.norm_v FROM ranks r JOIN pooled p ON p.k = r.k)
+      SELECT typ AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             CAST(SUM(CAST(norm_v AS DECIMAL(38,6))) AS DOUBLE) AS sum_norm,
+             MIN(norm_v) AS min_norm, MAX(norm_v) AS max_norm,
+             CAST(COUNT(DISTINCT norm_v) AS BIGINT) AS n_distinct_norm
+      FROM j GROUP BY 1 ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.dsum
+    val ev = t(spark, dir).events.select($"event_type".as("typ"), $"value".as("v"))
+    val tot = ev.agg(count(lit(1)).as("nn"))
+    val gv = ev.groupBy($"typ", $"v").agg(count(lit(1)).as("cnt"))
+    val sc = graft.operators.Sampling
+      .prefixSumsBy(gv, Seq(col("typ"), col("v")), Seq("cnt"))
+    // groups are contiguous in the composite scan: per-type offset =
+    // group-end cumulative minus the group's own total (no window)
+    val tt = sc.groupBy($"typ")
+      .agg(sum($"cnt").as("n_g"), max($"cum_cnt").as("grp_end"))
+      .select($"typ", $"n_g", ($"grp_end" - $"n_g").as("off"))
+    val ranks = sc.join(broadcast(tt), Seq("typ"))
+      .select($"typ", $"v", $"n_g",
+        explode(sequence($"cum_cnt" - $"off" - $"cnt" + 1, $"cum_cnt" - $"off")).as("r"))
+      .crossJoin(broadcast(tot))
+      .select($"typ", $"v", expr("((2 * r - 1) * nn) div (2 * n_g) + 1").as("k"))
+    val pv = ev.groupBy($"v".as("pvv")).agg(count(lit(1)).as("gcnt"))
+    val pooled = graft.operators.Sampling
+      .prefixSumsBy(pv, Seq(col("pvv")), Seq("gcnt"))
+      .select($"pvv".as("norm_v"),
+        explode(sequence($"cum_gcnt" - $"gcnt" + 1, $"cum_gcnt")).as("k"))
+    ranks.join(pooled, Seq("k"))
+      .groupBy($"typ".as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum($"v").as("sum_value"),
+        dsum($"norm_v").as("sum_norm"),
+        min($"norm_v").as("min_norm"), max($"norm_v").as("max_norm"),
+        countDistinct($"norm_v").as("n_distinct_norm"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
-      qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford, qMutualInfo)
+      qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford, qMutualInfo,
+      qStratifiedEffect, qQuantileNorm)
 }
