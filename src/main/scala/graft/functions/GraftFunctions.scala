@@ -54,6 +54,7 @@ object GraftFunctions {
     "graft_token_hashes" -> (args => TokenHashes(args(0))),
     "graft_deflate_ratio" -> (args => DeflateRatio(args(0))),
     "graft_ed1" -> (args => EditDistanceAtMost1(args(0), args(1))),
+    "graft_dtw" -> (args => DtwDistance(args(0), args(1))),
     "graft_to_avro_file" -> (args => AvroEncodeContainer(args(0))),
     "graft_from_avro_file" ->
       (args => AvroDecodeContainer(args(0), litString(args(1), "graft_from_avro_file"))),

@@ -1651,11 +1651,201 @@ object SequenceQueries extends QuerySet {
       .limit(100)
   }
 
+  /** Dynamic-time-warping distance between every pair of event-type
+    * daily-value profiles — the elastic alignment similarity (phase-
+    * shift-tolerant, unlike correlation) via the native
+    * [[graft.functions.DtwDistance]] expression. The oracle replays the
+    * FULL O(n·m) recurrence as an anti-diagonal recursive CTE (cells on
+    * diagonal i+j depend only on the two previous diagonals, so each
+    * step is one list_transform — the within-row left-dependency that
+    * blocks a naive row recursion disappears), proving the codegen
+    * expression equals the textbook DP bit-for-bit
+    * (implementation-equality oracle pattern).
+    *
+    * Scale shape: the corpus-scale work is ONE (type, day) aggregation;
+    * series are calendar-bounded (30 days here) so the per-pair DP is
+    * O(days²) on |types|² rows — never corpus-sized. Portability: daily
+    * values are DECIMAL-pinned; the DP is abs/+/min only (IEEE-exact
+    * chains), dtw_per_step is one further division.
+    */
+  val qDtw: GQuery = GQuery(
+    "q_ts_dtw",
+    Some("""
+      WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      ser AS MATERIALIZED (
+        SELECT typ, list(v ORDER BY day) AS series, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY 1),
+      pairs AS MATERIALIZED (
+        SELECT a.typ AS ta, b.typ AS tb, a.series AS x, b.series AS y,
+               a.n AS n, b.n AS m
+        FROM ser a JOIN ser b ON a.typ < b.typ),
+      rec AS (
+        SELECT ta, tb, x, y, n, m, CAST(1 AS BIGINT) AS d,
+               CAST(NULL AS DOUBLE[]) AS prev2,
+               list_transform(range(1, CAST(n AS INT) + 1),
+                 i -> CAST(NULL AS DOUBLE)) AS prev
+        FROM pairs
+        UNION ALL
+        SELECT ta, tb, x, y, n, m, d + 1, prev,
+               list_transform(range(1, CAST(n AS INT) + 1), i ->
+                 CASE WHEN (d + 1 - i) BETWEEN 1 AND m
+                      THEN abs(x[i] - y[d + 1 - i]) +
+                           CASE WHEN i = 1 AND d = 1 THEN 0e0
+                                ELSE least(
+                                  COALESCE(CASE WHEN i > 1 THEN prev[i - 1] END, 1e308),
+                                  COALESCE(CASE WHEN d - i >= 1 THEN prev[i] END, 1e308),
+                                  COALESCE(CASE WHEN i > 1 AND d + 1 - i > 1
+                                                THEN prev2[i - 1] END, 1e308))
+                           END
+                      ELSE CAST(NULL AS DOUBLE) END)
+        FROM rec WHERE d < n + m)
+      SELECT ta AS type_a, tb AS type_b, n AS n_days_a, m AS n_days_b,
+             prev[CAST(n AS INT)] AS dtw_dist,
+             prev[CAST(n AS INT)] / CAST(n + m AS DOUBLE) AS dtw_per_step
+      FROM rec WHERE d = n + m
+      ORDER BY type_a, type_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.dsum
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"typ", $"day").agg(dsum($"value").as("v"))
+    val ser = daily.groupBy($"typ")
+      .agg(array_sort(collect_list(struct($"day", $"v"))).as("sv"))
+      .select($"typ",
+        transform($"sv", s => s.getField("v")).as("series"),
+        size($"sv").cast("long").as("n"))
+      .localCheckpoint() // feeds both sides of the pair join
+    ser.as("a").join(ser.as("b"), col("a.typ") < col("b.typ"))
+      .select(col("a.typ").as("type_a"), col("b.typ").as("type_b"),
+        col("a.n").as("n_days_a"), col("b.n").as("n_days_b"),
+        call_function("graft_dtw", col("a.series"), col("b.series")).as("dtw_dist"))
+      .withColumn("dtw_per_step",
+        $"dtw_dist" / ($"n_days_a" + $"n_days_b").cast("double"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** Viterbi MAP decoding of a 2-state HMM (casual=0 / intent=1) over
+    * each user's event-character sequence — the latent-state sequence
+    * labeler (session-intent segmentation) above [[qTransitions]]'
+    * observable Markov chain. Model parameters are DATA-INDEPENDENT
+    * constants quantized in the driver JVM to integer micro-log units
+    * (round(1e6·ln p) — the q_text_naive_bayes deterministic-serving
+    * convention), so the entire DP is INTEGER max-plus arithmetic: no
+    * float argmax boundary exists, and exact ties break to state 0 via
+    * the same `>=` on both engines. Emits the full decoded path per
+    * user (string), the MAP score and the final state.
+    *
+    * Scale shape: per-user sequences are rank-capped at 512 (the
+    * qPatternMatch cap) and the DP folds each sequence in ONE
+    * `aggregate` over a post-projection attribute (the HOF-recapture
+    * discipline) — row-local, zero extra shuffle. The oracle replays
+    * the fold as a recursive CTE stepping all users in lockstep
+    * (depth ≤ 512, one self-reference — linear, timed standalone).
+    */
+  val qViterbi: GQuery = {
+    def w(p: Double): Long = math.round(math.log(p) * 1e6)
+    // init, transition, emission log-probs in micro units
+    val (pi0, pi1) = (w(0.8), w(0.2))
+    val (t00, t01, t10, t11) = (w(0.9), w(0.1), w(0.2), w(0.8))
+    val em0 = Map("v" -> w(0.5), "c" -> w(0.3), "s" -> w(0.05), "p" -> w(0.05), "e" -> w(0.1))
+    val em1 = Map("v" -> w(0.2), "c" -> w(0.3), "s" -> w(0.1), "p" -> w(0.35), "e" -> w(0.05))
+    def emitSql(m: Map[String, Long], chExpr: String): String =
+      s"""CASE $chExpr WHEN 'v' THEN ${m("v")} WHEN 'c' THEN ${m("c")}
+          WHEN 's' THEN ${m("s")} WHEN 'p' THEN ${m("p")} ELSE ${m("e")} END"""
+    GQuery(
+      "q_seq_viterbi",
+      Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' ELSE 'e' END AS ch
+        FROM events),
+      capped AS (SELECT * FROM (
+                   SELECT user_id, tus, event_id, ch,
+                          row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+                   FROM e) WHERE rn <= 512),
+      seqs AS MATERIALIZED (
+        SELECT user_id, string_agg(ch, '' ORDER BY tus, event_id) AS seq
+        FROM capped GROUP BY 1),
+      rec AS (
+        SELECT user_id, seq, CAST(len(seq) AS BIGINT) AS len, CAST(1 AS BIGINT) AS t,
+               $pi0 + ${emitSql(em0, "substr(seq, 1, 1)")} AS s0, '0' AS p0,
+               $pi1 + ${emitSql(em1, "substr(seq, 1, 1)")} AS s1, '1' AS p1
+        FROM seqs
+        UNION ALL
+        SELECT user_id, seq, len, t + 1,
+               ${emitSql(em0, "substr(seq, CAST(t + 1 AS INT), 1)")}
+                 + greatest(s0 + $t00, s1 + $t10),
+               CASE WHEN s0 + $t00 >= s1 + $t10 THEN p0 ELSE p1 END || '0',
+               ${emitSql(em1, "substr(seq, CAST(t + 1 AS INT), 1)")}
+                 + greatest(s0 + $t01, s1 + $t11),
+               CASE WHEN s0 + $t01 >= s1 + $t11 THEN p0 ELSE p1 END || '1'
+        FROM rec WHERE t < len)
+      SELECT user_id, len AS seq_len,
+             CAST(CASE WHEN s0 >= s1 THEN 0 ELSE 1 END AS BIGINT) AS final_state,
+             CAST(CASE WHEN s0 >= s1 THEN s0 ELSE s1 END AS BIGINT) AS score_micro,
+             CASE WHEN s0 >= s1 THEN p0 ELSE p1 END AS path
+      FROM rec WHERE t = len
+      ORDER BY user_id""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir).events.select(
+        $"user_id", $"event_id", expr("ts div 1000").as("tus"),
+        when($"event_type" === "signup", "s")
+          .when($"event_type" === "view", "v")
+          .when($"event_type" === "click", "c")
+          .when($"event_type" === "purchase", "p")
+          .otherwise("e").as("ch"))
+      val wCap = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val seqs = e.withColumn("rn", row_number().over(wCap)).filter($"rn" <= 512)
+        .groupBy($"user_id")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, ch))), x -> x.ch), '')")
+          .as("seq"))
+      def emit(m: Map[String, Long], ch: Column): Column =
+        when(ch === "v", m("v")).when(ch === "c", m("c"))
+          .when(ch === "s", m("s")).when(ch === "p", m("p")).otherwise(m("e"))
+      val folded = seqs.select($"user_id", length($"seq").cast("long").as("seq_len"),
+        aggregate(
+          sequence(lit(1), length($"seq")),
+          struct(lit(0L).as("s0"), lit("").as("p0"), lit(0L).as("s1"), lit("").as("p1")),
+          (acc, i) => {
+            val ch = $"seq".substr(i, lit(1))
+            val (a0, a1) = (acc.getField("s0"), acc.getField("s1"))
+            val (q0, q1) = (acc.getField("p0"), acc.getField("p1"))
+            val ns0 = when(i === 1, lit(pi0) + emit(em0, ch))
+              .otherwise(emit(em0, ch) + greatest(a0 + t00, a1 + t10))
+            val np0 = when(i === 1, lit("0"))
+              .otherwise(concat(when(a0 + t00 >= a1 + t10, q0).otherwise(q1), lit("0")))
+            val ns1 = when(i === 1, lit(pi1) + emit(em1, ch))
+              .otherwise(emit(em1, ch) + greatest(a0 + t01, a1 + t11))
+            val np1 = when(i === 1, lit("1"))
+              .otherwise(concat(when(a0 + t01 >= a1 + t11, q0).otherwise(q1), lit("1")))
+            struct(ns0.as("s0"), np0.as("p0"), ns1.as("s1"), np1.as("p1"))
+          },
+          st => struct(
+            when(st.getField("s0") >= st.getField("s1"), 0L).otherwise(1L).as("final_state"),
+            greatest(st.getField("s0"), st.getField("s1")).as("score_micro"),
+            when(st.getField("s0") >= st.getField("s1"), st.getField("p0"))
+              .otherwise(st.getField("p1")).as("path"))
+        ).as("vit"))
+      folded.select($"user_id", $"seq_len",
+        $"vit.final_state".as("final_state"),
+        $"vit.score_micro".as("score_micro"),
+        $"vit.path".as("path"))
+        .orderBy($"user_id")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
       qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch,
-      qAssortativity, qGraphLinkPredRa)
+      qAssortativity, qGraphLinkPredRa, qDtw, qViterbi)
 }

@@ -526,6 +526,36 @@ class ExtensionSpec extends SparkSpec {
       s"expected boundary realignment after the edit; only $common of ${orig.size} suffix chunks matched")
   }
 
+  test("DtwDistance: known alignments, symmetry, null/empty contract") {
+    val s = spark
+    import s.implicits._
+    def dtw(x: Seq[Double], y: Seq[Double]): java.lang.Double = {
+      val r = Seq((x, y)).toDF("x", "y")
+        .select(call_function("graft_dtw", col("x"), col("y")).as("d"))
+        .collect()(0)
+      if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+    }
+    // identical series align along the diagonal at zero cost
+    assert(dtw(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)) == 0.0)
+    // phase shift: DTW warps it away, pointwise L1 would charge 2·|steps|
+    assert(dtw(Seq(0.0, 1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0, 3.0)) == 1.0)
+    // textbook hand-checked cell: [1,3] vs [2] -> |1-2| + |3-2| = 2
+    assert(dtw(Seq(1.0, 3.0), Seq(2.0)) == 2.0)
+    // symmetry (the recurrence is symmetric in the inputs)
+    val a = Seq(0.5, 4.25, -1.0, 2.0)
+    val b = Seq(1.0, 1.5, 3.0)
+    assert(dtw(a, b) == dtw(b, a))
+    // expression result equals the direct JVM DP on the same arrays
+    assert(dtw(a, b) == functions.DtwUtil.dtw(a.toArray, b.toArray))
+    // empty side -> NULL (no silent zero)
+    assert(dtw(Seq.empty, Seq(1.0)) == null)
+    val nullRow = Seq(("x")).toDF("k")
+      .select(call_function("graft_dtw",
+        lit(null).cast("array<double>"), array(lit(1.0))).as("d"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("CdcChunkStarts: non-ASCII code points count as single positions") {
     val s = spark
     import s.implicits._
