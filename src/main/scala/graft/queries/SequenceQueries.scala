@@ -1841,11 +1841,175 @@ object SequenceQueries extends QuerySet {
     }
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank over
+    * the adjacent-token co-occurrence graph, top 20 tokens: the
+    * unsupervised keyword ranker that pure frequency ([[graft.queries
+    * .TextAnalysis]] token_freq) gets wrong for well-connected but
+    * mid-frequency terms. Pure composition: bigram edges (canonical
+    * least/greatest, self-pairs dropped, weight ≥ 3 prune) feed the
+    * SAME [[graft.operators.Graphs.pagerank]] the co-purchase query
+    * uses — one operator, two domains. The oracle replays the identical
+    * 1e-15 fixed-point 3-iteration recursion (q_graph_pagerank's replay
+    * text) over the token edge CTE; scores are engine-identical so the
+    * top-20 cut is deterministic (ties break on token).
+    *
+    * Scale shape: bigram generation is row-local over a post-projection
+    * token array; the edge groupBy and each rank iteration shuffle on
+    * the token key — all linear in corpus tokens.
+    */
+  val qTextRank: GQuery = GQuery(
+    "q_text_textrank",
+    Some("""
+      WITH d AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      bg AS (SELECT ts[i] AS a, ts[i+1] AS b
+             FROM d, LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) g
+             WHERE len(ts) >= 2),
+      e2 AS (SELECT least(a, b) AS src, greatest(a, b) AS dst
+             FROM bg WHERE a <> b GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      sym AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM deg),
+      p0 AS (SELECT d.node, CAST(1 AS DOUBLE) / nn.n AS pr, d.deg
+             FROM deg d CROSS JOIN nn),
+      c1 AS (SELECT s.dst AS node,
+                    CAST(SUM(CAST(floor((p.pr / p.deg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS acc
+             FROM sym s JOIN p0 p ON p.node = s.src GROUP BY 1),
+      p1 AS (SELECT d.node,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c1.acc, CAST(0 AS DOUBLE)) AS pr,
+                    d.deg
+             FROM deg d CROSS JOIN nn LEFT JOIN c1 ON c1.node = d.node),
+      c2 AS (SELECT s.dst AS node,
+                    CAST(SUM(CAST(floor((p.pr / p.deg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS acc
+             FROM sym s JOIN p1 p ON p.node = s.src GROUP BY 1),
+      p2 AS (SELECT d.node,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c2.acc, CAST(0 AS DOUBLE)) AS pr,
+                    d.deg
+             FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.node = d.node),
+      c3 AS (SELECT s.dst AS node,
+                    CAST(SUM(CAST(floor((p.pr / p.deg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS acc
+             FROM sym s JOIN p2 p ON p.node = s.src GROUP BY 1),
+      p3 AS (SELECT d.node,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c3.acc, CAST(0 AS DOUBLE)) AS pr,
+                    d.deg
+             FROM deg d CROSS JOIN nn LEFT JOIN c3 ON c3.node = d.node)
+      SELECT node AS token, CAST(deg AS BIGINT) AS degree, pr AS textrank
+      FROM p3 ORDER BY pr DESC, token LIMIT 20""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val bg = t(spark, dir).documents
+      .select(graft.operators.TextOps.tokens($"text").as("ts")) // attribute boundary pre-HOF
+      .filter(size($"ts") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"ts") - 1),
+        i => struct(element_at($"ts", i).as("a"), element_at($"ts", i + 1).as("b"))))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .filter($"a" =!= $"b")
+    val edges = bg
+      .select(least($"a", $"b").as("src"), greatest($"a", $"b").as("dst"))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("weight"))
+      .filter($"weight" >= 3)
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val degrees = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("degree"))
+    graft.operators.Graphs.pagerank(edges, k = 3)
+      .join(degrees, Seq("node"))
+      .select($"node".as("token"), $"degree", $"pr".as("textrank"))
+      .orderBy($"textrank".desc, $"token")
+      .limit(20)
+  }
+
+  /** Holt double-exponential smoothing (level + trend, α = β = 1/2) of
+    * each event type's daily series, with a 7-day-ahead forecast fan and
+    * the in-sample one-step SSE — the trend-aware forecaster that
+    * [[qDecayAvg]]'s level-only EWMA can't give (a ramping series lags
+    * it by a constant). Init: l₁ = y₁, b₁ = y₂ − y₁; recurrence
+    * l_t = ½y_t + ½(l_{t−1} + b_{t−1}), b_t = ½(l_t − l_{t−1}) +
+    * ½b_{t−1}; forecast ŷ_{n+h} = l_n + h·b_n.
+    *
+    * Portability: ×½ is an exact IEEE exponent shift and every other op
+    * is one +/−/× on identical inputs, applied in ONE fixed sequential
+    * fold (the SSE accumulates INSIDE the fold, so it is a fixed-order
+    * chain, not an unordered float sum) — the oracle replays the exact
+    * op tree as a lockstep recursive CTE and every raw double matches.
+    * Scale shape: one (type, day) corpus aggregation; the fold is
+    * row-local over a calendar-bounded post-projection array.
+    */
+  val qHolt: GQuery = GQuery(
+    "q_ts_holt",
+    Some("""
+      WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      ser AS MATERIALIZED (
+        SELECT typ, list(v ORDER BY day) AS y, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY 1),
+      rec AS (
+        SELECT typ, y, n, CAST(1 AS BIGINT) AS t,
+               y[1] AS l, 0e0 AS b, 0e0 AS sse
+        FROM ser
+        UNION ALL
+        SELECT typ, y, n, t + 1,
+               0.5 * y[CAST(t + 1 AS INT)]
+                 + 0.5 * (l + CASE WHEN t = 1 THEN y[CAST(t + 1 AS INT)] - l ELSE b END),
+               0.5 * ((0.5 * y[CAST(t + 1 AS INT)]
+                       + 0.5 * (l + CASE WHEN t = 1 THEN y[CAST(t + 1 AS INT)] - l ELSE b END)) - l)
+                 + 0.5 * CASE WHEN t = 1 THEN y[CAST(t + 1 AS INT)] - l ELSE b END,
+               sse + (y[CAST(t + 1 AS INT)]
+                      - (l + CASE WHEN t = 1 THEN y[CAST(t + 1 AS INT)] - l ELSE b END))
+                   * (y[CAST(t + 1 AS INT)]
+                      - (l + CASE WHEN t = 1 THEN y[CAST(t + 1 AS INT)] - l ELSE b END))
+        FROM rec WHERE t < n),
+      fin AS (SELECT typ, n, l, b, sse FROM rec WHERE t = n AND n >= 2)
+      SELECT f.typ AS event_type, f.n AS n_days, f.l AS level, f.b AS trend, f.sse,
+             CAST(h.h AS BIGINT) AS h, f.l + CAST(h.h AS DOUBLE) * f.b AS forecast
+      FROM fin f, LATERAL (SELECT unnest(generate_series(1, 7)) AS h) h
+      ORDER BY event_type, h""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.dsum
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"typ", $"day").agg(dsum($"value").as("v"))
+    val ser = daily.groupBy($"typ")
+      .agg(array_sort(collect_list(struct($"day", $"v"))).as("sv"))
+      .select($"typ",
+        transform($"sv", s => s.getField("v")).as("y"),
+        size($"sv").cast("long").as("n_days"))
+      // Spark's sequence(2, n) runs BACKWARDS for n = 1 — a 1-day series
+      // must not fold at all (the oracle's t < n guard stops at the base)
+      .filter(size($"y") >= 2)
+    val folded = ser.select($"typ".as("event_type"), $"n_days",
+      aggregate(
+        sequence(lit(2), size($"y")),
+        struct(element_at($"y", 1).as("l"), lit(0.0).as("b"), lit(0.0).as("sse")),
+        (acc, i) => {
+          val yv = element_at($"y", i)
+          val bprev = when(i === 2, yv - acc.getField("l")).otherwise(acc.getField("b"))
+          val pred = acc.getField("l") + bprev
+          val e = yv - pred
+          val l = lit(0.5) * yv + lit(0.5) * pred
+          struct(l.as("l"),
+            (lit(0.5) * (l - acc.getField("l")) + lit(0.5) * bprev).as("b"),
+            (acc.getField("sse") + e * e).as("sse"))
+        }).as("st"))
+    folded.select($"event_type", $"n_days",
+      $"st.l".as("level"), $"st.b".as("trend"), $"st.sse".as("sse"),
+      explode(sequence(lit(1L), lit(7L))).as("h"))
+      .withColumn("forecast", $"level" + $"h".cast("double") * $"trend")
+      .orderBy($"event_type", $"h")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
       qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch,
-      qAssortativity, qGraphLinkPredRa, qDtw, qViterbi)
+      qAssortativity, qGraphLinkPredRa, qDtw, qViterbi, qTextRank, qHolt)
 }

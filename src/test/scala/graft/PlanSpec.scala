@@ -322,7 +322,12 @@ class PlanSpec extends SparkSpec {
       // allows
       "q_text_bpe_apply" -> "per-doc BPE pieces",
       "q_dedup_paragraph" -> "per-doc paragraphs",
-      "q_dedup_cdc_chunks" -> "per-doc CDC chunks (~len/64)"
+      "q_dedup_cdc_chunks" -> "per-doc CDC chunks (~len/64)",
+      // per-type daily profiles: array length is CALENDAR-bounded (one
+      // cell per day regardless of corpus size; the corpus-scaled work
+      // is the upstream (type, day) aggregation)
+      "q_ts_dtw" -> "per-type daily profile (calendar-bounded)",
+      "q_ts_holt" -> "per-type daily profile (calendar-bounded)"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       try {
