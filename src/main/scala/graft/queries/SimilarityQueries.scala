@@ -1576,9 +1576,129 @@ object SimilarityQueries extends QuerySet {
       .orderBy($"cell_size")
   }
 
+  /** Local outlier factor (Breunig et al. 2000) over the celled kNN
+    * graph ([[Similarity.knnGraphLsh]], k = 10) — the DENSITY-relative
+    * embedding-space outlier detector (a point far from its neighbors
+    * relative to how far THEY are from theirs), the curation screen
+    * that a plain k-distance cut misses in mixed-density corpora.
+    * Top 20 by LOF.
+    *
+    * All-integer pipeline after one quantization (the deterministic-
+    * serving convention): cosine distance → micro units (floor of
+    * engine-identical doubles), k-distance = max neighbor distance
+    * (integer order statistic), reachability = greatest(kdist(o), d),
+    * lrd = (cnt·10¹⁵) div Σreach (exact integer division; Σreach ≥ 1
+    * guard documents the identical-vector clique as max density), and
+    * the final LOF is ONE division of exact integers. Every dst is
+    * guaranteed its own kdist/lrd: a vector appears as a neighbor only
+    * if its cell kept ≥ 2 members, which gives it ≥ 1 neighbor of its
+    * own — so the inner joins drop nobody.
+    *
+    * Scale shape: inherits the capped-cell discipline (probe side never
+    * capped, md5-rank b-side cap); everything after the kNN graph is
+    * O(n·k) joins on the src key. Oracle: the q_graph_knn replay chain
+    * (planes, integer sign-dot cells, cap, ranked edges) extended by
+    * the three integer roll-ups.
+    */
+  val qLof: GQuery = GQuery(
+    "q_outlier_lof",
+    Some("""
+      WITH params AS (
+        SELECT MIN(j) AS p
+        FROM (SELECT unnest(generate_series(0, 40)) AS j) js,
+             (SELECT COUNT(*) AS n FROM embeddings) cn
+        WHERE (512::BIGINT << j) >= cn.n),
+      qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings),
+      cells AS MATERIALIZED (
+        SELECT vec_id,
+               COALESCE(array_to_string(list_transform(generate_series(1, (SELECT p FROM params)),
+                 pp -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                         d -> (CASE WHEN (('0x' || substr(md5('0|' || (pp-1)::VARCHAR || '|' || (d-1)::VARCHAR), 1, 16))::UBIGINT & 1) = 1
+                                    THEN 1 ELSE -1 END) * q[d])) > 0
+                       THEN '1' ELSE '0' END), ''), '') AS cell
+        FROM qv),
+      cellcnt AS (SELECT cell, COUNT(*) AS cn FROM cells GROUP BY cell),
+      bkeep AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT c.vec_id, c.cell, n.cn,
+                 ROW_NUMBER() OVER (PARTITION BY c.cell
+                                    ORDER BY md5(CAST(c.vec_id AS VARCHAR)), c.vec_id) AS rk
+          FROM cells c JOIN cellcnt n USING (cell)) t
+        WHERE cn <= 4096 OR rk <= 4096),
+      v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS s
+        FROM cells a
+        JOIN bkeep b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id),
+      knn AS MATERIALIZED (
+        SELECT src, dst, CAST(floor((1e0 - s) * 1e6 + 0.5) AS BIGINT) AS dm FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rank
+          FROM edges) r
+        WHERE rank <= 10),
+      kd AS MATERIALIZED (
+        SELECT src, CAST(MAX(dm) AS BIGINT) AS kdist, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM knn GROUP BY 1),
+      reach AS (
+        SELECT k.src, greatest(kdo.kdist, k.dm) AS reach
+        FROM knn k JOIN kd kdo ON kdo.src = k.dst),
+      lrd AS MATERIALIZED (
+        SELECT r.src, kd.cnt, kd.kdist,
+               (kd.cnt * 1000000000000000) // greatest(CAST(SUM(r.reach) AS BIGINT), 1) AS lrd_nano
+        FROM reach r JOIN kd ON kd.src = r.src
+        GROUP BY r.src, kd.cnt, kd.kdist)
+      SELECT k.src AS vec_id, l.cnt AS n_neighbors, l.kdist AS kdist_micro,
+             l.lrd_nano,
+             CAST(SUM(lo.lrd_nano) AS DOUBLE)
+               / CAST(l.cnt * l.lrd_nano AS DOUBLE) AS lof
+      FROM knn k
+      JOIN lrd lo ON lo.src = k.dst
+      JOIN lrd l ON l.src = k.src
+      GROUP BY k.src, l.cnt, l.kdist, l.lrd_nano
+      ORDER BY lof DESC, vec_id
+      LIMIT 20""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val knn = Similarity
+      .knnGraphLsh(t(spark, dir).embeddings, "vec_id", "embedding", k = 10)
+      .select($"src", $"dst",
+        floor((lit(1.0) - $"cos_sim") * 1e6 + 0.5).cast("long").as("dm"))
+      .localCheckpoint() // feeds kdist + the two neighbor joins
+    val kd = knn.groupBy($"src")
+      .agg(max($"dm").as("kdist"), count(lit(1)).as("cnt"))
+      .localCheckpoint() // joined back twice (own row + per-neighbor)
+    val reach = knn
+      .join(kd.select($"src".as("dst"), $"kdist".as("kdist_o")), Seq("dst"))
+      .select($"src", greatest($"kdist_o", $"dm").as("reach"))
+    val lrd = reach.groupBy($"src").agg(sum($"reach").as("rsum"))
+      .join(kd, Seq("src"))
+      .select($"src", $"cnt", $"kdist",
+        expr("(cnt * 1000000000000000L) div greatest(rsum, 1L)").as("lrd_nano"))
+      .localCheckpoint() // joined back twice (own row + per-neighbor)
+    knn.join(lrd.select($"src".as("dst"), $"lrd_nano".as("lrd_o")), Seq("dst"))
+      .groupBy($"src").agg(sum($"lrd_o").as("sum_lrd"))
+      .join(lrd, Seq("src"))
+      .select($"src".as("vec_id"), $"cnt".as("n_neighbors"),
+        $"kdist".as("kdist_micro"), $"lrd_nano",
+        ($"sum_lrd".cast("double") / ($"cnt" * $"lrd_nano").cast("double")).as("lof"))
+      .orderBy($"lof".desc, $"vec_id")
+      .limit(20)
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
       qKnnGraphProbe, qRecallProbeLift,
       qRecallAudit, qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr,
-      qPca, qKmeans, qLabelConsistency, qCellBalance, qSilhouette)
+      qPca, qKmeans, qLabelConsistency, qCellBalance, qSilhouette, qLof)
 }
