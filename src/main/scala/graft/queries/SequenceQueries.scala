@@ -2005,11 +2005,91 @@ object SequenceQueries extends QuerySet {
       .orderBy($"event_type", $"h")
   }
 
+  /** Lagged cross-correlation between event-type daily series (lags
+    * −7…+7) — the lead/lag detector ("do clicks lead purchases by two
+    * days?") that [[qAutocorr]]'s self-ACF can't answer. For each type
+    * pair and lag L, Pearson r over the overlap days (a aligned with b
+    * shifted by L).
+    *
+    * Portability: daily values quantize ONCE to centi-units
+    * (floor(100·v + 0.5) of engine-identical DECIMAL-pinned doubles),
+    * then every moment (n, Σx, Σy, Σxy, Σxx, Σyy) is an exact BIGINT
+    * sum — bounded: |vq| ≤ 1e8 over ≤ 366 days keeps n·Σxy < 2^63; a
+    * corpus with larger daily mass drops the quantization to deci-units
+    * — and r is one fixed `×−÷√` IEEE chain over those integers (casts
+    * of >2^53 integers round deterministically; the assortativity
+    * convention). Constant series ⇒ NULL r, not ÷0. Scale shape: one
+    * (type, day) corpus aggregation, then a 15-lag explode of the
+    * day-count table and a (day+lag)-keyed equi-join — O(types²·days·
+    * lags), never corpus-sized.
+    */
+  val qCrossCorr: GQuery = GQuery(
+    "q_ts_cross_correlation",
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vq
+        FROM events GROUP BY 1, 2),
+      lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+      m AS (
+        SELECT a.typ AS type_a, b.typ AS type_b, l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.vq) AS BIGINT) AS sx, CAST(SUM(b.vq) AS BIGINT) AS sy,
+               CAST(SUM(a.vq * b.vq) AS BIGINT) AS sxy,
+               CAST(SUM(a.vq * a.vq) AS BIGINT) AS sxx,
+               CAST(SUM(b.vq * b.vq) AS BIGINT) AS syy
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.typ > a.typ AND b.day = a.day + l.lag
+        GROUP BY 1, 2, 3)
+      SELECT type_a, type_b, lag, n,
+             CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  ELSE NULL END AS r
+      FROM m
+      ORDER BY type_a, type_b, lag""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"typ", $"day")
+      .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
+      .localCheckpoint() // feeds both sides of the lag join
+    val lags = (-7L to 7L).toDF("lag")
+    val a = daily.select($"typ".as("type_a"), $"day", $"vq".as("xq"))
+      .crossJoin(broadcast(lags))
+    val b = daily.select($"typ".as("type_b"), $"day".as("bday"), $"vq".as("yq"))
+    val m = a.join(b, $"type_b" > $"type_a" && $"bday" === $"day" + $"lag")
+      .groupBy($"type_a", $"type_b", $"lag")
+      .agg(count(lit(1)).as("n"),
+        sum($"xq").as("sx"), sum($"yq").as("sy"),
+        sum($"xq" * $"yq").as("sxy"),
+        sum($"xq" * $"xq").as("sxx"),
+        sum($"yq" * $"yq").as("syy"))
+    m.select($"type_a", $"type_b", $"lag", $"n",
+      when(($"n" * $"sxx" - $"sx" * $"sx") > 0 && ($"n" * $"syy" - $"sy" * $"sy") > 0,
+        ($"n".cast("double") * $"sxy".cast("double")
+          - $"sx".cast("double") * $"sy".cast("double"))
+          / sqrt(($"n".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx".cast("double"))
+            * ($"n".cast("double") * $"syy".cast("double")
+              - $"sy".cast("double") * $"sy".cast("double"))))
+        .as("r"))
+      .orderBy($"type_a", $"type_b", $"lag")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
       qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch,
-      qAssortativity, qGraphLinkPredRa, qDtw, qViterbi, qTextRank, qHolt)
+      qAssortativity, qGraphLinkPredRa, qDtw, qViterbi, qTextRank, qHolt, qCrossCorr)
 }
