@@ -747,4 +747,61 @@ object TextOps {
     }
     (merges.result().toDF("merge_round", "lhs", "rhs", "pair_count"), syms)
   }
+  /** Trained multinomial naive Bayes, QUANTIZED for deterministic
+    * serving: log-probabilities become integer micro-log units
+    * (floor(1e6·ln x + 0.5)) at train time, so scoring is pure integer
+    * arithmetic — order-insensitive, engine-exact, no float argmax
+    * boundary (the q_text_naive_bayes convention; mirrors shipping a
+    * quantized model artifact).
+    *
+    * @param train (doc_id, lang, tk) token occurrences of the train split
+    * @return (model(lang, tk, lp), clsq(lang, prior_micro, lnz_micro))
+    */
+  def nbQuantizedModel(train: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    def q6(c: Column) = floor(c * 1e6 + 0.5).cast("long")
+    val v = train.agg(countDistinct(col("tk")).as("v"))
+    val cls = train.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("doc_id")).as("n_docs"))
+    val tot = cls.agg(sum(col("n_docs")).as("total_docs"))
+    val model = train.groupBy(col("lang"), col("tk"))
+      .agg(q6(log((count(lit(1)) + 1).cast("double"))).as("lp"))
+    val clsq = cls.crossJoin(broadcast(tot)).crossJoin(broadcast(v))
+      .select(col("lang"),
+        q6(log(col("n_docs").cast("double") / col("total_docs").cast("double")))
+          .as("prior_micro"),
+        q6(log((col("n_tok") + col("v")).cast("double"))).as("lnz_micro"))
+    (model, clsq)
+  }
+
+  /** Score documents against an [[nbQuantizedModel]]: integer max-plus
+    * argmax with (score DESC, lang) tie-break and the exact integer
+    * top1−top2 margin. `testTok` is (doc_id, tk) token occurrences.
+    * Scale shape: one broadcast join of the model to the token counts,
+    * one (doc, class) integer aggregation, a per-doc window.
+    * @return (doc_id, pred, margin_micro)
+    */
+  def nbScore(
+      testTok: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame,
+      clsq: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val testc = testTok.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("n"))
+    val dlen = testc.groupBy(col("doc_id")).agg(sum(col("n")).as("len"))
+    val hits = testc.join(broadcast(model), Seq("tk"))
+      .groupBy(col("doc_id"), col("lang")).agg(sum(col("n") * col("lp")).as("lsum"))
+    val scores = dlen.crossJoin(broadcast(clsq))
+      .join(hits, Seq("doc_id", "lang"), "left")
+      .na.fill(0L, Seq("lsum"))
+      .select(col("doc_id"), col("lang"),
+        (col("prior_micro") + col("lsum") - col("len") * col("lnz_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score_micro").desc, col("lang"))
+    val rk = scores.withColumn("rn", row_number().over(w))
+    rk.filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred"), col("score_micro").as("s1"))
+      .join(rk.filter(col("rn") === 2)
+        .select(col("doc_id"), col("score_micro").as("s2")), Seq("doc_id"))
+      .select(col("doc_id"), col("pred"), (col("s1") - col("s2")).as("margin_micro"))
+  }
 }

@@ -1551,10 +1551,130 @@ object DedupQueries extends QuerySet {
       .orderBy($"class")
   }
 
+  /** Golden-record survivorship over entity-resolution clusters — the
+    * MDM step AFTER [[qRecordLinkage]]: 'match'-class pairs (score ≥ 10)
+    * feed [[Dedup.connectedComponents]], and each cluster merges into
+    * one golden record by field-level rules: name/segment by majority
+    * vote (ties → count DESC, value ASC — replayable), balance by MAX,
+    * golden id = cluster min, members previewed as a rank-capped joined
+    * string (≤ 16 — the capped-collect discipline) beside the exact
+    * n_members count.
+    *
+    * Oracle note: on this fixture every match cluster is provably the
+    * (original, clean-copy) pair — score ≥ 10 requires EXACT name
+    * agreement and TPC-H names are unique per custkey — so the oracle
+    * replays components as least(id_a, id_b) directly; the general
+    * iterative CC operator is proven separately by q_dedup_connected's
+    * chain fixtures. Scale shape: blocking-bounded pair join →
+    * CC → three cluster-keyed aggregations, all O(matched ids).
+    */
+  val qSurvivorship: GQuery = GQuery(
+    "q_dedup_survivorship",
+    Some("""
+      WITH base AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+               c_acctbal AS bal, c_mktsegment AS seg
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000000,
+               CASE WHEN c_custkey % 20 = 0 THEN c_name
+                    ELSE substr(c_name, 1, 17) || 'x' END,
+               c_nationkey, c_acctbal + 0.01,
+               CASE WHEN c_custkey % 20 = 0 THEN c_mktsegment ELSE 'MOVED' END
+        FROM customer WHERE c_custkey % 10 = 0),
+      blocked AS (SELECT *, substr(name, 1, 16) AS blk FROM base),
+      m AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM blocked a JOIN blocked b
+          ON a.nat = b.nat AND a.blk = b.blk AND a.id < b.id
+        WHERE (CASE WHEN a.name = b.name THEN 8.0e0 ELSE -4.0e0 END
+               + CASE WHEN abs(a.bal - b.bal) <= 0.02 THEN 6.0e0 ELSE -3.0e0 END
+               + CASE WHEN a.seg = b.seg THEN 2.0e0 ELSE -2.0e0 END) >= 10.0),
+      mem AS (
+        SELECT id_a AS comp, id_a AS id FROM m
+        UNION SELECT id_a, id_b FROM m),
+      rec AS (SELECT mem.comp, b.* FROM mem JOIN base b ON b.id = mem.id),
+      namev AS (
+        SELECT comp, name FROM (
+          SELECT comp, name,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                                    ORDER BY COUNT(*) DESC, name) AS rk
+          FROM rec GROUP BY comp, name) WHERE rk = 1),
+      segv AS (
+        SELECT comp, seg FROM (
+          SELECT comp, seg,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                                    ORDER BY COUNT(*) DESC, seg) AS rk
+          FROM rec GROUP BY comp, seg) WHERE rk = 1),
+      prev AS (
+        SELECT comp, string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_preview
+        FROM (SELECT comp, id,
+                     ROW_NUMBER() OVER (PARTITION BY comp ORDER BY id) AS rk
+              FROM rec) WHERE rk <= 16
+        GROUP BY comp)
+      SELECT r.comp AS golden_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             ANY_VALUE(nv.name) AS golden_name,
+             ANY_VALUE(sv.seg) AS golden_segment,
+             MAX(r.bal) AS max_balance,
+             ANY_VALUE(p.member_preview) AS member_preview
+      FROM rec r
+      JOIN namev nv ON nv.comp = r.comp
+      JOIN segv sv ON sv.comp = r.comp
+      JOIN prev p ON p.comp = r.comp
+      GROUP BY r.comp
+      ORDER BY golden_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = t(spark, dir).customer
+    val base = c.select($"c_custkey".as("id"), $"c_name".as("name"),
+        $"c_nationkey".as("nat"), $"c_acctbal".as("bal"), $"c_mktsegment".as("seg"))
+      .unionAll(c.filter($"c_custkey" % 10 === 0)
+        .select(($"c_custkey" + 1000000000L).as("id"),
+          when($"c_custkey" % 20 === 0, $"c_name")
+            .otherwise(concat($"c_name".substr(1, 17), lit("x"))).as("name"),
+          $"c_nationkey".as("nat"), ($"c_acctbal" + 0.01).as("bal"),
+          when($"c_custkey" % 20 === 0, $"c_mktsegment").otherwise("MOVED").as("seg")))
+      .withColumn("blk", substring($"name", 1, 16))
+      .localCheckpoint() // feeds the pair join (both sides) + member join
+    val a = base.select($"id".as("id_a"), $"name".as("name_a"), $"nat",
+      $"bal".as("bal_a"), $"seg".as("seg_a"), $"blk")
+    val b = base.select($"id".as("id_b"), $"name".as("name_b"), $"nat",
+      $"bal".as("bal_b"), $"seg".as("seg_b"), $"blk")
+    val matches = a.join(b, Seq("nat", "blk")).filter($"id_a" < $"id_b")
+      .filter(
+        (when($"name_a" === $"name_b", 8.0).otherwise(-4.0)
+          + when(abs($"bal_a" - $"bal_b") <= 0.02, 6.0).otherwise(-3.0)
+          + when($"seg_a" === $"seg_b", 2.0).otherwise(-2.0)) >= 10.0)
+      .select($"id_a", $"id_b")
+    val cc = Dedup.connectedComponents(matches)
+    val rec = base.join(cc.select($"id", $"component".as("comp")), Seq("id"))
+      .localCheckpoint() // feeds three vote/roll-up aggregations
+    def vote(c: String): org.apache.spark.sql.DataFrame = {
+      val counted = rec.groupBy($"comp", col(c)).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"comp").orderBy($"cnt".desc, col(c))
+      counted.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"comp", col(c))
+    }
+    val wm = Window.partitionBy($"comp").orderBy($"id")
+    val prev = rec.withColumn("rn", row_number().over(wm)).filter($"rn" <= 16)
+      .groupBy($"comp")
+      .agg(array_join(array_sort(collect_list($"id")), ",").as("member_preview"))
+    rec.groupBy($"comp")
+      .agg(count(lit(1)).as("n_members"), max($"bal").as("max_balance"))
+      .join(vote("name").withColumnRenamed("name", "golden_name"), Seq("comp"))
+      .join(vote("seg").withColumnRenamed("seg", "golden_segment"), Seq("comp"))
+      .join(prev, Seq("comp"))
+      .select($"comp".as("golden_id"), $"n_members", $"golden_name",
+        $"golden_segment", $"max_balance", $"member_preview")
+      .orderBy($"golden_id")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
       qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical,
       qSortedNeighborhood, qBbitMinhash, qCdcChunks, qCdcPairs, qIncrementalSemantic,
-      qClusterStats, qBloomGate, qRecordLinkage)
+      qClusterStats, qBloomGate, qRecordLinkage, qSurvivorship)
 }

@@ -2238,43 +2238,15 @@ object TextAnalysis extends QuerySet {
       GROUP BY 1, 2 ORDER BY actual, pred""")
   ) { (spark, dir) =>
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val tok = t(spark, dir).documents
       .select($"doc_id", $"lang",
         explode(graft.operators.TextOps.tokens($"text")).as("tk"))
     val train = tok.filter($"doc_id" % 5 =!= 0).localCheckpoint() // feeds v/cls/model
-    val v = train.agg(countDistinct($"tk").as("v"))
-    val cls = train.groupBy($"lang")
-      .agg(count(lit(1)).as("n_tok"), countDistinct($"doc_id").as("n_docs"))
-    val tot = cls.agg(sum($"n_docs").as("total_docs"))
-    def q6(c: org.apache.spark.sql.Column) =
-      floor(c * 1e6 + 0.5).cast("long")
-    val model = train.groupBy($"lang", $"tk")
-      .agg(q6(log((count(lit(1)) + 1).cast("double"))).as("lp"))
-    val clsq = cls.crossJoin(broadcast(tot)).crossJoin(broadcast(v))
-      .select($"lang",
-        q6(log($"n_docs".cast("double") / $"total_docs".cast("double"))).as("prior_micro"),
-        q6(log(($"n_tok" + $"v").cast("double"))).as("lnz_micro"))
-    val testc = tok.filter($"doc_id" % 5 === 0)
-      .groupBy($"doc_id", $"tk")
-      .agg(min($"lang").as("actual"), count(lit(1)).as("n"))
-      .localCheckpoint() // feeds hits, dlen, labels
-    val dlen = testc.groupBy($"doc_id").agg(sum($"n").as("len"))
-    val hits = testc.join(broadcast(model), Seq("tk"))
-      .groupBy($"doc_id", $"lang").agg(sum($"n" * $"lp").as("lsum"))
-    val scores = dlen.crossJoin(broadcast(clsq))
-      .join(hits, Seq("doc_id", "lang"), "left")
-      .na.fill(0L, Seq("lsum"))
-      .select($"doc_id", $"lang",
-        ($"prior_micro" + $"lsum" - $"len" * $"lnz_micro").as("score_micro"))
-    val w = Window.partitionBy($"doc_id").orderBy($"score_micro".desc, $"lang")
-    val rk = scores.withColumn("rn", row_number().over(w))
-    val pred = rk.filter($"rn" === 1)
-      .select($"doc_id", $"lang".as("pred"), $"score_micro".as("s1"))
-      .join(rk.filter($"rn" === 2)
-        .select($"doc_id", $"score_micro".as("s2")), Seq("doc_id"))
-      .select($"doc_id", $"pred", ($"s1" - $"s2").as("margin_micro"))
-    val lab = testc.groupBy($"doc_id").agg(min($"actual").as("actual"))
+    val (model, clsq) = graft.operators.TextOps.nbQuantizedModel(train)
+    val testTok = tok.filter($"doc_id" % 5 === 0).localCheckpoint() // feeds score + labels
+    val pred = graft.operators.TextOps
+      .nbScore(testTok.select($"doc_id", $"tk"), model, clsq)
+    val lab = testTok.groupBy($"doc_id").agg(min($"lang").as("actual"))
     lab.join(pred, Seq("doc_id"))
       .groupBy($"actual", $"pred")
       .agg(count(lit(1)).as("n_docs"),
