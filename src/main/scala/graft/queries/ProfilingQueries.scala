@@ -1895,10 +1895,94 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Brown–Forsythe test for equality of variances across event types
+    * (Levene's W with MEDIAN centers — the robust default): z = |value −
+    * group median|, W = ((N−k)/(k−1))·SSB(z)/SSW(z). The
+    * heteroscedasticity gate that [[qAbTest]]-style mean contrasts and
+    * pooled-variance tests silently assume away.
+    *
+    * Portability: group medians use the shared percentile convention
+    * (qMad); z quantizes ONCE to deci-units (floor of engine-identical
+    * doubles), making n/S=Σz/Q=Σz² exact BIGINTs (|z| ≤ 1e4 deci keeps
+    * S² < 2^63 up to ~1e9 rows/group; larger corpora coarsen the
+    * quantum); each group's SSB/SSW double terms are floor-quantized to
+    * integers before the cross-group sum (5 terms — unordered double
+    * sums are not portable), and W is one closing chain over exact
+    * integers. Scale shape: one fact shuffle for medians, one for the
+    * (type) moments; everything after runs on k rows.
+    */
+  val qLevene: GQuery = GQuery(
+    "q_stat_levene",
+    Some("""
+      WITH med AS (
+        SELECT event_type AS typ, CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med
+        FROM events GROUP BY 1),
+      z AS (
+        SELECT e.event_type AS typ,
+               CAST(floor(abs(e.value - m.med) * 10 + 0.5) AS BIGINT) AS zq
+        FROM events e JOIN med m ON m.typ = e.event_type),
+      g AS (
+        SELECT typ, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(zq) AS BIGINT) AS s, CAST(SUM(zq * zq) AS BIGINT) AS q
+        FROM z GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s) AS BIGINT) AS st
+        FROM g),
+      terms AS (
+        SELECT g.typ, g.n, g.s, g.q,
+               CAST(floor(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+                          / CAST(g.n AS DOUBLE) + 0.5) AS BIGINT) AS bterm,
+               CAST(floor(CAST(g.q AS DOUBLE)
+                          - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+                            / CAST(g.n AS DOUBLE) + 0.5) AS BIGINT) AS wterm
+        FROM g),
+      w AS (
+        SELECT CAST(SUM(bterm) AS BIGINT) AS sb_raw,
+               CAST(SUM(wterm) AS BIGINT) AS ssw
+        FROM terms)
+      SELECT t.typ AS event_type, t.n, t.s AS sum_z_deci, t.q AS sum_z2_deci,
+             CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_z_deci,
+             (CAST(w.sb_raw AS DOUBLE)
+              - CAST(tot.st AS DOUBLE) * CAST(tot.st AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+               * CAST(tot.nn - tot.k AS DOUBLE)
+               / (CAST(tot.k - 1 AS DOUBLE) * CAST(w.ssw AS DOUBLE)) AS w_stat,
+             tot.k - 1 AS df1, tot.nn - tot.k AS df2
+      FROM terms t, tot, w
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = t(spark, dir).events.select($"event_type".as("typ"), $"value")
+    val med = ev.groupBy($"typ").agg(percentile($"value", lit(0.5)).as("med"))
+    val z = ev.join(broadcast(med), Seq("typ"))
+      .select($"typ", floor(abs($"value" - $"med") * 10 + 0.5).cast("long").as("zq"))
+    val g = z.groupBy($"typ")
+      .agg(count(lit(1)).as("n"), sum($"zq").as("s"), sum($"zq" * $"zq").as("q"))
+      .localCheckpoint() // feeds totals, terms and the output join
+    val tot = g.agg(sum($"n").as("nn"), count(lit(1)).as("k"), sum($"s").as("st"))
+    val terms = g.select($"typ", $"n", $"s", $"q",
+      floor($"s".cast("double") * $"s".cast("double") / $"n".cast("double") + 0.5)
+        .cast("long").as("bterm"),
+      floor($"q".cast("double")
+        - $"s".cast("double") * $"s".cast("double") / $"n".cast("double") + 0.5)
+        .cast("long").as("wterm"))
+    val w = terms.agg(sum($"bterm").as("sb_raw"), sum($"wterm").as("ssw"))
+    terms.crossJoin(broadcast(tot)).crossJoin(broadcast(w))
+      .select($"typ".as("event_type"), $"n", $"s".as("sum_z_deci"),
+        $"q".as("sum_z2_deci"),
+        ($"s".cast("double") / $"n".cast("double")).as("mean_z_deci"),
+        (($"sb_raw".cast("double")
+          - $"st".cast("double") * $"st".cast("double") / $"nn".cast("double"))
+          * ($"nn" - $"k").cast("double")
+          / (($"k" - 1).cast("double") * $"ssw".cast("double"))).as("w_stat"),
+        ($"k" - 1).as("df1"), ($"nn" - $"k").as("df2"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
       qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford, qMutualInfo,
-      qStratifiedEffect, qQuantileNorm)
+      qStratifiedEffect, qQuantileNorm, qLevene)
 }

@@ -2255,11 +2255,64 @@ object TextAnalysis extends QuerySet {
       .orderBy($"actual", $"pred")
   }
 
+  /** Keyword-in-context concordance (KWIC) — the corpus-inspection
+    * window every curation review loop needs: pick the highest-df token
+    * (ties → token ASC; fully deterministic, no configuration), emit a
+    * ±3-token context window around each occurrence, capped at the
+    * first 50 hits in (doc_id, position) order. Entirely row-local
+    * after a broadcast of the single keyword row; the position explode
+    * runs over a post-projection token array (HOF-recapture
+    * discipline). At 100 TB the cap belongs in the engine (TakeOrdered),
+    * not the notebook.
+    */
+  val qKwic: GQuery = GQuery(
+    "q_text_kwic",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+                 FROM documents),
+      df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM (
+               SELECT doc_id, unnest(ts) AS tk FROM t) GROUP BY 1),
+      kw AS (SELECT tk FROM df ORDER BY df DESC, tk LIMIT 1),
+      hits AS (
+        SELECT t.doc_id, g.i AS pos,
+               array_to_string(ts[greatest(1, g.i - 3):g.i - 1], ' ') AS left_ctx,
+               ts[g.i] AS keyword,
+               array_to_string(ts[g.i + 1:least(len(ts), g.i + 3)], ' ') AS right_ctx
+        FROM t, kw, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+        WHERE ts[g.i] = kw.tk)
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             COALESCE(left_ctx, '') AS left_ctx, keyword,
+             COALESCE(right_ctx, '') AS right_ctx
+      FROM hits ORDER BY doc_id, pos LIMIT 50""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ts = t(spark, dir).documents
+      .select($"doc_id", graft.operators.TextOps.tokens($"text").as("ts"))
+    val kw = ts.select($"doc_id", explode($"ts").as("tk"))
+      .groupBy($"tk").agg(countDistinct($"doc_id").as("df"))
+      .orderBy($"df".desc, $"tk").limit(1).select($"tk".as("kw"))
+    ts.crossJoin(broadcast(kw))
+      .select($"doc_id", $"ts", $"kw",
+        explode(sequence(lit(1), size($"ts"))).as("pos"))
+      .filter(element_at($"ts", $"pos") === $"kw")
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        coalesce(array_join(slice($"ts", greatest(lit(1), $"pos" - 3),
+          greatest($"pos" - greatest(lit(1), $"pos" - 3), lit(0))), " "), lit(""))
+          .as("left_ctx"),
+        element_at($"ts", $"pos").as("keyword"),
+        coalesce(array_join(slice($"ts", $"pos" + 1,
+          greatest(least(size($"ts"), $"pos" + 3) - $"pos", lit(0))), " "), lit(""))
+          .as("right_ctx"))
+      .orderBy($"doc_id", $"pos")
+      .limit(50)
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
       qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty,
       qTokenEntropy, qCalibration, qRetrievalEval, qTemplateMining, qLengthBias,
-      qCodeDetection, qReadability, qPrf1, qLuhn, qGoodTuring, qNaiveBayes)
+      qCodeDetection, qReadability, qPrf1, qLuhn, qGoodTuring, qNaiveBayes, qKwic)
 }
