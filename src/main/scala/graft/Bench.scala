@@ -70,9 +70,19 @@ object Bench {
     // Full per-query detail goes to BENCH_LAST.json; the stdout line stays
     // COMPACT (totals only) — at 229 queries the per-query map outgrew the
     // driver's 2 KB log-tail capture, so BENCH_r04 recorded parsed:null.
+    // boot id stamps which container lifetime measured this run — medians
+    // drift ±10-13% ACROSS restarts (round-10 finding: sub-second
+    // fixture-floor queries move ≥1.5× together); a artifact-vs-artifact
+    // diff with DIFFERENT boot ids is drift-suspect before it is a
+    // regression.
+    val bootId =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      catch { case _: Throwable => "unknown" }
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(p50)},""" +
-        s""""queries_p95":${jmap(p95)},"runs":$runs,""" +
+        s""""queries_p95":${jmap(p95)},"runs":$runs,"boot_id":"$bootId",""" +
         s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
