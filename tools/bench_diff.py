@@ -15,8 +15,16 @@ import sys
 def main() -> None:
     old_path, new_path = sys.argv[1], sys.argv[2]
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    old_doc = json.load(open(old_path))
+    new_doc = json.load(open(new_path))
+    old, new = old_doc["queries"], new_doc["queries"]
+    # medians drift 10-13% across container restarts (round-10 finding):
+    # flag a lifetime mismatch before anyone reads movers as regressions
+    ob, nb = old_doc.get("boot_id"), new_doc.get("boot_id")
+    if ob != nb:
+        print(f"NOTE: different container lifetimes (boot_id {ob} vs {nb}) — "
+              "sub-second movers are drift-suspect; isolate-settle before "
+              "calling regressions")
     common = sorted(set(old) & set(new))
     movers = []
     for q in common:
