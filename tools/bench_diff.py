@@ -1,30 +1,40 @@
 #!/usr/bin/env python3
 """Per-query round-over-round bench diff (round-8 verdict #4).
 
-Usage: bench_diff.py OLD.json NEW.json [ratio_threshold]
+Usage: bench_diff.py OLD.json NEW.json [ratio_threshold] [--force-cross-boot]
 
 Prints queries whose median moved by more than the threshold (default
 1.5x) in either direction, plus new/removed queries and the common-set
 subtotal — the judge-facing artifact CLAUDE.md's end-of-round step
 feeds from.
+
+Cross-boot artifacts are REFUSED (round-10 verdict: medians drift
+±10-13% across container restarts, so a cross-boot diff cannot
+attribute movers). Pass --force-cross-boot to override.
 """
 import json
 import sys
 
 
 def main() -> None:
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    argv = [a for a in sys.argv[1:] if a != "--force-cross-boot"]
+    force = "--force-cross-boot" in sys.argv
+    old_path, new_path = argv[0], argv[1]
+    thresh = float(argv[2]) if len(argv) > 2 else 1.5
     old_doc = json.load(open(old_path))
     new_doc = json.load(open(new_path))
     old, new = old_doc["queries"], new_doc["queries"]
     # medians drift 10-13% across container restarts (round-10 finding):
-    # flag a lifetime mismatch before anyone reads movers as regressions
+    # refuse a lifetime mismatch before anyone reads movers as regressions
     ob, nb = old_doc.get("boot_id"), new_doc.get("boot_id")
     if ob != nb:
-        print(f"NOTE: different container lifetimes (boot_id {ob} vs {nb}) — "
-              "sub-second movers are drift-suspect; isolate-settle before "
-              "calling regressions")
+        msg = (f"different container lifetimes (boot_id {ob} vs {nb}) — "
+               "sub-second movers are drift-suspect; diff same-boot "
+               "artifacts, or isolate-settle before calling regressions")
+        if not force:
+            print(f"REFUSED: {msg}\n(re-run with --force-cross-boot to override)")
+            sys.exit(2)
+        print(f"WARNING (forced): {msg}")
     common = sorted(set(old) & set(new))
     movers = []
     for q in common:
