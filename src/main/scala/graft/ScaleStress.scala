@@ -127,12 +127,66 @@ object ScaleStress {
     dir
   }
 
+  /** Second synthesized decade (sf10syn = 10 × sf1syn; round-10 verdict
+    * #5): only the tables the two worst scalers read — documents
+    * (q_dedup_prefix_filter's posting join) and orders+lineitem
+    * (q_rec_itemcf's basket join) — re-copied with the same
+    * constant-density perturbations (fresh `d{copy}_` token tags so
+    * second-decade copies aren't near-dups of first-decade ones; key
+    * offsets keep baskets within-copy). 500k docs / 60M lineitem rows:
+    * run it with SPARK_GRAFT_SCALE_DECADE2=1 and SPARK_GRAFT_SCALE_ONLY
+    * limited to the queries under test — the default run stays bounded.
+    */
+  private def synthesize10(spark: org.apache.spark.sql.SparkSession, from: String): String = {
+    import org.apache.spark.sql.functions._
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf10syn"
+    if (new java.io.File(s"$dir/_SYNTH_OK1").exists()) return dir
+    val copies = spark.range(10).toDF("copy")
+    val docs = spark.read.parquet(s"$from/documents.parquet")
+    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+    docs.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"), concat(lit("d"), col("copy"), lit("_$1"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val li = spark.read.parquet(s"$from/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val nOrd = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val nPart = li.agg(max("l_partkey")).head.getLong(0) + 1
+    val nSupp = li.agg(max("l_suppkey")).head.getLong(0) + 1
+    li.crossJoin(copies)
+      .select(
+        (col("l_orderkey") + col("copy") * nOrd).as("l_orderkey"),
+        (col("l_partkey") + col("copy") * nPart).as("l_partkey"),
+        (col("l_suppkey") + col("copy") * nSupp).as("l_suppkey"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$from/orders.parquet")
+    val nCust = ord.agg(max("o_custkey")).head.getLong(0) + 1
+    require(ord.agg(max("o_orderkey")).head.getLong(0) + 1 == nOrd,
+      "orders/lineitem max orderkey drifted at the sf1syn tier")
+    ord.crossJoin(copies)
+      .select(
+        (col("o_orderkey") + col("copy") * nOrd).as("o_orderkey"),
+        (col("o_custkey") + col("copy") * nCust).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK1"), Array.empty[Byte])
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Graft.session("graft-scale-stress")
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
+    val sf1 = synthesize(spark, "/root/testdata/sf0.1")
+    val decade2 = sys.env.get("SPARK_GRAFT_SCALE_DECADE2").contains("1")
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s -> s"/root/testdata/$s") ++
-      Seq("sf1syn" -> synthesize(spark, "/root/testdata/sf0.1"))
+      Seq("sf1syn" -> sf1) ++
+      (if (decade2) Seq("sf10syn" -> synthesize10(spark, sf1)) else Seq.empty)
     val allNames = Seq(
       "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_fuzzy_key",
       "q_dedup_connected", "q_dedup_simhash", "q_dedup_span",
@@ -165,7 +219,10 @@ object ScaleStress {
       // round-10 late additions: RA link prediction (wedge join, deg<=64
       // middle cap), 1-D DBSCAN (3-bucket grid neighborhood join),
       // Fellegi-Sunter linkage (bounded name-prefix block join)
-      "q_graph_link_pred_ra", "q_mining_dbscan_1d", "q_dedup_record_linkage")
+      "q_graph_link_pred_ra", "q_mining_dbscan_1d", "q_dedup_record_linkage",
+      // round-11: triangle-support peeling (Θ(triangles)/round) and the
+      // user-keyed first-occurrence pattern join (type-width bounded)
+      "q_graph_ktruss", "q_mining_seq_pattern")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c to isolate a subset (BENCH_ONLY's twin)
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
       case Some(s) => allNames.filter(s.split(",").map(_.trim).toSet)
@@ -177,25 +234,24 @@ object ScaleStress {
 
     // results(query)(sf) = (inputRows, sec, shuffleBytes)
     val results = scala.collection.mutable.Map.empty[(String, String), (Long, Double, Long)]
-    val tableRows = sfs.map { case (sf, dir) =>
-      sf -> Map(
-        "documents"  -> spark.read.parquet(s"$dir/documents.parquet").count(),
-        "customer"   -> spark.read.parquet(s"$dir/customer.parquet").count(),
-        "embeddings" -> spark.read.parquet(s"$dir/embeddings.parquet").count(),
-        "lineitem"   -> spark.read.parquet(s"$dir/lineitem.parquet").count(),
-        "events"     -> spark.read.parquet(s"$dir/events.parquet").count(),
-        "orders"     -> spark.read.parquet(s"$dir/orders.parquet").count())
-    }.toMap
+    // lazy per-(sf, table) counts: the sf10syn tier synthesizes only the
+    // tables its queries read, so eager counting of all six would fail
+    val dirOf = sfs.toMap
+    val tableRowsCache = scala.collection.mutable.Map.empty[(String, String), Long]
+    def tableRows(sf: String, table: String): Long =
+      tableRowsCache.getOrElseUpdate((sf, table),
+        spark.read.parquet(s"${dirOf(sf)}/$table.parquet").count())
     for ((sf, dir) <- sfs; name <- names) {
-      val rows = tableRows(sf)(name match {
+      val rows = tableRows(sf, name match {
         case "q_dedup_fuzzy_key" | "q_dedup_record_linkage" => "customer"
         case "q_mining_dbscan_1d" => "orders"
         case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
             "q_quality_label_consistency" | "q_ann_hard_negatives" |
             "q_dedup_incremental_semantic" => "embeddings"
         case "q_graph_components" | "q_graph_hits" | "q_rec_itemcf" |
-            "q_graph_link_pred_ra" => "lineitem"
-        case "q_stat_ks" | "q_stat_mannwhitney" | "q_seq_attribution" => "events"
+            "q_graph_link_pred_ra" | "q_graph_ktruss" => "lineitem"
+        case "q_stat_ks" | "q_stat_mannwhitney" | "q_seq_attribution" |
+            "q_mining_seq_pattern" => "events"
         case _ => "documents"
       })
       val w0 = meter.write.get()
@@ -225,7 +281,11 @@ object ScaleStress {
       val eT = exp(n, "sf0.1", "sf1syn", _._2)
       val eB = exp(n, "sf0.1", "sf1syn", _._3.toDouble.max(1.0))
       val eBmid = exp(n, "sf0.01", "sf0.1", _._3.toDouble.max(1.0))
-      s""""$n":{$cells,"exp_time":$eT,"exp_shuffle":$eB,"exp_shuffle_mid":$eBmid}"""
+      val top = if (decade2)
+        s""","exp_time_top":${exp(n, "sf1syn", "sf10syn", _._2)}""" +
+          s""","exp_shuffle_top":${exp(n, "sf1syn", "sf10syn", _._3.toDouble.max(1.0))}"""
+      else ""
+      s""""$n":{$cells,"exp_time":$eT,"exp_shuffle":$eB,"exp_shuffle_mid":$eBmid$top}"""
     }
     println(s"""{"metric":"dedup_scale_stress",${lines.mkString(",")}}""")
     System.out.flush()

@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * and min over IEEE doubles — every DP cell is a fixed arithmetic
   * tree of the inputs, so an oracle replaying the same recurrence
   * (e.g. DuckDB anti-diagonal recursion) reproduces the distance
-  * bit-for-bit. NULL when either side is NULL or empty.
+  * bit-for-bit. NULL when either side is NULL, empty, or contains a
+  * NULL element.
   *
   * Reference analog: none — the reference has no sequence-similarity
   * surface; extension layer (SURVEY.md §2.6 last row).
@@ -45,10 +46,18 @@ case class DtwDistance(left: Expression, right: Expression)
   override def prettyName: String = "graft_dtw"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    if (x.length == 0 || y.length == 0) null
-    else java.lang.Double.valueOf(DtwUtil.dtw(x, y))
+    val la = a.asInstanceOf[ArrayData]
+    val lb = b.asInstanceOf[ArrayData]
+    // NULL elements → NULL result, like the empty-array contract. Without
+    // this check the behavior depends on the physical representation
+    // (UnsafeArrayData reads a null slot as 0.0; GenericArrayData NPEs).
+    if (DtwUtil.hasNullElement(la) || DtwUtil.hasNullElement(lb)) null
+    else {
+      val x = la.toDoubleArray()
+      val y = lb.toDoubleArray()
+      if (x.length == 0 || y.length == 0) null
+      else java.lang.Double.valueOf(DtwUtil.dtw(x, y))
+    }
   }
 
   override protected def withNewChildrenInternal(
@@ -58,6 +67,16 @@ case class DtwDistance(left: Expression, right: Expression)
 }
 
 object DtwUtil {
+
+  def hasNullElement(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
 
   /** Rolling-row DP; cell values are identical to the full-matrix
     * recurrence (each cell is a fixed function of its three

@@ -69,6 +69,8 @@ object GraftFunctions {
         litInt(args(2), "graft_rp_dots"))),
     "graft_zorder" ->
       (args => ZOrderKey(args.tail, litInt(args.head, "graft_zorder"))),
+    "graft_hilbert" -> (args => HilbertIndex(args(0), args(1))),
+    "graft_lcs" -> (args => LcsLength(args(0), args(1))),
     "graft_subword" ->
       (args => SubwordTokenize(args(0), args(1), litInt(args(2), "graft_subword"))),
     "graft_deletions" -> (args => DeletionNeighborhood(args(0))),
@@ -123,6 +125,8 @@ object GraftFunctions {
   def deltaVarintDec(b: Column): Column = call_function("graft_delta_varint_dec", b)
   def zorder(bits: Int, dims: Column*): Column =
     call_function("graft_zorder", (lit(bits) +: dims): _*)
+  def hilbert(x: Column, y: Column): Column = call_function("graft_hilbert", x, y)
+  def lcs(a: Column, b: Column): Column = call_function("graft_lcs", a, b)
   def subword(text: Column, vocab: Seq[String], maxPieceLen: Int): Column =
     call_function("graft_subword", text,
       array(vocab.map(lit): _*), lit(maxPieceLen))

@@ -54,6 +54,46 @@ object Graphs {
         col("bc.dst").as("c"))
   }
 
+  /** k-truss: the maximal subgraph where every edge sits in ≥ k−2
+    * triangles — the standard cohesive-core generalization one level
+    * above [[triangleCounts]] (denser than k-core, cheaper than clique
+    * enumeration; Cohen 2008). Iterative support peeling: count each
+    * edge's triangles via the node-ordered [[triangles]] enumeration
+    * (each triangle credits its 3 edges once), drop edges under
+    * support k−2, repeat to FIXPOINT — with the [[ssspWeighted]]
+    * convergence contract: throw rather than silently truncate if
+    * `maxRounds` doesn't reach it. Peeling is monotone (edges only
+    * leave), so extra rounds are no-ops — the property that lets a
+    * fixed-depth unrolled oracle replay an exact fixpoint.
+    * Scale shape: Θ(triangles) per round, per-round localCheckpoint;
+    * rounds are small in practice (support cascades settle fast).
+    */
+  def ktruss(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var cur = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var n = cur.count()
+    var round = 0
+    while (round < maxRounds) {
+      val tri = triangles(cur)
+      val sup = tri
+        .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("a").as("src"), col("c").as("dst")),
+          struct(col("b").as("src"), col("c").as("dst")))).as("e"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(count(lit(1)).as("support"))
+      val next = sup.filter(col("support") >= k - 2)
+        .select(col("src"), col("dst")).localCheckpoint()
+      val m = next.count()
+      if (m == n) return next
+      cur = next
+      n = m
+      round += 1
+    }
+    throw new IllegalStateException(
+      s"k-truss peeling did not reach a fixpoint in $maxRounds rounds")
+  }
+
   /** Per-node triangle membership count plus the global summary a graph
     * health check wants: (node, n_triangles) for every node in ≥1
     * triangle.

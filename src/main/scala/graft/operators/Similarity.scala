@@ -1187,6 +1187,11 @@ object Similarity {
       rounds: Int,
       seed: Int
   ): DataFrame = {
+    // With one cluster there is no "other centroid": b would be NULL and
+    // greatest() SKIPS nulls, so s silently degrades to (b-a)/a's null
+    // chain instead of the documented 0.0. Silhouette is undefined at
+    // k = 1 — refuse loudly rather than guess.
+    require(k >= 2, s"silhouette requires k >= 2 clusters, got $k")
     val (x, cents) = kmeansFit(df, idCol, vecCol, dim, k, rounds, seed)
     val ds = array(cents.zipWithIndex.map { case (cent, j) =>
       val cLit = array(cent.map(lit): _*)

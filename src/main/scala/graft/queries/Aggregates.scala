@@ -937,18 +937,20 @@ object Aggregates extends QuerySet {
   }
 
   /** EXACT distributed k-th order statistic (k = ⌈0.9·n⌉ of
-    * l_extendedprice) via two-pass grid selection — the scale path for
+    * l_extendedprice) via RECURSIVE grid selection
+    * ([[graft.operators.Selection.kthSmallest]]) — the scale path for
     * exact quantiles over ONE huge group, where the sort-within-group
     * shape (q_agg_median_mode, q_stat_conformal) has no partitioning to
-    * lean on: pass 1 buckets values into a 65,536-cell grid and finds the
-    * cell holding rank k from the cumulative counts (a bounded-grid
-    * window); pass 2 ranks only inside that cell (expected n/65536
-    * rows — degenerate single-value distributions collapse the grid, in
-    * which case the answer IS that value). No global sort, no driver
-    * loop; the grid math stays engine-internal — the oracle checks the
-    * ANSWER (direct ORDER BY/OFFSET) plus the exactness witnesses
-    * n_le ≥ k > n_lt, which certify the selection independently of how
-    * either engine found it.
+    * lean on: each level buckets candidates into a 65,536-cell grid,
+    * finds the cell holding the rank from the (bounded) cumulative cell
+    * counts, and RECURSES into that cell until it is single-valued
+    * (point-mass short-circuit: the cell IS the answer) or small enough
+    * for one task to rank — so a 40%-point-mass distribution never
+    * funnels 0.4·n rows through a single sort (round-10 verdict #2).
+    * No global sort; the grid math stays engine-internal — the oracle
+    * checks the ANSWER (direct ORDER BY/OFFSET) plus the exactness
+    * witnesses n_le ≥ k > n_lt, which certify the selection
+    * independently of how either engine found it.
     */
   val qExactKth: GQuery = GQuery(
     "q_agg_exact_kth",
@@ -963,33 +965,16 @@ object Aggregates extends QuerySet {
       FROM k, direct d""")
   ) { (spark, dir) =>
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val B = 65536
     val li = t(spark, dir).lineitem.select($"l_extendedprice".as("v"))
-    val stats = li.agg(
-      count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
-      .select($"n", $"lo", $"hi", expr("(9 * n + 9) div 10").as("k"),
-        greatest(($"hi" - $"lo") / B, lit(Double.MinPositiveValue)).as("w"))
-    def bucketOf(v: Column) =
-      least(greatest(floor((v - $"lo") / $"w"), lit(0L)), lit((B - 1).toLong))
-    val bucketed = li.crossJoin(broadcast(stats)).withColumn("bucket", bucketOf($"v"))
-    val counts = bucketed.groupBy($"bucket", $"k").agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy($"bucket") // bounded: <= 65536 grid cells
-    val bstar = counts.withColumn("cum", sum($"cnt").over(wCum))
-      .filter($"cum" >= $"k")
-      .orderBy($"bucket").limit(1)
-      .select($"bucket".as("bstar"), ($"k" - ($"cum" - $"cnt")).as("rank_in"))
-    val wIn = Window.orderBy($"v") // bounded: one grid cell, expected n/65536
-    val kth = bucketed.crossJoin(broadcast(bstar))
-      .filter($"bucket" === $"bstar")
-      .withColumn("rn", row_number().over(wIn))
-      .filter($"rn" === $"rank_in")
-      .select($"v".as("kth_value"))
-    li.crossJoin(broadcast(kth)).crossJoin(broadcast(stats.select($"n", $"k")))
-      .agg(
-        first($"n").as("n"), first($"k").as("k"), first($"kth_value").as("kth_value"),
-        sum(when($"v" <= $"kth_value", 1L).otherwise(0L)).as("n_le"),
-        sum(when($"v" < $"kth_value", 1L).otherwise(0L)).as("n_lt"))
+      .localCheckpoint() // scanned once per grid level + the witness pass
+    val n = li.count()
+    val k = (9 * n + 9) / 10
+    val kth = graft.operators.Selection.kthSmallest(li, "v", k)
+    li.agg(
+      count(lit(1)).as("n"),
+      sum(when($"v" <= kth, 1L).otherwise(0L)).as("n_le"),
+      sum(when($"v" < kth, 1L).otherwise(0L)).as("n_lt"))
+      .select($"n", lit(k).as("k"), lit(kth).as("kth_value"), $"n_le", $"n_lt")
   }
 
   override def queries: Seq[GQuery] = Seq(

@@ -1671,10 +1671,137 @@ object DedupQueries extends QuerySet {
       .orderBy($"golden_id")
   }
 
+  /** Longest-common-subsequence verify over blocked doc pairs
+    * ([[graft.functions.LcsLength]], the graft_lcs codegen DP): each doc
+    * pairs with the NEXT doc of its source (a deterministic linear
+    * blocking — the sorted-neighborhood shape on the provenance key) and
+    * the 24-token prefixes align by LCS. LCS is the ORDER-preserving
+    * overlap that shingle-set Jaccard misses: reordered tokens keep
+    * their shingle sets apart but cannot keep a long common
+    * subsequence, so lcs_ratio separates light edits from
+    * same-vocabulary rewrites.
+    *
+    * Oracle: the full integer DP replayed as a DuckDB ANTI-DIAGONAL
+    * recursive CTE (the q_ts_dtw pattern with base value 0 instead of
+    * +∞ sentinels) — every L[i][j] cell of every pair is proven, and
+    * the INTEGER dp makes the match exact by construction. lcs_ratio
+    * is one IEEE division of ints. Scale shape: pairs are linear in
+    * docs by construction (lead() over a source-partitioned window);
+    * each DP is a bounded 24×24 row-local computation.
+    */
+  val qLcsVerify: GQuery = GQuery(
+    "q_dedup_lcs",
+    Some("""
+      WITH RECURSIVE toks AS MATERIALIZED (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1:24] AS ts
+        FROM documents),
+      pairs AS MATERIALIZED (
+        SELECT doc_id AS doc_a,
+               lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS doc_b,
+               ts AS x,
+               lead(ts) OVER (PARTITION BY source ORDER BY doc_id) AS y
+        FROM toks),
+      pp AS MATERIALIZED (
+        SELECT doc_a, doc_b, x, y,
+               CAST(len(x) AS BIGINT) AS n, CAST(len(y) AS BIGINT) AS m
+        FROM pairs WHERE doc_b IS NOT NULL),
+      rec AS (
+        SELECT doc_a, doc_b, x, y, n, m, CAST(1 AS BIGINT) AS d,
+               CAST(NULL AS BIGINT[]) AS prev2,
+               list_transform(range(1, CAST(n AS INT) + 1),
+                 i -> CAST(NULL AS BIGINT)) AS prev
+        FROM pp
+        UNION ALL
+        SELECT doc_a, doc_b, x, y, n, m, d + 1, prev,
+               list_transform(range(1, CAST(n AS INT) + 1), i ->
+                 CASE WHEN (d + 1 - i) BETWEEN 1 AND m
+                      THEN CASE WHEN x[i] = y[d + 1 - i]
+                                THEN COALESCE(CASE WHEN i > 1 AND d + 1 - i > 1
+                                                   THEN prev2[i - 1] END, 0) + 1
+                                ELSE greatest(
+                                  COALESCE(CASE WHEN i > 1 THEN prev[i - 1] END, 0),
+                                  COALESCE(CASE WHEN d - i >= 1 THEN prev[i] END, 0))
+                           END
+                      ELSE CAST(NULL AS BIGINT) END)
+        FROM rec WHERE d < n + m)
+      SELECT doc_a, doc_b, n AS len_a, m AS len_b,
+             CAST(prev[CAST(n AS INT)] AS INT) AS lcs_len,
+             CAST(prev[CAST(n AS INT)] AS DOUBLE)
+               / CAST(least(n, m) AS DOUBLE) AS lcs_ratio
+      FROM rec WHERE d = n + m
+      ORDER BY doc_a""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(spark, dir).documents
+      .select($"doc_id", $"source",
+        slice(graft.operators.TextOps.tokens($"text"), 1, 24).as("ts"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val pairs = toks
+      .select($"doc_id".as("doc_a"), lead($"doc_id", 1).over(w).as("doc_b"),
+        $"ts".as("x"), lead($"ts", 1).over(w).as("y"))
+      .filter($"doc_b".isNotNull)
+    pairs
+      .select($"doc_a", $"doc_b",
+        size($"x").cast("long").as("len_a"), size($"y").cast("long").as("len_b"),
+        graft.functions.GraftFunctions.lcs($"x", $"y").as("lcs_len"))
+      .withColumn("lcs_ratio",
+        $"lcs_len".cast("double") / least($"len_a", $"len_b").cast("double"))
+      .orderBy($"doc_a")
+  }
+
+  /** FULL Levenshtein verify over noun-blocked part-name pairs — the
+    * unbounded-distance tier above graft_ed1's band-1 scan
+    * ([[qFuzzyKey]]): block part names by their head noun (last token),
+    * pair each name with the next in block order, and score the exact
+    * edit distance. Dual-purpose oracle: Spark's built-in levenshtein
+    * and DuckDB's levenshtein are INDEPENDENT implementations of the
+    * same integer DP, so the hash match cross-validates two codebases
+    * we wrote neither of (the implementation-equality pattern with both
+    * sides swapped out). Integer distances: exact. Scale shape: pairs
+    * linear in parts (lead over a noun-partitioned window; noun blocks
+    * are vocabulary-bounded and balanced).
+    */
+  val qLevenshtein: GQuery = GQuery(
+    "q_dedup_levenshtein",
+    Some("""
+      WITH p AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[-1] AS noun
+        FROM part),
+      pr AS (
+        SELECT p_partkey AS key_a, p_name AS name_a, noun,
+               lead(p_partkey) OVER w AS key_b,
+               lead(p_name) OVER w AS name_b
+        FROM p
+        WINDOW w AS (PARTITION BY noun ORDER BY p_name, p_partkey))
+      SELECT key_a, key_b, name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist,
+             levenshtein(name_a, name_b) <= 4 AS is_near
+      FROM pr WHERE key_b IS NOT NULL
+      ORDER BY key_a""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = t(spark, dir).part
+      .select($"p_partkey", $"p_name",
+        element_at(split($"p_name", " "), -1).as("noun"))
+    val w = Window.partitionBy($"noun").orderBy($"p_name", $"p_partkey")
+    p.select($"p_partkey".as("key_a"), $"p_name".as("name_a"),
+        lead($"p_partkey", 1).over(w).as("key_b"),
+        lead($"p_name", 1).over(w).as("name_b"))
+      .filter($"key_b".isNotNull)
+      .select($"key_a", $"key_b", $"name_a", $"name_b",
+        levenshtein($"name_a", $"name_b").as("edit_dist"),
+        (levenshtein($"name_a", $"name_b") <= 4).as("is_near"))
+      .orderBy($"key_a")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qExact, qIncremental, qIncrementalFuzzy, qFuzzyKey, qJaccard, qContainment, qPrefixFilter,
       qMinhash, qSimhash, qEmbedding, qEmbeddingLsh, qEmbeddingLshTight, qEmbeddingIvf,
       qConnected, qParagraph, qSpan, qSharedShingles, qRepresentative, qUrlCanonical,
       qSortedNeighborhood, qBbitMinhash, qCdcChunks, qCdcPairs, qIncrementalSemantic,
-      qClusterStats, qBloomGate, qRecordLinkage, qSurvivorship)
+      qClusterStats, qBloomGate, qRecordLinkage, qSurvivorship, qLcsVerify, qLevenshtein)
 }

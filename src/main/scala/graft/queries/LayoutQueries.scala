@@ -110,5 +110,53 @@ object LayoutQueries extends QuerySet {
       .orderBy($"event_type")
   }
 
-  override def queries: Seq[GQuery] = Seq(qZorder, qCompaction)
+  /** Hilbert-curve key over (user_id, event_id low bits) for every
+    * event ([[graft.functions.HilbertIndex]]) — [[qZorder]]'s
+    * locality-optimal sibling: every curve step is grid-adjacent, so
+    * `hbucket` ranges are contiguous 2-D tiles (Morton buckets jump at
+    * power-of-two seams). The oracle replays the EXACT 16-level
+    * rotate/reflect walk as a recursive CTE over pure integer ops —
+    * a hash match proves every quadrant decision of every row.
+    */
+  val qHilbert: GQuery = GQuery(
+    "q_layout_hilbert",
+    Some("""
+      WITH RECURSIVE pts AS (
+        SELECT event_id, user_id,
+               CAST(user_id & 65535 AS BIGINT) AS x0,
+               CAST(event_id & 65535 AS BIGINT) AS y0
+        FROM events),
+      h AS (
+        SELECT event_id, x0 AS x, y0 AS y,
+               CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
+        FROM pts
+        UNION ALL
+        SELECT event_id,
+               CASE WHEN (y & s) = 0
+                    THEN CASE WHEN (x & s) > 0 THEN 65535 - y ELSE y END
+                    ELSE x END,
+               CASE WHEN (y & s) = 0
+                    THEN CASE WHEN (x & s) > 0 THEN 65535 - x ELSE x END
+                    ELSE y END,
+               d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                               CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+               s // 2
+        FROM h WHERE s > 0)
+      SELECT p.event_id, p.user_id, p.x0 AS x, p.y0 AS y, h.d AS hkey,
+             CAST(h.d >> 22 AS BIGINT) AS hbucket
+      FROM pts p JOIN h ON h.event_id = p.event_id AND h.s = 0
+      ORDER BY p.event_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = t(spark, dir).events.select(
+      $"event_id", $"user_id",
+      $"user_id".bitwiseAND(65535).as("x"),
+      $"event_id".bitwiseAND(65535).as("y"))
+    ev.select($"event_id", $"user_id", $"x", $"y",
+      GraftFunctions.hilbert($"x", $"y").as("hkey"))
+      .withColumn("hbucket", shiftright($"hkey", 22).cast("long"))
+      .orderBy($"event_id")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qZorder, qCompaction, qHilbert)
 }

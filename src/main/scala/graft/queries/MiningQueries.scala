@@ -867,7 +867,55 @@ object MiningQueries extends QuerySet {
       .orderBy($"item_a", $"item_b", $"item_c")
   }
 
+  /** Sequential 2-pattern support (the GSP/SPADE tier-1 primitive that
+    * [[graft.queries.SequenceQueries]]'s q_seq_transitions can't see:
+    * transitions count ADJACENT steps, sequence patterns count "a
+    * EVENTUALLY before b" per user): for every ordered event-type pair,
+    * the number of users whose first a precedes their first b, over
+    * users who did both. The first-occurrence formulation is the
+    * standard existential semantics and keeps the join user-keyed.
+    *
+    * Portability: first-occurrence timestamps compare at µs grain on
+    * both engines (the epoch_us convention — Spark ns `div 1000`
+    * truncates exactly like DuckDB's epoch_us); counts are exact
+    * BIGINTs, support is one INT÷INT IEEE division. Scale shape: one
+    * corpus aggregation to (user, type), then a user-keyed self-join
+    * whose per-user width is the type-vocabulary (schema-bounded) —
+    * linear in users.
+    */
+  val qSeqPattern: GQuery = GQuery(
+    "q_mining_seq_pattern",
+    Some("""
+      WITH f AS MATERIALIZED (
+        SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+        FROM events GROUP BY 1, 2)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_users_both,
+             CAST(SUM(CASE WHEN a.first_us < b.first_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a_before_b,
+             CAST(SUM(CASE WHEN a.first_us < b.first_us THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS support
+      FROM f a JOIN f b ON a.user_id = b.user_id AND a.event_type != b.event_type
+      GROUP BY 1, 2
+      ORDER BY type_a, type_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val f = t(spark, dir).events
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"))
+      .groupBy($"user_id", $"event_type").agg(min($"us").as("first_us"))
+      .localCheckpoint() // both sides of the user-keyed self-join
+    f.as("a").join(f.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" =!= $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_users_both"),
+        sum(when($"a.first_us" < $"b.first_us", 1L).otherwise(0L)).as("n_a_before_b"))
+      .select($"type_a", $"type_b", $"n_users_both", $"n_a_before_b",
+        ($"n_a_before_b".cast("double") / $"n_users_both".cast("double")).as("support"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qItemsets, qItemCf, qRankFusion, qSkyline,
-    qConformal, qTClose, qAttribution, qTheilSen, qRfm, qDbscan1d, qItemsets3)
+    qConformal, qTClose, qAttribution, qTheilSen, qRfm, qDbscan1d, qItemsets3,
+    qSeqPattern)
 }

@@ -1979,10 +1979,50 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Functional-dependency discovery over the orders schema — the
+    * data-profiling pass (TANE/FDEP tier 1) that finds which columns
+    * DETERMINE which: A→B holds iff |distinct A| = |distinct (A,B)|.
+    * All 20 ordered column pairs of 5 columns are checked and reported
+    * with their violation headroom (n_pairs − n_lhs = how many extra
+    * (A,B) combinations break determination) — the schema-inference
+    * signal a lake catalog runs before declaring candidate keys.
+    *
+    * Scale shape: one distinct-pair aggregation per column pair over a
+    * SCHEMA-bounded pair set (20, a constant) — each is a map-side
+    * combinable groupBy, corpus-linear, unioned after aggregation (the
+    * union carries 20 one-row inputs, not corpus rows). Multi-column
+    * COUNT DISTINCT is computed per-pair as count over a distinct
+    * subplan — never the row-multiplying Expand of a multi-distinct
+    * aggregate (CLAUDE.md). All-integer output: exact.
+    */
+  val qFd: GQuery = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    GQuery(
+      "q_profile_fd",
+      Some(pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS lhs, '$b' AS rhs,
+               CAST(COUNT(DISTINCT $a) AS BIGINT) AS n_lhs,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               COUNT(DISTINCT $a) = COUNT(*) AS fd_holds
+            FROM (SELECT DISTINCT $a, $b FROM orders)"""
+      }.mkString("", " UNION ALL ", " ORDER BY lhs, rhs"))
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val orders = t(spark, dir).orders
+      pairs.map { case (a, b) =>
+        orders.select(col(a).as("lv"), col(b).as("rv")).distinct()
+          .agg(countDistinct($"lv").as("n_lhs"), count(lit(1)).as("n_pairs"))
+          .select(lit(a).as("lhs"), lit(b).as("rhs"), $"n_lhs", $"n_pairs",
+            ($"n_lhs" === $"n_pairs").as("fd_holds"))
+      }.reduce(_ unionAll _).orderBy($"lhs", $"rhs")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
       qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford, qMutualInfo,
-      qStratifiedEffect, qQuantileNorm, qLevene)
+      qStratifiedEffect, qQuantileNorm, qLevene, qFd)
 }

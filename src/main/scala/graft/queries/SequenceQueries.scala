@@ -2005,6 +2005,296 @@ object SequenceQueries extends QuerySet {
       .orderBy($"event_type", $"h")
   }
 
+  /** Kendall rank correlation (tau-b) between every pair of event-type
+    * daily series — the RANK-based dependence measure that, unlike
+    * [[qCrossCorr]]'s Pearson r, ignores magnitudes entirely (robust to
+    * the heavy-tailed daily sums a Zipfian corpus produces) and, unlike
+    * q_stat_spearman, is built from pairwise concordance so the tie
+    * correction is exact. Day pairs i<j per type pair: concordant /
+    * discordant / x-tie / y-tie counts, τ_b = (C−D)/√((n₀−t_x)(n₀−t_y)).
+    *
+    * Portability: values quantize once to centi-units (the cross-corr
+    * convention); every count is an exact BIGINT ((Δx·Δy) ≤ 4e16 <
+    * 2^63); τ_b is ONE fixed ÷√× IEEE chain over integers ≤ 67k — exact
+    * as doubles. NULL (not ÷0) when a series is constant. Scale shape:
+    * one corpus aggregation to (type, day), then day-pair self-joins on
+    * CALENDAR-bounded tables (≤366 rows/type) — O(types²·days²) with
+    * days fixed, never corpus-sized.
+    */
+  val qKendall: GQuery = GQuery(
+    "q_stat_kendall",
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vq
+        FROM events GROUP BY 1, 2),
+      xy AS MATERIALIZED (
+        SELECT a.typ AS type_a, b.typ AS type_b, a.day, a.vq AS x, b.vq AS y
+        FROM daily a JOIN daily b ON b.typ > a.typ AND b.day = a.day),
+      nd AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days
+             FROM xy GROUP BY 1, 2),
+      pr AS (
+        SELECT p.type_a, p.type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN (p.x - q.x) * (p.y - q.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+               CAST(SUM(CASE WHEN (p.x - q.x) * (p.y - q.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+               CAST(SUM(CASE WHEN p.x = q.x THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_x,
+               CAST(SUM(CASE WHEN p.y = q.y THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_y
+        FROM xy p JOIN xy q
+          ON q.type_a = p.type_a AND q.type_b = p.type_b AND q.day > p.day
+        GROUP BY 1, 2)
+      SELECT pr.type_a, pr.type_b, nd.n_days, pr.n_pairs,
+             pr.n_conc, pr.n_disc, pr.n_tie_x, pr.n_tie_y,
+             CASE WHEN pr.n_pairs - pr.n_tie_x > 0 AND pr.n_pairs - pr.n_tie_y > 0
+                  THEN CAST(pr.n_conc - pr.n_disc AS DOUBLE)
+                       / sqrt(CAST(pr.n_pairs - pr.n_tie_x AS DOUBLE)
+                              * CAST(pr.n_pairs - pr.n_tie_y AS DOUBLE))
+                  ELSE NULL END AS tau_b
+      FROM pr JOIN nd USING (type_a, type_b)
+      ORDER BY type_a, type_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"typ", $"day")
+      .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
+      .localCheckpoint() // both sides of the type-pair join
+    val xy = daily.as("a")
+      .join(daily.as("b"), $"b.typ" > $"a.typ" && $"b.day" === $"a.day")
+      .select($"a.typ".as("type_a"), $"b.typ".as("type_b"), $"a.day".as("day"),
+        $"a.vq".as("x"), $"b.vq".as("y"))
+      .localCheckpoint() // both sides of the day-pair join + the day count
+    val nd = xy.groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_days"))
+    val pr = xy.as("p")
+      .join(xy.as("q"),
+        $"q.type_a" === $"p.type_a" && $"q.type_b" === $"p.type_b" && $"q.day" > $"p.day")
+      .groupBy($"p.type_a".as("type_a"), $"p.type_b".as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(($"p.x" - $"q.x") * ($"p.y" - $"q.y") > 0, 1L).otherwise(0L)).as("n_conc"),
+        sum(when(($"p.x" - $"q.x") * ($"p.y" - $"q.y") < 0, 1L).otherwise(0L)).as("n_disc"),
+        sum(when($"p.x" === $"q.x", 1L).otherwise(0L)).as("n_tie_x"),
+        sum(when($"p.y" === $"q.y", 1L).otherwise(0L)).as("n_tie_y"))
+    pr.join(broadcast(nd), Seq("type_a", "type_b"))
+      .select($"type_a", $"type_b", $"n_days", $"n_pairs",
+        $"n_conc", $"n_disc", $"n_tie_x", $"n_tie_y",
+        when($"n_pairs" - $"n_tie_x" > 0 && $"n_pairs" - $"n_tie_y" > 0,
+          ($"n_conc" - $"n_disc").cast("double")
+            / sqrt(($"n_pairs" - $"n_tie_x").cast("double")
+              * ($"n_pairs" - $"n_tie_y").cast("double")))
+          .as("tau_b"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** Wald–Wolfowitz runs test on each event type's daily up/down
+    * sequence — the randomness check ("is this metric trending or
+    * mean-reverting beyond chance?") a monitoring pipeline runs before
+    * alerting on streaks. Day-over-day signs (ties on the quantized
+    * value dropped, the standard treatment), R = number of runs,
+    * z = (R − μ)/σ with the exact n₁,n₂ moments.
+    *
+    * Portability: signs come from quantized-integer comparisons; R, n₁,
+    * n₂ are exact BIGINTs (lag window PARTITIONED by type,
+    * calendar-bounded); μ and σ² are ratios of integer products ≤ 7e10
+    * (exact in double), z one fixed IEEE chain, NULL when σ² = 0 or a
+    * direction is missing. RAW doubles out, no rounding.
+    */
+  val qRunsTest: GQuery = GQuery(
+    "q_stat_runs",
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vq
+        FROM events GROUP BY 1, 2),
+      chg AS (
+        SELECT typ, day, vq,
+               vq - lag(vq) OVER (PARTITION BY typ ORDER BY day) AS d
+        FROM daily),
+      sgn AS (SELECT typ, day, CASE WHEN d > 0 THEN 1 ELSE 0 END AS s
+              FROM chg WHERE d IS NOT NULL AND d != 0),
+      runs AS (
+        SELECT typ, day, s,
+               CASE WHEN lag(s) OVER (PARTITION BY typ ORDER BY day) IS NULL
+                         OR lag(s) OVER (PARTITION BY typ ORDER BY day) != s
+                    THEN 1 ELSE 0 END AS brk
+        FROM sgn),
+      agg AS (
+        SELECT typ, CAST(SUM(brk) AS BIGINT) AS r,
+               CAST(SUM(s) AS BIGINT) AS n_up,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_down
+        FROM runs GROUP BY 1)
+      SELECT typ AS event_type, r AS n_runs, n_up, n_down,
+             CASE WHEN n_up > 0 AND n_down > 0 THEN
+               (CAST(r AS DOUBLE)
+                - (CAST(2 * n_up * n_down AS DOUBLE) / CAST(n_up + n_down AS DOUBLE) + 1e0))
+               / sqrt(CAST(2 * n_up * n_down * (2 * n_up * n_down - n_up - n_down) AS DOUBLE)
+                      / (CAST((n_up + n_down) * (n_up + n_down) AS DOUBLE)
+                         * CAST(n_up + n_down - 1 AS DOUBLE)))
+             ELSE NULL END AS z
+      FROM agg
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"typ", $"day")
+      .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
+    val wd = Window.partitionBy($"typ").orderBy($"day") // calendar-bounded per type
+    val sgn = daily.withColumn("d", $"vq" - lag($"vq", 1).over(wd))
+      .filter($"d".isNotNull && $"d" =!= 0)
+      .select($"typ", $"day", when($"d" > 0, 1L).otherwise(0L).as("s"))
+    val runs = sgn.withColumn("prev", lag($"s", 1).over(wd))
+      .withColumn("brk", when($"prev".isNull || $"prev" =!= $"s", 1L).otherwise(0L))
+    val agg = runs.groupBy($"typ")
+      .agg(sum($"brk").as("r"), sum($"s").as("n_up"),
+        (count(lit(1)) - sum($"s")).as("n_down"))
+    agg.select($"typ".as("event_type"), $"r".as("n_runs"), $"n_up", $"n_down",
+      when($"n_up" > 0 && $"n_down" > 0,
+        ($"r".cast("double")
+          - ((lit(2L) * $"n_up" * $"n_down").cast("double")
+            / ($"n_up" + $"n_down").cast("double") + lit(1.0)))
+          / sqrt((lit(2L) * $"n_up" * $"n_down"
+            * (lit(2L) * $"n_up" * $"n_down" - $"n_up" - $"n_down")).cast("double")
+            / ((($"n_up" + $"n_down") * ($"n_up" + $"n_down")).cast("double")
+              * ($"n_up" + $"n_down" - 1).cast("double"))))
+        .as("z"))
+      .orderBy($"event_type")
+  }
+
+  /** 1-D Kalman filter over each event type's daily series — the
+    * optimal recursive state estimator (constant-state model, process
+    * noise q = 0.25, measurement noise r = 4) every telemetry/metrics
+    * pipeline runs for denoised level tracking: per day, P⁻ = P + q,
+    * K = P⁻/(P⁻ + r), x̂ ← x̂ + K·(y − x̂), P ← (1−K)·P⁻. Emits the final
+    * state, covariance, gain, and the innovation SSE per type.
+    *
+    * Portability (the [[qHolt]]/[[qViterbi]] lockstep-recursion
+    * pattern): daily inputs are DECIMAL-pinned doubles; every filter
+    * step is the same fixed `+ − × ÷` IEEE tree evaluated in the same
+    * order by the oracle's recursive CTE, so the filtered state is
+    * bit-equal — RAW doubles out, no rounding (PARITY.md: rounding is
+    * the non-portable step). The noise constants are short decimals
+    * (0.25, 4.0 — exactly representable). Scale shape: one corpus
+    * aggregation to (type, day), then a per-type fold over a
+    * calendar-bounded array.
+    */
+  val qKalman: GQuery = GQuery(
+    "q_ts_kalman",
+    Some("""
+      WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      ser AS MATERIALIZED (
+        SELECT typ, list(v ORDER BY day) AS y, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY 1),
+      rec AS (
+        SELECT typ, y, n, CAST(1 AS BIGINT) AS t,
+               y[1] AS x, 1e0 AS p, 0e0 AS k, 0e0 AS sse
+        FROM ser
+        UNION ALL
+        SELECT typ, y, n, t + 1,
+               x + ((p + 0.25e0) / ((p + 0.25e0) + 4e0)) * (y[CAST(t + 1 AS INT)] - x),
+               (1e0 - ((p + 0.25e0) / ((p + 0.25e0) + 4e0))) * (p + 0.25e0),
+               (p + 0.25e0) / ((p + 0.25e0) + 4e0),
+               sse + (y[CAST(t + 1 AS INT)] - x) * (y[CAST(t + 1 AS INT)] - x)
+        FROM rec WHERE t < n)
+      SELECT typ AS event_type, n AS n_days, x AS x_hat, p AS p_cov,
+             k AS gain, sse AS sse_innov
+      FROM rec WHERE t = n AND n >= 2
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.dsum
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"typ", $"day").agg(dsum($"value").as("v"))
+    val ser = daily.groupBy($"typ")
+      .agg(array_sort(collect_list(struct($"day", $"v"))).as("sv"))
+      .select($"typ",
+        transform($"sv", s => s.getField("v")).as("y"),
+        size($"sv").cast("long").as("n_days"))
+      .filter(size($"y") >= 2) // sequence(2, 1) runs backwards — no fold on 1-day series
+    ser.select($"typ".as("event_type"), $"n_days",
+      aggregate(
+        sequence(lit(2), size($"y")),
+        struct(element_at($"y", 1).as("x"), lit(1.0).as("p"),
+          lit(0.0).as("k"), lit(0.0).as("sse")),
+        (acc, i) => {
+          val yv = element_at($"y", i)
+          val pp = acc.getField("p") + lit(0.25)
+          val k = pp / (pp + lit(4.0))
+          val innov = yv - acc.getField("x")
+          struct(
+            (acc.getField("x") + k * innov).as("x"),
+            ((lit(1.0) - k) * pp).as("p"),
+            k.as("k"),
+            (acc.getField("sse") + innov * innov).as("sse"))
+        }).as("st"))
+      .select($"event_type", $"n_days", $"st.x".as("x_hat"), $"st.p".as("p_cov"),
+        $"st.k".as("gain"), $"st.sse".as("sse_innov"))
+      .orderBy($"event_type")
+  }
+
+  /** Unrolled k-truss peeling rounds for the oracle: round i recounts
+    * each surviving edge's common neighbors over round i−1's edge set
+    * and keeps support ≥ k−2. Peeling is MONOTONE and idempotent at the
+    * fixpoint, so unrolling more rounds than the data needs is a no-op —
+    * the engine side throws if its fixpoint took more rounds than the
+    * oracle unrolls, so a depth shortfall fails loudly, never silently.
+    */
+  private def ktrussOracleRounds(rounds: Int, minSupport: Int): String =
+    (1 to rounds).map { i =>
+      s"""
+      sy$i AS MATERIALIZED (SELECT src, dst FROM e${i - 1}
+                            UNION ALL SELECT dst, src FROM e${i - 1}),
+      e$i AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e${i - 1} e
+        JOIN sy$i p ON p.src = e.src
+        JOIN sy$i q ON q.src = e.dst AND q.dst = p.dst
+        GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)"""
+    }.mkString(",")
+
+  private val KtrussRounds = 8
+
+  /** 3-truss of the co-purchase graph ([[graft.operators.Graphs.ktruss]])
+    * — every surviving edge sits in ≥ 1 triangle of the surviving
+    * subgraph (k = 3 because this corpus's 4-truss is EMPTY at sf ≥
+    * 0.01 — measured before registering; a 0-row gate proves nothing),
+    * the cohesive-community core that triangle counts alone
+    * (q_graph_triangles) can't isolate: support is recounted after each
+    * peel, so weakly-attached triangles cascade away. The engine peels
+    * to a FIXPOINT (throws past maxRounds, the sssp convention); the
+    * oracle unrolls ${KtrussRounds} identical rounds — sufficient
+    * because peeling is idempotent at the fixpoint, and any shortfall
+    * hash-mismatches. All-integer edge sets: exact. Scale shape:
+    * Θ(triangles) per round via the node-ordered enumeration, per-round
+    * localCheckpoint, no unbounded state.
+    */
+  val qKtruss: GQuery = GQuery(
+    "q_graph_ktruss",
+    Some(s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT a.i AS src, b.i AS dst
+        FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      ${ktrussOracleRounds(KtrussRounds, minSupport = 1)}
+      SELECT src, dst FROM e$KtrussRounds ORDER BY src, dst""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+    graft.operators.Graphs.ktruss(edges, k = 3, maxRounds = KtrussRounds)
+      .orderBy($"src", $"dst")
+  }
+
   /** Lagged cross-correlation between event-type daily series (lags
     * −7…+7) — the lead/lag detector ("do clicks lead purchases by two
     * days?") that [[qAutocorr]]'s self-ACF can't answer. For each type
@@ -2014,9 +2304,11 @@ object SequenceQueries extends QuerySet {
     * Portability: daily values quantize ONCE to centi-units
     * (floor(100·v + 0.5) of engine-identical DECIMAL-pinned doubles),
     * then every moment (n, Σx, Σy, Σxy, Σxx, Σyy) is an exact BIGINT
-    * sum — bounded: |vq| ≤ 1e8 over ≤ 366 days keeps n·Σxy < 2^63; a
+    * sum — bounded: |vq| ≤ 1e8 keeps each Σ (≤ 366·vq²) < 2^63; a
     * corpus with larger daily mass drops the quantization to deci-units
-    * — and r is one fixed `×−÷√` IEEE chain over those integers (casts
+    * — every n·Σ product (guards included) is then formed in DOUBLE, so
+    * no BIGINT product can overflow, and r is one fixed `×−÷√` IEEE
+    * chain over those integers (casts
     * of >2^53 integers round deterministically; the assortativity
     * convention). Constant series ⇒ NULL r, not ÷0. Scale shape: one
     * (type, day) corpus aggregation, then a 15-lag explode of the
@@ -2043,7 +2335,10 @@ object SequenceQueries extends QuerySet {
         JOIN daily b ON b.typ > a.typ AND b.day = a.day + l.lag
         GROUP BY 1, 2, 3)
       SELECT type_a, type_b, lag, n,
-             CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
                   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
@@ -2073,8 +2368,16 @@ object SequenceQueries extends QuerySet {
         sum($"xq" * $"yq").as("sxy"),
         sum($"xq" * $"xq").as("sxx"),
         sum($"yq" * $"yq").as("syy"))
+    // Variance guards computed in DOUBLE like the numerator (round-10
+    // ADVICE): the BIGINT form overflows once n*sxx exceeds 2^63, which
+    // |vq| ~ 1e8 over 366 days reaches (~1.3e21). The double expression
+    // is the same fixed ×/− tree on both engines, so the > 0 test stays
+    // bit-portable while the safe range extends to |vq| ~ 1e15.
     m.select($"type_a", $"type_b", $"lag", $"n",
-      when(($"n" * $"sxx" - $"sx" * $"sx") > 0 && ($"n" * $"syy" - $"sy" * $"sy") > 0,
+      when(($"n".cast("double") * $"sxx".cast("double")
+          - $"sx".cast("double") * $"sx".cast("double")) > 0
+        && ($"n".cast("double") * $"syy".cast("double")
+          - $"sy".cast("double") * $"sy".cast("double")) > 0,
         ($"n".cast("double") * $"sxy".cast("double")
           - $"sx".cast("double") * $"sy".cast("double"))
           / sqrt(($"n".cast("double") * $"sxx".cast("double")
@@ -2091,5 +2394,6 @@ object SequenceQueries extends QuerySet {
       qAnomaly, qGraphBfs, qGraphSssp, qGraphKcore, qOhlc, qGraphLabelProp, qRollingMedian,
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
       qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch,
-      qAssortativity, qGraphLinkPredRa, qDtw, qViterbi, qTextRank, qHolt, qCrossCorr)
+      qAssortativity, qGraphLinkPredRa, qDtw, qViterbi, qTextRank, qHolt, qCrossCorr,
+      qKalman, qKendall, qRunsTest, qKtruss)
 }

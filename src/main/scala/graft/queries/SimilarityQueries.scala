@@ -1696,9 +1696,88 @@ object SimilarityQueries extends QuerySet {
       .limit(20)
   }
 
+  private val KcenterRounds = 7 // centers beyond the seed (8 total)
+
+  /** Greedy k-center coreset over the embedding corpus (Gonzalez 1985
+    * farthest-point traversal): seed with the min-id vector, then 7×
+    * pick the point FARTHEST from its nearest chosen center — the
+    * 2-approximation coverage skeleton a curation pipeline uses to pick
+    * maximally-diverse exemplars (the diversity dual of [[qKmeans]]'
+    * density seeking). Emits each round's center and the coverage
+    * radius it closed (the max-min distance at selection time — the
+    * monotone non-increasing curve that tells you when diversity
+    * saturates).
+    *
+    * Portability: every distance is the same sequential 64-dim
+    * `(x−c)²` fold both engines evaluate in index order (the
+    * q_ann_bruteforce list_sum convention), dmin chains through
+    * `least` — so the argmax row and its RAW double radius are
+    * bit-reproducible; ties break to the lower vec_id. Scale shape:
+    * k bounded scans, each corpus-linear (one 1-row argmax per round,
+    * the farthest-point analog of the IVF seeding pass); the oracle
+    * unrolls the same k rounds as chained materialized CTEs.
+    */
+  val qKcenter: GQuery = GQuery(
+    "q_sample_kcenter",
+    Some {
+      val dist = (p: String, c: String) =>
+        s"list_sum(list_transform(generate_series(1, 64), i -> ($p.e[i] - $c.e[i]) * ($p.e[i] - $c.e[i])))"
+      val rounds = (1 to KcenterRounds).map { r =>
+        s"""
+      c$r AS MATERIALIZED (
+        SELECT vec_id, e, dmin FROM m${r - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+      m$r AS MATERIALIZED (
+        SELECT p.vec_id, p.e, least(p.dmin, ${dist("p", "c")}) AS dmin
+        FROM m${r - 1} p CROSS JOIN c$r c)"""
+      }.mkString(",")
+      val centers = (1 to KcenterRounds)
+        .map(r => s"SELECT $r AS round, vec_id AS center_id, dmin AS radius FROM c$r")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH v AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      c0 AS MATERIALIZED (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+      m0 AS MATERIALIZED (
+        SELECT p.vec_id, p.e, ${dist("p", "c")} AS dmin
+        FROM v p CROSS JOIN c0 c),
+      $rounds
+      SELECT * FROM (
+        SELECT 0 AS round, vec_id AS center_id, CAST(NULL AS DOUBLE) AS radius FROM c0
+        UNION ALL $centers)
+      ORDER BY round"""
+    }
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val v = t(spark, dir).embeddings
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
+      .localCheckpoint() // scanned once per round
+    def distTo(c: Array[Double]) = {
+      val cLit = array(c.map(lit): _*)
+      aggregate(zip_with($"e", cLit, (x, m) => (x - m) * (x - m)),
+        lit(0.0), (acc, t) => acc + t)
+    }
+    val seed = v.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"e").collect()(0)
+    var centers = List((0, seed.getLong(0), Option.empty[Double]))
+    var pts = v.withColumn("dmin", distTo(seed.getSeq[Double](1).toArray))
+      .localCheckpoint()
+    for (r <- 1 to KcenterRounds) {
+      val far = pts.orderBy($"dmin".desc, $"vec_id").limit(1)
+        .select($"vec_id", $"e", $"dmin").collect()(0)
+      centers ::= ((r, far.getLong(0), Some(far.getDouble(2))))
+      pts = pts.withColumn("dmin",
+        least($"dmin", distTo(far.getSeq[Double](1).toArray)))
+        .localCheckpoint()
+    }
+    centers.reverse
+      .toDF("round", "center_id", "radius")
+      .orderBy($"round")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qBruteForce, qLsh, qCentroid, qIvf, qNormalize, qQuantize, qPq, qAnnPq, qKnnGraph,
       qKnnGraphProbe, qRecallProbeLift,
       qRecallAudit, qSemCluster, qIvfPq, qIvfPqRefine, qBinary, qHamming, qRandomProjection, qMmr,
-      qPca, qKmeans, qLabelConsistency, qCellBalance, qSilhouette, qLof)
+      qPca, qKmeans, qLabelConsistency, qCellBalance, qSilhouette, qLof, qKcenter)
 }

@@ -1989,8 +1989,11 @@ object TextAnalysis extends QuerySet {
     * scrubbing above [[qRedact]]'s regex tier: a 16-digit run is only
     * treated as a payment card if its Luhn check digit verifies, which
     * cuts the false-positive rate on order ids / phone numbers by 10×.
-    * The corpus has no digit runs, so the query plants a DETERMINISTIC
-    * fixture (the augmentation-query discipline): 15 payload digits from
+    * The query plants a DETERMINISTIC fixture (the augmentation-query
+    * discipline) and digit-strips the text prefix it embeds into, so the
+    * planted run is the only ≥13-digit candidate regardless of corpus
+    * content (a corpus 13-15 digit run would otherwise win the extraction
+    * and engine behavior on substr-past-end diverges): 15 payload digits from
     * translate(md5(doc_id), 'abcdef', '012345'), plus a check digit that
     * is CORRECT iff doc_id % 3 = 0 and off-by-one otherwise — planted
     * valids must verify, planted corruptions must fail, and the oracle
@@ -2029,7 +2032,8 @@ object TextAnalysis extends QuerySet {
         FROM s),
       x AS (
         SELECT c.doc_id, c.planted,
-               regexp_extract(substr(d.text, 1, 40) || ' ' || c.planted || ' x',
+               regexp_extract(regexp_replace(substr(d.text, 1, 40), '[0-9]', '', 'g')
+                                || ' ' || c.planted || ' x',
                               '[0-9]{13,19}') AS extracted
         FROM c JOIN documents d ON c.doc_id = d.doc_id),
       v AS (
@@ -2068,9 +2072,14 @@ object TextAnalysis extends QuerySet {
         when($"doc_id" % 3 === 0, (lit(10) - $"psum" % 10) % 10)
           .otherwise(((lit(10) - $"psum" % 10) % 10 + 1) % 10)
           .cast("string")).as("planted"))
+    // Digit-strip the text prefix so the planted run is the ONLY >=13-digit
+    // candidate: a 13-15 digit run in the corpus would otherwise win the
+    // extraction and substr-past-end diverges across engines (Spark
+    // cast('' as int) is NULL, DuckDB CAST('' AS INT) errors).
     val x = c.select($"doc_id", $"planted",
       regexp_extract(
-        concat($"text".substr(1, 40), lit(" "), $"planted", lit(" x")),
+        concat(regexp_replace($"text".substr(1, 40), "[0-9]", ""),
+          lit(" "), $"planted", lit(" x")),
         "[0-9]{13,19}", 0).as("extracted"))
     x.withColumn("luhn_sum", luhnSum($"extracted", 16))
       .select($"doc_id", $"planted", $"extracted", $"luhn_sum",
@@ -2308,11 +2317,107 @@ object TextAnalysis extends QuerySet {
       .limit(50)
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010), degree-scored variant:
+    * candidate phrases are maximal stopword-delimited token runs (≤ 4
+    * words), each word's corpus DEGREE is Σ over its candidate
+    * occurrences of the phrase length (co-occurrence mass — words that
+    * live in long phrases score high), and a phrase scores the sum of
+    * its words' degrees. The canonical deg/freq ratio sum is replaced
+    * by the pure-integer degree sum so every score is an exact BIGINT
+    * (the deg/freq variant sums per-word ratios — an ordered-float-sum
+    * portability hazard for zero analytic gain on short phrases).
+    * Top-50 phrases by (score, phrase) — a deterministic total order.
+    *
+    * Scale shape: explode → two corpus-linear aggregations; the run
+    * collect groups on (doc, run) whose size is doc-length-bounded
+    * (the per-doc collect class, allowlisted like q_text_bpe_apply).
+    */
+  val qRake: GQuery = GQuery(
+    "q_text_rake",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, i AS pos, ts[i] AS tk,
+               ts[i] IN ('the','a','an','of','and','or','in','to','is','on',
+                         'for','with','by','at','as') AS stop
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+              FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g),
+      cand AS MATERIALIZED (
+        SELECT r.doc_id, r.run_id,
+               string_agg(r.tk, ' ' ORDER BY r.pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM (SELECT t.doc_id, t.pos, t.tk, t.stop,
+                     SUM(CASE WHEN t.stop THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS run_id
+              FROM toks t) r
+        WHERE NOT r.stop
+        GROUP BY 1, 2
+        HAVING COUNT(*) <= 4),
+      wdeg AS MATERIALIZED (
+        SELECT w.tk, CAST(SUM(c.n_words) AS BIGINT) AS deg
+        FROM cand c,
+             LATERAL (SELECT unnest(string_split(c.phrase, ' ')) AS tk) w
+        GROUP BY 1),
+      scored AS (
+        SELECT c.phrase, MIN(c.n_words) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS freq_phrase,
+               CAST(MIN(ps.score) AS BIGINT) AS score_deg
+        FROM cand c
+        JOIN (SELECT c2.doc_id, c2.run_id,
+                     SUM(wd.deg) AS score
+              FROM cand c2,
+                   LATERAL (SELECT unnest(string_split(c2.phrase, ' ')) AS tk) w2
+              JOIN wdeg wd ON wd.tk = w2.tk
+              GROUP BY 1, 2) ps
+          ON ps.doc_id = c.doc_id AND ps.run_id = c.run_id
+        GROUP BY 1)
+      SELECT phrase, CAST(n_words AS INT) AS n_words, freq_phrase, score_deg
+      FROM scored
+      ORDER BY score_deg DESC, phrase
+      LIMIT 50""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("the", "a", "an", "of", "and", "or", "in", "to", "is", "on",
+      "for", "with", "by", "at", "as")
+    val toks = t(spark, dir).documents
+      .select($"doc_id", posexplode(graft.operators.TextOps.tokens($"text")).as(Seq("pos0", "tk")))
+      .select($"doc_id", ($"pos0" + 1).as("pos"), $"tk",
+        $"tk".isInCollection(stops).as("stop"))
+    val wr = Window.partitionBy($"doc_id").orderBy($"pos") // doc-length-bounded
+    val runs = toks.withColumn("run_id",
+      sum(when($"stop", 1L).otherwise(0L)).over(wr))
+    val cand = runs.filter(!$"stop")
+      .groupBy($"doc_id", $"run_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct($"pos", $"tk"))),
+          s => s.getField("tk")), " ").as("phrase"),
+        count(lit(1)).as("n_words"))
+      .filter($"n_words" <= 4)
+      .localCheckpoint() // feeds word degrees AND phrase scores
+    val wdeg = cand
+      .select($"n_words", explode(split($"phrase", " ")).as("tk"))
+      .groupBy($"tk").agg(sum($"n_words").as("deg"))
+    val ps = cand
+      .select($"doc_id", $"run_id", explode(split($"phrase", " ")).as("tk"))
+      .join(wdeg, "tk")
+      .groupBy($"doc_id", $"run_id")
+      .agg(sum($"deg").as("score"))
+    cand.join(ps, Seq("doc_id", "run_id"))
+      .groupBy($"phrase")
+      .agg(min($"n_words").cast("int").as("n_words"),
+        count(lit(1)).as("freq_phrase"),
+        min($"score").as("score_deg"))
+      .orderBy($"score_deg".desc, $"phrase")
+      .limit(50)
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qStats, qQuality, qLangId, qTokenCount, qBlocklist, qFingerprint, qTokenFreq, qShingleExplode,
       qRedact, qChunk, qRepetition, qTfidf, qCompress, qVocab, qOov, qScript, qUnicode,
       qSubword, qLmScore, qDomainSim, qBm25, qClassifier, qClassifierSweep, qInvertedIndex, qPhrase,
       qGopherRules, qBpeTrain, qBpeApply, qBpeFertility, qPmi, qIndexCompress, qNgramNovelty,
       qTokenEntropy, qCalibration, qRetrievalEval, qTemplateMining, qLengthBias,
-      qCodeDetection, qReadability, qPrf1, qLuhn, qGoodTuring, qNaiveBayes, qKwic)
+      qCodeDetection, qReadability, qPrf1, qLuhn, qGoodTuring, qNaiveBayes, qKwic, qRake)
 }

@@ -554,6 +554,17 @@ class ExtensionSpec extends SparkSpec {
         lit(null).cast("array<double>"), array(lit(1.0))).as("d"))
       .collect()(0)
     assert(nullRow.isNullAt(0))
+    // NULL ELEMENT inside an array -> NULL result, independent of the
+    // physical array representation (UnsafeArrayData would otherwise read
+    // the slot as 0.0 while GenericArrayData NPEs). Both argument orders.
+    for (elemNullFirst <- Seq(true, false)) {
+      val withNullElem = array(lit(1.0), lit(null).cast("double"), lit(3.0))
+      val clean = array(lit(1.0), lit(2.0))
+      val (l, r) = if (elemNullFirst) (withNullElem, clean) else (clean, withNullElem)
+      val row = Seq(("x")).toDF("k")
+        .select(call_function("graft_dtw", l, r).as("d")).collect()(0)
+      assert(row.isNullAt(0), s"null element (first=$elemNullFirst) must yield NULL")
+    }
   }
 
   test("CdcChunkStarts: non-ASCII code points count as single positions") {

@@ -69,4 +69,37 @@ class MediaHashSpec extends SparkSpec {
     assert(hashed.values.toSeq.distinct.length === classes,
       "classes collided across the four-codec corpus")
   }
+
+  test("MJPEG-in-AVI: frame walk decodes, and frames hash like still images of the same pattern") {
+    // three videos at three resolutions; the RIFF walker must return
+    // exactly the declared frames with true JPEG-decoded dimensions
+    val ids = Seq(7L, 101L, 250L)
+    val recs = ids.map(id => graft.operators.Multimodal.MediaRecord(id, MediaCodec.aviFor(id)))
+    val frames = MediaCodec.decodeAviFrames(spark.createDataset(recs))
+      .collect().groupBy(_.doc_id)
+    ids.foreach { id =>
+      val fs = frames(id).sortBy(_.frame_idx)
+      assert(fs.length == MediaCodec.aviFrameCount(id),
+        s"video $id: walked ${fs.length} frames, header declares ${MediaCodec.aviFrameCount(id)}")
+      assert(fs.forall(_.n_frames_declared == MediaCodec.aviFrameCount(id)))
+      assert(fs.forall(f => f.width == MediaCodec.aviWidth(id) && f.height == MediaCodec.aviHeight(id)),
+        s"video $id: decoded dims disagree with the fixture formula")
+      // the lossy in-container JPEG hashes EXACTLY to the pattern bits —
+      // the same invariant the still-image codecs satisfy — so a video
+      // frame dedups against a PNG still of the same picture
+      fs.foreach { f =>
+        assert(f.ahash == MediaCodec.patternBits((f.frame_idx % MediaCodec.AviFrameClasses).toLong),
+          s"video $id frame ${f.frame_idx}: hash escaped the pattern class")
+      }
+      // within-video duplicate structure: frames 3+ repeat classes 0..2
+      val byClass = fs.groupBy(_.frame_idx % MediaCodec.AviFrameClasses)
+      byClass.foreach { case (_, g) => assert(g.map(_.ahash).distinct.length == 1) }
+      assert(fs.map(_.ahash).distinct.length == MediaCodec.AviFrameClasses)
+    }
+    // cross-container: a PNG STILL of pattern class 0 collapses with every
+    // video's class-0 frames (imgWidth sizes differ from aviWidth sizes)
+    val still = MediaCodec.aHash64(spark.createDataset(Seq(
+      graft.operators.Multimodal.MediaRecord(0L, MediaCodec.patternPngFor(0L, 50))))).collect()(0)._2
+    assert(still == MediaCodec.patternBits(0L))
+  }
 }

@@ -278,10 +278,10 @@ class PlanSpec extends SparkSpec {
       "q_text_rank_fusion" -> "top-100 candidate lists (limit below)",
       // running max over the 64-cell price grid aggregate
       "q_agg_skyline" -> "64-cell price-grid aggregate",
-      // cum window over <=65536 grid cells + rank inside ONE cell
-      // (expected n/65536 rows; degenerate single-value data collapses
-      // the grid, in which case the cell IS the answer)
-      "q_agg_exact_kth" -> "65536-cell selection grid + one cell",
+      // (q_agg_exact_kth no longer appears here: its recursive grid
+      // selection runs eagerly in the builder — Selection.kthSmallest's
+      // windows are bounded to <=65,536 grid cells / <=CellSortMax rows
+      // by construction and never reach the registered plan)
       // BH ranking over the m-row p-value table (m = |groups|-1 tests)
       "q_stat_fdr_bh" -> "m per-group tests (schema constant)"
     )
@@ -308,10 +308,33 @@ class PlanSpec extends SparkSpec {
     // verdict asked to make the class unrepresentable). A collect passes
     // when (a) a rank-cap Filter or a df-cap LeftAnti join sits BELOW it
     // in the same subtree, or (b) the query is allowlisted with the
-    // intrinsic bound stated.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
+    // intrinsic bound stated. Rank caps are detected STRUCTURALLY
+    // (round-10 verdict #4): either the WindowGroupLimit node the
+    // optimizer plants for rank<=k filters, or a Filter conjunct
+    // comparing a row_number/rank/dense_rank window output attribute to
+    // a literal — no column-name conventions to dodge or allowlist.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Window => LWindow, WindowGroupLimit}
     import org.apache.spark.sql.catalyst.plans.LeftAnti
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BinaryComparison, DenseRank, Expression, Literal, Rank, RowNumber, WindowExpression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def isRankCapFilter(f: Filter): Boolean = {
+      val rankIds = f.child.collect {
+        case w: LWindow => w.windowExpressions.collect {
+          case al @ Alias(WindowExpression(fn, _), _)
+              if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] ||
+                fn.isInstanceOf[DenseRank] => al.exprId
+        }
+      }.flatten.toSet
+      rankIds.nonEmpty && conjuncts(f.condition).exists {
+        case BinaryComparison(a: AttributeReference, _: Literal) => rankIds(a.exprId)
+        case BinaryComparison(_: Literal, a: AttributeReference) => rankIds(a.exprId)
+        case _ => false
+      }
+    }
     val bounded: Map[String, String] = Map(
       // 25-nation / 5-region dimension table: group count AND group size
       // are schema constants, not corpus-scaled
@@ -327,7 +350,10 @@ class PlanSpec extends SparkSpec {
       // cell per day regardless of corpus size; the corpus-scaled work
       // is the upstream (type, day) aggregation)
       "q_ts_dtw" -> "per-type daily profile (calendar-bounded)",
-      "q_ts_holt" -> "per-type daily profile (calendar-bounded)"
+      "q_ts_holt" -> "per-type daily profile (calendar-bounded)",
+      "q_ts_kalman" -> "per-type daily profile (calendar-bounded)",
+      // stopword-delimited runs group on (doc, run): doc-length-bounded
+      "q_text_rake" -> "per-doc stopword-delimited runs"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       try {
@@ -341,12 +367,13 @@ class PlanSpec extends SparkSpec {
           val hasAnti = a.child.collectFirst {
             case j: Join if j.joinType == LeftAnti => j
           }.isDefined
-          val hasRankCap = a.child.collectFirst {
-            case f: Filter
-                if "(?i)(rank|__rk|row_number|\\brn#)".r
-                  .findFirstIn(f.condition.toString).isDefined => f
+          val hasGroupLimit = a.child.collectFirst {
+            case g: WindowGroupLimit => g
           }.isDefined
-          hasAnti || hasRankCap
+          val hasRankCap = a.child.collectFirst {
+            case f: Filter if isRankCapFilter(f) => f
+          }.isDefined
+          hasAnti || hasGroupLimit || hasRankCap
         }
         if (uncapped.nonEmpty && !bounded.contains(q.name))
           Some(q.name -> s"${uncapped.size} uncapped collect aggregate(s)")

@@ -58,6 +58,13 @@ class Round10OpsSpec extends SparkSpec {
       s"expected near-1 silhouettes on separated blobs: ${sil.map(_.getAs[Double]("s")).min}")
     // a and b are nonnegative distances, b (other blob) >> a
     assert(sil.forall(r => r.getAs[Double]("b") > r.getAs[Double]("a")))
+    // k = 1 has no "other centroid" (b would be NULL and greatest() skips
+    // nulls) -> refuse loudly instead of emitting a silent null chain
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.kmeansSilhouette(df, "vec_id", "embedding", dim = 64, k = 1,
+        rounds = 1, seed = 17)
+    }
+    assert(ex.getMessage.contains("k >= 2"))
   }
 
   test("nbQuantizedModel/nbScore: hand-computable two-class model, deterministic tie-break") {
