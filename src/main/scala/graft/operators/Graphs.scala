@@ -94,6 +94,48 @@ object Graphs {
       s"k-truss peeling did not reach a fixpoint in $maxRounds rounds")
   }
 
+  /** Single-source shortest-path COUNTS (the σ table of Brandes'
+    * betweenness — how many distinct shortest paths reach each node):
+    * layered BFS DP, σ(source) = 1, σ(v) = Σ σ(u) over dist-(d−1)
+    * neighbors u. All-integer; σ is bounded by the product of layer
+    * degrees and both engines throw loudly on BIGINT overflow (ANSI),
+    * so a combinatorial blow-up cannot silently wrap. Throws (the sssp
+    * convention) if the BFS frontier is still alive past `maxDepth` —
+    * the fixed-unroll contract the oracle replays. Per-layer
+    * localCheckpoint; Θ(edges) per layer.
+    */
+  def shortestPathCounts(edges: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var visited = Seq((source, 0, 1L)).toDF("node", "hops", "n_paths").localCheckpoint()
+    var frontier = visited
+    var d = 1
+    var done = false
+    while (!done) {
+      val next = frontier.as("f")
+        .join(sym.as("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node"), col("f.n_paths").as("p"))
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .groupBy(col("node"))
+        .agg(lit(d).as("hops"), sum(col("p")).as("n_paths"))
+        .select(col("node"), col("hops"), col("n_paths"))
+        .localCheckpoint()
+      if (next.limit(1).count() == 0) done = true
+      else if (d > maxDepth) {
+        throw new IllegalStateException(
+          s"BFS frontier still alive past maxDepth=$maxDepth")
+      } else {
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next
+        d += 1
+      }
+    }
+    visited
+  }
+
   /** Per-node triangle membership count plus the global summary a graph
     * health check wants: (node, n_triangles) for every node in ≥1
     * triangle.

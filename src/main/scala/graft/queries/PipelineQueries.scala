@@ -1213,9 +1213,61 @@ object PipelineQueries extends QuerySet {
       .orderBy($"fold")
   }
 
+  /** Dataset card manifest — the one-page provenance summary
+    * (HuggingFace dataset-card / Datasheets-for-Datasets tier) a
+    * training-data release ships: corpus counts, token/char mass,
+    * vocabulary facets, duplication and length statistics, each as an
+    * exact BIGINT metric row. One corpus scan feeds everything; the
+    * dedup rate rides the same normalized-text fingerprint as
+    * q_dedup_exact, so the card's numbers are consistent with the
+    * pipeline's own gates. All-integer output: exact on any engine.
+    */
+  val qDatasetCard: GQuery = GQuery(
+    "q_pipeline_dataset_card",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, source,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
+               strlen(text) AS n_chars
+        FROM documents)
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM d
+        UNION ALL SELECT 'total_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM d
+        UNION ALL SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM d
+        UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM d
+        UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM d
+        UNION ALL SELECT 'n_distinct_texts', CAST(COUNT(DISTINCT fp) AS BIGINT) FROM d
+        UNION ALL SELECT 'n_exact_dup_docs',
+          CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) FROM d
+        UNION ALL SELECT 'max_doc_tokens', CAST(MAX(n_tokens) AS BIGINT) FROM d
+        UNION ALL SELECT 'min_doc_tokens', CAST(MIN(n_tokens) AS BIGINT) FROM d)
+      ORDER BY metric""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val d = t(spark, dir).documents
+      .select($"doc_id", $"lang", $"source",
+        md5(graft.operators.TextOps.normText($"text")).as("fp"),
+        size(graft.operators.TextOps.tokens($"text")).cast("long").as("n_tokens"),
+        octet_length($"text").cast("long").as("n_chars"))
+      .localCheckpoint() // nine metric legs share one scan
+    def m(name: String, v: org.apache.spark.sql.Column) =
+      d.agg(v.as("value")).select(lit(name).as("metric"), $"value")
+    m("n_docs", count(lit(1)))
+      .unionAll(m("total_tokens", sum($"n_tokens")))
+      .unionAll(m("total_chars", sum($"n_chars")))
+      .unionAll(m("n_langs", countDistinct($"lang")))
+      .unionAll(m("n_sources", countDistinct($"source")))
+      .unionAll(m("n_distinct_texts", countDistinct($"fp")))
+      .unionAll(m("n_exact_dup_docs", count(lit(1)) - countDistinct($"fp")))
+      .unionAll(m("max_doc_tokens", max($"n_tokens")))
+      .unionAll(m("min_doc_tokens", min($"n_tokens")))
+      .orderBy($"metric")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qCorpusPrep, qSample, qSplit, qContamination, qPack, qDomainCap, qShuffle,
     qWeighted, qMix, qTemperature, qNegativePairs, qGlobalIndex, qPackPairs,
     qDedupCascade, qReservoir, qDsir, qSplitLeakage, qWeightedReservoir, qTokenBudget, qNeyman,
-    qAttrition, qReservoirMerge, qCurriculum, qGroupKfold)
+    qAttrition, qReservoirMerge, qCurriculum, qGroupKfold, qDatasetCard)
 }

@@ -2019,10 +2019,143 @@ object ProfilingQueries extends QuerySet {
     }
   }
 
+  /** Krippendorff's alpha (nominal, 3 raters) over the shared
+    * deterministic quality-rater fixture — the IAA measure that
+    * generalizes [[qCohenKappa]]/[[qFleissKappa]]: chance correction
+    * from the OBSERVED category marginals (not per-rater), so it stays
+    * comparable under missing data and rater count changes (the reason
+    * annotation-ops standardized on it). α = 1 − D_o/D_e with
+    * D_o = Σ_u Σ_c n_uc(m−n_uc) / (N·m·(m−1)) and
+    * D_e = Σ_c n_c(n_tot−n_c) / (n_tot(n_tot−1)).
+    *
+    * Portability: every numerator/denominator is an exact BIGINT off
+    * the same integer rating counts the kappa queries use; α is one
+    * fixed ÷− chain of their DOUBLE casts — RAW, no rounding.
+    */
+  val qKrippendorff: GQuery = GQuery(
+    "q_stat_krippendorff",
+    Some(s"""
+      WITH $ratersSql,
+      cnt AS (
+        SELECT doc_id,
+               CAST((CASE WHEN ra=0 THEN 1 ELSE 0 END) + (CASE WHEN rb=0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rc=0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST((CASE WHEN ra=1 THEN 1 ELSE 0 END) + (CASE WHEN rb=1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rc=1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST((CASE WHEN ra=2 THEN 1 ELSE 0 END) + (CASE WHEN rb=2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN rc=2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM rt),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n0*(3-n0) + n1*(3-n1) + n2*(3-n2)) AS BIGINT) AS do_num,
+               CAST(SUM(n0) AS BIGINT) AS c0, CAST(SUM(n1) AS BIGINT) AS c1,
+               CAST(SUM(n2) AS BIGINT) AS c2
+        FROM cnt)
+      SELECT n_docs, do_num,
+             c0*(3*n_docs - c0) + c1*(3*n_docs - c1) + c2*(3*n_docs - c2) AS de_num,
+             CAST(do_num AS DOUBLE) / CAST(n_docs * 6 AS DOUBLE) AS d_o,
+             CAST(c0*(3*n_docs - c0) + c1*(3*n_docs - c1) + c2*(3*n_docs - c2) AS DOUBLE)
+               / CAST(3*n_docs*(3*n_docs - 1) AS DOUBLE) AS d_e,
+             1e0 - (CAST(do_num AS DOUBLE) / CAST(n_docs * 6 AS DOUBLE))
+                   / (CAST(c0*(3*n_docs - c0) + c1*(3*n_docs - c1) + c2*(3*n_docs - c2) AS DOUBLE)
+                      / CAST(3*n_docs*(3*n_docs - 1) AS DOUBLE)) AS alpha
+      FROM agg""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    def ind(c: org.apache.spark.sql.Column, v: Int) = when(c === v, 1L).otherwise(0L)
+    val cnt = raters(spark, dir).select(
+      (ind($"ra", 0) + ind($"rb", 0) + ind($"rc", 0)).as("n0"),
+      (ind($"ra", 1) + ind($"rb", 1) + ind($"rc", 1)).as("n1"),
+      (ind($"ra", 2) + ind($"rb", 2) + ind($"rc", 2)).as("n2"))
+    val agg = cnt.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n0" * (lit(3L) - $"n0") + $"n1" * (lit(3L) - $"n1")
+        + $"n2" * (lit(3L) - $"n2")).as("do_num"),
+      sum($"n0").as("c0"), sum($"n1").as("c1"), sum($"n2").as("c2"))
+    val deNum = $"c0" * (lit(3L) * $"n_docs" - $"c0") +
+      $"c1" * (lit(3L) * $"n_docs" - $"c1") +
+      $"c2" * (lit(3L) * $"n_docs" - $"c2")
+    val dO = $"do_num".cast("double") / ($"n_docs" * 6).cast("double")
+    val dE = deNum.cast("double") /
+      (lit(3L) * $"n_docs" * (lit(3L) * $"n_docs" - 1)).cast("double")
+    agg.select($"n_docs", $"do_num", deNum.as("de_num"),
+      dO.as("d_o"), dE.as("d_e"), (lit(1.0) - dO / dE).as("alpha"))
+  }
+
+  /** Population stability index between the even- and odd-user halves
+    * of the events value distribution — the model-monitoring drift
+    * number (banking-standard: PSI < 0.1 stable, > 0.25 shifted) that
+    * complements [[qKsTest]]'s supremum statistic with a per-bin
+    * decomposition: 10 fixed value bins, add-1 smoothed shares,
+    * PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur).
+    *
+    * Portability: counts are exact BIGINTs; each share is ONE division
+    * of exact integers; the per-bin ln term follows the
+    * q_stat_mutual_info convention — DECIMAL(38,6)-pinned before the
+    * order-insensitive sum (margins audited by round_boundary_audit).
+    * Scale shape: one corpus aggregation to 10 bins; everything after
+    * is constant-size.
+    */
+  val qPsi: GQuery = GQuery(
+    "q_quality_psi",
+    Some("""
+      WITH b AS (
+        SELECT least(CAST(floor(value / 25e0) AS BIGINT), 9) AS bin,
+               user_id % 2 AS half, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+      f AS (
+        SELECT s.bin,
+               COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur
+        FROM spine s
+        LEFT JOIN b r ON r.bin = s.bin AND r.half = 0
+        LEFT JOIN b c ON c.bin = s.bin AND c.half = 1),
+      tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                     CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM f),
+      terms AS (
+        SELECT f.bin, f.n_ref, f.n_cur,
+               CAST(f.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + 10 AS DOUBLE) AS p_ref,
+               CAST(f.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + 10 AS DOUBLE) AS p_cur
+        FROM f CROSS JOIN tot t),
+      psi AS (
+        SELECT CAST(SUM(CAST((p_ref - p_cur) * ln(p_ref / p_cur) AS DECIMAL(38,6))) AS DOUBLE) AS psi_total
+        FROM terms)
+      SELECT terms.bin, terms.n_ref, terms.n_cur, terms.p_ref, terms.p_cur, psi.psi_total
+      FROM terms CROSS JOIN psi
+      ORDER BY terms.bin""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    val b = t(spark, dir).events
+      .groupBy(least(floor($"value" / lit(25.0)).cast("long"), lit(9L)).as("bin"),
+        ($"user_id" % 2).as("half"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ref + cur legs
+    val spine = spark.range(0, 10).toDF("bin")
+    val f = spine
+      .join(b.filter($"half" === 0).select($"bin", $"n".as("n_ref")), Seq("bin"), "left")
+      .join(b.filter($"half" === 1).select($"bin", $"n".as("n_cur")), Seq("bin"), "left")
+      .select($"bin", coalesce($"n_ref", lit(0L)).as("n_ref"),
+        coalesce($"n_cur", lit(0L)).as("n_cur"))
+      .localCheckpoint() // totals + terms
+    val tot = f.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+    val terms = f.crossJoin(broadcast(tot))
+      .select($"bin", $"n_ref", $"n_cur",
+        (($"n_ref" + 1).cast("double") / ($"t_ref" + 10).cast("double")).as("p_ref"),
+        (($"n_cur" + 1).cast("double") / ($"t_cur" + 10).cast("double")).as("p_cur"))
+      .localCheckpoint() // rows + the psi sum
+    val psi = terms.agg(
+      sum((($"p_ref" - $"p_cur") * log($"p_ref" / $"p_cur")).cast(D))
+        .cast("double").as("psi_total"))
+    terms.crossJoin(broadcast(psi))
+      .select($"bin", $"n_ref", $"n_cur", $"p_ref", $"p_cur", $"psi_total")
+      .orderBy($"bin")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
       qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford, qMutualInfo,
-      qStratifiedEffect, qQuantileNorm, qLevene, qFd)
+      qStratifiedEffect, qQuantileNorm, qLevene, qFd, qPsi, qKrippendorff)
 }

@@ -2165,6 +2165,345 @@ object SequenceQueries extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Cohen's d effect size between event-type daily series — the
+    * MAGNITUDE companion every significance test here (t-shaped
+    * qAbTest, qMannWhitney, qWilcoxon) needs: a p-value says a gap
+    * exists, d = (x̄ − ȳ)/s_pooled says whether anyone should care
+    * (0.2/0.5/0.8 small/medium/large). Per type pair over the
+    * day-aligned quantized series.
+    *
+    * Portability: means and the pooled variance are single IEEE
+    * divisions/chains over exact BIGINT moments (Σv, Σv², n ≤ 366,
+    * |vq| ≤ 1e8 keeps Σv² < 2^63); d is RAW, NULL when the pooled
+    * variance degenerates.
+    */
+  val qCohensD: GQuery = GQuery(
+    "q_stat_cohens_d",
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vq
+        FROM events GROUP BY 1, 2),
+      xy AS (
+        SELECT a.typ AS type_a, b.typ AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.vq) AS BIGINT) AS sx, CAST(SUM(b.vq) AS BIGINT) AS sy,
+               CAST(SUM(a.vq * a.vq) AS BIGINT) AS sxx,
+               CAST(SUM(b.vq * b.vq) AS BIGINT) AS syy
+        FROM daily a JOIN daily b ON b.typ > a.typ AND b.day = a.day
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_a,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_b,
+             CASE WHEN n >= 2 AND
+                       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       + (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                  THEN (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               + (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                              / CAST(2 * n - 2 AS DOUBLE))
+                  ELSE NULL END AS cohens_d
+      FROM xy ORDER BY type_a, type_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"typ", $"day")
+      .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
+      .localCheckpoint() // both sides of the type-pair join
+    val xy = daily.as("a")
+      .join(daily.as("b"), $"b.typ" > $"a.typ" && $"b.day" === $"a.day")
+      .groupBy($"a.typ".as("type_a"), $"b.typ".as("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum($"a.vq").as("sx"), sum($"b.vq").as("sy"),
+        sum($"a.vq" * $"a.vq").as("sxx"), sum($"b.vq" * $"b.vq").as("syy"))
+    val nD = $"n".cast("double")
+    val ssa = $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / nD
+    val ssb = $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double") / nD
+    xy.select($"type_a", $"type_b", $"n",
+      ($"sx".cast("double") / nD).as("mean_a"),
+      ($"sy".cast("double") / nD).as("mean_b"),
+      when($"n" >= 2 && ssa + ssb > 0,
+        ($"sx".cast("double") / nD - $"sy".cast("double") / nD)
+          / sqrt((ssa + ssb) / (lit(2L) * $"n" - 2).cast("double")))
+        .as("cohens_d"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** Mann–Kendall trend test per event-type daily series — the
+    * nonparametric monotone-trend detector that pairs with
+    * q_ts_theil_sen's slope (MK gives the significance, Theil–Sen the
+    * magnitude — the standard hydrology/monitoring duo): S = Σ_{i<j}
+    * sign(v_j − v_i) over day pairs, tie-corrected variance, and the
+    * continuity-corrected z.
+    *
+    * Portability: S and the tie term are exact BIGINTs off quantized
+    * values (day pairs are calendar-bounded: ≤ 366·365/2 per type);
+    * var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 is ONE division of
+    * exact integers; z one ÷√ chain, NULL when var degenerates.
+    */
+  val qMannKendall: GQuery = GQuery(
+    "q_ts_mann_kendall",
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vq
+        FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT p.typ,
+               CAST(SUM(CASE WHEN q.vq > p.vq THEN 1 WHEN q.vq < p.vq THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily p JOIN daily q ON q.typ = p.typ AND q.day > p.day
+        GROUP BY 1),
+      ties AS (
+        SELECT typ, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT typ, vq, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2)
+        GROUP BY 1),
+      nn AS (SELECT typ, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1)
+      SELECT nn.typ AS event_type, nn.n AS n_days, s.s_stat, ties.tie_term,
+             CASE WHEN (CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS DOUBLE) / 18e0) > 0
+                  THEN (CAST(s.s_stat AS DOUBLE)
+                        - CASE WHEN s.s_stat > 0 THEN 1e0 WHEN s.s_stat < 0 THEN -1e0 ELSE 0e0 END)
+                       / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS DOUBLE) / 18e0)
+                  ELSE NULL END AS z
+      FROM nn JOIN s ON s.typ = nn.typ JOIN ties ON ties.typ = nn.typ
+      ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"typ", $"day")
+      .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
+      .localCheckpoint() // pair join sides + tie histogram + day counts
+    val s = daily.as("p")
+      .join(daily.as("q"), $"q.typ" === $"p.typ" && $"q.day" > $"p.day")
+      .groupBy($"p.typ".as("typ"))
+      .agg(sum(when($"q.vq" > $"p.vq", 1L).when($"q.vq" < $"p.vq", -1L)
+        .otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy($"typ", $"vq").agg(count(lit(1)).as("t"))
+      .groupBy($"typ")
+      .agg(sum($"t" * ($"t" - 1) * (lit(2L) * $"t" + 5)).as("tie_term"))
+    val nn = daily.groupBy($"typ").agg(count(lit(1)).as("n"))
+    val varD = ($"n" * ($"n" - 1) * (lit(2L) * $"n" + 5) - $"tie_term").cast("double") / lit(18.0)
+    nn.join(s, "typ").join(ties, "typ")
+      .select($"typ".as("event_type"), $"n".as("n_days"), $"s_stat", $"tie_term",
+        when(varD > 0,
+          ($"s_stat".cast("double")
+            - when($"s_stat" > 0, 1.0).when($"s_stat" < 0, -1.0).otherwise(0.0))
+            / sqrt(varD)).as("z"))
+      .orderBy($"event_type")
+  }
+
+  /** Double-sweep diameter estimate of the co-purchase graph — the
+    * classic 2-BFS lower bound (exact on trees, near-exact on real
+    * graphs; Magnien–Latapy–Habib): sweep 1 from the max-degree node
+    * finds the farthest node u, sweep 2 from u measures ecc(u) — the
+    * diameter estimate. The graph-health number (is the giant component
+    * shallow or stringy?) that single-source BFS (q_graph_bfs) doesn't
+    * expose. All-integer hop counts; both sweeps ride
+    * [[graft.operators.Graphs.bfsHops]] and the oracle replays them as
+    * two recursive walks with identical deterministic tie-breaks
+    * (min hops per node; farthest = max hops, tie → min id).
+    */
+  val qDiameter: GQuery = GQuery(
+    "q_graph_diameter",
+    Some("""
+      WITH RECURSIVE g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      ed AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      s AS (SELECT src AS s0 FROM (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1)
+            ORDER BY deg DESC, src LIMIT 1),
+      w1(node, d) AS (
+        SELECT s0, 0 FROM s
+        UNION
+        SELECT x.dst, w.d + 1 FROM w1 w JOIN ed x ON w.node = x.src WHERE w.d < 30),
+      d1 AS MATERIALIZED (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM w1 GROUP BY 1),
+      u AS (SELECT node AS u0, d AS ecc_source FROM d1 ORDER BY d DESC, node LIMIT 1),
+      w2(node, d) AS (
+        SELECT u0, 0 FROM u
+        UNION
+        SELECT x.dst, w.d + 1 FROM w2 w JOIN ed x ON w.node = x.src WHERE w.d < 30),
+      d2 AS MATERIALIZED (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM w2 GROUP BY 1)
+      SELECT s.s0 AS source, u.u0 AS far_node, u.ecc_source,
+             (SELECT MAX(d) FROM d2) AS diameter_lb,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS n_reachable
+      FROM s, u""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+      .select($"src", $"dst").localCheckpoint() // degree pick + two sweeps
+    val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val source = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .orderBy($"deg".desc, $"src").limit(1).select($"src").as[Long].head()
+    val d1 = graft.operators.Graphs.bfsHops(edges, source, maxIter = 30)
+      .localCheckpoint() // farthest pick + reachable count
+    val far = d1.orderBy($"hops".desc, $"node").limit(1)
+      .select($"node", $"hops".cast("long")).collect()(0)
+    val d2 = graft.operators.Graphs.bfsHops(edges, far.getLong(0), maxIter = 30)
+    val nReach = d1.count()
+    d2.agg(max($"hops").cast("long").as("diameter_lb"))
+      .select(lit(source).as("source"), lit(far.getLong(0)).as("far_node"),
+        lit(far.getLong(1)).as("ecc_source"),
+        $"diameter_lb", lit(nReach).as("n_reachable"))
+  }
+
+  /** Wilcoxon signed-rank test between paired event-type daily series —
+    * the PAIRED complement to q_stat_mannwhitney's independent-sample
+    * U: per type pair, day-aligned differences d = x − y (zero d
+    * dropped, the standard treatment), |d| ranked with tie-averaged
+    * ranks, W⁺ = Σ ranks of positive d against the exact normal
+    * moments. Detects consistent per-day dominance that unpaired tests
+    * dilute.
+    *
+    * Portability: ranks live in INTEGER 2·rank units (the q_stat_spearman
+    * trick — 2·avgrank = 2·|{|d'|<|d|}| + |{|d'|=|d|}| + 1 is exact);
+    * W⁺, μ and the tie term are exact BIGINTs (n ≤ 366 keeps every
+    * product ≤ 1e8); σ² and z are ONE fixed ÷√ chain. NULL z when the
+    * variance degenerates. Scale shape: corpus → (type, day) once, then
+    * calendar-bounded rank tables per type pair.
+    */
+  val qWilcoxon: GQuery = GQuery(
+    "q_stat_wilcoxon",
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vq
+        FROM events GROUP BY 1, 2),
+      dd AS MATERIALIZED (
+        SELECT a.typ AS type_a, b.typ AS type_b, a.day, a.vq - b.vq AS d
+        FROM daily a JOIN daily b ON b.typ > a.typ AND b.day = a.day
+        WHERE a.vq != b.vq),
+      ag AS MATERIALIZED (
+        SELECT type_a, type_b, abs(d) AS ad,
+               CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_pos
+        FROM dd GROUP BY 1, 2, 3),
+      rk AS (
+        SELECT type_a, type_b, ad, t, t_pos,
+               2 * (SUM(t) OVER (PARTITION BY type_a, type_b ORDER BY ad) - t)
+                 + t + 1 AS r2
+        FROM ag),
+      agg AS (
+        SELECT type_a, type_b,
+               CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(t_pos * r2) AS BIGINT) AS w2_plus,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+        FROM rk GROUP BY 1, 2)
+      SELECT type_a, type_b, n, w2_plus,
+             n * (n + 1) // 2 AS mu2,
+             CASE WHEN (CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 6e0
+                        - CAST(tie_term AS DOUBLE) / 12e0) > 0
+                  THEN CAST(w2_plus - n * (n + 1) // 2 AS DOUBLE)
+                       / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 6e0
+                              - CAST(tie_term AS DOUBLE) / 12e0)
+                  ELSE NULL END AS z
+      FROM agg ORDER BY type_a, type_b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import graft.queries.Common.D
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"typ", $"day")
+      .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
+      .localCheckpoint() // both sides of the type-pair join
+    val dd = daily.as("a")
+      .join(daily.as("b"), $"b.typ" > $"a.typ" && $"b.day" === $"a.day")
+      .filter($"a.vq" =!= $"b.vq")
+      .select($"a.typ".as("type_a"), $"b.typ".as("type_b"), ($"a.vq" - $"b.vq").as("d"))
+    val ag = dd.groupBy($"type_a", $"type_b", abs($"d").as("ad"))
+      .agg(count(lit(1)).as("t"),
+        sum(when($"d" > 0, 1L).otherwise(0L)).as("t_pos"))
+    val wr = Window.partitionBy($"type_a", $"type_b").orderBy($"ad") // <=366 distinct |d|
+    val rk = ag.withColumn("r2",
+      lit(2) * (sum($"t").over(wr) - $"t") + $"t" + 1)
+    val agg2 = rk.groupBy($"type_a", $"type_b")
+      .agg(sum($"t").as("n"),
+        sum($"t_pos" * $"r2").as("w2_plus"),
+        sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+    agg2.select($"type_a", $"type_b", $"n", $"w2_plus",
+      expr("n * (n + 1) div 2").as("mu2"),
+      when(($"n" * ($"n" + 1) * (lit(2) * $"n" + 1)).cast("double") / lit(6.0)
+        - $"tie_term".cast("double") / lit(12.0) > 0,
+        ($"w2_plus" - expr("n * (n + 1) div 2")).cast("double")
+          / sqrt(($"n" * ($"n" + 1) * (lit(2) * $"n" + 1)).cast("double") / lit(6.0)
+            - $"tie_term".cast("double") / lit(12.0)))
+        .as("z"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** Weekly-periodicity periodogram per event type: the DFT power at
+    * frequency 1/7 over the daily series — THE seasonality detector a
+    * metrics pipeline runs before choosing q_ts_seasonal_decompose's
+    * period. P(1/7) = (Σ v·cos(2πd/7))² + (Σ v·sin(2πd/7))², plus the
+    * mean-removed power share.
+    *
+    * Portability: the 7 cos/sin weights are transcendental, so they are
+    * computed ONCE in the driver JVM and fed to BOTH engines (Spark
+    * broadcast table, DuckDB `<w>e0` literals — the
+    * TextOps.ndcgWeights convention); each term v·w micro-quantizes to
+    * floor(1e6·vq·w + 0.5) so the sums are exact BIGINTs; the closing
+    * power is one ×+ chain over those integers. Scale shape: corpus →
+    * (type, day) once, then a 7-row broadcast join.
+    */
+  val qPeriodogram: GQuery = {
+    val cosW = Array.tabulate(7)(k => math.cos(2.0 * math.Pi * k / 7.0))
+    val sinW = Array.tabulate(7)(k => math.sin(2.0 * math.Pi * k / 7.0))
+    val weightRows = (0 until 7)
+      .map(k => s"SELECT $k AS dow, ${cosW(k)}e0 AS cw, ${sinW(k)}e0 AS sw")
+      .mkString(" UNION ALL ")
+    GQuery(
+      "q_ts_periodogram",
+      Some(s"""
+      WITH daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vq
+        FROM events GROUP BY 1, 2),
+      w AS ($weightRows),
+      terms AS (
+        SELECT d.typ,
+               CAST(floor(1e6 * CAST(d.vq AS DOUBLE) * w.cw + 0.5) AS BIGINT) AS tc,
+               CAST(floor(1e6 * CAST(d.vq AS DOUBLE) * w.sw + 0.5) AS BIGINT) AS ts
+        FROM daily d JOIN w ON w.dow = d.day % 7)
+      SELECT typ AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(tc) AS BIGINT) AS sc_micro,
+             CAST(SUM(ts) AS BIGINT) AS ss_micro,
+             (CAST(SUM(tc) AS DOUBLE) / 1e6) * (CAST(SUM(tc) AS DOUBLE) / 1e6)
+               + (CAST(SUM(ts) AS DOUBLE) / 1e6) * (CAST(SUM(ts) AS DOUBLE) / 1e6)
+               AS power_w
+      FROM terms GROUP BY 1 ORDER BY event_type""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import graft.queries.Common.D
+      val daily = t(spark, dir).events
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          $"event_type".as("typ"), $"value")
+        .groupBy($"typ", $"day")
+        .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
+      val w = (0 until 7).map(k => (k.toLong, cosW(k), sinW(k))).toDF("dow", "cw", "sw")
+      val terms = daily.join(broadcast(w), $"day" % 7 === $"dow")
+        .select($"typ",
+          floor(lit(1e6) * $"vq".cast("double") * $"cw" + 0.5).cast("long").as("tc"),
+          floor(lit(1e6) * $"vq".cast("double") * $"sw" + 0.5).cast("long").as("ts"))
+      terms.groupBy($"typ".as("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum($"tc").as("sc_micro"), sum($"ts").as("ss_micro"))
+        .select($"event_type", $"n_days", $"sc_micro", $"ss_micro",
+          (($"sc_micro".cast("double") / 1e6) * ($"sc_micro".cast("double") / 1e6)
+            + ($"ss_micro".cast("double") / 1e6) * ($"ss_micro".cast("double") / 1e6))
+            .as("power_w"))
+        .orderBy($"event_type")
+    }
+  }
+
   /** 1-D Kalman filter over each event type's daily series — the
     * optimal recursive state estimator (constant-state model, process
     * noise q = 0.25, measurement noise r = 4) every telemetry/metrics
@@ -2239,6 +2578,64 @@ object SequenceQueries extends QuerySet {
       .select($"event_type", $"n_days", $"st.x".as("x_hat"), $"st.p".as("p_cov"),
         $"st.k".as("gain"), $"st.sse".as("sse_innov"))
       .orderBy($"event_type")
+  }
+
+  private val PathCountDepth = 10
+
+  private def pathCountRounds(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""
+      l$i AS MATERIALIZED (
+        SELECT e.dst AS node, $i AS hops, CAST(SUM(l.sig) AS BIGINT) AS sig
+        FROM l${i - 1} l JOIN ed e ON e.src = l.node
+        WHERE e.dst NOT IN (SELECT node FROM v${i - 1})
+        GROUP BY 1),
+      v$i AS MATERIALIZED (SELECT node, hops, sig FROM v${i - 1}
+                           UNION ALL SELECT node, hops, sig FROM l$i)"""
+    }.mkString(",")
+
+  /** Single-source shortest-path COUNTS over the co-purchase graph
+    * ([[graft.operators.Graphs.shortestPathCounts]]) — the σ table of
+    * Brandes' betweenness and the path-multiplicity signal plain BFS
+    * hops (q_graph_bfs) can't see: two nodes at equal distance differ
+    * enormously in how many geodesics reach them (redundancy /
+    * robustness of the connection). Source = the max-degree node
+    * (tie → min id, replayed exactly). All-integer layered DP; the
+    * engine iterates to frontier exhaustion and THROWS past depth
+    * ${PathCountDepth} (the oracle's unroll; measured eccentricity
+    * ≤ 9 from this source at every SF before registering). σ is
+    * bounded by layer-degree products and ANSI overflow fails loudly
+    * on both engines.
+    */
+  val qPathCounts: GQuery = GQuery(
+    "q_graph_path_counts",
+    Some(s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT a.i AS src, b.i AS dst
+            FROM g a JOIN g b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      ed AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      s AS (SELECT src AS s0 FROM (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1)
+            ORDER BY deg DESC, src LIMIT 1),
+      l0 AS MATERIALIZED (SELECT s0 AS node, 0 AS hops, CAST(1 AS BIGINT) AS sig FROM s),
+      v0 AS MATERIALIZED (SELECT node, hops, sig FROM l0),
+      ${pathCountRounds(PathCountDepth)}
+      SELECT node, CAST(hops AS INT) AS hops, sig AS n_paths
+      FROM v$PathCountDepth ORDER BY node""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val edges = graft.operators.Graphs
+      .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
+      .filter($"weight" >= 2)
+      .select($"src", $"dst").localCheckpoint() // degree pass + BFS reuse
+    val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val source = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .orderBy($"deg".desc, $"src").limit(1)
+      .select($"src").as[Long].head() // one driver scalar (source pick)
+    graft.operators.Graphs
+      .shortestPathCounts(edges, source, maxDepth = PathCountDepth)
+      .select($"node", $"hops".cast("int").as("hops"), $"n_paths")
+      .orderBy($"node")
   }
 
   /** Unrolled k-truss peeling rounds for the oracle: round i recounts
@@ -2395,5 +2792,6 @@ object SequenceQueries extends QuerySet {
       qGraphNeighborJaccard, qSeasonalDecompose, qCusum, qGraphModularity, qGraphHits,
       qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch,
       qAssortativity, qGraphLinkPredRa, qDtw, qViterbi, qTextRank, qHolt, qCrossCorr,
-      qKalman, qKendall, qRunsTest, qKtruss)
+      qKalman, qKendall, qRunsTest, qKtruss, qPathCounts, qWilcoxon, qPeriodogram,
+      qCohensD, qMannKendall, qDiameter)
 }

@@ -501,8 +501,48 @@ object SourceQueries extends QuerySet {
     res
   }
 
+  /** FIXED-WIDTH (mainframe/COBOL copybook-style) text ingest: write
+    * every order as one 38-char record — zero-padded 10-digit key,
+    * 1-char status, zero-padded 12-digit price in cents, 15-char
+    * left-justified priority — then parse it back with positional
+    * substrings. The legacy-feed format every enterprise lake still
+    * ingests, and one no self-describing reader handles: schema lives
+    * entirely in the parse spec. The oracle recomputes every field
+    * from `orders` directly, so the hash match proves format → write →
+    * read → positional parse round-trips losslessly (cents quantize
+    * via floor(100·p + 0.5) of the engine-identical double on both
+    * sides). Row-local both ways; no shuffle beyond the final sort.
+    */
+  val qFixedWidth: GQuery = GQuery(
+    "q_source_fixed_width",
+    Some("""
+      SELECT o_orderkey AS orderkey,
+             o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             trim(o_orderpriority) AS priority,
+             38 AS record_len
+      FROM orders ORDER BY orderkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val out = Scratch.dir("graft_src_fixed").resolve("orders").toString
+    t(spark, dir).orders
+      .select(format_string("%010d%1s%012d%-15s",
+        $"o_orderkey", $"o_orderstatus",
+        floor($"o_totalprice" * 100 + 0.5).cast("long"),
+        $"o_orderpriority").as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(
+        $"value".substr(1, 10).cast("long").as("orderkey"),
+        $"value".substr(11, 1).as("status"),
+        $"value".substr(12, 12).cast("long").as("price_cents"),
+        trim($"value".substr(24, 15)).as("priority"),
+        length($"value").cast("int").as("record_len"))
+      .orderBy($"orderkey")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qJson, qCsv, qOrc, qXml, qDirtyJson, qDirtyCsv, qPartitioned, qPartitionedDpp,
       qVersioned, qVersionedChanges, qSchemaEvolution, qVersionedRollback, qExportShards,
-      qWebdataset)
+      qWebdataset, qFixedWidth)
 }
