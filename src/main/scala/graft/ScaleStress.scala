@@ -241,19 +241,27 @@ object ScaleStress {
     def tableRows(sf: String, table: String): Long =
       tableRowsCache.getOrElseUpdate((sf, table),
         spark.read.parquet(s"${dirOf(sf)}/$table.parquet").count())
-    for ((sf, dir) <- sfs; name <- names) {
-      val rows = tableRows(sf, name match {
-        case "q_dedup_fuzzy_key" | "q_dedup_record_linkage" => "customer"
-        case "q_mining_dbscan_1d" => "orders"
-        case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
-            "q_quality_label_consistency" | "q_ann_hard_negatives" |
-            "q_dedup_incremental_semantic" => "embeddings"
-        case "q_graph_components" | "q_graph_hits" | "q_rec_itemcf" |
-            "q_graph_link_pred_ra" | "q_graph_ktruss" => "lineitem"
-        case "q_stat_ks" | "q_stat_mannwhitney" | "q_seq_attribution" |
-            "q_mining_seq_pattern" => "events"
-        case _ => "documents"
-      })
+    def backingTable(name: String): String = name match {
+      case "q_dedup_fuzzy_key" | "q_dedup_record_linkage" => "customer"
+      case "q_mining_dbscan_1d" => "orders"
+      case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
+          "q_quality_label_consistency" | "q_ann_hard_negatives" |
+          "q_dedup_incremental_semantic" => "embeddings"
+      case "q_graph_components" | "q_graph_hits" | "q_rec_itemcf" |
+          "q_graph_link_pred_ra" | "q_graph_ktruss" => "lineitem"
+      case "q_stat_ks" | "q_stat_mannwhitney" | "q_seq_attribution" |
+          "q_mining_seq_pattern" => "events"
+      case _ => "documents"
+    }
+    // sf10syn synthesizes ONLY documents/lineitem/orders (synthesize10);
+    // a query keyed on any other table has no top-decade input — skip the
+    // combination instead of crashing on a missing parquet (round-11
+    // ADVICE: the constraint was documented but unenforced).
+    val Synth10Tables = Set("documents", "lineitem", "orders")
+    def combinationRuns(sf: String, name: String): Boolean =
+      sf != "sf10syn" || Synth10Tables.contains(backingTable(name))
+    for ((sf, dir) <- sfs; name <- names; if combinationRuns(sf, name)) {
+      val rows = tableRows(sf, backingTable(name))
       val w0 = meter.write.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
@@ -274,14 +282,16 @@ object ScaleStress {
       math.log(f(b) / f(a)) / math.log(b._1.toDouble / a._1)
     }
     val lines = names.map { n =>
-      val cells = sfs.map { case (sf, _) =>
+      val cells = sfs.collect { case (sf, _) if results.contains((n, sf)) =>
         val (rows, sec, bytes) = results((n, sf))
         s""""$sf":{"rows":$rows,"sec":$sec,"shuffle_bytes":$bytes}"""
       }.mkString(",")
       val eT = exp(n, "sf0.1", "sf1syn", _._2)
       val eB = exp(n, "sf0.1", "sf1syn", _._3.toDouble.max(1.0))
       val eBmid = exp(n, "sf0.01", "sf0.1", _._3.toDouble.max(1.0))
-      val top = if (decade2)
+      // top-decade exponents only exist for queries whose backing table
+      // was synthesized at sf10syn (combinationRuns)
+      val top = if (decade2 && results.contains((n, "sf10syn")))
         s""","exp_time_top":${exp(n, "sf1syn", "sf10syn", _._2)}""" +
           s""","exp_shuffle_top":${exp(n, "sf1syn", "sf10syn", _._3.toDouble.max(1.0))}"""
       else ""

@@ -75,13 +75,29 @@ object StateBench {
       }
     }
     val sec = (System.nanoTime() - t0) / 1e9
+
+    // Restart-recovery latency (round-11 verdict #6): one tiny batch
+    // through a FRESH query on the same checkpoint. The stateful operator
+    // must reload all `off` state entries before committing — with
+    // changelog checkpointing ON that is snapshot + changelog-file replay
+    // (the reference's changelog-topic recovery shape, recovery.rs:51-99);
+    // with SPARK_GRAFT_CHANGELOG=off it is a full-snapshot reload. Run
+    // both modes in separate JVMs and diff restart_sec.
+    in.addData((0 until 1000).map(i => SubEvent(s"k${i % nKeys}", "s0")))
+    val tR = System.nanoTime()
+    val rq = q.start()
+    rq.awaitTermination()
+    val restartSec = (System.nanoTime() - tR) / 1e9
+
+    val clMode =
+      if (sys.env.get("SPARK_GRAFT_CHANGELOG").contains("off")) "snapshot" else "changelog"
     spark.stop()
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
     println(
-      s"""{"metric":"state_increments","mode":"$mode","entries":$off,""" +
-        s""""emitted":${RowsSeen.n.get},"batches":$nBatches,"sec":$sec,""" +
-        s""""entries_per_sec":${(off / sec).toLong}}""")
+      s"""{"metric":"state_increments","mode":"$mode","checkpoint_mode":"$clMode",""" +
+        s""""entries":$off,"emitted":${RowsSeen.n.get},"batches":$nBatches,"sec":$sec,""" +
+        s""""entries_per_sec":${(off / sec).toLong},"restart_sec":$restartSec}""")
     System.out.flush()
   }
 }

@@ -28,7 +28,8 @@ object Graft {
     * round-6 bug chained them onto the tuning else-branch, producing a
     * tuning-off session that could not read events.parquet.
     */
-  private[graft] def sessionConfigs(tuned: Boolean): Seq[(String, String)] = {
+  private[graft] def sessionConfigs(tuned: Boolean, changelog: Boolean = true)
+      : Seq[(String, String)] = {
     val base = Seq(
       "spark.sql.session.timeZone" -> "UTC",
       "spark.sql.shuffle.partitions" -> cpus.toString,
@@ -40,10 +41,12 @@ object Graft {
       // reference's primary store is RocksDB, callysto/src/stores/rocksdb.rs)
       // and required by transformWithState. Changelog checkpointing mirrors
       // the reference's changelog-topic replication (incremental commits
-      // instead of full snapshot uploads).
+      // instead of full snapshot uploads); SPARK_GRAFT_CHANGELOG=off is the
+      // A/B lever StateBench uses to price it (restart_sec, BASELINE).
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        changelog.toString)
     // RocksDB store tuning — parity with the reference's DB options
     // (callysto/src/stores/rocksdb.rs:35-41,127-153): 64 MB write buffers
     // × 3, format-v5 block tables, LRU block cache (the reference sizes
@@ -80,7 +83,8 @@ object Graft {
 
   def session(appName: String = "graft"): SparkSession = {
     val tuned = !sys.env.get("SPARK_GRAFT_ROCKSDB_TUNING").contains("off")
-    val withRocks = sessionConfigs(tuned).foldLeft(
+    val changelog = !sys.env.get("SPARK_GRAFT_CHANGELOG").contains("off")
+    val withRocks = sessionConfigs(tuned, changelog).foldLeft(
       SparkSession.builder().appName(appName)) { case (bld, (k, v)) => bld.config(k, v) }
     // Respect an externally-set master (e.g. spark-submit on a cluster);
     // default to local[cpus] for the single-node harness.

@@ -870,7 +870,16 @@ object Dedup {
       .select(col("id"), col("shingle").as("s"))
       .localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // Every join below whose build side scales with the CORPUS carries an
+    // explicit merge hint: at the second synthesized decade (sf10syn,
+    // BASELINE round-11) the optimizer's size ESTIMATE for these
+    // localCheckpoint-derived sides undershot reality and elected a
+    // >4 GiB broadcast build, killing the default 8 GiB driver — a plan
+    // that is shuffle-linear by design must not depend on a driver-memory
+    // rescue (SPARK_DRIVER_MEM) to survive a scale-up. The hint pins the
+    // sort-merge strategy; at small SFs these joins were SMJ anyway
+    // (token/doc-keyed corpus-scaled sides), so nothing is lost.
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df")).hint("merge")
     val ranked = sh
       .join(dfreq, "s")
       .withColumn(
@@ -887,8 +896,8 @@ object Dedup {
     // size filter (lossless): J(a,b) >= t implies min(na,nb) >= t*max(na,nb),
     // so both n-bounds hold for every surviving pair — pruning candidates
     // inside the posting join, before the pair-distinct shuffle
-    val cands = prefix.as("a")
-      .join(prefix.as("b"),
+    val cands = prefix.hint("merge").as("a")
+      .join(prefix.hint("merge").as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double") &&
           col("b.n").cast("double") >= lit(threshold) * col("a.n").cast("double"))
@@ -896,8 +905,8 @@ object Dedup {
       .distinct()
     // Exact verify: shared-shingle count restricted to candidate pairs.
     val shared = cands
-      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .join(sh.select(col("id").as("id_a"), col("s")).hint("merge"), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("s")).hint("merge"), Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("c"))
     shared

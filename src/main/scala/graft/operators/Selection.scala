@@ -38,6 +38,12 @@ object Selection {
   /** Max rows one task may rank directly; above this, re-grid. */
   val CellSortMax: Long = 65536L
 
+  /** Loud failsafe on the strict-shrink invariant (lo < hi ⇒ the level
+    * splits the candidates): real doubles reach min=max within ~4
+    * levels; 64 covers any representable range down to adjacent ulps.
+    */
+  val MaxDepth: Int = 64
+
   /** Selection evidence: the answer plus HOW it was found — grid levels
     * walked, rows the final direct sort saw (0 when the min=max
     * short-circuit answered), so specs can assert the skew contract
@@ -55,25 +61,59 @@ object Selection {
     * The input is scanned once per level; intermediate candidate sets
     * are localCheckpointed so each level reads the shrunken cell, not
     * a re-derivation of the whole chain.
+    *
+    * Skew contract (UNCONDITIONAL as of round 12): no task ever sorts
+    * more than `cellSortMax` rows. The former depth-8 escape hatch
+    * direct-sorted whatever remained, silently funneling a pathological
+    * candidate set through one task; it is gone. Termination needs no
+    * cap: while lo < hi the min- and max-valued rows land in different
+    * grid cells (cell width ≤ (hi−lo)/2 for ≥2 cells), so every level
+    * strictly shrinks the candidate count, and a level is only entered
+    * when n > cellSortMax. The `MaxDepth` require is a loud failsafe
+    * against a broken invariant, never a truncation path. NaN rows are
+    * excluded up front (NaN poisons the lo/hi grid arithmetic — the
+    * round-11 ADVICE finding); ranks are over the non-NaN values, and
+    * the rank-vs-count require fires loudly if NaN removal leaves too
+    * few rows.
     */
   def kthSmallestWithStats(values: DataFrame, vCol: String, k: Long,
       cellSortMax: Long = CellSortMax): KthResult = {
     require(k >= 1, s"rank must be >= 1, got $k")
-    var cur = values.select(values(vCol).cast("double").as("v"))
-    var rank = k
+    val finite = values.select(values(vCol).cast("double").as("v"))
+      .filter(!isnan(col("v")))
+    // ±Infinity pre-pass: infinities break the lo/hi grid arithmetic
+    // (hi − lo and cell widths go non-finite), but they ARE ordered —
+    // peel them off with one bounded aggregate and adjust the rank.
+    val inf = finite.agg(
+      sum(when(col("v") === Double.NegativeInfinity, 1L).otherwise(0L)).as("neg"),
+      sum(when(col("v") === Double.PositiveInfinity, 1L).otherwise(0L)).as("pos"),
+      count(lit(1)).as("total")).collect()(0)
+    val (cNeg, cPos, total) =
+      (inf.getAs[Long]("neg"), inf.getAs[Long]("pos"), inf.getAs[Long]("total"))
+    require(k <= total, s"rank $k exceeds candidate count $total (NaN rows excluded)")
+    if (k <= cNeg) return KthResult(Double.NegativeInfinity, 0, 0L)
+    if (k > total - cPos) return KthResult(Double.PositiveInfinity, 0, 0L)
+    var cur =
+      if (cNeg == 0L && cPos == 0L) finite
+      else finite.filter(col("v") > Double.NegativeInfinity &&
+        col("v") < Double.PositiveInfinity)
+    var rank = k - cNeg
     var depth = 0
     var result: Option[KthResult] = None
     while (result.isEmpty) {
+      require(depth <= MaxDepth,
+        s"grid selection failed to shrink within $MaxDepth levels — " +
+          "range-shrink invariant broken (this is a bug, not data skew)")
       val st = cur.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
         max(col("v")).as("hi")).collect()(0)
       val n = st.getAs[Long]("n")
-      require(rank <= n, s"rank $rank exceeds candidate count $n")
+      require(rank <= n, s"rank $rank exceeds candidate count $n (NaN rows excluded)")
       val lo = st.getAs[Double]("lo")
       val hi = st.getAs[Double]("hi")
       if (lo == hi) {
         // point-mass short-circuit: a single-valued cell IS the answer
         result = Some(KthResult(lo, depth, 0L))
-      } else if (n <= cellSortMax || depth >= 8) {
+      } else if (n <= cellSortMax) {
         // small enough for one task: rank directly (bounded window)
         val wIn = Window.orderBy(col("v")) // bounded: <= cellSortMax rows
         val v = cur.withColumn("rn", row_number().over(wIn))
@@ -81,8 +121,14 @@ object Selection {
           .collect()(0).getDouble(0)
         result = Some(KthResult(v, depth, n))
       } else {
-        // grid pass: bucket -> bounded cum walk -> cell holding the rank
-        val w = math.max((hi - lo) / GridCells, java.lang.Double.MIN_VALUE)
+        // grid pass: bucket -> bounded cum walk -> cell holding the rank.
+        // hi − lo can overflow to +Inf for finite lo/hi straddling zero at
+        // full magnitude; the halved form keeps the width finite (and the
+        // lo-vs-hi split property holds: w <= (hi − lo) still).
+        val range = hi - lo
+        val w =
+          if (java.lang.Double.isInfinite(range)) hi / GridCells - lo / GridCells
+          else math.max(range / GridCells, java.lang.Double.MIN_VALUE)
         val counts = cur.groupBy(bucketOf(col("v"), lo, w).as("bucket"))
           .agg(count(lit(1)).as("cnt"))
         val wCum = Window.orderBy(col("bucket")) // bounded: <= 65,536 grid cells

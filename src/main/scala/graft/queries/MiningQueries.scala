@@ -914,8 +914,88 @@ object MiningQueries extends QuerySet {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Slope One collaborative filtering (Lemire & Maclachlan 2005) — the
+    * deviation-based predictor next to [[qItemCf]]'s similarity ranker:
+    * item-pair average rating deviations, then per-(user, unrated-item)
+    * predictions as the co-rating-weighted mean of (r_ui + dev_ij).
+    *
+    * Portability: ratings are exact counts; the weighted prediction
+    * folds to ONE integer ratio — Σ(dev_sum_ij + r_ui·n_ij) / Σ n_ij
+    * (substituting dev_ij = dev_sum_ij/n_ij cancels the inner division)
+    * — so both engines divide the SAME two BIGINTs once; no float
+    * accumulation anywhere. Scale shape: the deviation matrix is an
+    * item-vocabulary-bounded (brand²) aggregate built from per-user
+    * bounded pair explosion (≤25² per user — the qItemsets basket
+    * contract); predictions join a deterministic user sample against the
+    * broadcast-sized deviation table. Linear in ratings.
+    */
+  val qSlopeOne: GQuery = GQuery(
+    "q_rec_slopeone",
+    Some("""
+      WITH r AS MATERIALIZED (
+        SELECT o.o_custkey AS u, p.p_brand AS i, CAST(COUNT(*) AS BIGINT) AS r
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2),
+      dev AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(a.r - b.r) AS BIGINT) AS dev_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM r a JOIN r b ON a.u = b.u AND a.i != b.i
+        GROUP BY 1, 2),
+      su AS (SELECT u FROM (SELECT DISTINCT u FROM r) d WHERE u % 100 = 0),
+      cand AS (
+        SELECT su.u, d.j
+        FROM su, (SELECT DISTINCT i AS j FROM r) d
+        WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.u = su.u AND r.i = d.j)),
+      terms AS (
+        SELECT c.u, c.j,
+               CAST(SUM(dv.dev_sum + ru.r * dv.n_co) AS BIGINT) AS num,
+               CAST(SUM(dv.n_co) AS BIGINT) AS den,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM cand c
+        JOIN r ru ON ru.u = c.u
+        JOIN dev dv ON dv.j = ru.i AND dv.i = c.j
+        GROUP BY 1, 2)
+      SELECT u AS user_id, j AS item, n_terms, num, den,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred
+      FROM terms WHERE den > 0
+      ORDER BY user_id, item""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tb = t(spark, dir)
+    val r = tb.lineitem
+      .join(tb.orders, $"o_orderkey" === $"l_orderkey")
+      .join(tb.part, $"p_partkey" === $"l_partkey")
+      .groupBy($"o_custkey".as("u"), $"p_brand".as("i"))
+      .agg(count(lit(1)).as("r"))
+      .localCheckpoint() // feeds dev pairs, the sample, and the term join
+    val dev = r.as("a").join(r.as("b"),
+        col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.r") - col("b.r")).as("dev_sum"), count(lit(1)).as("n_co"))
+    val items = r.select($"i".as("j")).distinct()
+    val su = r.select($"u").distinct().filter($"u" % 100 === 0)
+    val cand = su.crossJoin(broadcast(items))
+      .join(r.select($"u", $"i".as("j")), Seq("u", "j"), "left_anti")
+    // dev row (di = target item, dj = the user's rated item)
+    val devR = broadcast(
+      dev.select($"i".as("di"), $"j".as("dj"), $"dev_sum", $"n_co"))
+    cand
+      .join(r.select($"u", $"i".as("ri"), $"r"), Seq("u"))
+      .join(devR, $"j" === $"di" && $"ri" === $"dj")
+      .groupBy($"u", $"j")
+      .agg(sum($"dev_sum" + $"r" * $"n_co").as("num"),
+        sum($"n_co").as("den"), count(lit(1)).as("n_terms"))
+      .filter($"den" > 0)
+      .select($"u".as("user_id"), $"j".as("item"), $"n_terms", $"num", $"den",
+        ($"num".cast("double") / $"den".cast("double")).as("pred"))
+      .orderBy($"user_id", $"item")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qItemsets, qItemCf, qRankFusion, qSkyline,
     qConformal, qTClose, qAttribution, qTheilSen, qRfm, qDbscan1d, qItemsets3,
-    qSeqPattern)
+    qSeqPattern, qSlopeOne)
 }

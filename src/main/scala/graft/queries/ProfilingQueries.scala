@@ -2152,10 +2152,78 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"bin")
   }
 
+  /** Friedman rank test across event types blocked by day — the
+    * REPEATED-MEASURES omnibus next to [[qLevene]]/[[qAbTest]]: does any
+    * treatment (event type) systematically rank higher across blocks
+    * (days), with each day acting as its own control? Only COMPLETE
+    * blocks (days where every type appears) enter, the standard design
+    * requirement.
+    *
+    * Portability: within-block ranks are row_number over (v, typ) — v is
+    * the exact decimal daily sum, ties broken by typ, a total order both
+    * engines sort identically — so ranks, rank sums and SS = ΣR² are
+    * exact BIGINTs, and χ² = 12·SS/(n·k·(k+1)) − 3·n·(k+1) is one
+    * IEEE-exact chain over exact integers (division last, nothing
+    * rounded). Scale shape: one fact shuffle to daily cells, a
+    * k-bounded per-day window, then k-row arithmetic.
+    */
+  val qFriedman: GQuery = GQuery(
+    "q_stat_friedman",
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // 86400000000 AS d, event_type AS typ,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      kk AS (SELECT CAST(COUNT(DISTINCT typ) AS BIGINT) AS k FROM daily),
+      blocks AS MATERIALIZED (
+        SELECT d FROM daily GROUP BY d
+        HAVING CAST(COUNT(*) AS BIGINT) = (SELECT k FROM kk)),
+      ranked AS (
+        SELECT dd.typ,
+               CAST(row_number() OVER (PARTITION BY dd.d ORDER BY dd.v, dd.typ)
+                    AS BIGINT) AS rk
+        FROM daily dd JOIN blocks b ON b.d = dd.d),
+      rs AS MATERIALIZED (
+        SELECT typ, CAST(SUM(rk) AS BIGINT) AS rank_sum FROM ranked GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM blocks),
+      ss AS (SELECT CAST(SUM(rank_sum * rank_sum) AS BIGINT) AS ss FROM rs)
+      SELECT rs.typ AS event_type, nn.n AS n_blocks, kk.k AS k_treatments,
+             rs.rank_sum,
+             CAST(12 AS DOUBLE) * CAST(ss.ss AS DOUBLE)
+               / (CAST(nn.n AS DOUBLE) * CAST(kk.k AS DOUBLE)
+                  * CAST(kk.k + 1 AS DOUBLE))
+               - CAST(3 AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                 * CAST(kk.k + 1 AS DOUBLE) AS chi2
+      FROM rs, nn, kk, ss ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("d"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"d", $"typ").agg(dsum($"value").as("v"))
+      .localCheckpoint() // feeds k, blocks, and the ranked join
+    val k = daily.agg(countDistinct($"typ").as("k"))
+    val blocks = daily.groupBy($"d").agg(count(lit(1)).as("c"))
+      .join(broadcast(k), $"c" === $"k").select($"d")
+    val ranked = daily.join(blocks, Seq("d"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy($"d").orderBy($"v", $"typ")).cast("long"))
+    val rs = ranked.groupBy($"typ").agg(sum($"rk").as("rank_sum"))
+    val n = blocks.agg(count(lit(1)).as("n"))
+    val ss = rs.agg(sum($"rank_sum" * $"rank_sum").as("ss"))
+    rs.crossJoin(broadcast(n)).crossJoin(broadcast(k)).crossJoin(broadcast(ss))
+      .select($"typ".as("event_type"), $"n".as("n_blocks"), $"k".as("k_treatments"),
+        $"rank_sum",
+        (lit(12.0) * $"ss".cast("double")
+          / ($"n".cast("double") * $"k".cast("double") * ($"k" + 1).cast("double"))
+          - lit(3.0) * $"n".cast("double") * ($"k" + 1).cast("double")).as("chi2"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
       qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford, qMutualInfo,
-      qStratifiedEffect, qQuantileNorm, qLevene, qFd, qPsi, qKrippendorff)
+      qStratifiedEffect, qQuantileNorm, qLevene, qFd, qPsi, qKrippendorff, qFriedman)
 }

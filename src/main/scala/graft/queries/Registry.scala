@@ -25,7 +25,8 @@ object Registry {
     IngestQueries,
     CurationQueries,
     AuditQueries,
-    MiningQueries
+    MiningQueries,
+    TokenizerQueries
   )
 
   lazy val all: Seq[GQuery] = {

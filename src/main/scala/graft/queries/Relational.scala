@@ -1005,7 +1005,83 @@ object Relational extends QuerySet {
       .limit(50)
   }
 
+  /** 2-D grid-bucketed radius join (the spatial tier of the binned-join
+    * family — [[qJoinRangeBinned]] is its 1-D sibling): every center
+    * finds the points inside its L∞ ball of radius r plus its nearest
+    * point, WITHOUT a theta join. Points bucket once into r-sized grid
+    * cells; each center probes only its 3×3 neighbor cells (the ball of
+    * a center in cell g is contained in cells g±1), so the join is equi
+    * on (gx, gy) and linear in points — the standard spatial-join shape
+    * that survives 100 TB where abs(x−cx) ≤ r theta joins explode.
+    * Coordinates are integer multiplicative scatters of the keys
+    * (portable arithmetic, no engine hash); the nearest pick encodes
+    * (chebyshev, key) into ONE exact BIGINT d·10⁸+key so the argmin is
+    * integer MIN on both engines. The oracle replays SEMANTICS as the
+    * direct theta join — the gate proves the grid plan computes exactly
+    * the ball predicate.
+    */
+  val qJoinSpatialGrid: GQuery = GQuery(
+    "q_join_spatial_grid",
+    Some("""
+      WITH p AS (
+        SELECT c_custkey,
+               (c_custkey * 2654435761) % 1000003 AS x,
+               (c_custkey * 97006721) % 1000003 AS y
+        FROM customer),
+      s AS (
+        SELECT s_suppkey,
+               (s_suppkey * 48271 + 777771) % 1000003 AS cx,
+               (s_suppkey * 16807 + 333667) % 1000003 AS cy
+        FROM supplier),
+      hits AS (
+        SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_in_radius,
+               MIN(greatest(abs(p.x - s.cx), abs(p.y - s.cy)) * 100000000
+                   + p.c_custkey) AS code
+        FROM s JOIN p ON abs(p.x - s.cx) <= 20000 AND abs(p.y - s.cy) <= 20000
+        GROUP BY 1)
+      SELECT s.s_suppkey, s.cx, s.cy,
+             COALESCE(h.n_in_radius, CAST(0 AS BIGINT)) AS n_in_radius,
+             COALESCE(h.code // 100000000, CAST(-1 AS BIGINT)) AS nearest_dist,
+             COALESCE(h.code % 100000000, CAST(-1 AS BIGINT)) AS nearest_custkey
+      FROM s LEFT JOIN hits h ON h.s_suppkey = s.s_suppkey
+      ORDER BY s.s_suppkey""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val r = 20000L
+    val pts = t(spark, dir).customer.select(
+      $"c_custkey",
+      (($"c_custkey" * 2654435761L) % 1000003L).as("x"),
+      (($"c_custkey" * 97006721L) % 1000003L).as("y"))
+    val ctr = t(spark, dir).supplier.select(
+      $"s_suppkey",
+      (($"s_suppkey" * 48271L + 777771L) % 1000003L).as("cx"),
+      (($"s_suppkey" * 16807L + 333667L) % 1000003L).as("cy"))
+    val ptsCell = pts.select($"c_custkey", $"x", $"y",
+      expr(s"x div $r").as("gx"), expr(s"y div $r").as("gy"))
+    val probes = ctr
+      .select($"s_suppkey", $"cx", $"cy",
+        explode(expr("array(-1L, 0L, 1L)")).as("dgx"))
+      .select($"s_suppkey", $"cx", $"cy", $"dgx",
+        explode(expr("array(-1L, 0L, 1L)")).as("dgy"))
+      .select($"s_suppkey", $"cx", $"cy",
+        (expr(s"cx div $r") + $"dgx").as("gx"),
+        (expr(s"cy div $r") + $"dgy").as("gy"))
+    val hits = probes.join(ptsCell, Seq("gx", "gy"))
+      .filter(abs($"x" - $"cx") <= r && abs($"y" - $"cy") <= r)
+      .groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("n_in_radius"),
+        min(greatest(abs($"x" - $"cx"), abs($"y" - $"cy")) * 100000000L + $"c_custkey")
+          .as("code"))
+    ctr.join(hits, Seq("s_suppkey"), "left")
+      .select($"s_suppkey", $"cx", $"cy",
+        coalesce($"n_in_radius", lit(0L)).as("n_in_radius"),
+        coalesce(expr("code div 100000000"), lit(-1L)).as("nearest_dist"),
+        coalesce($"code" % 100000000L, lit(-1L)).as("nearest_custkey"))
+      .orderBy($"s_suppkey")
+  }
+
   override def queries: Seq[GQuery] = Seq(
+    qJoinSpatialGrid,
     q1PricingSummary,
     q6Revenue,
     q3ShippingPriority,

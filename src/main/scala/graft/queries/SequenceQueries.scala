@@ -2688,7 +2688,13 @@ object SequenceQueries extends QuerySet {
     val edges = graft.operators.Graphs
       .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
       .filter($"weight" >= 2)
-    graft.operators.Graphs.ktruss(edges, k = 3, maxRounds = KtrussRounds)
+    // KtrussRounds + 1: the engine spends one extra no-op round CONFIRMING
+    // the fixpoint (m == n), so its round capacity must exceed the
+    // oracle's unroll depth by one — at exactly KtrussRounds strictly-
+    // shrinking peels the old equal budget threw despite the oracle's
+    // e$KtrussRounds being the true fixpoint (round-11 ADVICE). The
+    // confirming round is idempotent, so the oracle unroll stays valid.
+    graft.operators.Graphs.ktruss(edges, k = 3, maxRounds = KtrussRounds + 1)
       .orderBy($"src", $"dst")
   }
 
@@ -2785,6 +2791,79 @@ object SequenceQueries extends QuerySet {
       .orderBy($"type_a", $"type_b", $"lag")
   }
 
+  /** Hampel filter (centered rolling-median ± 3·MAD outlier flag) over
+    * each event type's daily series — the ROBUST anomaly detector next
+    * to [[qAnomaly]]'s mean/stddev z-score (one wild day inflates a
+    * stddev band and masks itself; the median/MAD band is breakdown-
+    * point-0.5 immune). Window is the ±3-day centered neighborhood of
+    * EXISTING days.
+    *
+    * Portability: daily values are exact decimal sums cast to double;
+    * median and MAD are pure SELECTIONS (lower median — element
+    * (n+1) div 2 of the sorted window, integer `div` per the round-10
+    * index-arithmetic rule) with zero interpolation arithmetic, and the
+    * outlier test |v − med| > 3·MAD is one exact-IEEE chain over those
+    * exact doubles — RAW doubles out, nothing rounded (the round-10
+    * rounding-portability rule). Scale shape: explode-to-anchor with a
+    * bounded 7× expansion (the qRollingMedian shape), window groups
+    * collect ≤ 7 values — never a corpus-wide window.
+    */
+  val qHampel: GQuery = GQuery(
+    "q_ts_hampel",
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      con AS MATERIALIZED (
+        SELECT m.typ, a.d AS ad, m.v
+        FROM daily m JOIN daily a
+          ON a.typ = m.typ AND a.d BETWEEN m.d - 3 AND m.d + 3),
+      med AS MATERIALIZED (
+        SELECT typ, ad, CAST(COUNT(*) AS BIGINT) AS n_win,
+               list_extract(list_sort(list(v)), CAST((COUNT(*) + 1) // 2 AS INT)) AS med
+        FROM con GROUP BY 1, 2),
+      mad AS MATERIALIZED (
+        SELECT c.typ, c.ad,
+               list_extract(list_sort(list(abs(c.v - m.med))),
+                            CAST((COUNT(*) + 1) // 2 AS INT)) AS mad
+        FROM con c JOIN med m ON m.typ = c.typ AND m.ad = c.ad
+        GROUP BY 1, 2)
+      SELECT d.typ AS event_type, d.d AS day_idx, d.v, m.n_win, m.med, a.mad,
+             (abs(d.v - m.med) > a.mad * 3) AS is_outlier
+      FROM daily d
+      JOIN med m ON m.typ = d.typ AND m.ad = d.d
+      JOIN mad a ON a.typ = d.typ AND a.ad = d.d
+      ORDER BY event_type, day_idx""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val daily = t(spark, dir).events
+      .select($"event_type".as("typ"),
+        expr("(ts div 1000) div 86400000000").as("d"), $"value")
+      .groupBy($"typ", $"d").agg(dsum($"value").as("v"))
+      .localCheckpoint() // feeds members, anchors, and the final join
+    val contrib = daily.select($"typ",
+      explode(sequence($"d" - 3, $"d" + 3)).as("ad"), $"v")
+    val win = contrib
+      .join(daily.select($"typ", $"d".as("ad")), Seq("typ", "ad"))
+      .localCheckpoint() // feeds med AND mad
+    val med = win.groupBy($"typ", $"ad").agg(
+      count(lit(1)).as("n_win"),
+      expr("element_at(sort_array(collect_list(v)), CAST((count(1) + 1) div 2 AS INT))")
+        .as("med"))
+    val mad = win.join(med.select($"typ", $"ad", $"med"), Seq("typ", "ad"))
+      .groupBy($"typ", $"ad").agg(
+        expr("element_at(sort_array(collect_list(abs(v - med))), CAST((count(1) + 1) div 2 AS INT))")
+          .as("mad"))
+    daily
+      .join(med.withColumnRenamed("ad", "d"), Seq("typ", "d"))
+      .join(mad.withColumnRenamed("ad", "d"), Seq("typ", "d"))
+      .select($"typ".as("event_type"), $"d".as("day_idx"), $"v",
+        $"n_win", $"med", $"mad",
+        (abs($"v" - $"med") > $"mad" * 3).as("is_outlier"))
+      .orderBy($"event_type", $"day_idx")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
@@ -2793,5 +2872,5 @@ object SequenceQueries extends QuerySet {
       qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch,
       qAssortativity, qGraphLinkPredRa, qDtw, qViterbi, qTextRank, qHolt, qCrossCorr,
       qKalman, qKendall, qRunsTest, qKtruss, qPathCounts, qWilcoxon, qPeriodogram,
-      qCohensD, qMannKendall, qDiameter)
+      qCohensD, qMannKendall, qDiameter, qHampel)
 }

@@ -102,4 +102,24 @@ class MediaHashSpec extends SparkSpec {
       graft.operators.Multimodal.MediaRecord(0L, MediaCodec.patternPngFor(0L, 50))))).collect()(0)._2
     assert(still == MediaCodec.patternBits(0L))
   }
+
+  test("JPEG aHash equals the pattern bits across the ENTIRE AVI resolution grid") {
+    // q_multimodal_video_dedup's oracle predicts clusters in closed form,
+    // which requires every frame class's JPEG encode to hash to its
+    // pattern bits at EVERY resolution aviFor can emit (aviWidth 64..111
+    // × aviHeight 64..111). Exhaustive driver-side sweep (3 classes ×
+    // 2,304 resolutions of ≤111px images) so a future JDK JPEG encoder
+    // drift fails HERE, localized to the exact (class, w, h) cell, not as
+    // a confusing corpus hash mismatch (round-11 ADVICE).
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    for (c <- 0 until MediaCodec.AviFrameClasses) {
+      val bits = MediaCodec.patternBits(c.toLong)
+      for (w <- 64 to 111; h <- 64 to 111) {
+        val got = MediaCodec.aHashOf(ImageIO.read(new ByteArrayInputStream(
+          MediaCodec.patternImageBytes(bits, w, h, "jpg"))))
+        assert(got == bits, s"class $c escaped its pattern bits at ${w}x$h")
+      }
+    }
+  }
 }

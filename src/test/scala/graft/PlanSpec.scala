@@ -353,7 +353,11 @@ class PlanSpec extends SparkSpec {
       "q_ts_holt" -> "per-type daily profile (calendar-bounded)",
       "q_ts_kalman" -> "per-type daily profile (calendar-bounded)",
       // stopword-delimited runs group on (doc, run): doc-length-bounded
-      "q_text_rake" -> "per-doc stopword-delimited runs"
+      "q_text_rake" -> "per-doc stopword-delimited runs",
+      // ±3-day centered window groups: ≤7 values per (type, anchor-day)
+      // regardless of corpus size (calendar-bounded, the qRollingMedian
+      // explode-to-anchor shape)
+      "q_ts_hampel" -> "±3-day window (≤7 values, calendar-bounded)"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       try {

@@ -102,6 +102,12 @@ class StateTableSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // This restart runs UNDER RocksDB changelog checkpointing (the
+    // Graft.session default — the reference's changelog-topic recovery
+    // analogue, recovery.rs:51-99): assert the lever is actually on so
+    // the continuity proof below covers the changelog-replay path.
+    assert(s.conf.get(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled") == "true")
 
     val input = MemoryStream[StateOp[String, Long]]
     val collected = mutable.ArrayBuffer.empty[StateChange[String, Long]]
