@@ -852,9 +852,14 @@ object Dedup {
     * posting lists. Hot boilerplate shingles (the ones the df-cap
     * discards, changing the answer) land in suffixes and never generate a
     * candidate, yet still count in the exact verify. Candidates are
-    * id-pairs only, deduped before the payload join; the verify is one
-    * count-shared-shingles join restricted to candidates. Each stage is a
-    * plain equi-join/aggregate — linear in postings, never all-pairs.
+    * id-pairs only, deduped before the verify; the verify attaches each
+    * doc's 8-byte shingle-hash ARRAY once per pair and intersects
+    * row-locally — never the (pair × shingle) row stream, whose sort is
+    * the hidden quadratic-constant at high duplication density (round-12:
+    * 1.6B rows at the sf10syn tier). Each stage is a plain equi-join/
+    * aggregate over fixed-width keys — linear in postings, never
+    * all-pairs, no broadcast of corpus-scaled sides (merge/shuffle_hash
+    * pins where size ESTIMATES once elected a fatal broadcast).
     */
   def prefixFilterPairs(
       docs: DataFrame,
@@ -863,55 +868,72 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    // Same exploded (id, shingle) front end as jaccardPairs; materialized
-    // once — it feeds df-ranking, the prefix join, sizes, and the verify.
+    // (id, h): shingles mapped to 60-bit portable md5 keys — FIXED-WIDTH
+    // shuffle rows (this file's design contract), replacing the ~40-byte
+    // shingle strings the round-11 plan shuffled through every stage.
+    // conv(md5[1:15], 16, 10) is always positive, so the (df, h) ranking
+    // tie-break is a total order any engine sorts identically. Hashing is
+    // answer-preserving up to 60-bit collisions (~|shingles|²/2⁶¹ — 3e-6
+    // at the 2.7M-shingle sf10syn tier, deterministic, and the string-
+    // semantics oracle fails LOUDLY if one ever lands).
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
-      .select(col("id"), col("shingle").as("s"))
+      .select(col("id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
       .localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // Every join below whose build side scales with the CORPUS carries an
-    // explicit merge hint: at the second synthesized decade (sf10syn,
-    // BASELINE round-11) the optimizer's size ESTIMATE for these
-    // localCheckpoint-derived sides undershot reality and elected a
-    // >4 GiB broadcast build, killing the default 8 GiB driver — a plan
-    // that is shuffle-linear by design must not depend on a driver-memory
-    // rescue (SPARK_DRIVER_MEM) to survive a scale-up. The hint pins the
-    // sort-merge strategy; at small SFs these joins were SMJ anyway
-    // (token/doc-keyed corpus-scaled sides), so nothing is lost.
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df")).hint("merge")
+    // dfreq is merge-hinted: the round-11 decade-2 failure (PlanProbe-
+    // reproduced: notEnoughMemoryToBuildAndBroadcast under the default
+    // 8 GiB driver) was THIS join electing a broadcast build of the
+    // shingle-df table from an aggregate-size underestimate — 2.7M rows
+    // real at sf10syn. A shuffle-linear plan must not depend on a
+    // driver-memory rescue; the vocabulary-scaled df side is never
+    // legitimately broadcastable at 100 TB.
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df")).hint("merge")
     val ranked = sh
-      .join(dfreq, "s")
+      .join(dfreq, "h")
       .withColumn(
         "pos",
         row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("id"))
-            .orderBy(col("df"), col("s"))))
+            .orderBy(col("df"), col("h"))))
     val prefix = ranked
       .join(sizes, "id")
       .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("id"), col("s"), col("n"))
+      .select(col("id"), col("h"), col("n"))
       .localCheckpoint()
     // size filter (lossless): J(a,b) >= t implies min(na,nb) >= t*max(na,nb),
     // so both n-bounds hold for every surviving pair — pruning candidates
-    // inside the posting join, before the pair-distinct shuffle
+    // inside the posting join, before the pair-distinct shuffle. Merge-
+    // hinted for the same estimate-elected-broadcast guard as dfreq
+    // (prefix is 13.4M rows at sf10syn; sorting 8-byte-keyed rows is cheap).
     val cands = prefix.hint("merge").as("a")
       .join(prefix.hint("merge").as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double") &&
           col("b.n").cast("double") >= lit(threshold) * col("a.n").cast("double"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Exact verify: shared-shingle count restricted to candidate pairs.
-    val shared = cands
-      .join(sh.select(col("id").as("id_a"), col("s")).hint("merge"), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("s")).hint("merge"), Seq("id_b", "s"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("c"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+    // Exact verify: per-doc hash ARRAYS + row-local intersection — NOT the
+    // (pair × shingle) row stream. At sf10syn that stream is 31M pairs ×
+    // 52 shingles ≈ 1.6 BILLION rows; shuffling AND sort-spilling it is
+    // what exhausted this box's disk once the broadcast rescue was banned
+    // (round-12 finding). The array layout carries each pair ONCE
+    // (~0.5 KB), shuffles ~14 GB instead of ~50 GB, and the shuffle_hash
+    // hints stream it against tiny per-partition maps of the doc-count-
+    // scaled array table — no giant sort exists anywhere in the plan.
+    // |intersect| is order-independent, so the unsorted collect_list is
+    // deterministic evidence.
+    val arr = sh.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
+      .localCheckpoint() // probed twice (id_a and id_b sides)
+    cands
+      .join(arr.select(col("id").as("id_a"), col("hs").as("ha")).hint("shuffle_hash"), "id_a")
+      .join(arr.select(col("id").as("id_b"), col("hs").as("hb")).hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("c"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"))
       .select(
         col("id_a"),
         col("id_b"),

@@ -357,7 +357,10 @@ class PlanSpec extends SparkSpec {
       // ±3-day centered window groups: ≤7 values per (type, anchor-day)
       // regardless of corpus size (calendar-bounded, the qRollingMedian
       // explode-to-anchor shape)
-      "q_ts_hampel" -> "±3-day window (≤7 values, calendar-bounded)"
+      "q_ts_hampel" -> "±3-day window (≤7 values, calendar-bounded)",
+      // per-doc shingle-hash array for the PPJoin verify: array length is
+      // the document's own shingle count (doc-length-bounded)
+      "q_dedup_prefix_filter" -> "per-doc shingle-hash array"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       try {
