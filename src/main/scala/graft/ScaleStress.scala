@@ -222,7 +222,10 @@ object ScaleStress {
       "q_graph_link_pred_ra", "q_mining_dbscan_1d", "q_dedup_record_linkage",
       // round-11: triangle-support peeling (Θ(triangles)/round) and the
       // user-keyed first-occurrence pattern join (type-width bounded)
-      "q_graph_ktruss", "q_mining_seq_pattern")
+      "q_graph_ktruss", "q_mining_seq_pattern",
+      // round-12: 2-D grid-bucketed radius join (3×3 neighbor-cell equi)
+      // and Slope One's per-user bounded deviation pair join
+      "q_join_spatial_grid", "q_rec_slopeone")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c to isolate a subset (BENCH_ONLY's twin)
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
       case Some(s) => allNames.filter(s.split(",").map(_.trim).toSet)
@@ -242,7 +245,9 @@ object ScaleStress {
       tableRowsCache.getOrElseUpdate((sf, table),
         spark.read.parquet(s"${dirOf(sf)}/$table.parquet").count())
     def backingTable(name: String): String = name match {
-      case "q_dedup_fuzzy_key" | "q_dedup_record_linkage" => "customer"
+      case "q_dedup_fuzzy_key" | "q_dedup_record_linkage" |
+          "q_join_spatial_grid" => "customer"
+      case "q_rec_slopeone" => "lineitem"
       case "q_mining_dbscan_1d" => "orders"
       case "q_dedup_embedding_lsh" | "q_dedup_embedding_lsh_tight" |
           "q_quality_label_consistency" | "q_ann_hard_negatives" |
@@ -253,13 +258,26 @@ object ScaleStress {
           "q_mining_seq_pattern" => "events"
       case _ => "documents"
     }
-    // sf10syn synthesizes ONLY documents/lineitem/orders (synthesize10);
-    // a query keyed on any other table has no top-decade input — skip the
-    // combination instead of crashing on a missing parquet (round-11
-    // ADVICE: the constraint was documented but unenforced).
-    val Synth10Tables = Set("documents", "lineitem", "orders")
+    // The synthesized tiers carry only a SUBSET of the tables (sf1syn:
+    // six of ten; sf10syn: three) — skip any (tier, query) combination
+    // whose full input-table set is not synthesized instead of crashing
+    // on a missing parquet (round-11 ADVICE: the constraint was
+    // documented but unenforced). Queries not listed in requiredTables
+    // read only their backing table's family.
+    def requiredTables(name: String): Set[String] = name match {
+      case "q_join_spatial_grid" => Set("customer", "supplier")
+      case "q_rec_slopeone" => Set("lineitem", "orders", "part")
+      case "q_rec_itemcf" => Set("lineitem", "orders")
+      case n => Set(backingTable(n))
+    }
+    def availableTables(sf: String): Option[Set[String]] = sf match {
+      case "sf10syn" => Some(Set("documents", "lineitem", "orders"))
+      case "sf1syn" =>
+        Some(Set("documents", "customer", "embeddings", "lineitem", "orders", "events"))
+      case _ => None // real testdata dirs carry all ten tables
+    }
     def combinationRuns(sf: String, name: String): Boolean =
-      sf != "sf10syn" || Synth10Tables.contains(backingTable(name))
+      availableTables(sf).forall(av => requiredTables(name).subsetOf(av))
     for ((sf, dir) <- sfs; name <- names; if combinationRuns(sf, name)) {
       val rows = tableRows(sf, backingTable(name))
       val w0 = meter.write.get()
@@ -286,16 +304,23 @@ object ScaleStress {
         val (rows, sec, bytes) = results((n, sf))
         s""""$sf":{"rows":$rows,"sec":$sec,"shuffle_bytes":$bytes}"""
       }.mkString(",")
-      val eT = exp(n, "sf0.1", "sf1syn", _._2)
-      val eB = exp(n, "sf0.1", "sf1syn", _._3.toDouble.max(1.0))
-      val eBmid = exp(n, "sf0.01", "sf0.1", _._3.toDouble.max(1.0))
-      // top-decade exponents only exist for queries whose backing table
-      // was synthesized at sf10syn (combinationRuns)
-      val top = if (decade2 && results.contains((n, "sf10syn")))
-        s""","exp_time_top":${exp(n, "sf1syn", "sf10syn", _._2)}""" +
-          s""","exp_shuffle_top":${exp(n, "sf1syn", "sf10syn", _._3.toDouble.max(1.0))}"""
-      else ""
-      s""""$n":{$cells,"exp_time":$eT,"exp_shuffle":$eB,"exp_shuffle_mid":$eBmid$top}"""
+      // every exponent pair is guarded on BOTH tiers having run — the
+      // synthesized tiers skip queries whose inputs were not synthesized
+      def expPart(label: String, lo: String, hi: String,
+          f: ((Long, Double, Long)) => Double): String =
+        if (results.contains((n, lo)) && results.contains((n, hi)))
+          s""","$label":${exp(n, lo, hi, f)}"""
+        else ""
+      val parts =
+        expPart("exp_time", "sf0.1", "sf1syn", _._2) +
+          expPart("exp_shuffle", "sf0.1", "sf1syn", _._3.toDouble.max(1.0)) +
+          expPart("exp_shuffle_mid", "sf0.01", "sf0.1", _._3.toDouble.max(1.0)) +
+          expPart("exp_time_syn0", "sf0.01", "sf0.1", _._2) +
+          (if (decade2)
+            expPart("exp_time_top", "sf1syn", "sf10syn", _._2) +
+              expPart("exp_shuffle_top", "sf1syn", "sf10syn", _._3.toDouble.max(1.0))
+          else "")
+      s""""$n":{$cells$parts}"""
     }
     println(s"""{"metric":"dedup_scale_stress",${lines.mkString(",")}}""")
     System.out.flush()
