@@ -2864,6 +2864,113 @@ object SequenceQueries extends QuerySet {
       .orderBy($"event_type", $"day_idx")
   }
 
+  /** Holt–Winters additive triple exponential smoothing (season m = 7)
+    * over each type's daily series — the SEASONAL tier above [[qHolt]]'s
+    * level+trend: the smoother that can forecast a weekly-periodic
+    * series ([[qPeriodogram]] detects the cycle; this one models it).
+    * α = β = γ = 0.5 (exact binary halves); init: level = 7-day head
+    * mean, trend = 0, season_i = y_i − level; recursion from t = 8.
+    *
+    * Portability (the qHolt/qViterbi lockstep-recursion discipline):
+    * both engines execute the IDENTICAL sequence of IEEE operations —
+    * one `aggregate` fold here, a recursive CTE stepping all types in
+    * lockstep there, with every sub-expression inlined in the same
+    * order — so level/trend/seasonals/SSE are bit-equal RAW doubles.
+    * The seasonal state rides the accumulator as a 7-wide sliding array
+    * (the unigram-DP window trick); after the final step s[h] IS the
+    * seasonal component of horizon h, so the 7 forecast rows read
+    * straight off the state. Series under 8 days are excluded on BOTH
+    * sides (also the sequence(8, n) backwards-guard). Scale shape: one
+    * corpus aggregation to (type, day) cells, calendar-bounded arrays,
+    * row-local fold — zero extra shuffle.
+    */
+  val qHoltWinters: GQuery = {
+    val headMean = "(y[1] + y[2] + y[3] + y[4] + y[5] + y[6] + y[7]) / 7e0"
+    // step expressions at t+1 (SQL cannot alias-reference in-SELECT):
+    val yT = "y[CAST(t + 1 AS INT)]"
+    val lN = s"0.5 * ($yT - s[1]) + 0.5 * (l + b)"
+    GQuery(
+      "q_ts_holt_winters",
+      Some(s"""
+      WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type AS typ, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      ser AS MATERIALIZED (
+        SELECT typ, y, n, $headMean AS l0 FROM (
+          SELECT typ, list(v ORDER BY day) AS y, CAST(COUNT(*) AS BIGINT) AS n
+          FROM daily GROUP BY 1) s0
+        WHERE n >= 8),
+      rec AS (
+        SELECT typ, y, n, CAST(7 AS BIGINT) AS t,
+               l0 AS l, 0e0 AS b,
+               list_transform(y[1:7], v -> v - l0) AS s, 0e0 AS sse
+        FROM ser
+        UNION ALL
+        SELECT typ, y, n, t + 1,
+               $lN,
+               0.5 * (($lN) - l) + 0.5 * b,
+               s[2:7] || [0.5 * ($yT - l - b) + 0.5 * s[1]],
+               sse + ($yT - (l + b + s[1])) * ($yT - (l + b + s[1]))
+        FROM rec WHERE t < n),
+      fin AS (SELECT typ, n, l, b, s, sse FROM rec WHERE t = n)
+      SELECT f.typ AS event_type, f.n AS n_days, CAST(h.h AS BIGINT) AS h,
+             f.l AS level, f.b AS trend, f.s[CAST(h.h AS INT)] AS season_h,
+             f.l + CAST(h.h AS DOUBLE) * f.b + f.s[CAST(h.h AS INT)] AS forecast,
+             f.sse
+      FROM fin f, LATERAL (SELECT unnest(generate_series(1, 7)) AS h) h
+      ORDER BY event_type, h""")
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import graft.queries.Common.dsum
+      val daily = t(spark, dir).events
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          $"event_type".as("typ"), $"value")
+        .groupBy($"typ", $"day").agg(dsum($"value").as("v"))
+      val ser = daily.groupBy($"typ")
+        .agg(array_sort(collect_list(struct($"day", $"v"))).as("sv"))
+        .select($"typ",
+          transform($"sv", s => s.getField("v")).as("y"),
+          size($"sv").cast("long").as("n_days"))
+        .filter(size($"y") >= 8)
+        .withColumn("l0",
+          (element_at($"y", 1) + element_at($"y", 2) + element_at($"y", 3) +
+            element_at($"y", 4) + element_at($"y", 5) + element_at($"y", 6) +
+            element_at($"y", 7)) / lit(7.0))
+      val folded = ser.select($"typ".as("event_type"), $"n_days",
+        aggregate(
+          sequence(lit(8), size($"y")),
+          struct($"l0".as("l"), lit(0.0).as("b"),
+            transform(slice($"y", 1, 7), v => v - $"l0").as("s"),
+            lit(0.0).as("sse")),
+          (acc, t) => {
+            val yv = element_at($"y", t)
+            val l = acc.getField("l")
+            val b = acc.getField("b")
+            val s = acc.getField("s")
+            val s1 = element_at(s, 1)
+            val e = yv - (l + b + s1)
+            val lNew = lit(0.5) * (yv - s1) + lit(0.5) * (l + b)
+            struct(
+              lNew.as("l"),
+              (lit(0.5) * (lNew - l) + lit(0.5) * b).as("b"),
+              concat(slice(s, 2, 6),
+                array(lit(0.5) * (yv - l - b) + lit(0.5) * s1)).as("s"),
+              (acc.getField("sse") + e * e).as("sse"))
+          }).as("st"))
+      folded.select($"event_type", $"n_days",
+        explode(sequence(lit(1L), lit(7L))).as("h"),
+        $"st.l".as("level"), $"st.b".as("trend"), $"st.s".as("s_arr"),
+        $"st.sse".as("sse"))
+        .select($"event_type", $"n_days", $"h", $"level", $"trend",
+          element_at($"s_arr", $"h".cast("int")).as("season_h"),
+          ($"level" + $"h".cast("double") * $"trend" +
+            element_at($"s_arr", $"h".cast("int"))).as("forecast"),
+          $"sse")
+        .orderBy($"event_type", $"h")
+    }
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qTransitions, qFunnel, qRetention, qRollingDistinct, qRollingDistinctHll, qTriangles,
       qPagerank, qClustering, qTimeToConvert, qGraphComponents, qSessionize, qDecayAvg,
@@ -2872,5 +2979,5 @@ object SequenceQueries extends QuerySet {
       qGraphPpr, qChangepoint, qDegreeDist, qAutocorr, qStreaks, qEventPaths, qPatternMatch,
       qAssortativity, qGraphLinkPredRa, qDtw, qViterbi, qTextRank, qHolt, qCrossCorr,
       qKalman, qKendall, qRunsTest, qKtruss, qPathCounts, qWilcoxon, qPeriodogram,
-      qCohensD, qMannKendall, qDiameter, qHampel)
+      qCohensD, qMannKendall, qDiameter, qHampel, qHoltWinters)
 }

@@ -351,6 +351,7 @@ class PlanSpec extends SparkSpec {
       // is the upstream (type, day) aggregation)
       "q_ts_dtw" -> "per-type daily profile (calendar-bounded)",
       "q_ts_holt" -> "per-type daily profile (calendar-bounded)",
+      "q_ts_holt_winters" -> "per-type daily profile (calendar-bounded)",
       "q_ts_kalman" -> "per-type daily profile (calendar-bounded)",
       // stopword-delimited runs group on (doc, run): doc-length-bounded
       "q_text_rake" -> "per-doc stopword-delimited runs",
