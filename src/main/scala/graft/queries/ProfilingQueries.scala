@@ -2220,10 +2220,85 @@ object ProfilingQueries extends QuerySet {
       .orderBy($"event_type")
   }
 
+  /** Page's trend test (Page 1963) — the ORDERED-alternative companion
+    * to [[qFriedman]]: same complete-day-block ranks, but the statistic
+    * L = Σ j·R_j weights each treatment's rank sum by its HYPOTHESIZED
+    * position j (here the lexicographic event-type order, stated up
+    * front — the standard a-priori-ordering requirement), so a monotone
+    * trend along that order is detected where Friedman's omnibus only
+    * sees "some difference". Standardized z = (L − μ)/σ with
+    * μ = n·k·(k+1)²/4 and σ² = n·k²·(k+1)·(k²−1)/144.
+    *
+    * Portability: ranks/L/μ numerators are exact BIGINTs (the Friedman
+    * discipline); 144·σ² is an exact integer, so z is one ÷√× IEEE
+    * chain over exact integers — RAW doubles, nothing rounded. Scale
+    * shape: identical to Friedman (one fact shuffle, k-bounded windows,
+    * k-row arithmetic).
+    */
+  val qPageTrend: GQuery = GQuery(
+    "q_stat_page_trend",
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // 86400000000 AS d, event_type AS typ,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      kk AS (SELECT CAST(COUNT(DISTINCT typ) AS BIGINT) AS k FROM daily),
+      blocks AS MATERIALIZED (
+        SELECT d FROM daily GROUP BY d
+        HAVING CAST(COUNT(*) AS BIGINT) = (SELECT k FROM kk)),
+      ranked AS (
+        SELECT dd.typ,
+               CAST(row_number() OVER (PARTITION BY dd.d ORDER BY dd.v, dd.typ)
+                    AS BIGINT) AS rk
+        FROM daily dd JOIN blocks b ON b.d = dd.d),
+      rs AS MATERIALIZED (
+        SELECT typ, CAST(SUM(rk) AS BIGINT) AS rank_sum FROM ranked GROUP BY 1),
+      ord AS MATERIALIZED (
+        SELECT typ, rank_sum,
+               CAST(row_number() OVER (ORDER BY typ) AS BIGINT) AS j
+        FROM rs),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM blocks),
+      ll AS (SELECT CAST(SUM(j * rank_sum) AS BIGINT) AS l FROM ord)
+      SELECT o.typ AS event_type, o.j AS hyp_position, o.rank_sum,
+             nn.n AS n_blocks, kk.k AS k_treatments, ll.l AS page_l,
+             (CAST(ll.l AS DOUBLE)
+              - CAST(nn.n * kk.k * (kk.k + 1) * (kk.k + 1) AS DOUBLE) / CAST(4 AS DOUBLE))
+               / sqrt(CAST(nn.n * kk.k * kk.k * (kk.k + 1) * (kk.k * kk.k - 1) AS DOUBLE)
+                      / CAST(144 AS DOUBLE)) AS z
+      FROM ord o, nn, kk, ll ORDER BY event_type""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val daily = t(spark, dir).events
+      .select(expr("(ts div 1000) div 86400000000").as("d"),
+        $"event_type".as("typ"), $"value")
+      .groupBy($"d", $"typ").agg(dsum($"value").as("v"))
+      .localCheckpoint() // feeds k, blocks, and the ranked join
+    val k = daily.agg(countDistinct($"typ").as("k"))
+    val blocks = daily.groupBy($"d").agg(count(lit(1)).as("c"))
+      .join(broadcast(k), $"c" === $"k").select($"d")
+    val ranked = daily.join(blocks, Seq("d"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy($"d").orderBy($"v", $"typ")).cast("long"))
+    val rs = ranked.groupBy($"typ").agg(sum($"rk").as("rank_sum"))
+    val ord = rs.withColumn("j",
+      row_number().over(Window.orderBy($"typ")).cast("long"))
+    val n = blocks.agg(count(lit(1)).as("n"))
+    val l = ord.agg(sum($"j" * $"rank_sum").as("l"))
+    ord.crossJoin(broadcast(n)).crossJoin(broadcast(k)).crossJoin(broadcast(l))
+      .select($"typ".as("event_type"), $"j".as("hyp_position"), $"rank_sum",
+        $"n".as("n_blocks"), $"k".as("k_treatments"), $"l".as("page_l"),
+        (($"l".cast("double")
+          - ($"n" * $"k" * ($"k" + 1) * ($"k" + 1)).cast("double") / lit(4.0))
+          / sqrt(($"n" * $"k" * $"k" * ($"k" + 1) * ($"k" * $"k" - 1)).cast("double")
+            / lit(144.0))).as("z"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[GQuery] =
     Seq(qProfile, qHistogram, qZscore, qDrift, qExpectations, qDiff, qAbTest, qEntropy,
       qChi2, qKanon, qWinsorize, qErasure, qQuantileBins, qTargetEncode, qLdiversity,
       qKsTest, qMannWhitney, qBootstrap, qPseudonym, qMad, qCohenKappa, qFleissKappa,
       qSpearman, qPermutation, qCramersV, qMcnemar, qFdrBh, qBenford, qMutualInfo,
-      qStratifiedEffect, qQuantileNorm, qLevene, qFd, qPsi, qKrippendorff, qFriedman)
+      qStratifiedEffect, qQuantileNorm, qLevene, qFd, qPsi, qKrippendorff, qFriedman,
+      qPageTrend)
 }

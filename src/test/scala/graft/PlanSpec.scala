@@ -283,7 +283,9 @@ class PlanSpec extends SparkSpec {
       // windows are bounded to <=65,536 grid cells / <=CellSortMax rows
       // by construction and never reach the registered plan)
       // BH ranking over the m-row p-value table (m = |groups|-1 tests)
-      "q_stat_fdr_bh" -> "m per-group tests (schema constant)"
+      "q_stat_fdr_bh" -> "m per-group tests (schema constant)",
+      // Page's hypothesized-position index over the k-row rank-sum table
+      "q_stat_page_trend" -> "k per-type rank sums (schema constant)"
     )
     val offenders = graft.queries.Registry.all.flatMap { q =>
       // a query that fails to BUILD here is itself an offense — swallowing
