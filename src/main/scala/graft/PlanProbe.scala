@@ -13,18 +13,24 @@ object PlanProbe {
     val dir = args(0)
     val op = if (args.length > 1) args(1) else "prefix_filter"
     val spark = graft.engine.Graft.session("graft-plan-probe")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val df = op match {
-      case "prefix_filter" =>
-        graft.operators.Dedup.prefixFilterPairs(docs, "doc_id", "text",
-          shingleN = 3, threshold = 0.5)
-      case other => sys.error(s"unknown op $other")
+    // plan-only: .ckpt() checkpoints no-op, so the probe never
+    // materializes corpus-scaled intermediates (the printed plan shows
+    // raw Catalyst estimates where production would have exact
+    // checkpointed sizes — see graft.engine.PlanOnly)
+    val plan = graft.engine.PlanOnly.planOnly {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val df = op match {
+        case "prefix_filter" =>
+          graft.operators.Dedup.prefixFilterPairs(docs, "doc_id", "text",
+            shingleN = 3, threshold = 0.5)
+        case other =>
+          // any registered query name probes against the directory
+          SparkEntry.queries.getOrElse(other, sys.error(s"unknown op $other"))(spark, dir)
+      }
+      df.queryExecution.executedPlan.toString
     }
-    // executedPlan materializes localCheckpoints in the operator builder
-    // (unavoidable — the operator eagerly checkpoints); joins above them
-    // are what we care about
     // scalastyle:off println
-    println(df.queryExecution.executedPlan.toString)
+    println(plan)
     // scalastyle:on println
     spark.stop()
   }

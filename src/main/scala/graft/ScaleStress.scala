@@ -39,24 +39,91 @@ object ScaleStress {
     * every doc a 10-clique and the measured growth is the (real, wanted)
     * output pair set, not plan behavior.
     */
-  private def synthesize(spark: org.apache.spark.sql.SparkSession, from: String): String = {
+  /** Spectrum-preserving document synthesis (round-12 verdict #6,
+    * SPARK_GRAFT_SCALE_SPECTRUM=1): the default tag mode multiplies the
+    * token VOCABULARY ~11× per decade, which shifts df spectra and makes
+    * time exponents read high on token-keyed plans even when shuffle
+    * stays linear. This mode instead perturbs copy c by a per-copy
+    * BIJECTION on the token vocabulary — a rotation by `copy·shiftStep`
+    * in alphabetical-rank space:
+    *
+    *   - token vocabulary (and per-copy token AND shingle df spectra)
+    *     are EXACTLY scale-invariant — a bijection maps base shingles to
+    *     image shingles 1:1, so posting-list length distributions repeat
+    *     per copy and a linear plan must show exp_time ≈ exp_shuffle;
+    *   - within-copy similarity is preserved EXACTLY (bijections
+    *     preserve set intersections), so base-corpus dup DENSITY is
+    *     constant across tiers;
+    *   - cross-copy overlap collapses: a doc's token-rank set S vs
+    *     S+Δ for Δ ≠ 0 intersects in ≈|S|²/V ranks (membership is
+    *     independent of alphabetical order), far below every registered
+    *     near-dup threshold;
+    *   - doc LENGTHS are untouched (no deletion-shrink confound).
+    *
+    * Rotation shifts must be distinct mod V across all live copies:
+    * decade 1 uses shiftStep 1 (shifts 0..9), decade 2 uses shiftStep 10
+    * (total shift b + 10·c over composed rotations — all 100 two-digit
+    * combinations distinct, so no two synthesized docs are verbatim
+    * equal). Copy 0 is the identity rotation (split/join roundtrip
+    * preserves even run-of-space tokenization exactly).
+    */
+  private def spectrumDocs(
+      docs: org.apache.spark.sql.DataFrame,
+      copies: org.apache.spark.sql.DataFrame,
+      nDocs: Long,
+      shiftStep: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf1syn"
+    val toks = docs.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    // global vocab rank: synthesis-only utility (one bounded vocab sort,
+    // not a registered-query plan)
+    val vocab = toks.select("tok").distinct()
+      .withColumn("r",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("tok")).cast("long") - 1)
+      .localCheckpoint() // probed twice (rank lookup + inverse lookup)
+    val v = vocab.count()
+    require(v > 100, s"spectrum rotation needs vocab > 100 (got $v)")
+    toks
+      .join(broadcast(vocab), "tok")
+      .crossJoin(copies)
+      .withColumn("r2", (col("r") + col("copy") * shiftStep) % v)
+      .join(broadcast(vocab.select(col("r").as("r2"), col("tok").as("tok2"))), "r2")
+      .groupBy((col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        col("lang"), col("source"), col("n_chars"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok2")))),
+          s => s.getField("tok2")), " ").as("text"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  private def synthesize(
+      spark: org.apache.spark.sql.SparkSession, from: String,
+      spectrum: Boolean): String = {
+    import org.apache.spark.sql.functions._
+    val suffix = if (spectrum) "_spec" else ""
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf1syn$suffix"
     // v3: also synthesizes events (KS / Mann-Whitney prefix-scan tier)
     // v4: lineitem carries l_suppkey (HITS bipartite tier)
     // v5: orders (itemcf custkey→basket join tier; offsets match lineitem)
-    if (new java.io.File(s"$dir/_SYNTH_OK5").exists()) return dir
+    // v6: supplier + part (spatial-grid / Slope One decade tiers,
+    //     round-12 verdict #1); spectrum document mode
+    if (new java.io.File(s"$dir/_SYNTH_OK6").exists()) return dir
     val docs = spark.read.parquet(s"$from/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val copies = spark.range(10).toDF("copy")
-    docs.crossJoin(copies)
-      .select(
-        (col("doc_id") + col("copy") * nDocs).as("doc_id"),
-        when(col("copy") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"), concat(lit("c"), col("copy"), lit("_$1"))))
-          .as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val synthDocs =
+      if (spectrum) spectrumDocs(docs, copies, nDocs, shiftStep = 1L)
+      else docs.crossJoin(copies)
+        .select(
+          (col("doc_id") + col("copy") * nDocs).as("doc_id"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("c"), col("copy"), lit("_$1"))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+    synthDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val cust = spark.read.parquet(s"$from/customer.parquet")
     val nCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
     cust.crossJoin(copies)
@@ -123,35 +190,77 @@ object ScaleStress {
         (col("value") + col("copy").cast("double") * lit(1e-6)).as("value"),
         col("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK5"), Array.empty[Byte])
+    // supplier + part (round-12 verdict #1: spatial-grid and Slope One
+    // decade tiers). Keys offset with the SAME nSupp/nPart the lineitem
+    // block used so lineitem→part/supplier joins stay within-copy
+    // (require-guarded like orders). p_brand is kept VERBATIM — Slope
+    // One's item vocabulary is intrinsically bounded (25 brands) and
+    // must stay constant-width as the corpus grows; tagging it would
+    // measure item-vocab growth (the deviation matrix is items²), the
+    // Slope One twin of the verbatim-copy clique problem.
+    val supp = spark.read.parquet(s"$from/supplier.parquet")
+    require(supp.agg(max("s_suppkey")).head.getLong(0) + 1 == nSupp,
+      "supplier/lineitem max suppkey drifted; synth offsets would split copies")
+    supp.crossJoin(copies)
+      .select(
+        (col("s_suppkey") + col("copy") * nSupp).as("s_suppkey"),
+        when(col("copy") === 0, col("s_name"))
+          .otherwise(concat(col("s_name"), lit("#"), col("copy"))).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val part = spark.read.parquet(s"$from/part.parquet")
+    require(part.agg(max("p_partkey")).head.getLong(0) + 1 == nPart,
+      "part/lineitem max partkey drifted; synth offsets would break the part join")
+    part.crossJoin(copies)
+      .select(
+        (col("p_partkey") + col("copy") * nPart).as("p_partkey"),
+        when(col("copy") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit("#"), col("copy"))).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK6"), Array.empty[Byte])
     dir
   }
 
   /** Second synthesized decade (sf10syn = 10 × sf1syn; round-10 verdict
-    * #5): only the tables the two worst scalers read — documents
-    * (q_dedup_prefix_filter's posting join) and orders+lineitem
-    * (q_rec_itemcf's basket join) — re-copied with the same
-    * constant-density perturbations (fresh `d{copy}_` token tags so
-    * second-decade copies aren't near-dups of first-decade ones; key
-    * offsets keep baskets within-copy). 500k docs / 60M lineitem rows:
-    * run it with SPARK_GRAFT_SCALE_DECADE2=1 and SPARK_GRAFT_SCALE_ONLY
-    * limited to the queries under test — the default run stays bounded.
+    * #5, widened round 13 per round-12 verdict #1): documents, lineitem,
+    * orders, customer, supplier, part and embeddings — everything the
+    * rostered pair joins read — re-copied with the same constant-density
+    * perturbations (fresh `d{copy}_` token tags so second-decade copies
+    * aren't near-dups of first-decade ones; key offsets keep baskets and
+    * dimension joins within-copy). 500k docs / 60M lineitem / 1.5M
+    * customer rows: run it with SPARK_GRAFT_SCALE_DECADE2=1 and
+    * SPARK_GRAFT_SCALE_ONLY limited to the queries under test — the
+    * default run stays bounded.
     */
-  private def synthesize10(spark: org.apache.spark.sql.SparkSession, from: String): String = {
+  private def synthesize10(
+      spark: org.apache.spark.sql.SparkSession, from: String,
+      spectrum: Boolean): String = {
     import org.apache.spark.sql.functions._
-    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf10syn"
-    if (new java.io.File(s"$dir/_SYNTH_OK1").exists()) return dir
+    val suffix = if (spectrum) "_spec" else ""
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sf10syn$suffix"
+    // v2: customer + supplier + part + embeddings (round-12 verdict #1:
+    //     spatial-grid, Slope One, linkage and the embedding cell joins
+    //     get a top decade); spectrum document mode
+    if (new java.io.File(s"$dir/_SYNTH_OK2").exists()) return dir
     val copies = spark.range(10).toDF("copy")
     val docs = spark.read.parquet(s"$from/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
-    docs.crossJoin(copies)
-      .select(
-        (col("doc_id") + col("copy") * nDocs).as("doc_id"),
-        when(col("copy") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"), concat(lit("d"), col("copy"), lit("_$1"))))
-          .as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // default mode uses a 'd' tag prefix (vs sf1syn's 'c') so
+    // second-decade copies aren't near-dups of first-decade ones;
+    // spectrum mode uses shiftStep 10 so composed decade-1 × decade-2
+    // rotations (b + 10·c) are all distinct — no verbatim cross-tier dups
+    val synthDocs =
+      if (spectrum) spectrumDocs(docs, copies, nDocs, shiftStep = 10L)
+      else docs.crossJoin(copies)
+        .select(
+          (col("doc_id") + col("copy") * nDocs).as("doc_id"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("d"), col("copy"), lit("_$1"))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+    synthDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val li = spark.read.parquet(s"$from/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
     val nOrd = li.agg(max("l_orderkey")).head.getLong(0) + 1
@@ -163,8 +272,20 @@ object ScaleStress {
         (col("l_partkey") + col("copy") * nPart).as("l_partkey"),
         (col("l_suppkey") + col("copy") * nSupp).as("l_suppkey"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // customer BEFORE orders: the o_custkey offset must equal customer's
+    // key offset so the customer→order join stays within-copy
+    val cust = spark.read.parquet(s"$from/customer.parquet")
+    val nCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+    cust.crossJoin(copies)
+      .select(
+        (col("c_custkey") + col("copy") * nCust).as("c_custkey"),
+        when(col("copy") === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("@"), col("copy"))).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     val ord = spark.read.parquet(s"$from/orders.parquet")
-    val nCust = ord.agg(max("o_custkey")).head.getLong(0) + 1
+    require(ord.agg(max("o_custkey")).head.getLong(0) < nCust,
+      "orders reference custkeys beyond customer's key space at sf1syn")
     require(ord.agg(max("o_orderkey")).head.getLong(0) + 1 == nOrd,
       "orders/lineitem max orderkey drifted at the sf1syn tier")
     ord.crossJoin(copies)
@@ -174,7 +295,45 @@ object ScaleStress {
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK1"), Array.empty[Byte])
+    // supplier / part / embeddings (round-12 verdict #1): same offset and
+    // perturbation contracts as the sf1syn tier — suppkey/partkey offsets
+    // equal lineitem's, p_brand verbatim (bounded item vocabulary),
+    // embedding signs flipped with a DIFFERENT mask family (copy+10) so
+    // second-decade copies aren't sign-identical twins of first-decade ones
+    val supp = spark.read.parquet(s"$from/supplier.parquet")
+    require(supp.agg(max("s_suppkey")).head.getLong(0) + 1 == nSupp,
+      "supplier/lineitem max suppkey drifted at the sf1syn tier")
+    supp.crossJoin(copies)
+      .select(
+        (col("s_suppkey") + col("copy") * nSupp).as("s_suppkey"),
+        when(col("copy") === 0, col("s_name"))
+          .otherwise(concat(col("s_name"), lit("@"), col("copy"))).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val part = spark.read.parquet(s"$from/part.parquet")
+    require(part.agg(max("p_partkey")).head.getLong(0) + 1 == nPart,
+      "part/lineitem max partkey drifted at the sf1syn tier")
+    part.crossJoin(copies)
+      .select(
+        (col("p_partkey") + col("copy") * nPart).as("p_partkey"),
+        when(col("copy") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit("@"), col("copy"))).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val emb = spark.read.parquet(s"$from/embeddings.parquet")
+    val nEmb = emb.agg(max("vec_id")).head.getLong(0) + 1
+    emb.crossJoin(copies)
+      .select(
+        (col("vec_id") + col("copy") * nEmb).as("vec_id"),
+        when(col("copy") === 0, col("embedding"))
+          .otherwise(zip_with(
+            col("embedding"),
+            transform(col("embedding"), (_, i) => pmod(xxhash64(col("copy") + 10, i), lit(2))),
+            (x, flip) => when(flip === 0, x).otherwise(-x)))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SYNTH_OK2"), Array.empty[Byte])
     dir
   }
 
@@ -182,11 +341,12 @@ object ScaleStress {
     val spark = Graft.session("graft-scale-stress")
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    val sf1 = synthesize(spark, "/root/testdata/sf0.1")
+    val spectrum = sys.env.get("SPARK_GRAFT_SCALE_SPECTRUM").contains("1")
+    val sf1 = synthesize(spark, "/root/testdata/sf0.1", spectrum)
     val decade2 = sys.env.get("SPARK_GRAFT_SCALE_DECADE2").contains("1")
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s -> s"/root/testdata/$s") ++
       Seq("sf1syn" -> sf1) ++
-      (if (decade2) Seq("sf10syn" -> synthesize10(spark, sf1)) else Seq.empty)
+      (if (decade2) Seq("sf10syn" -> synthesize10(spark, sf1, spectrum)) else Seq.empty)
     val allNames = Seq(
       "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_fuzzy_key",
       "q_dedup_connected", "q_dedup_simhash", "q_dedup_span",
@@ -225,7 +385,12 @@ object ScaleStress {
       "q_graph_ktruss", "q_mining_seq_pattern",
       // round-12: 2-D grid-bucketed radius join (3×3 neighbor-cell equi)
       // and Slope One's per-user bounded deviation pair join
-      "q_join_spatial_grid", "q_rec_slopeone")
+      "q_join_spatial_grid", "q_rec_slopeone",
+      // round-13 (round-12 verdict #1): the remaining graph iteration
+      // family — fixed-k damped message passing (ppr), frontier BFS
+      // (sssp's bounded Bellman-Ford), and the layered σ DP
+      // (path_counts); hits/ktruss/components were already rostered
+      "q_graph_ppr", "q_graph_sssp", "q_graph_path_counts")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c to isolate a subset (BENCH_ONLY's twin)
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
       case Some(s) => allNames.filter(s.split(",").map(_.trim).toSet)
@@ -253,7 +418,8 @@ object ScaleStress {
           "q_quality_label_consistency" | "q_ann_hard_negatives" |
           "q_dedup_incremental_semantic" => "embeddings"
       case "q_graph_components" | "q_graph_hits" | "q_rec_itemcf" |
-          "q_graph_link_pred_ra" | "q_graph_ktruss" => "lineitem"
+          "q_graph_link_pred_ra" | "q_graph_ktruss" | "q_graph_ppr" |
+          "q_graph_sssp" | "q_graph_path_counts" => "lineitem"
       case "q_stat_ks" | "q_stat_mannwhitney" | "q_seq_attribution" |
           "q_mining_seq_pattern" => "events"
       case _ => "documents"
@@ -271,9 +437,12 @@ object ScaleStress {
       case n => Set(backingTable(n))
     }
     def availableTables(sf: String): Option[Set[String]] = sf match {
-      case "sf10syn" => Some(Set("documents", "lineitem", "orders"))
-      case "sf1syn" =>
-        Some(Set("documents", "customer", "embeddings", "lineitem", "orders", "events"))
+      case "sf10syn" => Some(Set(
+        "documents", "lineitem", "orders", "customer", "supplier", "part",
+        "embeddings"))
+      case "sf1syn" => Some(Set(
+        "documents", "customer", "embeddings", "lineitem", "orders",
+        "events", "supplier", "part"))
       case _ => None // real testdata dirs carry all ten tables
     }
     def combinationRuns(sf: String, name: String): Boolean =
@@ -315,14 +484,14 @@ object ScaleStress {
         expPart("exp_time", "sf0.1", "sf1syn", _._2) +
           expPart("exp_shuffle", "sf0.1", "sf1syn", _._3.toDouble.max(1.0)) +
           expPart("exp_shuffle_mid", "sf0.01", "sf0.1", _._3.toDouble.max(1.0)) +
-          expPart("exp_time_syn0", "sf0.01", "sf0.1", _._2) +
+          expPart("exp_time_mid", "sf0.01", "sf0.1", _._2) +
           (if (decade2)
             expPart("exp_time_top", "sf1syn", "sf10syn", _._2) +
               expPart("exp_shuffle_top", "sf1syn", "sf10syn", _._3.toDouble.max(1.0))
           else "")
       s""""$n":{$cells$parts}"""
     }
-    println(s"""{"metric":"dedup_scale_stress",${lines.mkString(",")}}""")
+    println(s"""{"metric":"dedup_scale_stress","spectrum":$spectrum,${lines.mkString(",")}}""")
     System.out.flush()
   }
 }

@@ -75,6 +75,11 @@ object StateBench {
       }
     }
     val sec = (System.nanoTime() - t0) / 1e9
+    // snapshot BEFORE the restart phase: `emitted` must cover exactly the
+    // write-path rows that `entries`/`entries_per_sec` cover, or the
+    // emitted-vs-entries sanity relation breaks and the field stops being
+    // comparable to pre-round-12 artifacts (round-12 ADVICE)
+    val writeEmitted = RowsSeen.n.get
 
     // Restart-recovery latency (round-11 verdict #6): one tiny batch
     // through a FRESH query on the same checkpoint. The stateful operator
@@ -96,8 +101,9 @@ object StateBench {
       org.apache.logging.log4j.Level.OFF)
     println(
       s"""{"metric":"state_increments","mode":"$mode","checkpoint_mode":"$clMode",""" +
-        s""""entries":$off,"emitted":${RowsSeen.n.get},"batches":$nBatches,"sec":$sec,""" +
-        s""""entries_per_sec":${(off / sec).toLong},"restart_sec":$restartSec}""")
+        s""""entries":$off,"emitted":$writeEmitted,"batches":$nBatches,"sec":$sec,""" +
+        s""""entries_per_sec":${(off / sec).toLong},"restart_sec":$restartSec,""" +
+        s""""restart_emitted":${RowsSeen.n.get - writeEmitted}}""")
     System.out.flush()
   }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -82,7 +84,7 @@ object Dedup {
   ): DataFrame = {
     def hashed(d: DataFrame) =
       d.select(col(idCol), md5(encode(normText(col(textCol)), "UTF-8")).as("content_hash"))
-    val index = hashed(existing).select(col("content_hash")).distinct().localCheckpoint()
+    val index = hashed(existing).select(col("content_hash")).distinct().ckpt()
     val bf = index.stat.bloomFilter("content_hash", math.max(expectedItems, 1L), fpp)
     val might = org.apache.spark.sql.graftshim.GraftSql.column(
       graft.functions.BloomMightContain(
@@ -91,7 +93,7 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"))
       .withColumn("__maybe", might)
-      .localCheckpoint() // consumed twice (the two branches below)
+      .ckpt() // consumed twice (the two branches below)
     val definitelyNew = batch.filter(!col("__maybe")).drop("__maybe")
     val checkedNew = batch.filter(col("__maybe")).drop("__maybe")
       .join(index, Seq("content_hash"), "left_anti")
@@ -156,7 +158,7 @@ object Dedup {
         (st, en) => col("t").substr(st, en - st))).as("c"))
     .select(col("id"), md5(col("c")).as("h"))
     .distinct()
-    .localCheckpoint()
+    .ckpt()
 
   /** Chunk-level admission gate over a PERSISTED index — the streaming
     * ingest shape: reject an incoming doc when ≥ `minShared` of its
@@ -233,7 +235,7 @@ object Dedup {
       col(idCol).as("id"),
       graft.functions.GraftFunctions.shingleHashes(col(textCol), shingleN).as("eh"))
     .select(col("id"), minhashSignature(col("eh"), k).as("sig"))
-    .localCheckpoint()
+    .ckpt()
 
   /** The gate of [[minhashIncrementalNew]] over PRE-SKETCHED signature
     * tables — the production streaming shape: the existing side is the
@@ -338,7 +340,7 @@ object Dedup {
     // carries ids only — pairs are deduped across multi-key collisions
     // BEFORE any string moves or levenshtein runs — and the two short
     // strings are fetched back by id for the single verify pass.
-    val mat = capped.localCheckpoint()
+    val mat = capped.ckpt()
     val a = mat.select(col("__dk"), col("id").as("id_a"))
     val b = mat.select(col("__dk"), col("id").as("id_b"))
     val pairs = a.join(b, "__dk")
@@ -391,7 +393,7 @@ object Dedup {
     // ~0.5 KB/doc regardless of document size.
     val sigs = hashes
       .select(col("id"), minhashSignature(col("eh"), k).as("sig"))
-      .localCheckpoint()
+      .ckpt()
     // Stage 3: band keys carry IDs ONLY — never drag the 64-element
     // signature array through the explode + shuffle.
     val banded = sigs
@@ -466,7 +468,7 @@ object Dedup {
     val sigs = docs
       .withColumn("__th", tokenHashes)
       .select(col(idCol).as("id"), packBits(simhashBits("__th")).as("bits"))
-      .localCheckpoint()
+      .ckpt()
     val chunked = sigs
       .select(col("id"), explode(simhashComboKeys(col("bits"), maxHamming)).as("ck"))
       .select(col("id"), col("ck.combo").as("combo"),
@@ -525,12 +527,12 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
+      .ckpt()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -551,7 +553,7 @@ object Dedup {
         )
         // feeds BOTH sides of the hop join below — materialize once or
         // the edge join above runs twice per round
-        .localCheckpoint()
+        .ckpt()
       // pointer halving: follow the label one hop (label(label(u))).
       // Every label is a node id of the same component, so the jump can
       // only move the label DOWN within the component — safe, and it
@@ -565,7 +567,7 @@ object Dedup {
           col("old"),
           least(col("component"), coalesce(col("c2"), col("component"))).as("component")
         )
-        .localCheckpoint()
+        .ckpt()
       val changed = !next.filter(col("component") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("component"))
       converged = !changed
@@ -615,7 +617,7 @@ object Dedup {
     require(w >= 2, "windowTokens must be at least 2")
     val toks = docs
       .select(col(idCol).as("id"), split(normText(col(textCol)), " ").as("ts"))
-      .localCheckpoint()
+      .ckpt()
     val wins = toks
       .filter(size(col("ts")) >= w)
       .select(
@@ -721,12 +723,12 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
       .select(col("id"), col("shingle").as("s"))
-      .localCheckpoint()
+      .ckpt()
     val filtered =
       if (maxDocFreq > 0) {
         val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("s"))
-        sh.join(hot, Seq("s"), "left_anti").localCheckpoint()
+        sh.join(hot, Seq("s"), "left_anti").ckpt()
       } else sh
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = filtered.as("a")
@@ -780,7 +782,7 @@ object Dedup {
         graft.functions.GraftFunctions.shingleHashes(col(textCol), shingleN).as("eh"))
       .select(col("id"),
         transform(minhashSignature(col("eh"), k), s => s.bitwiseAND(lit(mask))).as("bsig"))
-      .localCheckpoint()
+      .ckpt()
     val c = 1.0 / (1L << b).toDouble
     val e = aggregate(
       zip_with(col("bsig_a"), col("bsig_b"), (x, y) => when(x === y, 1).otherwise(0)),
@@ -812,12 +814,12 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
       .select(col("id"), col("shingle").as("s"))
-      .localCheckpoint()
+      .ckpt()
     val filtered =
       if (maxDocFreq > 0) {
         val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("s"))
-        sh.join(hot, Seq("s"), "left_anti").localCheckpoint()
+        sh.join(hot, Seq("s"), "left_anti").ckpt()
       } else sh
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = filtered.as("a")
@@ -860,6 +862,14 @@ object Dedup {
     * aggregate over fixed-width keys — linear in postings, never
     * all-pairs, no broadcast of corpus-scaled sides (merge/shuffle_hash
     * pins where size ESTIMATES once elected a fatal broadcast).
+    *
+    * RESIDUAL WINDOW (the capped-gate documentation convention):
+    * candidate generation keys on a single 60-bit md5 half — collisions
+    * merge set elements and can only ADD candidates (recall stays 1) —
+    * while the exact verify intersects 120-bit (h, h2) md5 pairs, so a
+    * reported Jaccard is wrong only on a 120-bit birthday collision
+    * (< 1e-14 at ~10¹⁰ distinct shingles; at tested tiers the sf0.01
+    * string-semantics oracle additionally gates the whole pipeline).
     */
   def prefixFilterPairs(
       docs: DataFrame,
@@ -868,20 +878,28 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    // (id, h): shingles mapped to 60-bit portable md5 keys — FIXED-WIDTH
-    // shuffle rows (this file's design contract), replacing the ~40-byte
-    // shingle strings the round-11 plan shuffled through every stage.
-    // conv(md5[1:15], 16, 10) is always positive, so the (df, h) ranking
-    // tie-break is a total order any engine sorts identically. Hashing is
-    // answer-preserving up to 60-bit collisions (~|shingles|²/2⁶¹ — 3e-6
-    // at the 2.7M-shingle sf10syn tier, deterministic, and the string-
-    // semantics oracle fails LOUDLY if one ever lands).
+    // (id, h, h2): shingles mapped to two 60-bit portable md5 halves —
+    // FIXED-WIDTH shuffle rows (this file's design contract), replacing
+    // the ~40-byte shingle strings the round-11 plan shuffled through
+    // every stage. conv(md5[i:15], 16, 10) is always positive, so the
+    // (df, h) ranking tie-break is a total order any engine sorts
+    // identically. CANDIDATE stages key on `h` alone (60-bit collisions
+    // only MERGE set elements, which can only raise hashed-set Jaccard —
+    // recall 1 is preserved); the EXACT VERIFY intersects (h, h2) pairs,
+    // i.e. 120 bits of the same md5, closing the round-12 ADVICE residual
+    // window: a verify-level false-positive needs a 120-bit birthday
+    // (~|shingles|²/2¹²¹ — still < 1e-14 at a 10-billion-distinct-shingle
+    // 100 TB corpus, vs near-certain for a single 60-bit key there).
+    // The string-semantics oracle fails LOUDLY if one ever lands.
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
+      .select(col("id"), md5(col("shingle")).as("m"))
       .select(col("id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-      .localCheckpoint()
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h"),
+        conv(substring(col("m"), 17, 15), 16, 10).cast("long").as("h2"))
+      .ckpt()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sh60 = sh.select(col("id"), col("h"))
     // dfreq is merge-hinted: the round-11 decade-2 failure (PlanProbe-
     // reproduced: notEnoughMemoryToBuildAndBroadcast under the default
     // 8 GiB driver) was THIS join electing a broadcast build of the
@@ -889,8 +907,8 @@ object Dedup {
     // real at sf10syn. A shuffle-linear plan must not depend on a
     // driver-memory rescue; the vocabulary-scaled df side is never
     // legitimately broadcastable at 100 TB.
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df")).hint("merge")
-    val ranked = sh
+    val dfreq = sh60.groupBy(col("h")).agg(count(lit(1)).as("df")).hint("merge")
+    val ranked = sh60
       .join(dfreq, "h")
       .withColumn(
         "pos",
@@ -902,7 +920,7 @@ object Dedup {
       .join(sizes, "id")
       .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("id"), col("h"), col("n"))
-      .localCheckpoint()
+      .ckpt()
     // size filter (lossless): J(a,b) >= t implies min(na,nb) >= t*max(na,nb),
     // so both n-bounds hold for every surviving pair — pruning candidates
     // inside the posting join, before the pair-distinct shuffle. Merge-
@@ -925,8 +943,9 @@ object Dedup {
     // scaled array table — no giant sort exists anywhere in the plan.
     // |intersect| is order-independent, so the unsorted collect_list is
     // deterministic evidence.
-    val arr = sh.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
-      .localCheckpoint() // probed twice (id_a and id_b sides)
+    val arr = sh.groupBy(col("id"))
+      .agg(collect_list(struct(col("h"), col("h2"))).as("hs"))
+      .ckpt() // probed twice (id_a and id_b sides)
     cands
       .join(arr.select(col("id").as("id_a"), col("hs").as("ha")).hint("shuffle_hash"), "id_a")
       .join(arr.select(col("id").as("id_b"), col("hs").as("hb")).hint("shuffle_hash"), "id_b")

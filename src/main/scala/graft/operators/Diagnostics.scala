@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -83,7 +85,7 @@ object Diagnostics {
         }
         // one row; checkpointed so the per-rule selects below don't each
         // re-run the shared aggregation scan
-        val wide = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+        val wide = df.agg(aggs.head, aggs.tail: _*).ckpt()
         Some(rowRules.map { case (name, _) =>
           wide.select(
             lit(name).as("rule"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -42,7 +44,7 @@ object Graphs {
     * adversarial hubs, pre-cap degree like the dedup family's df-cap.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
     e.as("ab")
       .join(e.as("bc"), col("ab.dst") === col("bc.src"))
       .join(
@@ -70,7 +72,7 @@ object Graphs {
     */
   def ktruss(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    var cur = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var cur = edges.select(col("src"), col("dst")).distinct().ckpt()
     var n = cur.count()
     var round = 0
     while (round < maxRounds) {
@@ -83,7 +85,7 @@ object Graphs {
         .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
         .agg(count(lit(1)).as("support"))
       val next = sup.filter(col("support") >= k - 2)
-        .select(col("src"), col("dst")).localCheckpoint()
+        .select(col("src"), col("dst")).ckpt()
       val m = next.count()
       if (m == n) return next
       cur = next
@@ -109,8 +111,8 @@ object Graphs {
     import spark.implicits._
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var visited = Seq((source, 0, 1L)).toDF("node", "hops", "n_paths").localCheckpoint()
+      .distinct().ckpt()
+    var visited = Seq((source, 0, 1L)).toDF("node", "hops", "n_paths").ckpt()
     var frontier = visited
     var d = 1
     var done = false
@@ -122,13 +124,13 @@ object Graphs {
         .groupBy(col("node"))
         .agg(lit(d).as("hops"), sum(col("p")).as("n_paths"))
         .select(col("node"), col("hops"), col("n_paths"))
-        .localCheckpoint()
+        .ckpt()
       if (next.limit(1).count() == 0) done = true
       else if (d > maxDepth) {
         throw new IllegalStateException(
           s"BFS frontier still alive past maxDepth=$maxDepth")
       } else {
-        visited = visited.unionAll(next).localCheckpoint()
+        visited = visited.unionAll(next).ckpt()
         frontier = next
         d += 1
       }
@@ -141,7 +143,7 @@ object Graphs {
     * triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val t = triangles(edges).localCheckpoint()
+    val t = triangles(edges).ckpt()
     t.select(col("a").as("node"))
       .unionAll(t.select(col("b")))
       .unionAll(t.select(col("c")))
@@ -157,7 +159,7 @@ object Graphs {
     * integers — bit-reproducible cross-engine.
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst")))
       .groupBy(col("node"))
@@ -187,7 +189,7 @@ object Graphs {
     * @return (src, dst, n_common, jaccard)
     */
   def neighborJaccard(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val adj = sym.select(col("src").as("u"), col("dst").as("w"))
@@ -233,12 +235,12 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val n = deg.count()
     val base = lit(1.0 - damping) / n
     var ranks = deg.select(col("node"), (lit(1.0) / n).as("pr"), col("deg"))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to k) {
       val contrib = sym
         .join(ranks, sym("src") === ranks("node"))
@@ -251,7 +253,7 @@ object Graphs {
           col("node"),
           (base + lit(damping) * coalesce(col("acc"), lit(0.0))).as("pr"),
           col("deg"))
-        .localCheckpoint()
+        .ckpt()
     }
     ranks.select(col("node"), col("pr"))
   }
@@ -277,7 +279,7 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val seed = deg.join(broadcast(seeds.select(col("node"))), Seq("node"), "left_semi")
       .select(col("node"), lit(true).as("is_seed"))
@@ -286,9 +288,9 @@ object Graphs {
     val withTele = deg.join(broadcast(seed), Seq("node"), "left_outer")
       .select(col("node"), col("deg"),
         when(col("is_seed"), lit(1.0) / ns).otherwise(lit(0.0)).as("tele"))
-      .localCheckpoint()
+      .ckpt()
     var ranks = withTele.select(col("node"), col("tele").as("pr"), col("deg"))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to k) {
       val contrib = sym
         .join(ranks, sym("src") === ranks("node"))
@@ -302,7 +304,7 @@ object Graphs {
           (lit(1.0 - damping) * col("tele")
             + lit(damping) * coalesce(col("acc"), lit(0.0))).as("pr"),
           col("deg"))
-        .localCheckpoint()
+        .ckpt()
     }
     ranks.select(col("node"), col("pr"))
   }
@@ -324,10 +326,10 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val spark = edges.sparkSession
     import spark.implicits._
-    var settled = Seq((source, 0)).toDF("node", "hops").localCheckpoint()
+    var settled = Seq((source, 0)).toDF("node", "hops").ckpt()
     var frontier = settled
     // LAZY checkpoint + count(): the count action both materializes the
     // checkpoint blocks and yields the loop condition — one Spark job per
@@ -343,7 +345,7 @@ object Graphs {
         .select(col("node"), lit(iter + 1).as("hops"))
         .localCheckpoint(eager = false)
       frontierCount = next.count()
-      settled = settled.unionAll(next).localCheckpoint()
+      settled = settled.unionAll(next).ckpt()
       frontier = next
       iter += 1
     }
@@ -389,7 +391,7 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     var cur = sym
     var curCount = cur.count()
     var converged = false
@@ -402,7 +404,7 @@ object Graphs {
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
-        .localCheckpoint()
+        .ckpt()
       val next = cur
         .join(keep.withColumnRenamed("node", "__ks"), col("src") === col("__ks"), "left_semi")
         .join(keep.withColumnRenamed("node", "__kd"), col("dst") === col("__kd"), "left_semi")
@@ -437,10 +439,10 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .ckpt()
     val w = Window.partitionBy(col("nn")).orderBy(col("c").desc, col("label").asc)
     (1 to rounds).foreach { _ =>
       labels = sym
@@ -450,7 +452,7 @@ object Graphs {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("nn").as("node"), col("label"))
-        .localCheckpoint()
+        .ckpt()
     }
     labels
   }
@@ -478,12 +480,12 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val md = sym.count().toDouble
-    val lab = labels.select(col("node"), col("label").as("community")).localCheckpoint()
+    val lab = labels.select(col("node"), col("label").as("community")).ckpt()
     val la = lab.select(col("node").as("src"), col("community").as("ca"))
     val lb = lab.select(col("node").as("dst"), col("community").as("cb"))
-    val e = sym.join(la, "src").join(lb, "dst").localCheckpoint()
+    val e = sym.join(la, "src").join(lb, "dst").ckpt()
     val intra = e.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
     val deg = e.groupBy(col("ca").as("community")).agg(count(lit(1)).as("degree_sum"))
@@ -522,11 +524,11 @@ object Graphs {
     */
   def hits(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "hits: need at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     def l1(df: DataFrame, c: String): DataFrame = {
       val tot = df.agg(
         (sum(floor(col(c) * 1e15).cast("decimal(38,0)")).cast("double") / 1e15)
@@ -534,7 +536,7 @@ object Graphs {
       df.crossJoin(broadcast(tot))
         .select(col("node"), (col(c) / col("__tot")).as(c))
     }
-    var hub = nodes.select(col("node"), lit(1.0).as("hub")).localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1.0).as("hub")).ckpt()
     var auth = hub.select(col("node"), col("hub").as("auth"))
     for (_ <- 1 to k) {
       val a = e.join(hub, e("src") === hub("node"))
@@ -542,13 +544,13 @@ object Graphs {
           floor(col("hub") * 1e15).cast("decimal(38,0)").as("c"))
         .groupBy(col("node"))
         .agg((sum(col("c")).cast("double") / 1e15).as("auth"))
-      auth = l1(a, "auth").localCheckpoint()
+      auth = l1(a, "auth").ckpt()
       val h = e.join(auth, e("dst") === auth("node"))
         .select(e("src").as("node"),
           floor(col("auth") * 1e15).cast("decimal(38,0)").as("c"))
         .groupBy(col("node"))
         .agg((sum(col("c")).cast("double") / 1e15).as("hub"))
-      hub = l1(h, "hub").localCheckpoint()
+      hub = l1(h, "hub").ckpt()
     }
     nodes
       .join(hub, Seq("node"), "left")
@@ -566,8 +568,8 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"), col("cost"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
       .groupBy(col("src"), col("dst")).agg(min(col("cost")).as("cost"))
-      .localCheckpoint()
-    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+      .ckpt()
+    var dist = Seq((source, 0L)).toDF("node", "dist").ckpt()
     var frontier = dist
     // one action per round: the improved-count scan materializes the lazy
     // checkpoint AND drives the loop condition (no separate isEmpty job)
@@ -623,7 +625,7 @@ object Graphs {
       edges: DataFrame,
       minCommon: Int = 2,
       maxMiddleDeg: Long = 64L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     // adjacency keyed by the middle node, hubs capped out, carrying the
@@ -632,7 +634,7 @@ object Graphs {
       .join(deg.withColumnRenamed("node", "z"), Seq("z"))
       .filter(col("deg") <= maxMiddleDeg)
       .select(col("z"), col("u"), expr("1000000000000L div deg").as("unit"))
-      .localCheckpoint()
+      .ckpt()
     val pairs = adj.as("a")
       .join(adj.select(col("z"), col("u").as("v")).as("b"), Seq("z"))
       .filter(col("u") < col("v"))

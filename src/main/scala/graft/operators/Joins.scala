@@ -157,6 +157,13 @@ object Joins {
     * rule (greatest/smallest first-payload wins for Comparable payloads).
     *
     * Requires a long or timestamp ts column (compared in epoch-µs).
+    *
+    * LOUD SIZE GUARD (round-12 verdict #3, the Selection skew-contract
+    * discipline): the driver collect is bounded by `maxBroadcastRows` —
+    * a corpus-scaled right side routed here fails with a contract error
+    * naming the sorted-merge alternative instead of OOMing the driver.
+    * The probe is a LIMIT-bounded count, so guarding a huge input costs
+    * one early-terminating scan, not a full pass.
     */
   def asOfJoinBroadcast(
       left: DataFrame,
@@ -165,9 +172,19 @@ object Joins {
       tsCol: String,
       payload: Seq[String],
       direction: String = "backward",
-      toleranceMicros: Option[Long] = None
+      toleranceMicros: Option[Long] = None,
+      maxBroadcastRows: Long = 2000000L
   ): DataFrame = {
     require(payload.nonEmpty, "need at least one payload column")
+    require(maxBroadcastRows > 0, "maxBroadcastRows must be positive")
+    val probe = right.select(col(key)).limit(
+      (maxBroadcastRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(
+      probe <= maxBroadcastRows,
+      s"asOfJoinBroadcast right side exceeds $maxBroadcastRows rows — this " +
+        "path driver-collects the right side and is scoped to small " +
+        "reference state; use asOfJoinNative (sorted-merge, large × large) " +
+        "or raise maxBroadcastRows deliberately")
     require(
       direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -81,7 +83,7 @@ object Packing {
     val indexed = Sampling
       .globalIndexBy(df.select(col(idCol), col(tokenCol)),
         Seq(col(tokenCol).desc, col(idCol)))
-      .localCheckpoint()
+      .ckpt()
     val n = indexed.count()
     val binned = indexed.withColumn(
       "bin", least(col("global_idx"), lit(n + 1) - col("global_idx")))

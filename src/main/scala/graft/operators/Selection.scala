@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -141,7 +143,7 @@ object Selection {
         rank = sel.getAs[Long]("rank_in")
         // recurse into the chosen cell with the SAME bucketing expression,
         // so the filter and the histogram agree bit-for-bit on membership
-        cur = cur.filter(bucketOf(col("v"), lo, w) === bstar).localCheckpoint()
+        cur = cur.filter(bucketOf(col("v"), lo, w) === bstar).ckpt()
         depth += 1
       }
     }

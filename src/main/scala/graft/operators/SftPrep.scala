@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,7 +37,7 @@ object SftPrep {
     val e = events.select(
       col(userCol).as("user_id"), col(idCol).as("event_id"),
       col(tsUsCol).as("tus"), col(roleCol).as("role"))
-      .localCheckpoint() // feeds both the uncapped tally and the capped collect
+      .ckpt() // feeds both the uncapped tally and the capped collect
     val tot = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_turns"))
     val kept = e
       .withColumn("rn", row_number().over(

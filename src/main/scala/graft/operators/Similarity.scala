@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -605,7 +607,7 @@ object Similarity {
       else element_at(graft.functions.GraftFunctions.lshBuckets(col(vecCol), 1, p, dim), 1)
     val assigned = vectors
       .select((col(idCol) +: col(vecCol) +: extraCols.map(col)) :+ cell.as("__cell"): _*)
-      .localCheckpoint()
+      .ckpt()
     val cap = capFactor.toLong * targetCell
     val hot = assigned.groupBy("__cell").agg(count(lit(1)).as("__cn"))
       .filter(col("__cn") > cap).select("__cell")
@@ -1037,7 +1039,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wRel))
       .filter(col("rk") <= m)
       .select(col("query_id"), col("neighbor_id"), col("nvec"), col("rel"))
-      .localCheckpoint()
+      .ckpt()
     val rels = cand.select(col("query_id"), col("neighbor_id"), col("rel"))
     val psim = cand.select(col("query_id"), col("neighbor_id").as("a_id"), col("nvec").as("avec"))
       .join(cand.select(col("query_id"), col("neighbor_id").as("b_id"), col("nvec").as("bvec")),
@@ -1045,7 +1047,7 @@ object Similarity {
       .where(col("a_id") =!= col("b_id"))
       .select(col("query_id"), col("a_id"), col("b_id"),
         cosine(col("avec"), col("bvec")).as("sim"))
-      .localCheckpoint()
+      .ckpt()
 
     var selected = rels
       .withColumn("rk", row_number().over(wRel))
@@ -1068,7 +1070,7 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("neighbor_id"))))
         .filter(col("rk") === 1)
         .select(col("query_id"), col("neighbor_id"), lit(step).as("sel_rank"))
-      selected = selected.union(pick).localCheckpoint()
+      selected = selected.union(pick).ckpt()
     }
     selected
   }
@@ -1124,7 +1126,7 @@ object Similarity {
     import org.apache.spark.sql.types.DecimalType
     val x = df
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
-      .localCheckpoint()
+      .ckpt()
     var cents: Array[Array[Double]] = x
       .withColumn("pr", md5(concat(col("id").cast("string"), lit(s":$seed"))))
       .orderBy(col("pr"), col("id"))
@@ -1243,7 +1245,7 @@ object Similarity {
       col(vecCol).as("emb"),
       cell.as("cell"),
       vecFingerprint(col(vecCol)).as("fp"))
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** SEMANTIC admission gate over a PERSISTED embedding index — the

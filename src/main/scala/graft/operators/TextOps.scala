@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -320,7 +322,7 @@ object TextOps {
       .select(col(idCol), col("dl"), explode(col("__hits")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .ckpt()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // Identical IEEE chain to bm25TopK (tf·k1 + tf form — see the
     // constant-folding note there).
@@ -527,7 +529,7 @@ object TextOps {
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .ckpt()
     val hot = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("term"))
@@ -709,7 +711,7 @@ object TextOps {
       .select(col(wordCol).as("word"), col(freqCol).as("freq"))
       .select(col("word"), col("freq"),
         posexplode(split(col("word"), ""))).toDF("word", "freq", "pos", "sym")
-      .localCheckpoint()
+      .ckpt()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (round <- 1 to rounds) {
       val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
@@ -742,7 +744,7 @@ object TextOps {
           .withColumn("sym", when(col("ap"), lit(l + r)).otherwise(col("sym")))
           .withColumn("pos", row_number().over(byPos) - 1)
           .select(col("word"), col("freq"), col("pos"), col("sym"))
-          .localCheckpoint()
+          .ckpt()
       }
     }
     (merges.result().toDF("merge_round", "lhs", "rhs", "pair_count"), syms)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -72,8 +74,19 @@ object UnigramLm {
     * scores the LARGER k wins (k-ascending scan with ≥ replacement),
     * mirrored verbatim by the oracle's CASE chain.
     *
+    * CHARACTER-COVERAGE CONTRACT: a word containing a character absent
+    * from `vocab` has NO valid segmentation — every DP path coalesces to
+    * [[Minf]]. Training-side callers satisfy this by construction (single
+    * chars are never pruned), but this is also the streaming serving path
+    * where out-of-vocab input is plausible, so unsegmentable words are
+    * made DETECTABLE rather than garbage: any final score below
+    * −2⁵⁹ (real scores are ≥ −3e7 micro-logs per piece × word length,
+    * nowhere near [[Minf]] = −2⁶⁰) yields NULL `segmented`/`n_pieces`,
+    * with the poisoned `score_micro` kept for diagnostics.
+    *
     * @return (word, freq, score_micro, segmented, n_pieces) — segmented
-    *         is the space-joined piece sequence (scalar output contract)
+    *         is the space-joined piece sequence (scalar output contract),
+    *         NULL when the word is unsegmentable under `vocab`
     */
   def viterbiSegment(words: DataFrame, vocab: Map[String, Long]): DataFrame = {
     require(vocab.nonEmpty, "empty vocabulary")
@@ -112,10 +125,12 @@ object UnigramLm {
         acc => struct(
           element_at(acc.getField("ss"), 4).as("score_micro"),
           ltrim(element_at(acc.getField("ps"), 4)).as("segmented"))).as("seg"))
+    val poisoned = col("seg.score_micro") < lit(-(1L << 59))
     folded.select(col("word"), col("freq"),
       col("seg.score_micro").as("score_micro"),
-      col("seg.segmented").as("segmented"),
-      size(split(col("seg.segmented"), " ")).cast("long").as("n_pieces"))
+      when(poisoned, lit(null)).otherwise(col("seg.segmented")).as("segmented"),
+      when(poisoned, lit(null))
+        .otherwise(size(split(col("seg.segmented"), " ")).cast("long")).as("n_pieces"))
   }
 
   /** Train the unigram model and segment the training vocabulary.
@@ -137,12 +152,12 @@ object UnigramLm {
     require(emRounds >= 1, "emRounds must be >= 1")
     // the word table feeds the seed enumeration AND every Viterbi pass —
     // materialize once or each pass re-runs the caller's corpus scan
-    val w = words.localCheckpoint()
+    val w = words.ckpt()
     val seed = seedVocab(w, maxVocab)
-    val chars = seed.filter(length(col("piece")) === 1).localCheckpoint()
-    var vocab = weighted(seed).localCheckpoint()
+    val chars = seed.filter(length(col("piece")) === 1).ckpt()
+    var vocab = weighted(seed).ckpt()
     for (_ <- 1 to emRounds) {
-      val seg = viterbiSegment(w, collectVocab(vocab)).localCheckpoint()
+      val seg = viterbiSegment(w, collectVocab(vocab)).ckpt()
       val usage = seg
         .select(col("freq"), explode(split(col("segmented"), " ")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
@@ -151,7 +166,7 @@ object UnigramLm {
       val kept = chars.select(col("piece"))
         .join(usage, Seq("piece"), "left").na.fill(0L, Seq("cnt"))
         .unionByName(usage.filter(length(col("piece")) > 1))
-      vocab = weighted(kept).localCheckpoint()
+      vocab = weighted(kept).ckpt()
     }
     (vocab.withColumnRenamed("cnt", "usage"),
       viterbiSegment(w, collectVocab(vocab)))
@@ -176,7 +191,7 @@ object UnigramLm {
           sequence(lit(1), least(lit(MaxPieceLen), length(col("word")) - p + 1)),
           l => col("word").substr(p, l))))).as("piece"))
     val cnts = sub.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-      .localCheckpoint() // feeds the chars filter AND the top-multi cut
+      .ckpt() // feeds the chars filter AND the top-multi cut
     cnts.filter(length(col("piece")) === 1)
       .unionByName(cnts.filter(length(col("piece")) > 1)
         .orderBy(col("cnt").desc, col("piece")).limit(maxVocab))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -966,7 +968,7 @@ object Aggregates extends QuerySet {
   ) { (spark, dir) =>
     import spark.implicits._
     val li = t(spark, dir).lineitem.select($"l_extendedprice".as("v"))
-      .localCheckpoint() // scanned once per grid level + the witness pass
+      .ckpt() // scanned once per grid level + the witness pass
     val n = li.count()
     val k = (9 * n + 9) / 10
     val kth = graft.operators.Selection.kthSmallest(li, "v", k)

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.functions._
 
 import Common._
@@ -616,7 +618,7 @@ object AuditQueries extends QuerySet {
       .select($"k", $"n_prefix", $"vocab_prefix",
         log($"n_prefix".cast("double")).as("lx"),
         log($"vocab_prefix".cast("double")).as("ly"))
-      .localCheckpoint()
+      .ckpt()
     // fit over 8 rows; products pass through DECIMAL(38,6) so the sums
     // are summation-order-independent (the fit feeds ONLY the booleans)
     val m = l.agg(
@@ -688,7 +690,7 @@ object AuditQueries extends QuerySet {
     val s = t(spark, dir).documents
       .select($"source", size(toks).cast("long").as("ntok"))
       .groupBy($"source").agg(sum($"ntok").as("x"))
-      .localCheckpoint()
+      .ckpt()
     // |sources| is bounded (a handful of crawl names) — the single-
     // partition rank window over |sources| rows is deliberate, not the
     // corpus-window trap.
@@ -764,7 +766,7 @@ object AuditQueries extends QuerySet {
       .select($"grp",
         transform($"c.values", x => x.cast("float").cast("double")).as("cv"),
         $"n")
-      .localCheckpoint()
+      .ckpt()
     val a = cents.filter($"grp" === 0).select($"cv".as("ca"), $"n".as("n_a"))
     val b = cents.filter($"grp" === 1).select($"cv".as("cb"), $"n".as("n_b"))
     a.crossJoin(broadcast(b))

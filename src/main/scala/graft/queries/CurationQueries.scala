@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.functions._
 
 import Common._
@@ -71,7 +73,7 @@ object CurationQueries extends QuerySet {
     import spark.implicits._
     val D12 = org.apache.spark.sql.types.DecimalType(38, 12)
     val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
-    val docs = t(spark, dir).documents.select($"doc_id", toks.as("ts")).localCheckpoint()
+    val docs = t(spark, dir).documents.select($"doc_id", toks.as("ts")).ckpt()
     val dp = docs
       .filter(size($"ts") >= 2)
       .select($"doc_id", explode(
@@ -79,7 +81,7 @@ object CurationQueries extends QuerySet {
           i => struct(element_at($"ts", i).as("a"), element_at($"ts", i + 1).as("b")))).as("p"))
       .groupBy($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds the global bigram table AND the scoring join
+      .ckpt() // feeds the global bigram table AND the scoring join
     val uni = docs.select(explode($"ts").as("a")).groupBy($"a").agg(count(lit(1)).as("ca"))
     val bi = dp.groupBy($"a", $"b").agg(sum($"cnt").as("cab"))
     val voc = uni.agg(count(lit(1)).as("v"))
@@ -229,7 +231,7 @@ object CurationQueries extends QuerySet {
         sum($"n_chars").as("sum_chars"),
         sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")).as("text_digest"))
       .orderBy($"lang")
-      .localCheckpoint()
+      .ckpt()
     Scratch.purge(scratch)
     res
   }
@@ -447,7 +449,7 @@ object CurationQueries extends QuerySet {
         sqrt(aggregate(
           zip_with($"embedding", $"c", (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
           lit(0.0), (acc, t) => acc + t)).as("dist"))
-      .localCheckpoint() // feeds the percentile pass AND the final join
+      .ckpt() // feeds the percentile pass AND the final join
     val p = dists.groupBy($"label").agg(percentile($"dist", lit(0.95)).as("p95"))
     dists.join(broadcast(p), Seq("label"))
       .select($"vec_id", $"label".cast("long").as("label"),
@@ -513,7 +515,160 @@ object CurationQueries extends QuerySet {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // Trained logistic-regression quality classifier (round-12 verdict #5).
+  // The oracle unrolls the fixed-point GD rounds as chained MATERIALIZED
+  // CTEs (the unigram-LM EM / BPE discipline — MATERIALIZED is mandatory:
+  // each round reads its predecessor twice and DuckDB would otherwise
+  // re-expand the chain exponentially). All arithmetic is integer; the
+  // only division is the portable pmod-identity floor division.
+
+  /** Shared CTE prologue: train-split tokens, labels (y = 1 iff lang =
+    * 'en'), hashed features + intercept, n, bucket spine, zero weights.
+    */
+  private val lrProloguesSql: String = s"""
+      WITH lrtok AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tk
+        FROM documents WHERE doc_id % 5 <> 0),
+      lrlab AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+        FROM documents WHERE doc_id % 5 <> 0),
+      lrcnt AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tk), 1, 15))::UBIGINT % ${graft.operators.QualityLr.Buckets} AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lrtok GROUP BY 1, 2),
+      lrlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM lrtok GROUP BY 1),
+      lrfeat AS MATERIALIZED (
+        SELECT c.doc_id, c.b, ${lrFdivSql("c.cnt * 1000000", "l.len")} AS x
+        FROM lrcnt c JOIN lrlen l ON l.doc_id = c.doc_id
+        UNION ALL
+        SELECT doc_id, CAST(-1 AS BIGINT) AS b, CAST(1000000 AS BIGINT) AS x FROM lrlab),
+      lrn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lrlab),
+      lrspine AS (SELECT CAST(range AS BIGINT) AS b
+                  FROM range(-1, ${graft.operators.QualityLr.Buckets})),
+      lrw0 AS (SELECT b, CAST(0 AS BIGINT) AS w FROM lrspine)"""
+
+  /** Portable floor(e / m), m > 0 — the pmod identity (exactly QualityLr
+    * .fdiv): e − posmod(e, m) is divisible by m, so the division is
+    * exact on both engines.
+    */
+  private def lrFdivSql(e: String, m: String): String =
+    s"CAST((($e) - ((($e) % ($m)) + ($m)) % ($m)) / ($m) AS BIGINT)"
+
+  private def lrHardSig(z: String): String =
+    s"LEAST(GREATEST(500000 + ${lrFdivSql(z, "4")}, 0), 1000000)"
+
+  /** One GD round: z under w(r−1) → residual gradient → floor-step.
+    * z_raw = Σ w·x is micro² (w micro × x micro-normalized), descaled
+    * by ⌊/10⁶⌋; the step denominator carries the same 10⁶.
+    */
+  private def lrRoundSql(r: Int): String = {
+    val eta = s"(${graft.operators.QualityLr.EtaDen} * lrn.n * 1000000)"
+    s"""
+      lrz$r AS MATERIALIZED (
+        SELECT doc_id, y, ${lrFdivSql("zr", "1000000")} AS z FROM (
+          SELECT f.doc_id, MIN(l.y) AS y, CAST(SUM(w.w * f.x) AS BIGINT) AS zr
+          FROM lrfeat f
+          JOIN lrw${r - 1} w ON w.b = f.b
+          JOIN lrlab l ON l.doc_id = f.doc_id
+          GROUP BY 1)),
+      lrg$r AS MATERIALIZED (
+        SELECT f.b,
+               CAST(SUM((z.y * 1000000 - ${lrHardSig("z.z")}) * f.x) AS BIGINT) AS g
+        FROM lrz$r z JOIN lrfeat f ON f.doc_id = z.doc_id
+        GROUP BY 1),
+      lrw$r AS MATERIALIZED (
+        SELECT s.b,
+               CAST(wp.w + ${lrFdivSql("COALESCE(g.g, 0)", eta)} AS BIGINT) AS w
+        FROM lrspine s
+        JOIN lrw${r - 1} wp ON wp.b = s.b
+        LEFT JOIN lrg$r g ON g.b = s.b, lrn)"""
+  }
+
+  private val lrChainSql: String =
+    lrProloguesSql + (1 to graft.operators.QualityLr.Rounds).map(r => "," + lrRoundSql(r)).mkString
+
+  /** Hard-sigmoid LR training trajectory: hashed-unigram + intercept
+    * features, integer micro-unit weights, [[graft.operators.QualityLr]]
+    * semantics. Output = every (round, bucket) weight — the FULL GD
+    * trajectory is hash-checked, not just the final model.
+    */
+  val qLrTrain: GQuery = GQuery(
+    "q_quality_lr_train",
+    Some(lrChainSql + s"""
+      ${(1 to graft.operators.QualityLr.Rounds).map(r =>
+        s"SELECT $r AS round, b, w AS w_micro FROM lrw$r").mkString("\n      UNION ALL\n      ")}
+      ORDER BY round, b""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val train = t(spark, dir).documents.filter($"doc_id" % 5 =!= 0)
+    graft.operators.QualityLr
+      .train(
+        graft.operators.QualityLr.features(train),
+        graft.operators.QualityLr.labels(train))
+      .orderBy($"round", $"b")
+  }
+
+  /** Serve the trained LR on the held-out split: one broadcast join of
+    * the 65-row model — the corpus-wide quality-sweep shape. Integer
+    * z/p and the 500000-threshold prediction are exact on both engines.
+    */
+  val qLrScore: GQuery = GQuery(
+    "q_quality_lr_score",
+    Some(lrChainSql + s""",
+      lrtokt AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tk
+        FROM documents WHERE doc_id % 5 = 0),
+      lrlabt AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+        FROM documents WHERE doc_id % 5 = 0),
+      lrcntt AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tk), 1, 15))::UBIGINT % ${graft.operators.QualityLr.Buckets} AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lrtokt GROUP BY 1, 2),
+      lrlent AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM lrtokt GROUP BY 1),
+      lrfeatt AS (
+        SELECT c.doc_id, c.b, ${lrFdivSql("c.cnt * 1000000", "l.len")} AS x
+        FROM lrcntt c JOIN lrlent l ON l.doc_id = c.doc_id
+        UNION ALL
+        SELECT doc_id, CAST(-1 AS BIGINT) AS b, CAST(1000000 AS BIGINT) AS x FROM lrlabt),
+      lrzt AS (
+        SELECT doc_id, ${lrFdivSql("zr", "1000000")} AS z FROM (
+          SELECT f.doc_id, CAST(SUM(w.w * f.x) AS BIGINT) AS zr
+          FROM lrfeatt f JOIN lrw${graft.operators.QualityLr.Rounds} w ON w.b = f.b
+          GROUP BY 1)),
+      lrsc AS (
+        SELECT doc_id, z, ${lrHardSig("z")} AS p FROM lrzt)
+      SELECT s.doc_id, l.y AS label, s.z AS z_micro, s.p AS p_micro,
+             CASE WHEN s.p >= 500000 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred
+      FROM lrsc s JOIN lrlabt l ON l.doc_id = s.doc_id
+      ORDER BY s.doc_id""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = t(spark, dir).documents
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val test = docs.filter($"doc_id" % 5 === 0)
+    val wFinal = graft.operators.QualityLr
+      .train(
+        graft.operators.QualityLr.features(train),
+        graft.operators.QualityLr.labels(train))
+      .filter($"round" === graft.operators.QualityLr.Rounds)
+      .select($"b", $"w_micro")
+    graft.operators.QualityLr
+      .score(graft.operators.QualityLr.features(test), wFinal)
+      .join(graft.operators.QualityLr.labels(test)
+        .select($"doc_id", $"y".as("label")), Seq("doc_id"))
+      .select($"doc_id", $"label", $"z_micro", $"p_micro", $"pred")
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[GQuery] = Seq(
     qNgramLm, qPackLpt, qDpCounts, qGzipJsonl, qAnova, qChatAssembly, qMatryoshka,
-    qEmbedOutlier, qAugment)
+    qEmbedOutlier, qAugment, qLrTrain, qLrScore)
 }

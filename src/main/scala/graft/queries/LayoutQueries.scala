@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.functions._
 
 import Common._
@@ -91,7 +93,7 @@ object LayoutQueries extends QuerySet {
         count(lit(1)).as("n_rows"),
         countDistinct(col("_metadata.file_path")).as("files_before"),
         ceil(count(lit(1)) / lit(4000.0)).cast("long").as("target_files"))
-      .localCheckpoint() // pin the audit before the rewrite below
+      .ckpt() // pin the audit before the rewrite below
     spark.read.parquet(frag)
       .join(broadcast(before.select($"event_type", $"target_files")), "event_type")
       .withColumn("bucket", pmod($"event_id", $"target_files"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.functions._
 
 import Common._
@@ -299,7 +301,7 @@ object MultimodalQueries extends QuerySet {
     import spark.implicits._
     val frames = MediaCodec
       .decodeAviFrames(MediaCodec.syntheticAvis(t(spark, dir).documents)).toDF()
-      .localCheckpoint() // the JPEG decode feeds BOTH join sides
+      .ckpt() // the JPEG decode feeds BOTH join sides
     val first = frames.groupBy($"doc_id", $"ahash")
       .agg(min($"frame_idx").as("first_dup_frame"))
     frames.join(first, Seq("doc_id", "ahash"))

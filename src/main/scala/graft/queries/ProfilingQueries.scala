@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -596,11 +598,11 @@ object ProfilingQueries extends QuerySet {
           sum(when(isSubject, 1L).otherwise(0L)).as("n_subject_rows"))
         .select(lit(phase).as("phase"), col("n_rows"), col("n_subject_rows"))
     }
-    val before = audit("before").localCheckpoint()
+    val before = audit("before").ckpt()
     graft.sources.Versioned.publish(
       graft.sources.Versioned.read(spark, out).filter(!isSubject), out)
     graft.sources.Versioned.vacuum(spark, out, keepLast = 1) // history must die too
-    val after = audit("after").localCheckpoint()
+    val after = audit("after").ckpt()
     Scratch.purge(scratch) // both audits are materialized; nothing reads the files again
     before.unionAll(after).orderBy(col("phase").desc)
   }
@@ -1247,7 +1249,7 @@ object ProfilingQueries extends QuerySet {
           / size($"ts").cast("double")).as("x"),
         (size(array_distinct($"ts")).cast("double")
           / size($"ts").cast("double")).as("y"))
-      .localCheckpoint()
+      .ckpt()
     def rank2(c: String, out: String): org.apache.spark.sql.DataFrame = {
       val d = sig.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
       graft.operators.Sampling
@@ -1328,7 +1330,7 @@ object ProfilingQueries extends QuerySet {
     import spark.implicits._
     val d = t(spark, dir).documents
       .select($"doc_id", $"n_chars".cast("long").as("v"), ($"lang" === "en").as("grp"))
-      .localCheckpoint()
+      .ckpt()
     def meanDiff(g: org.apache.spark.sql.Column) =
       sum(when(g, $"v")).cast("double") / count(when(g, 1)).cast("double") -
         sum(when(!g, $"v")).cast("double") / count(when(!g, 1)).cast("double")
@@ -1404,7 +1406,7 @@ object ProfilingQueries extends QuerySet {
       .join(docs.select($"doc_id", $"lang"), "doc_id")
       .groupBy($"lang", $"ra")
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint()
+      .ckpt()
     val rowt = ct.groupBy($"lang").agg(sum($"o").as("rtot"))
     val colt = ct.groupBy($"ra").agg(sum($"o").as("ctot"))
     val nn = ct.agg(
@@ -1557,7 +1559,7 @@ object ProfilingQueries extends QuerySet {
     val d = t(spark, dir).events.select(
       $"event_id", $"event_type".as("g"),
       ($"value" + when($"event_type" === "purchase", 15.0).otherwise(0.0)).as("v"))
-    val ctrl = d.filter($"g" === "view").select($"event_id", $"v").localCheckpoint()
+    val ctrl = d.filter($"g" === "view").select($"event_id", $"v").ckpt()
     val nc = ctrl.count()
     val grps = d.filter($"g" =!= "view").groupBy($"g").agg(count(lit(1)).as("ng"))
     val pool = d.filter($"g" =!= "view").join(broadcast(grps), "g")
@@ -1718,7 +1720,7 @@ object ProfilingQueries extends QuerySet {
         floor($"o_totalprice" / 50000.0).cast("long").cast("string").as("x"),
         $"o_orderstatus".as("y")))
     val xy = f.groupBy($"feature", $"x", $"y").agg(count(lit(1)).as("n_xy"))
-      .localCheckpoint() // feeds marginals + terms
+      .ckpt() // feeds marginals + terms
     val mx = xy.groupBy($"feature", $"x").agg(sum($"n_xy").as("n_x"))
     val my = xy.groupBy($"feature", $"y").agg(sum($"n_xy").as("n_y"))
     val nn = xy.groupBy($"feature").agg(sum($"n_xy").as("n"))
@@ -1793,7 +1795,7 @@ object ProfilingQueries extends QuerySet {
     val cell = o.groupBy($"stratum", $"treated")
       .agg(count(lit(1)).as("n"),
         (sum($"y".cast(D)).cast("double") / count(lit(1)).cast("double")).as("mean_y"))
-      .localCheckpoint() // feeds the arm join + the exclusion census
+      .ckpt() // feeds the arm join + the exclusion census
     val s = cell.filter($"treated" === 1)
       .select($"stratum", $"n".as("n_treated"), $"mean_y".as("mt"))
       .join(cell.filter($"treated" === 0)
@@ -1958,7 +1960,7 @@ object ProfilingQueries extends QuerySet {
       .select($"typ", floor(abs($"value" - $"med") * 10 + 0.5).cast("long").as("zq"))
     val g = z.groupBy($"typ")
       .agg(count(lit(1)).as("n"), sum($"zq").as("s"), sum($"zq" * $"zq").as("q"))
-      .localCheckpoint() // feeds totals, terms and the output join
+      .ckpt() // feeds totals, terms and the output join
     val tot = g.agg(sum($"n").as("nn"), count(lit(1)).as("k"), sum($"s").as("st"))
     val terms = g.select($"typ", $"n", $"s", $"q",
       floor($"s".cast("double") * $"s".cast("double") / $"n".cast("double") + 0.5)
@@ -2130,20 +2132,20 @@ object ProfilingQueries extends QuerySet {
       .groupBy(least(floor($"value" / lit(25.0)).cast("long"), lit(9L)).as("bin"),
         ($"user_id" % 2).as("half"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // ref + cur legs
+      .ckpt() // ref + cur legs
     val spine = spark.range(0, 10).toDF("bin")
     val f = spine
       .join(b.filter($"half" === 0).select($"bin", $"n".as("n_ref")), Seq("bin"), "left")
       .join(b.filter($"half" === 1).select($"bin", $"n".as("n_cur")), Seq("bin"), "left")
       .select($"bin", coalesce($"n_ref", lit(0L)).as("n_ref"),
         coalesce($"n_cur", lit(0L)).as("n_cur"))
-      .localCheckpoint() // totals + terms
+      .ckpt() // totals + terms
     val tot = f.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
     val terms = f.crossJoin(broadcast(tot))
       .select($"bin", $"n_ref", $"n_cur",
         (($"n_ref" + 1).cast("double") / ($"t_ref" + 10).cast("double")).as("p_ref"),
         (($"n_cur" + 1).cast("double") / ($"t_cur" + 10).cast("double")).as("p_cur"))
-      .localCheckpoint() // rows + the psi sum
+      .ckpt() // rows + the psi sum
     val psi = terms.agg(
       sum((($"p_ref" - $"p_cur") * log($"p_ref" / $"p_cur")).cast(D))
         .cast("double").as("psi_total"))
@@ -2201,7 +2203,7 @@ object ProfilingQueries extends QuerySet {
       .select(expr("(ts div 1000) div 86400000000").as("d"),
         $"event_type".as("typ"), $"value")
       .groupBy($"d", $"typ").agg(dsum($"value").as("v"))
-      .localCheckpoint() // feeds k, blocks, and the ranked join
+      .ckpt() // feeds k, blocks, and the ranked join
     val k = daily.agg(countDistinct($"typ").as("k"))
     val blocks = daily.groupBy($"d").agg(count(lit(1)).as("c"))
       .join(broadcast(k), $"c" === $"k").select($"d")
@@ -2272,7 +2274,7 @@ object ProfilingQueries extends QuerySet {
       .select(expr("(ts div 1000) div 86400000000").as("d"),
         $"event_type".as("typ"), $"value")
       .groupBy($"d", $"typ").agg(dsum($"value").as("v"))
-      .localCheckpoint() // feeds k, blocks, and the ranked join
+      .ckpt() // feeds k, blocks, and the ranked join
     val k = daily.agg(countDistinct($"typ").as("k"))
     val blocks = daily.groupBy($"d").agg(count(lit(1)).as("c"))
       .join(broadcast(k), $"c" === $"k").select($"d")

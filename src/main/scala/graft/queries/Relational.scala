@@ -1019,20 +1019,35 @@ object Relational extends QuerySet {
     * integer MIN on both engines. The oracle replays SEMANTICS as the
     * direct theta join — the gate proves the grid plan computes exactly
     * the ball predicate.
+    *
+    * The coordinate space side M scales as √(n_customers) —
+    * M = max(1000003, ⌊√(n/15000)·1000003⌋) — so point DENSITY (and
+    * with it hits-per-center) is constant as the corpus grows: with a
+    * fixed modulus the join output grows quadratically by geometry
+    * alone and the ScaleStress decade exponent reads output growth,
+    * not plan behavior. At every real SF n ≤ 15000, so M clamps to
+    * exactly 1000003 (sf0.1 has exactly 15000 customers → √1·1000003);
+    * the decade tiers hit n/15000 ∈ {10, 100} whose √ products are
+    * IEEE-exact, so both engines agree on M with zero boundary risk
+    * (every step is one correctly-rounded op over exact inputs).
     */
   val qJoinSpatialGrid: GQuery = GQuery(
     "q_join_spatial_grid",
     Some("""
-      WITH p AS (
-        SELECT c_custkey,
-               (c_custkey * 2654435761) % 1000003 AS x,
-               (c_custkey * 97006721) % 1000003 AS y
+      WITH msp AS (
+        SELECT GREATEST(1000003, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(15000 AS DOUBLE)) * CAST(1000003 AS DOUBLE)) AS BIGINT)) AS m
         FROM customer),
+      p AS (
+        SELECT c_custkey,
+               (c_custkey * 2654435761) % msp.m AS x,
+               (c_custkey * 97006721) % msp.m AS y
+        FROM customer, msp),
       s AS (
         SELECT s_suppkey,
-               (s_suppkey * 48271 + 777771) % 1000003 AS cx,
-               (s_suppkey * 16807 + 333667) % 1000003 AS cy
-        FROM supplier),
+               (s_suppkey * 48271 + 777771) % msp.m AS cx,
+               (s_suppkey * 16807 + 333667) % msp.m AS cy
+        FROM supplier, msp),
       hits AS (
         SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_in_radius,
                MIN(greatest(abs(p.x - s.cx), abs(p.y - s.cy)) * 100000000
@@ -1048,14 +1063,18 @@ object Relational extends QuerySet {
   ) { (spark, dir) =>
     import spark.implicits._
     val r = 20000L
+    // one driver scalar (the q_graph_sssp precedent): the adaptive space
+    // side — identical correctly-rounded arithmetic to the oracle's msp CTE
+    val nc = t(spark, dir).customer.count()
+    val m = math.max(1000003L, math.floor(math.sqrt(nc / 15000.0) * 1000003.0).toLong)
     val pts = t(spark, dir).customer.select(
       $"c_custkey",
-      (($"c_custkey" * 2654435761L) % 1000003L).as("x"),
-      (($"c_custkey" * 97006721L) % 1000003L).as("y"))
+      (($"c_custkey" * 2654435761L) % m).as("x"),
+      (($"c_custkey" * 97006721L) % m).as("y"))
     val ctr = t(spark, dir).supplier.select(
       $"s_suppkey",
-      (($"s_suppkey" * 48271L + 777771L) % 1000003L).as("cx"),
-      (($"s_suppkey" * 16807L + 333667L) % 1000003L).as("cy"))
+      (($"s_suppkey" * 48271L + 777771L) % m).as("cx"),
+      (($"s_suppkey" * 16807L + 333667L) % m).as("cy"))
     val ptsCell = pts.select($"c_custkey", $"x", $"y",
       expr(s"x div $r").as("gx"), expr(s"y div $r").as("gy"))
     val probes = ctr

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.PlanOnly.syntax._
+
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -429,7 +431,7 @@ object SourceQueries extends QuerySet {
         .select(lit(v).as("version"), col("event_type"), col("n"), col("sum_id"), col("total"))
     val res = aggV(1).unionAll(aggV(2)).unionAll(aggV(3))
       .orderBy(col("version"), col("event_type"))
-      .localCheckpoint() // materialize the tiny aggregate so the snapshot can go
+      .ckpt() // materialize the tiny aggregate so the snapshot can go
     Scratch.purge(scratch)
     res
   }
@@ -496,7 +498,7 @@ object SourceQueries extends QuerySet {
     val res = graft.sources.TarShards.read(spark, scratch.toString)
       .select($"shard", $"entry", $"size", md5($"payload").as("payload_md5"))
       .orderBy($"shard", $"entry")
-      .localCheckpoint()
+      .ckpt()
     Scratch.purge(scratch)
     res
   }

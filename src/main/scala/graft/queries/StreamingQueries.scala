@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.PlanOnly.syntax._
+
 import org.apache.spark.sql.functions._
 
 import Common._
@@ -593,7 +595,7 @@ object StreamingQueries extends QuerySet {
         lit(1.0).as("price"), lit(false).as("deleted"))
     val latest = graft.operators.Joins
       .collapseChangelog(setOps.unionByName(delOps).unionByName(insOps), Seq("k"), "seq")
-      .localCheckpoint()
+      .ckpt()
     val baseAgg = ord.groupBy($"o_orderpriority".as("pri"))
       .agg(count(lit(1)).as("cnt"), sum($"o_totalprice".cast(D)).as("total"))
     val existing = latest.join(ord, $"k" === $"o_orderkey")

@@ -129,6 +129,19 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"broadcast as-of must be shuffle-free, plan:\n$plan")
   }
 
+  test("asOfJoinBroadcast fails LOUDLY when the right side exceeds the collect bound") {
+    val l = Seq((1L, 100L, "x")).toDF("k", "ts", "lp")
+    val r = spark.range(50).select($"id".as("k"), $"id".as("ts"), $"id".as("pay"))
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfJoinBroadcast(l, r, "k", "ts", Seq("pay"), maxBroadcastRows = 10L)
+    }
+    assert(e.getMessage.contains("exceeds 10 rows"), s"wrong guard message: ${e.getMessage}")
+    assert(e.getMessage.contains("asOfJoinNative"), "guard must name the large-side alternative")
+    // at the bound itself it still runs
+    val ok = Joins.asOfJoinBroadcast(l, r.limit(10), "k", "ts", Seq("pay"), maxBroadcastRows = 10L)
+    assert(ok.count() == 1L)
+  }
+
   test("a genuinely-null payload value in the latest right row stays null (no stale fill)") {
     val l = Seq((1L, 200L, "p")).toDF("k", "ts", "lp")
     val r = Seq((1L, 100L, Some(5L)), (1L, 150L, (None: Option[Long])))
