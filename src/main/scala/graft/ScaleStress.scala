@@ -44,8 +44,8 @@ object ScaleStress {
     * token VOCABULARY ~11× per decade, which shifts df spectra and makes
     * time exponents read high on token-keyed plans even when shuffle
     * stays linear. This mode instead perturbs copy c by a per-copy
-    * BIJECTION on the token vocabulary — a rotation by `copy·shiftStep`
-    * in alphabetical-rank space:
+    * BIJECTION on the token vocabulary — the permutation induced by
+    * sorting the vocab on md5(token:copy:tier):
     *
     *   - token vocabulary (and per-copy token AND shingle df spectra)
     *     are EXACTLY scale-invariant — a bijection maps base shingles to
@@ -54,25 +54,29 @@ object ScaleStress {
     *   - within-copy similarity is preserved EXACTLY (bijections
     *     preserve set intersections), so base-corpus dup DENSITY is
     *     constant across tiers;
-    *   - cross-copy overlap collapses: a doc's token-rank set S vs
-    *     S+Δ for Δ ≠ 0 intersects in ≈|S|²/V ranks (membership is
-    *     independent of alphabetical order), far below every registered
-    *     near-dup threshold;
+    *   - cross-copy SHINGLE overlap collapses: independent hash
+    *     permutations scramble n-gram composition (note the fixture's
+    *     token-SET similarity is ~1 for ALL doc pairs already — its
+    *     docs draw ~300 tokens from a 31-token vocabulary — so the
+    *     dedup-relevant geometry lives in shingle space on every tier);
     *   - doc LENGTHS are untouched (no deletion-shrink confound).
     *
-    * Rotation shifts must be distinct mod V across all live copies:
-    * decade 1 uses shiftStep 1 (shifts 0..9), decade 2 uses shiftStep 10
-    * (total shift b + 10·c over composed rotations — all 100 two-digit
-    * combinations distinct, so no two synthesized docs are verbatim
-    * equal). Copy 0 is the identity rotation (split/join roundtrip
-    * preserves even run-of-space tokenization exactly).
+    * Hash-induced permutations rather than rank rotations because the
+    * fixture vocabulary is TINY (31 tokens): only |V| distinct rotations
+    * exist, so the 100 composed decade-1 × decade-2 copies would
+    * collide mod 31 into verbatim duplicates; 100 independent random
+    * permutations of even a 31-element set are pairwise distinct w.h.p.
+    * (and tier keys differ, so decade-2 maps never invert decade-1's).
+    * Copy 0 is the identity (split/join roundtrip preserves even
+    * run-of-space tokenization exactly).
     */
   private def spectrumDocs(
       docs: org.apache.spark.sql.DataFrame,
       copies: org.apache.spark.sql.DataFrame,
       nDocs: Long,
-      shiftStep: Long): org.apache.spark.sql.DataFrame = {
+      tier: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -80,21 +84,28 @@ object ScaleStress {
     // not a registered-query plan)
     val vocab = toks.select("tok").distinct()
       .withColumn("r",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("tok")).cast("long") - 1)
+        row_number().over(Window.orderBy("tok")).cast("long") - 1)
       .localCheckpoint() // probed twice (rank lookup + inverse lookup)
-    val v = vocab.count()
-    require(v > 100, s"spectrum rotation needs vocab > 100 (got $v)")
+    // per-copy hash permutation: this copy's token at hash-rank k maps
+    // to the token at alphabetical rank k (ties on tok — total order)
+    val perms = vocab.select(col("tok")).crossJoin(copies)
+      .withColumn("k", md5(concat(col("tok"), lit(":"), col("copy"), lit(":"), lit(tier))))
+      .withColumn("r2",
+        row_number().over(Window.partitionBy(col("copy")).orderBy(col("k"), col("tok")))
+          .cast("long") - 1)
+      .localCheckpoint()
     toks
-      .join(broadcast(vocab), "tok")
       .crossJoin(copies)
-      .withColumn("r2", (col("r") + col("copy") * shiftStep) % v)
-      .join(broadcast(vocab.select(col("r").as("r2"), col("tok").as("tok2"))), "r2")
+      .join(broadcast(perms), Seq("tok", "copy"))
+      .join(broadcast(vocab.select(col("r").as("r2"), col("tok").as("tok2"))), Seq("r2"))
+      .select(col("doc_id"), col("copy"), col("pos"),
+        col("lang"), col("source"), col("n_chars"),
+        when(col("copy") === 0, col("tok")).otherwise(col("tok2")).as("tk"))
       .groupBy((col("doc_id") + col("copy") * nDocs).as("doc_id"),
         col("lang"), col("source"), col("n_chars"))
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok2")))),
-          s => s.getField("tok2")), " ").as("text"))
+        transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
+          s => s.getField("tk")), " ").as("text"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
   }
 
@@ -114,7 +125,7 @@ object ScaleStress {
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val copies = spark.range(10).toDF("copy")
     val synthDocs =
-      if (spectrum) spectrumDocs(docs, copies, nDocs, shiftStep = 1L)
+      if (spectrum) spectrumDocs(docs, copies, nDocs, tier = "t1")
       else docs.crossJoin(copies)
         .select(
           (col("doc_id") + col("copy") * nDocs).as("doc_id"),
@@ -248,10 +259,11 @@ object ScaleStress {
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     // default mode uses a 'd' tag prefix (vs sf1syn's 'c') so
     // second-decade copies aren't near-dups of first-decade ones;
-    // spectrum mode uses shiftStep 10 so composed decade-1 × decade-2
-    // rotations (b + 10·c) are all distinct — no verbatim cross-tier dups
+    // spectrum mode keys its hash permutations on tier "t2" so composed
+    // decade-1 × decade-2 bijections are all distinct — no verbatim
+    // cross-tier dups
     val synthDocs =
-      if (spectrum) spectrumDocs(docs, copies, nDocs, shiftStep = 10L)
+      if (spectrum) spectrumDocs(docs, copies, nDocs, tier = "t2")
       else docs.crossJoin(copies)
         .select(
           (col("doc_id") + col("copy") * nDocs).as("doc_id"),

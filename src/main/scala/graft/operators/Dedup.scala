@@ -863,13 +863,20 @@ object Dedup {
     * all-pairs, no broadcast of corpus-scaled sides (merge/shuffle_hash
     * pins where size ESTIMATES once elected a fatal broadcast).
     *
-    * RESIDUAL WINDOW (the capped-gate documentation convention):
-    * candidate generation keys on a single 60-bit md5 half — collisions
-    * merge set elements and can only ADD candidates (recall stays 1) —
-    * while the exact verify intersects 120-bit (h, h2) md5 pairs, so a
-    * reported Jaccard is wrong only on a 120-bit birthday collision
-    * (< 1e-14 at ~10¹⁰ distinct shingles; at tested tiers the sf0.01
-    * string-semantics oracle additionally gates the whole pipeline).
+    * RESIDUAL WINDOW (the capped-gate documentation convention): every
+    * stage keys on a single 60-bit md5 half. A collision MERGES two
+    * distinct shingles corpus-wide: candidates can only be ADDED
+    * (recall stays 1), and a verified Jaccard can only be inflated,
+    * by at most 1 intersection count per colliding pair, and only for
+    * doc pairs containing BOTH colliding shingles. Expected colliding
+    * shingle pairs ≈ S²/2⁶¹: ~3e-6 at the 2.7M-shingle sf10syn tier
+    * (where the string-semantics oracle would fail LOUDLY on one) and
+    * ~43 corpus-wide at a 10¹⁰-distinct-shingle 100 TB corpus — each
+    * inflating J of its few affected pairs by ≤ ~1/|shingles per doc|
+    * (~2% at 50-shingle docs), never a corpus-wide drift. Widening the
+    * verify to 120-bit (h, h2) structs was measured at 2.9× verify-
+    * stage shuffle (432 vs 152 MB at sf0.1) — the documented 60-bit
+    * window is the better trade at every realistic scale.
     */
   def prefixFilterPairs(
       docs: DataFrame,
@@ -878,28 +885,20 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    // (id, h, h2): shingles mapped to two 60-bit portable md5 halves —
-    // FIXED-WIDTH shuffle rows (this file's design contract), replacing
-    // the ~40-byte shingle strings the round-11 plan shuffled through
-    // every stage. conv(md5[i:15], 16, 10) is always positive, so the
-    // (df, h) ranking tie-break is a total order any engine sorts
-    // identically. CANDIDATE stages key on `h` alone (60-bit collisions
-    // only MERGE set elements, which can only raise hashed-set Jaccard —
-    // recall 1 is preserved); the EXACT VERIFY intersects (h, h2) pairs,
-    // i.e. 120 bits of the same md5, closing the round-12 ADVICE residual
-    // window: a verify-level false-positive needs a 120-bit birthday
-    // (~|shingles|²/2¹²¹ — still < 1e-14 at a 10-billion-distinct-shingle
-    // 100 TB corpus, vs near-certain for a single 60-bit key there).
-    // The string-semantics oracle fails LOUDLY if one ever lands.
+    // (id, h): shingles mapped to 60-bit portable md5 keys — FIXED-WIDTH
+    // shuffle rows (this file's design contract), replacing the ~40-byte
+    // shingle strings the round-11 plan shuffled through every stage.
+    // conv(md5[1:15], 16, 10) is always positive, so the (df, h) ranking
+    // tie-break is a total order any engine sorts identically. Hashing is
+    // answer-preserving up to the 60-bit residual window quantified in
+    // the Scaladoc above (round-12 ADVICE; the string-semantics oracle
+    // fails LOUDLY if a collision ever lands at a tested tier).
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
-      .select(col("id"), md5(col("shingle")).as("m"))
       .select(col("id"),
-        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h"),
-        conv(substring(col("m"), 17, 15), 16, 10).cast("long").as("h2"))
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
       .ckpt()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val sh60 = sh.select(col("id"), col("h"))
     // dfreq is merge-hinted: the round-11 decade-2 failure (PlanProbe-
     // reproduced: notEnoughMemoryToBuildAndBroadcast under the default
     // 8 GiB driver) was THIS join electing a broadcast build of the
@@ -907,8 +906,8 @@ object Dedup {
     // real at sf10syn. A shuffle-linear plan must not depend on a
     // driver-memory rescue; the vocabulary-scaled df side is never
     // legitimately broadcastable at 100 TB.
-    val dfreq = sh60.groupBy(col("h")).agg(count(lit(1)).as("df")).hint("merge")
-    val ranked = sh60
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df")).hint("merge")
+    val ranked = sh
       .join(dfreq, "h")
       .withColumn(
         "pos",
@@ -943,8 +942,7 @@ object Dedup {
     // scaled array table — no giant sort exists anywhere in the plan.
     // |intersect| is order-independent, so the unsorted collect_list is
     // deterministic evidence.
-    val arr = sh.groupBy(col("id"))
-      .agg(collect_list(struct(col("h"), col("h2"))).as("hs"))
+    val arr = sh.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
       .ckpt() // probed twice (id_a and id_b sides)
     cands
       .join(arr.select(col("id").as("id_a"), col("hs").as("ha")).hint("shuffle_hash"), "id_a")

@@ -160,5 +160,66 @@ object LayoutQueries extends QuerySet {
       .orderBy($"event_id")
   }
 
-  override def queries: Seq[GQuery] = Seq(qZorder, qCompaction, qHilbert)
+  /** Rendezvous (highest-random-weight) shard assignment vs modulo —
+    * the stable-sharding contract an INCREMENTAL 100 TB pipeline needs:
+    * when a shard is removed (K → K−1), HRW reassigns ONLY the removed
+    * shard's documents, while modulo reshuffles ~(K−1)/K of the corpus
+    * (every persisted per-shard index, dedup partition, or cache is
+    * invalidated). Both schemes are computed exactly:
+    *
+    *   - HRW weight = portable 56-bit md5 of `doc_id:s` (56 bits so the
+    *     argmax encodes as ONE exact BIGINT w·8 + (7−s) < 2⁵⁹ — integer
+    *     MAX is the argmax with ties to the smaller shard, the
+    *     q_join_spatial_grid encoding trick);
+    *   - output per (scheme, shard): population at K, population at
+    *     K−1, and the stay-count — the hash gate pins every assignment
+    *     through the three aggregates, and the HRW rows must show
+    *     stayed = n_k8 for every surviving shard.
+    *
+    * Scale shape: two row-local projections and one groupBy — no joins,
+    * no windows; exactly how shard assignment runs corpus-wide.
+    */
+  val qRendezvous: GQuery = GQuery(
+    "q_layout_rendezvous_shards",
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+               7 - (MAX(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 14))::UBIGINT * 8 + (7 - s)) % 8) AS hrw8,
+               7 - (MAX(CASE WHEN s < 7 THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 14))::UBIGINT * 8 + (7 - s) END) % 8) AS hrw7,
+               doc_id % 8 AS mod8,
+               doc_id % 7 AS mod7
+        FROM documents, (SELECT CAST(range AS BIGINT) AS s FROM range(0, 8))
+        GROUP BY doc_id),
+      u AS (
+        SELECT 'hrw' AS scheme, CAST(hrw8 AS BIGINT) AS shard8,
+               CAST(hrw7 AS BIGINT) AS shard7 FROM a
+        UNION ALL
+        SELECT 'mod', CAST(mod8 AS BIGINT), CAST(mod7 AS BIGINT) FROM a)
+      SELECT scheme, shard8 AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_k8,
+             CAST(SUM(CASE WHEN shard7 = shard8 THEN 1 ELSE 0 END) AS BIGINT) AS stayed
+      FROM u GROUP BY 1, 2 ORDER BY scheme, shard""")
+  ) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    def w(s: Column): Column =
+      conv(substring(md5(concat($"doc_id".cast("string"), lit(":"), s.cast("string"))), 1, 14), 16, 10)
+        .cast("long")
+    def hrwShard(k: Int): Column =
+      lit(7L) - pmod(
+        array_max(transform(sequence(lit(0), lit(k - 1)),
+          s => w(s) * 8L + (lit(7L) - s))), lit(8L))
+    val a = t(spark, dir).documents.select(
+      $"doc_id",
+      hrwShard(8).as("hrw8"), hrwShard(7).as("hrw7"),
+      pmod($"doc_id", lit(8L)).as("mod8"), pmod($"doc_id", lit(7L)).as("mod7"))
+    val u = a.select(lit("hrw").as("scheme"), $"hrw8".as("shard8"), $"hrw7".as("shard7"))
+      .unionByName(a.select(lit("mod").as("scheme"), $"mod8".as("shard8"), $"mod7".as("shard7")))
+    u.groupBy($"scheme", $"shard8".as("shard"))
+      .agg(count(lit(1)).as("n_k8"),
+        sum(when($"shard7" === $"shard8", 1L).otherwise(0L)).as("stayed"))
+      .orderBy($"scheme", $"shard")
+  }
+
+  override def queries: Seq[GQuery] = Seq(qZorder, qCompaction, qHilbert, qRendezvous)
 }
