@@ -36,9 +36,31 @@ object PlanOnly {
   }
 
   object syntax {
-    implicit class CkptOps[T](private val ds: Dataset[T]) extends AnyVal {
-      /** `localCheckpoint()` unless plan-only mode is on. */
-      def ckpt(): Dataset[T] = if (PlanOnly.enabled) ds else ds.localCheckpoint()
+    implicit class CkptOps(private val df: org.apache.spark.sql.DataFrame) extends AnyVal {
+      /** `localCheckpoint()` unless plan-only mode is on.
+        *
+        * Under plan-only mode this is an EMPTY-RDD leaf with the same
+        * schema, NOT a pass-through: checkpoints exist to truncate the
+        * lineage of ITERATIVE builders (pagerank/EM/k-round loops), and
+        * a pass-through rebuilds the exponentially nested plan the
+        * checkpoint was preventing — Catalyst's single-threaded
+        * analysis then burns 40+ minutes in `TreeNode.exists`
+        * recursion (round-13 measurement). The empty leaf truncates at
+        * zero cost; `df.schema` only analyzes the SMALL tree between
+        * checkpoint boundaries. Lint semantics survive: subtrees ABOVE
+        * a checkpoint have exact sizes in production (eager
+        * localCheckpoint stats), so the estimate-elected-broadcast
+        * class lives only in non-checkpointed subtrees, which keep
+        * their real file scans and estimates in the probed plan.
+        * Builders that compute driver scalars from a checkpointed
+        * intermediate see empty input and fail — PlanLint reports
+        * those as SKIP rather than hanging.
+        */
+      def ckpt(): org.apache.spark.sql.DataFrame =
+        if (PlanOnly.enabled)
+          df.sparkSession.createDataFrame(
+            df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        else df.localCheckpoint()
     }
   }
 }
