@@ -37,6 +37,18 @@ object Graft {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> (64L << 20).toString,
+      // Scan-parallelism floor in the small-file regime (guide §6): split
+      // planning computes maxSplitBytes = min(maxPartitionBytes,
+      // max(openCostInBytes, totalBytes/minPartitionNum)); the 4 MB
+      // default openCost floors an 11 MB table at 3 splits, so the first
+      // stage of most bench queries ran on 3 of 32 cores (round-13
+      // StageProf: single-task scan stages feeding 20-50 MB shuffles).
+      // 512 KB is an honest open cost on a local filesystem; on a real
+      // cluster this is a NO-OP for any table over ~cores·4 MB because
+      // bytesPerCore dominates the max() — it is a parallelism floor for
+      // tiny inputs, not a tuned constant (env-overridable for A/B).
+      "spark.sql.files.openCostInBytes" ->
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (512L << 10).toString),
       // Streaming state backend: RocksDB — the CTable-parity choice (the
       // reference's primary store is RocksDB, callysto/src/stores/rocksdb.rs)
       // and required by transformWithState. Changelog checkpointing mirrors

@@ -61,6 +61,34 @@ object PlanOnly {
           df.sparkSession.createDataFrame(
             df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
         else df.localCheckpoint()
+
+      /** LAZY `localCheckpoint()` unless plan-only mode is on (same empty
+        * leaf as [[ckpt]] under the probe).
+        *
+        * Same lineage truncation and same block-cached materialization as
+        * the eager form, but the blocks are computed by the FIRST
+        * consuming action instead of a dedicated blocking job — in a
+        * batch query that ends in one sink action, every eager
+        * checkpoint is a serial barrier job the sink could have absorbed
+        * (optimization guide §1.2 "remove passes"; measured round 13:
+        * the fixed-k graph loops spent over half their wall time in
+        * those barriers). Spark wraps both forms in the same
+        * `LogicalRDD` carrying the ORIGINAL optimized plan's stats, so
+        * downstream join elections are identical (verified empirically,
+        * EagerLazyStatsSpec).
+        *
+        * Use in pure-batch builders only. Keep the EAGER form wherever a
+        * checkpoint must materialize BEFORE a side effect elsewhere can
+        * move the data under it (the foreachBatch read-then-append gate
+        * class, CLAUDE.md round-10), and for intermediates consumed by
+        * many SEPARATE driver actions where the first action would
+        * otherwise pay the whole build alone and the timing matters.
+        */
+      def ckptLazy(): org.apache.spark.sql.DataFrame =
+        if (PlanOnly.enabled)
+          df.sparkSession.createDataFrame(
+            df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        else df.localCheckpoint(eager = false)
     }
   }
 }

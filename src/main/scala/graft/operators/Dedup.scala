@@ -340,7 +340,7 @@ object Dedup {
     // carries ids only — pairs are deduped across multi-key collisions
     // BEFORE any string moves or levenshtein runs — and the two short
     // strings are fetched back by id for the single verify pass.
-    val mat = capped.ckpt()
+    val mat = capped.ckptLazy()
     val a = mat.select(col("__dk"), col("id").as("id_a"))
     val b = mat.select(col("__dk"), col("id").as("id_b"))
     val pairs = a.join(b, "__dk")
@@ -393,7 +393,7 @@ object Dedup {
     // ~0.5 KB/doc regardless of document size.
     val sigs = hashes
       .select(col("id"), minhashSignature(col("eh"), k).as("sig"))
-      .ckpt()
+      .ckptLazy()
     // Stage 3: band keys carry IDs ONLY — never drag the 64-element
     // signature array through the explode + shuffle.
     val banded = sigs
@@ -468,7 +468,7 @@ object Dedup {
     val sigs = docs
       .withColumn("__th", tokenHashes)
       .select(col(idCol).as("id"), packBits(simhashBits("__th")).as("bits"))
-      .ckpt()
+      .ckptLazy()
     val chunked = sigs
       .select(col("id"), explode(simhashComboKeys(col("bits"), maxHamming)).as("ck"))
       .select(col("id"), col("ck.combo").as("combo"),
@@ -523,16 +523,22 @@ object Dedup {
     * component = min id reachable.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Lazy checkpoints + ONE action per round (the round-13 barrier-job
+    // optimization, guide §1.2): the convergence count below is the only
+    // blocking action each round — it materializes that round's lazy
+    // checkpoints (edges on round 1), which stay cached for the next
+    // round and the final consumer. Same lineage truncation, same block
+    // reuse as the eager form, ~3× fewer serial jobs per round.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .ckpt()
+      .ckptLazy()
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .ckpt()
+      .ckptLazy()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -551,9 +557,9 @@ object Dedup {
           col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component")
         )
-        // feeds BOTH sides of the hop join below — materialize once or
-        // the edge join above runs twice per round
-        .ckpt()
+        // feeds BOTH sides of the hop join below — checkpoint (lazily) so
+        // the edge join above runs once, cached inside the round's count job
+        .ckptLazy()
       // pointer halving: follow the label one hop (label(label(u))).
       // Every label is a node id of the same component, so the jump can
       // only move the label DOWN within the component — safe, and it
@@ -567,8 +573,11 @@ object Dedup {
           col("old"),
           least(col("component"), coalesce(col("c2"), col("component"))).as("component")
         )
-        .ckpt()
-      val changed = !next.filter(col("component") =!= col("old")).isEmpty
+        .ckptLazy()
+      // the round's ONE action: drives convergence AND materializes the
+      // round's lazy checkpoints (a limit-short-circuiting isEmpty would
+      // leave partitions for the checkpoint-completion job to redo)
+      val changed = next.filter(col("component") =!= col("old")).count() > 0
       labels = next.select(col("id"), col("component"))
       converged = !changed
       iter += 1
@@ -617,7 +626,7 @@ object Dedup {
     require(w >= 2, "windowTokens must be at least 2")
     val toks = docs
       .select(col(idCol).as("id"), split(normText(col(textCol)), " ").as("ts"))
-      .ckpt()
+      .ckptLazy()
     val wins = toks
       .filter(size(col("ts")) >= w)
       .select(
@@ -723,12 +732,12 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
       .select(col("id"), col("shingle").as("s"))
-      .ckpt()
+      .ckptLazy()
     val filtered =
       if (maxDocFreq > 0) {
         val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("s"))
-        sh.join(hot, Seq("s"), "left_anti").ckpt()
+        sh.join(hot, Seq("s"), "left_anti").ckptLazy()
       } else sh
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = filtered.as("a")
@@ -782,7 +791,7 @@ object Dedup {
         graft.functions.GraftFunctions.shingleHashes(col(textCol), shingleN).as("eh"))
       .select(col("id"),
         transform(minhashSignature(col("eh"), k), s => s.bitwiseAND(lit(mask))).as("bsig"))
-      .ckpt()
+      .ckptLazy()
     val c = 1.0 / (1L << b).toDouble
     val e = aggregate(
       zip_with(col("bsig_a"), col("bsig_b"), (x, y) => when(x === y, 1).otherwise(0)),
@@ -814,12 +823,12 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
       .select(col("id"), col("shingle").as("s"))
-      .ckpt()
+      .ckptLazy()
     val filtered =
       if (maxDocFreq > 0) {
         val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("s"))
-        sh.join(hot, Seq("s"), "left_anti").ckpt()
+        sh.join(hot, Seq("s"), "left_anti").ckptLazy()
       } else sh
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = filtered.as("a")
@@ -897,7 +906,7 @@ object Dedup {
       .select(col(idCol).as("id"), graft.functions.GraftFunctions.shingles(col(textCol), shingleN))
       .select(col("id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-      .ckpt()
+      .ckptLazy()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // dfreq is merge-hinted: the round-11 decade-2 failure (PlanProbe-
     // reproduced: notEnoughMemoryToBuildAndBroadcast under the default
@@ -919,7 +928,7 @@ object Dedup {
       .join(sizes, "id")
       .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("id"), col("h"), col("n"))
-      .ckpt()
+      .ckptLazy()
     // size filter (lossless): J(a,b) >= t implies min(na,nb) >= t*max(na,nb),
     // so both n-bounds hold for every surviving pair — pruning candidates
     // inside the posting join, before the pair-distinct shuffle. Merge-
@@ -943,7 +952,7 @@ object Dedup {
     // |intersect| is order-independent, so the unsorted collect_list is
     // deterministic evidence.
     val arr = sh.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
-      .ckpt() // probed twice (id_a and id_b sides)
+      .ckptLazy() // probed twice (id_a and id_b sides)
     cands
       .join(arr.select(col("id").as("id_a"), col("hs").as("ha")).hint("shuffle_hash"), "id_a")
       .join(arr.select(col("id").as("id_b"), col("hs").as("hb")).hint("shuffle_hash"), "id_b")

@@ -85,7 +85,7 @@ object Diagnostics {
         }
         // one row; checkpointed so the per-rule selects below don't each
         // re-run the shared aggregation scan
-        val wide = df.agg(aggs.head, aggs.tail: _*).ckpt()
+        val wide = df.agg(aggs.head, aggs.tail: _*).ckptLazy()
         Some(rowRules.map { case (name, _) =>
           wide.select(
             lit(name).as("rule"),

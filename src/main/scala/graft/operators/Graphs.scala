@@ -27,10 +27,29 @@ object Graphs {
     * map-side. The classic market-basket edge builder.
     */
   def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val g = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
-    g.as("a")
-      .join(g.as("b"), col("a.g") === col("b.g") && col("a.i") < col("b.i"))
-      .groupBy(col("a.i").as("src"), col("b.i").as("dst"))
+    // ONE group-keyed shuffle instead of three (round-13 rework, guide
+    // §2.4 "remove shuffles outright"): the old shape was
+    // distinct(g, i) [shuffle 1] self-joined on g [shuffle 2 of BOTH
+    // sides] → pair groupBy [shuffle 3]. collect_set(i) needs only the
+    // one group-keyed exchange (with map-side partial sets), pairs
+    // generate ROW-LOCALLY from the sorted set (same a.i < b.i
+    // canonicalization), and only the pair aggregate shuffles after
+    // that. Identical output: collect_set ≡ per-group distinct, the
+    // sorted-array index pairs enumerate exactly the x < y pairs, and
+    // weight = #groups containing both. The quadratic term stays
+    // bounded by the largest group, as before — but now it is also
+    // ROW-local, so a hub group degrades one task, not a join. The
+    // pair lambdas capture only the materialized `is` attribute (CSE
+    // trap respected).
+    val sets = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("i"))).as("is"))
+    sets
+      .select(explode(flatten(transform(col("is"), (x, idx) =>
+        transform(
+          slice(col("is"), idx + lit(2), greatest(size(col("is")) - idx - 1, lit(0))),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
       .agg(count(lit(1)).as("weight"))
   }
 
@@ -44,7 +63,9 @@ object Graphs {
     * adversarial hubs, pre-cap degree like the dedup family's df-cap.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
+    // lazy: feeds three join sides of the SAME downstream action — cached
+    // on first use there; no dedicated barrier job (guide §1.2)
+    val e = edges.select(col("src"), col("dst")).distinct().ckptLazy()
     e.as("ab")
       .join(e.as("bc"), col("ab.dst") === col("bc.src"))
       .join(
@@ -72,8 +93,8 @@ object Graphs {
     */
   def ktruss(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    var cur = edges.select(col("src"), col("dst")).distinct().ckpt()
-    var n = cur.count()
+    var cur = edges.select(col("src"), col("dst")).distinct().ckptLazy()
+    var n = cur.count() // materializes the lazy checkpoint
     var round = 0
     while (round < maxRounds) {
       val tri = triangles(cur)
@@ -85,8 +106,8 @@ object Graphs {
         .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
         .agg(count(lit(1)).as("support"))
       val next = sup.filter(col("support") >= k - 2)
-        .select(col("src"), col("dst")).ckpt()
-      val m = next.count()
+        .select(col("src"), col("dst")).ckptLazy()
+      val m = next.count() // the loop-condition action materializes it
       if (m == n) return next
       cur = next
       n = m
@@ -111,8 +132,8 @@ object Graphs {
     import spark.implicits._
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().ckpt()
-    var visited = Seq((source, 0, 1L)).toDF("node", "hops", "n_paths").ckpt()
+      .distinct().ckptLazy()
+    var visited = Seq((source, 0, 1L)).toDF("node", "hops", "n_paths")
     var frontier = visited
     var d = 1
     var done = false
@@ -124,13 +145,16 @@ object Graphs {
         .groupBy(col("node"))
         .agg(lit(d).as("hops"), sum(col("p")).as("n_paths"))
         .select(col("node"), col("hops"), col("n_paths"))
-        .ckpt()
-      if (next.limit(1).count() == 0) done = true
+        .ckptLazy()
+      // full count, not limit(1): the lazy checkpoint must materialize
+      // every partition anyway (completion job), and this IS the round's
+      // one action
+      if (next.count() == 0) done = true
       else if (d > maxDepth) {
         throw new IllegalStateException(
           s"BFS frontier still alive past maxDepth=$maxDepth")
       } else {
-        visited = visited.unionAll(next).ckpt()
+        visited = visited.unionAll(next).ckptLazy()
         frontier = next
         d += 1
       }
@@ -143,7 +167,7 @@ object Graphs {
     * triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val t = triangles(edges).ckpt()
+    val t = triangles(edges).ckptLazy() // 3 union branches of one sink
     t.select(col("a").as("node"))
       .unionAll(t.select(col("b")))
       .unionAll(t.select(col("c")))
@@ -159,7 +183,7 @@ object Graphs {
     * integers — bit-reproducible cross-engine.
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
+    val e = edges.select(col("src"), col("dst")).distinct().ckptLazy()
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst")))
       .groupBy(col("node"))
@@ -189,7 +213,7 @@ object Graphs {
     * @return (src, dst, n_common, jaccard)
     */
   def neighborJaccard(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
+    val e = edges.select(col("src"), col("dst")).distinct().ckptLazy()
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val adj = sym.select(col("src").as("u"), col("dst").as("w"))
@@ -232,15 +256,21 @@ object Graphs {
     *          so the result is a pure function of the graph)
     */
   def pagerank(edges: DataFrame, k: Int, damping: Double = 0.85): DataFrame = {
+    // LAZY checkpoints throughout the fixed-k loop: each one still
+    // truncates lineage and block-caches on first use, but the ONLY
+    // blocking actions left are the one driver scalar (deg.count, which
+    // also materializes sym) and the caller's sink — where the eager form
+    // paid one serial barrier job per round (guide §1.2; measured round
+    // 13: the barrier jobs were over half of q_graph_pagerank's wall).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .ckpt()
+      .ckptLazy()
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .ckptLazy()
     val n = deg.count()
     val base = lit(1.0 - damping) / n
     var ranks = deg.select(col("node"), (lit(1.0) / n).as("pr"), col("deg"))
-      .ckpt()
     for (_ <- 1 to k) {
       val contrib = sym
         .join(ranks, sym("src") === ranks("node"))
@@ -253,7 +283,7 @@ object Graphs {
           col("node"),
           (base + lit(damping) * coalesce(col("acc"), lit(0.0))).as("pr"),
           col("deg"))
-        .ckpt()
+        .ckptLazy()
     }
     ranks.select(col("node"), col("pr"))
   }
@@ -276,10 +306,13 @@ object Graphs {
       seeds: DataFrame, // one column: node
       k: Int,
       damping: Double = 0.85): DataFrame = {
+    // Same lazy-checkpoint regime as [[pagerank]]: the two driver scalars
+    // (seed count, via the eagerly-needed `ns`) are the only pre-sink
+    // actions; every per-round barrier job is absorbed by the sink.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .ckpt()
+      .ckptLazy()
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val seed = deg.join(broadcast(seeds.select(col("node"))), Seq("node"), "left_semi")
       .select(col("node"), lit(true).as("is_seed"))
@@ -288,9 +321,8 @@ object Graphs {
     val withTele = deg.join(broadcast(seed), Seq("node"), "left_outer")
       .select(col("node"), col("deg"),
         when(col("is_seed"), lit(1.0) / ns).otherwise(lit(0.0)).as("tele"))
-      .ckpt()
+      .ckptLazy()
     var ranks = withTele.select(col("node"), col("tele").as("pr"), col("deg"))
-      .ckpt()
     for (_ <- 1 to k) {
       val contrib = sym
         .join(ranks, sym("src") === ranks("node"))
@@ -304,7 +336,7 @@ object Graphs {
           (lit(1.0 - damping) * col("tele")
             + lit(damping) * coalesce(col("acc"), lit(0.0))).as("pr"),
           col("deg"))
-        .ckpt()
+        .ckptLazy()
     }
     ranks.select(col("node"), col("pr"))
   }
@@ -326,10 +358,10 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .ckpt()
+      .ckptLazy() // first round's count materializes it
     val spark = edges.sparkSession
     import spark.implicits._
-    var settled = Seq((source, 0)).toDF("node", "hops").ckpt()
+    var settled = Seq((source, 0)).toDF("node", "hops")
     var frontier = settled
     // LAZY checkpoint + count(): the count action both materializes the
     // checkpoint blocks and yields the loop condition — one Spark job per
@@ -345,7 +377,9 @@ object Graphs {
         .select(col("node"), lit(iter + 1).as("hops"))
         .localCheckpoint(eager = false)
       frontierCount = next.count()
-      settled = settled.unionAll(next).ckpt()
+      // lazy: consumed by the NEXT round's anti-join (inside that round's
+      // count job) and by the final output — no dedicated barrier job
+      settled = settled.unionAll(next).ckptLazy()
       frontier = next
       iter += 1
     }
@@ -391,7 +425,7 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .ckpt()
+      .ckptLazy() // materialized by the first cur.count()
     var cur = sym
     var curCount = cur.count()
     var converged = false
@@ -404,7 +438,7 @@ object Graphs {
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
-        .ckpt()
+        .ckptLazy() // both semi-join probes run inside the round's count job
       val next = cur
         .join(keep.withColumnRenamed("node", "__ks"), col("src") === col("__ks"), "left_semi")
         .join(keep.withColumnRenamed("node", "__kd"), col("dst") === col("__kd"), "left_semi")
@@ -436,13 +470,15 @@ object Graphs {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Lazy-checkpointed fixed-round loop (the [[pagerank]] regime): zero
+    // pre-sink actions; each round's labels still truncate lineage and
+    // cache on first use inside the sink job.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .ckpt()
+      .ckptLazy()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .ckpt()
     val w = Window.partitionBy(col("nn")).orderBy(col("c").desc, col("label").asc)
     (1 to rounds).foreach { _ =>
       labels = sym
@@ -452,7 +488,7 @@ object Graphs {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("nn").as("node"), col("label"))
-        .ckpt()
+        .ckptLazy()
     }
     labels
   }
@@ -480,12 +516,14 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .ckpt()
-    val md = sym.count().toDouble
-    val lab = labels.select(col("node"), col("label").as("community")).ckpt()
+      .ckptLazy()
+    val md = sym.count().toDouble // materializes sym
+    // lazy: lab feeds both label joins, e feeds intra + deg — all inside
+    // the single sink action, cached on first use there
+    val lab = labels.select(col("node"), col("label").as("community")).ckptLazy()
     val la = lab.select(col("node").as("src"), col("community").as("ca"))
     val lb = lab.select(col("node").as("dst"), col("community").as("cb"))
-    val e = sym.join(la, "src").join(lb, "dst").ckpt()
+    val e = sym.join(la, "src").join(lb, "dst").ckptLazy()
     val intra = e.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
     val deg = e.groupBy(col("ca").as("community")).agg(count(lit(1)).as("degree_sum"))
@@ -524,11 +562,19 @@ object Graphs {
     */
   def hits(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "hits: need at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
+    // Fully lazy-checkpointed loop (the [[pagerank]] regime): with eager
+    // per-half-step checkpoints this operator ran ~9 serial barrier jobs
+    // before the sink (2 per iteration + 3 setup) — the suite-worst
+    // q_graph_hits spent most of its wall there. Lazy checkpoints keep
+    // the same lineage truncation and block reuse (each intermediate is
+    // still cached on first use inside the sink job; the per-half-step
+    // L1 normalizer consumes each aggregate twice), with zero pre-sink
+    // actions.
+    val e = edges.select(col("src"), col("dst")).distinct().ckptLazy()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .ckpt()
+      .ckptLazy()
     def l1(df: DataFrame, c: String): DataFrame = {
       val tot = df.agg(
         (sum(floor(col(c) * 1e15).cast("decimal(38,0)")).cast("double") / 1e15)
@@ -536,7 +582,7 @@ object Graphs {
       df.crossJoin(broadcast(tot))
         .select(col("node"), (col(c) / col("__tot")).as(c))
     }
-    var hub = nodes.select(col("node"), lit(1.0).as("hub")).ckpt()
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     var auth = hub.select(col("node"), col("hub").as("auth"))
     for (_ <- 1 to k) {
       val a = e.join(hub, e("src") === hub("node"))
@@ -544,13 +590,13 @@ object Graphs {
           floor(col("hub") * 1e15).cast("decimal(38,0)").as("c"))
         .groupBy(col("node"))
         .agg((sum(col("c")).cast("double") / 1e15).as("auth"))
-      auth = l1(a, "auth").ckpt()
+      auth = l1(a.ckptLazy(), "auth").ckptLazy()
       val h = e.join(auth, e("dst") === auth("node"))
         .select(e("src").as("node"),
           floor(col("auth") * 1e15).cast("decimal(38,0)").as("c"))
         .groupBy(col("node"))
         .agg((sum(col("c")).cast("double") / 1e15).as("hub"))
-      hub = l1(h, "hub").ckpt()
+      hub = l1(h.ckptLazy(), "hub").ckptLazy()
     }
     nodes
       .join(hub, Seq("node"), "left")
@@ -568,8 +614,8 @@ object Graphs {
     val sym = edges.select(col("src"), col("dst"), col("cost"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
       .groupBy(col("src"), col("dst")).agg(min(col("cost")).as("cost"))
-      .ckpt()
-    var dist = Seq((source, 0L)).toDF("node", "dist").ckpt()
+      .ckptLazy() // first round's improved-count action materializes it
+    var dist = Seq((source, 0L)).toDF("node", "dist")
     var frontier = dist
     // one action per round: the improved-count scan materializes the lazy
     // checkpoint AND drives the loop condition (no separate isEmpty job)
@@ -625,7 +671,7 @@ object Graphs {
       edges: DataFrame,
       minCommon: Int = 2,
       maxMiddleDeg: Long = 64L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
+    val e = edges.select(col("src"), col("dst")).distinct().ckptLazy()
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     // adjacency keyed by the middle node, hubs capped out, carrying the
@@ -634,7 +680,7 @@ object Graphs {
       .join(deg.withColumnRenamed("node", "z"), Seq("z"))
       .filter(col("deg") <= maxMiddleDeg)
       .select(col("z"), col("u"), expr("1000000000000L div deg").as("unit"))
-      .ckpt()
+      .ckptLazy() // both wedge-join sides of the one sink action
     val pairs = adj.as("a")
       .join(adj.select(col("z"), col("u").as("v")).as("b"), Seq("z"))
       .filter(col("u") < col("v"))

@@ -83,7 +83,7 @@ object Packing {
     val indexed = Sampling
       .globalIndexBy(df.select(col(idCol), col(tokenCol)),
         Seq(col(tokenCol).desc, col(idCol)))
-      .ckpt()
+      .ckptLazy()
     val n = indexed.count()
     val binned = indexed.withColumn(
       "bin", least(col("global_idx"), lit(n + 1) - col("global_idx")))

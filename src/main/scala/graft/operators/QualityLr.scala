@@ -104,7 +104,7 @@ object QualityLr {
     */
   def train(feats: DataFrame, labs: DataFrame): DataFrame = {
     val spark = feats.sparkSession
-    val f = feats.join(labs, Seq("doc_id")).ckpt() // feeds every round twice
+    val f = feats.join(labs, Seq("doc_id")).ckptLazy() // feeds every round twice
     // one driver scalar (bounded count — the q_graph_sssp precedent):
     // the step denominator must be a literal in integer arithmetic
     val n = labs.select(col("doc_id")).distinct().count()
@@ -132,7 +132,7 @@ object QualityLr {
         .join(w, Seq("b"))
         .select(col("b"),
           (col("w") + fdiv(coalesce(col("g"), lit(0L)), lit(EtaDen * n * 1000000L))).as("w"))
-        .ckpt() // sequential rounds: each reads its predecessor twice
+        .ckptLazy() // sequential rounds: each reads its predecessor twice
       w.select(lit(r).as("round"), col("b"), col("w").as("w_micro"))
     }
     rounds.reduce(_.unionByName(_))

@@ -37,7 +37,7 @@ object SftPrep {
     val e = events.select(
       col(userCol).as("user_id"), col(idCol).as("event_id"),
       col(tsUsCol).as("tus"), col(roleCol).as("role"))
-      .ckpt() // feeds both the uncapped tally and the capped collect
+      .ckptLazy() // feeds both the uncapped tally and the capped collect
     val tot = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_turns"))
     val kept = e
       .withColumn("rn", row_number().over(

@@ -1039,7 +1039,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wRel))
       .filter(col("rk") <= m)
       .select(col("query_id"), col("neighbor_id"), col("nvec"), col("rel"))
-      .ckpt()
+      .ckptLazy()
     val rels = cand.select(col("query_id"), col("neighbor_id"), col("rel"))
     val psim = cand.select(col("query_id"), col("neighbor_id").as("a_id"), col("nvec").as("avec"))
       .join(cand.select(col("query_id"), col("neighbor_id").as("b_id"), col("nvec").as("bvec")),
@@ -1047,7 +1047,7 @@ object Similarity {
       .where(col("a_id") =!= col("b_id"))
       .select(col("query_id"), col("a_id"), col("b_id"),
         cosine(col("avec"), col("bvec")).as("sim"))
-      .ckpt()
+      .ckptLazy()
 
     var selected = rels
       .withColumn("rk", row_number().over(wRel))
@@ -1070,7 +1070,7 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("neighbor_id"))))
         .filter(col("rk") === 1)
         .select(col("query_id"), col("neighbor_id"), lit(step).as("sel_rank"))
-      selected = selected.union(pick).ckpt()
+      selected = selected.union(pick).ckptLazy()
     }
     selected
   }
@@ -1126,7 +1126,7 @@ object Similarity {
     import org.apache.spark.sql.types.DecimalType
     val x = df
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
-      .ckpt()
+      .ckptLazy()
     var cents: Array[Array[Double]] = x
       .withColumn("pr", md5(concat(col("id").cast("string"), lit(s":$seed"))))
       .orderBy(col("pr"), col("id"))

@@ -322,7 +322,7 @@ object TextOps {
       .select(col(idCol), col("dl"), explode(col("__hits")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .ckpt()
+      .ckptLazy()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // Identical IEEE chain to bm25TopK (tf·k1 + tf form — see the
     // constant-folding note there).
@@ -411,13 +411,21 @@ object TextOps {
   ): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val spark = docs.sparkSession
-    val toks = split(col(textCol), " ")
+    // Tokenize ONCE into a materialized column before any HOF touches it.
+    // The bigram lambda below captures the token array; a lambda-captured
+    // EXPRESSION tree (split(text)) is re-evaluated per element in the
+    // interpreted HigherOrderFunction path — O(tokens²) splits per doc,
+    // the round-1 CSE trap (this was the one site that missed the
+    // attribute-boundary discipline; fixing it took the four classifier-
+    // family queries from 4.3-6.5 s to ~2 s each at sf0.1). An attribute
+    // reference is a plain row read, so capturing `$toks` is free.
+    val toksAttr = col("__toks")
     // unigrams ++ adjacent-pair conjunctions ("a_b") — fastText's n-gram trick
     val feats = concat(
-      toks,
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit("_"), element_at(toks, i + 1))))
+      toksAttr,
+      when(size(toksAttr) >= 2,
+        transform(sequence(lit(1), size(toksAttr) - 1),
+          i => concat(element_at(toksAttr, i), lit("_"), element_at(toksAttr, i + 1))))
         .otherwise(array().cast("array<string>")))
     // portable bucket: first 8 md5 hex digits of "feat:seed" as an int, mod buckets
     val bucketOf: Column => Column = f =>
@@ -430,6 +438,7 @@ object TextOps {
         conv(substring(md5(concat(lit("w:"), col("bucket").cast("string"), lit(s":$seed"))), 1, 8),
           16, 10).cast("long") % 2001 - 1000)
     docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), explode(feats).as("__feat"))
       .withColumn("bucket", bucketOf(col("__feat")))
       .join(broadcast(weights), "bucket")
@@ -529,7 +538,7 @@ object TextOps {
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
-      .ckpt()
+      .ckptLazy()
     val hot = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("term"))

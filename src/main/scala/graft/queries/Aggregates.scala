@@ -968,7 +968,7 @@ object Aggregates extends QuerySet {
   ) { (spark, dir) =>
     import spark.implicits._
     val li = t(spark, dir).lineitem.select($"l_extendedprice".as("v"))
-      .ckpt() // scanned once per grid level + the witness pass
+      .ckptLazy() // scanned once per grid level + the witness pass
     val n = li.count()
     val k = (9 * n + 9) / 10
     val kth = graft.operators.Selection.kthSmallest(li, "v", k)

@@ -618,7 +618,7 @@ object AuditQueries extends QuerySet {
       .select($"k", $"n_prefix", $"vocab_prefix",
         log($"n_prefix".cast("double")).as("lx"),
         log($"vocab_prefix".cast("double")).as("ly"))
-      .ckpt()
+      .ckptLazy()
     // fit over 8 rows; products pass through DECIMAL(38,6) so the sums
     // are summation-order-independent (the fit feeds ONLY the booleans)
     val m = l.agg(
@@ -690,7 +690,7 @@ object AuditQueries extends QuerySet {
     val s = t(spark, dir).documents
       .select($"source", size(toks).cast("long").as("ntok"))
       .groupBy($"source").agg(sum($"ntok").as("x"))
-      .ckpt()
+      .ckptLazy()
     // |sources| is bounded (a handful of crawl names) — the single-
     // partition rank window over |sources| rows is deliberate, not the
     // corpus-window trap.
@@ -766,7 +766,7 @@ object AuditQueries extends QuerySet {
       .select($"grp",
         transform($"c.values", x => x.cast("float").cast("double")).as("cv"),
         $"n")
-      .ckpt()
+      .ckptLazy()
     val a = cents.filter($"grp" === 0).select($"cv".as("ca"), $"n".as("n_a"))
     val b = cents.filter($"grp" === 1).select($"cv".as("cb"), $"n".as("n_b"))
     a.crossJoin(broadcast(b))

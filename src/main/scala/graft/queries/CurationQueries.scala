@@ -73,7 +73,7 @@ object CurationQueries extends QuerySet {
     import spark.implicits._
     val D12 = org.apache.spark.sql.types.DecimalType(38, 12)
     val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
-    val docs = t(spark, dir).documents.select($"doc_id", toks.as("ts")).ckpt()
+    val docs = t(spark, dir).documents.select($"doc_id", toks.as("ts")).ckptLazy()
     val dp = docs
       .filter(size($"ts") >= 2)
       .select($"doc_id", explode(
@@ -81,7 +81,7 @@ object CurationQueries extends QuerySet {
           i => struct(element_at($"ts", i).as("a"), element_at($"ts", i + 1).as("b")))).as("p"))
       .groupBy($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
       .agg(count(lit(1)).as("cnt"))
-      .ckpt() // feeds the global bigram table AND the scoring join
+      .ckptLazy() // feeds the global bigram table AND the scoring join
     val uni = docs.select(explode($"ts").as("a")).groupBy($"a").agg(count(lit(1)).as("ca"))
     val bi = dp.groupBy($"a", $"b").agg(sum($"cnt").as("cab"))
     val voc = uni.agg(count(lit(1)).as("v"))
@@ -449,7 +449,7 @@ object CurationQueries extends QuerySet {
         sqrt(aggregate(
           zip_with($"embedding", $"c", (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
           lit(0.0), (acc, t) => acc + t)).as("dist"))
-      .ckpt() // feeds the percentile pass AND the final join
+      .ckptLazy() // feeds the percentile pass AND the final join
     val p = dists.groupBy($"label").agg(percentile($"dist", lit(0.95)).as("p95"))
     dists.join(broadcast(p), Seq("label"))
       .select($"vec_id", $"label".cast("long").as("label"),

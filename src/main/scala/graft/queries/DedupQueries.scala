@@ -1086,7 +1086,7 @@ object DedupQueries extends QuerySet {
               array(length($"text") + 1)),
             (st, en) => $"text".substr(st, en - st))))
       .select($"doc_id", ($"pos" + 1).as("pos"), md5($"col").as("h"))
-      .ckpt() // feeds the occurrence count AND the join back
+      .ckptLazy() // feeds the occurrence count AND the join back
     val df = chunks.groupBy($"h").agg(count(lit(1)).as("occ"))
     chunks.join(df, "h")
       .groupBy($"doc_id")
@@ -1170,7 +1170,7 @@ object DedupQueries extends QuerySet {
             (st, en) => $"text".substr(st, en - st))).as("c"))
       .select($"doc_id", md5($"c").as("h"))
       .distinct()
-      .ckpt() // feeds df-cap, sizes, and both self-join sides
+      .ckptLazy() // feeds df-cap, sizes, and both self-join sides
     val hot = chunks.groupBy($"h").agg(count(lit(1)).as("occ"))
       .filter($"occ" > 20).select($"h")
     val kept = chunks.join(hot, Seq("h"), "left_anti")
@@ -1639,7 +1639,7 @@ object DedupQueries extends QuerySet {
           $"c_nationkey".as("nat"), ($"c_acctbal" + 0.01).as("bal"),
           when($"c_custkey" % 20 === 0, $"c_mktsegment").otherwise("MOVED").as("seg")))
       .withColumn("blk", substring($"name", 1, 16))
-      .ckpt() // feeds the pair join (both sides) + member join
+      .ckptLazy() // feeds the pair join (both sides) + member join
     val a = base.select($"id".as("id_a"), $"name".as("name_a"), $"nat",
       $"bal".as("bal_a"), $"seg".as("seg_a"), $"blk")
     val b = base.select($"id".as("id_b"), $"name".as("name_b"), $"nat",
@@ -1652,7 +1652,7 @@ object DedupQueries extends QuerySet {
       .select($"id_a", $"id_b")
     val cc = Dedup.connectedComponents(matches)
     val rec = base.join(cc.select($"id", $"component".as("comp")), Seq("id"))
-      .ckpt() // feeds three vote/roll-up aggregations
+      .ckptLazy() // feeds three vote/roll-up aggregations
     def vote(c: String): org.apache.spark.sql.DataFrame = {
       val counted = rec.groupBy($"comp", col(c)).agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy($"comp").orderBy($"cnt".desc, col(c))

@@ -135,7 +135,7 @@ object MiningQueries extends QuerySet {
     // symmetrization is a 2-row explode on the single co pass instead
     // of a union of two co reads — same rows, one pair join.
     val cap = ub.withColumn("rn", row_number().over(wCap)).filter($"rn" <= 30).drop("rn")
-      .ckpt()
+      .ckptLazy()
     val ni = cap.groupBy($"i").agg(count(lit(1)).as("n_i"))
     val co = cap.as("a")
       .join(cap.as("c"), $"a.u" === $"c.u" && $"a.i" < $"c.i")
@@ -655,7 +655,7 @@ object MiningQueries extends QuerySet {
       .crossJoin(broadcast(maxd))
       .select($"o_custkey", datediff($"maxd", $"last_d").cast("long").as("r"),
         $"f", $"mdec".cast("double").as("m"))
-      .ckpt() // feeds three bucket maps + the final join
+      .ckptLazy() // feeds three bucket maps + the final join
     val n = cust.agg(count(lit(1)).as("n"))
     // deterministic tie-stable quintile map for one metric: value ->
     // bucket via the two-pass prefix scan over the value-count table
@@ -749,7 +749,7 @@ object MiningQueries extends QuerySet {
     val vals = t(spark, dir).orders
       .groupBy($"o_totalprice".as("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("bk", floor($"v" / eps).cast("long"))
-      .ckpt() // feeds neighborhood (both sides), assignment, summary
+      .ckptLazy() // feeds neighborhood (both sides), assignment, summary
     val other = vals.select($"bk".as("obk"), $"v".as("ov"), $"cnt".as("ocnt"))
     val nb = vals
       .select($"v", explode(array($"bk" - 1, $"bk", $"bk" + 1)).as("obk"))
@@ -758,7 +758,7 @@ object MiningQueries extends QuerySet {
       .groupBy($"v").agg(sum($"ocnt").as("w"))
     val core = nb.filter($"w" >= minPts)
       .select($"v", floor($"v" / eps).cast("long").as("bk"))
-      .ckpt() // feeds the break probe (both sides) + cluster ids
+      .ckptLazy() // feeds the break probe (both sides) + cluster ids
     // island starts: no core predecessor within eps (2-bucket probe)
     val pred = core
       .select($"v", explode(array($"bk" - 1, $"bk")).as("obk"))
@@ -841,7 +841,7 @@ object MiningQueries extends QuerySet {
       .join(tb.part, $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("bk"), $"p_brand".as("item"))
       .distinct()
-      .ckpt() // feeds the 3-way self-join, pair supports, item supports
+      .ckptLazy() // feeds the 3-way self-join, pair supports, item supports
     val n = b.agg(countDistinct($"bk").as("n_baskets"))
     val s = b.groupBy($"item").agg(count(lit(1)).as("supp"))
     val p2 = b.as("a").join(b.as("c"),
@@ -905,7 +905,7 @@ object MiningQueries extends QuerySet {
     val f = t(spark, dir).events
       .select($"user_id", $"event_type", expr("ts div 1000").as("us"))
       .groupBy($"user_id", $"event_type").agg(min($"us").as("first_us"))
-      .ckpt() // both sides of the user-keyed self-join
+      .ckptLazy() // both sides of the user-keyed self-join
     f.as("a").join(f.as("b"),
         $"a.user_id" === $"b.user_id" && $"a.event_type" =!= $"b.event_type")
       .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
@@ -972,7 +972,7 @@ object MiningQueries extends QuerySet {
       .join(tb.part, $"p_partkey" === $"l_partkey")
       .groupBy($"o_custkey".as("u"), $"p_brand".as("i"))
       .agg(count(lit(1)).as("r"))
-      .ckpt() // feeds dev pairs, the sample, and the term join
+      .ckptLazy() // feeds dev pairs, the sample, and the term join
     val dev = r.as("a").join(r.as("b"),
         col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))

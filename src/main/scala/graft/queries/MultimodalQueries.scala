@@ -301,7 +301,7 @@ object MultimodalQueries extends QuerySet {
     import spark.implicits._
     val frames = MediaCodec
       .decodeAviFrames(MediaCodec.syntheticAvis(t(spark, dir).documents)).toDF()
-      .ckpt() // the JPEG decode feeds BOTH join sides
+      .ckptLazy() // the JPEG decode feeds BOTH join sides
     val first = frames.groupBy($"doc_id", $"ahash")
       .agg(min($"frame_idx").as("first_dup_frame"))
     frames.join(first, Seq("doc_id", "ahash"))

@@ -436,7 +436,7 @@ object PipelineQueries extends QuerySet {
       size(toks).as("n_tok"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("diversity"),
       md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("h"))
-      .ckpt() // one scan feeds every cumulative stage count
+      .ckptLazy() // one scan feeds every cumulative stage count
     val s1 = d.filter($"n_tok".between(10, 5000))
     val s2 = s1.filter($"diversity" >= 0.4)
     val s3 = s2.filter($"lang".isin("en", "es", "fr", "de"))
@@ -519,7 +519,7 @@ object PipelineQueries extends QuerySet {
         / ($"nh".cast("double") - 1.0)).as("sh"))
     val wd = sd.select($"lang", $"nh", $"sh",
       round($"nh".cast("double") * $"sh", 6).cast(DecimalType(38, 6)).as("nhsh"))
-      .ckpt() // feeds the normalizer sum AND the per-stratum rows
+      .ckptLazy() // feeds the normalizer sum AND the per-stratum rows
     val dTot = wd.groupBy().agg(sum($"nhsh").as("d"))
     val alloc = wd.crossJoin(broadcast(dTot)).select(
       $"lang", $"nh", $"sh",
@@ -600,7 +600,7 @@ object PipelineQueries extends QuerySet {
       .agg(sum(size(split($"text", " ")).cast("long")).as("tokens"))
     val w = tl.select($"lang", $"tokens",
       round(sqrt($"tokens".cast("double")), 6).cast(DecimalType(38, 6)).as("wt"))
-      .ckpt() // feeds both rounds and both normalizer sums
+      .ckptLazy() // feeds both rounds and both normalizer sums
     val tot = w.groupBy().agg(
       sum($"wt").cast("double").as("wsum"),
       ((sum($"tokens") * 12).cast("double") / 10.0).as("budget"))
@@ -611,7 +611,7 @@ object PipelineQueries extends QuerySet {
     val r1m = r1.select($"lang", $"tokens", $"wt", $"budget", $"a1", $"cap",
       ($"a1" > $"cap").as("capped1"),
       round(least($"a1", $"cap"), 6).cast(DecimalType(38, 6)).as("s1"))
-      .ckpt() // feeds the leftover tally AND round 2
+      .ckptLazy() // feeds the leftover tally AND round 2
     val lo = r1m.groupBy($"budget").agg(
       (round($"budget", 6).cast(DecimalType(38, 6)) - sum($"s1")).cast("double").as("leftover"),
       sum(when($"capped1", lit(0).cast(DecimalType(38, 6))).otherwise($"wt"))
@@ -695,7 +695,7 @@ object PipelineQueries extends QuerySet {
         $"doc_id",
         $"source",
         md5(encode(graft.operators.TextOps.normText($"text"), "UTF-8")).as("h"))
-      .ckpt()
+      .ckptLazy()
     graft.operators.Sampling
       .affinePairs(base, "doc_id", n, a = 48271L, b = 173L)
       .join(base.select($"doc_id".as("id_a"), $"source".as("source_a"), $"h".as("h_a")), "id_a")
@@ -948,7 +948,7 @@ object PipelineQueries extends QuerySet {
       // materialize ONCE: the full-corpus weight pass (explode + two
       // shuffles) otherwise re-evaluates for the scalar count below AND
       // inside globalIndexBy's zipWithIndex count job
-      .ckpt()
+      .ckptLazy()
     // Global weight ranking via the distributed total-order rank
     // (range-partition + per-partition sort + zipWithIndex) — the weight
     // table grows with doc count (~10^9 at target scale), so a
@@ -1050,8 +1050,8 @@ object PipelineQueries extends QuerySet {
         keyCol = "doc_id",
         splits = Seq("train" -> 0.9, "val" -> 0.1),
         seed = 13)
-      .ckpt() // feeds the size tallies AND the chunk join
-    val ch = chunks.join(sp, "doc_id").ckpt()
+      .ckptLazy() // feeds the size tallies AND the chunk join
+    val ch = chunks.join(sp, "doc_id").ckptLazy()
     val trainH = ch.filter($"split" === "train").select($"h").distinct()
     val valleak = ch.filter($"split" === "val")
       .join(trainH, Seq("h"), "left_semi")
@@ -1252,7 +1252,7 @@ object PipelineQueries extends QuerySet {
         md5(graft.operators.TextOps.normText($"text")).as("fp"),
         size(graft.operators.TextOps.tokens($"text")).cast("long").as("n_tokens"),
         octet_length($"text").cast("long").as("n_chars"))
-      .ckpt() // nine metric legs share one scan
+      .ckptLazy() // nine metric legs share one scan
     def m(name: String, v: org.apache.spark.sql.Column) =
       d.agg(v.as("value")).select(lit(name).as("metric"), $"value")
     m("n_docs", count(lit(1)))

@@ -1249,7 +1249,7 @@ object ProfilingQueries extends QuerySet {
           / size($"ts").cast("double")).as("x"),
         (size(array_distinct($"ts")).cast("double")
           / size($"ts").cast("double")).as("y"))
-      .ckpt()
+      .ckptLazy()
     def rank2(c: String, out: String): org.apache.spark.sql.DataFrame = {
       val d = sig.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
       graft.operators.Sampling
@@ -1330,7 +1330,7 @@ object ProfilingQueries extends QuerySet {
     import spark.implicits._
     val d = t(spark, dir).documents
       .select($"doc_id", $"n_chars".cast("long").as("v"), ($"lang" === "en").as("grp"))
-      .ckpt()
+      .ckptLazy()
     def meanDiff(g: org.apache.spark.sql.Column) =
       sum(when(g, $"v")).cast("double") / count(when(g, 1)).cast("double") -
         sum(when(!g, $"v")).cast("double") / count(when(!g, 1)).cast("double")
@@ -1406,7 +1406,7 @@ object ProfilingQueries extends QuerySet {
       .join(docs.select($"doc_id", $"lang"), "doc_id")
       .groupBy($"lang", $"ra")
       .agg(count(lit(1)).as("o"))
-      .ckpt()
+      .ckptLazy()
     val rowt = ct.groupBy($"lang").agg(sum($"o").as("rtot"))
     val colt = ct.groupBy($"ra").agg(sum($"o").as("ctot"))
     val nn = ct.agg(
@@ -1559,7 +1559,7 @@ object ProfilingQueries extends QuerySet {
     val d = t(spark, dir).events.select(
       $"event_id", $"event_type".as("g"),
       ($"value" + when($"event_type" === "purchase", 15.0).otherwise(0.0)).as("v"))
-    val ctrl = d.filter($"g" === "view").select($"event_id", $"v").ckpt()
+    val ctrl = d.filter($"g" === "view").select($"event_id", $"v").ckptLazy()
     val nc = ctrl.count()
     val grps = d.filter($"g" =!= "view").groupBy($"g").agg(count(lit(1)).as("ng"))
     val pool = d.filter($"g" =!= "view").join(broadcast(grps), "g")
@@ -1578,7 +1578,13 @@ object ProfilingQueries extends QuerySet {
         sum(when(flag, 1L).otherwise(0L)).cast("double") -
         sum(when(!flag, $"v").cast(D6)).cast("double") /
           sum(when(!flag, 1L).otherwise(0L)).cast("double")
-    val obs = fan.filter($"b" === 0).groupBy($"g").agg(mdiff($"in_g").as("diff_obs"))
+    // obs ≡ fan WHERE b = 0 grouped on in_g: the replicate index b never
+    // feeds the observed diff (only pg uses it), so aggregate the
+    // UN-exploded pool directly — same rows, same flags, same sums, one
+    // fewer 32× explode pass over (pool + m×control) (guide §1.2: don't
+    // compute things you throw away). The oracle keeps the WHERE b = 0
+    // formulation; the hash gate proves the equivalence.
+    val obs = pool.groupBy($"g").agg(mdiff($"in_g").as("diff_obs"))
     val reps = fan.groupBy($"g", $"b").agg(mdiff($"pg").as("diff_b"))
     val pv = obs.join(reps, "g")
       .groupBy($"g")
@@ -1720,7 +1726,7 @@ object ProfilingQueries extends QuerySet {
         floor($"o_totalprice" / 50000.0).cast("long").cast("string").as("x"),
         $"o_orderstatus".as("y")))
     val xy = f.groupBy($"feature", $"x", $"y").agg(count(lit(1)).as("n_xy"))
-      .ckpt() // feeds marginals + terms
+      .ckptLazy() // feeds marginals + terms
     val mx = xy.groupBy($"feature", $"x").agg(sum($"n_xy").as("n_x"))
     val my = xy.groupBy($"feature", $"y").agg(sum($"n_xy").as("n_y"))
     val nn = xy.groupBy($"feature").agg(sum($"n_xy").as("n"))
@@ -1795,7 +1801,7 @@ object ProfilingQueries extends QuerySet {
     val cell = o.groupBy($"stratum", $"treated")
       .agg(count(lit(1)).as("n"),
         (sum($"y".cast(D)).cast("double") / count(lit(1)).cast("double")).as("mean_y"))
-      .ckpt() // feeds the arm join + the exclusion census
+      .ckptLazy() // feeds the arm join + the exclusion census
     val s = cell.filter($"treated" === 1)
       .select($"stratum", $"n".as("n_treated"), $"mean_y".as("mt"))
       .join(cell.filter($"treated" === 0)
@@ -1960,7 +1966,7 @@ object ProfilingQueries extends QuerySet {
       .select($"typ", floor(abs($"value" - $"med") * 10 + 0.5).cast("long").as("zq"))
     val g = z.groupBy($"typ")
       .agg(count(lit(1)).as("n"), sum($"zq").as("s"), sum($"zq" * $"zq").as("q"))
-      .ckpt() // feeds totals, terms and the output join
+      .ckptLazy() // feeds totals, terms and the output join
     val tot = g.agg(sum($"n").as("nn"), count(lit(1)).as("k"), sum($"s").as("st"))
     val terms = g.select($"typ", $"n", $"s", $"q",
       floor($"s".cast("double") * $"s".cast("double") / $"n".cast("double") + 0.5)
@@ -2012,6 +2018,15 @@ object ProfilingQueries extends QuerySet {
     ) { (spark, dir) =>
       import spark.implicits._
       val orders = t(spark, dir).orders
+      // Examined round 13 and deliberately KEPT the 20-subtree union: a
+      // single-pass rewrite (one scan exploding 20 value-pair probes per
+      // row → one distinct → one grouped countDistinct) measured 1.7×
+      // SLOWER at sf0.1 (4.5 → 7.7 s, StageProf) because the exploding
+      // scan stage ran as ONE task (one input split) writing 55 MB of
+      // shuffle, while the 20 independent subtrees scan in parallel
+      // across idle cores — and at 100 TB the rewrite trades 20
+      // column-pruned storage-local scans for a full-width network
+      // shuffle of 20× the row count, the wrong direction (guide §2.3).
       pairs.map { case (a, b) =>
         orders.select(col(a).as("lv"), col(b).as("rv")).distinct()
           .agg(countDistinct($"lv").as("n_lhs"), count(lit(1)).as("n_pairs"))
@@ -2132,20 +2147,20 @@ object ProfilingQueries extends QuerySet {
       .groupBy(least(floor($"value" / lit(25.0)).cast("long"), lit(9L)).as("bin"),
         ($"user_id" % 2).as("half"))
       .agg(count(lit(1)).as("n"))
-      .ckpt() // ref + cur legs
+      .ckptLazy() // ref + cur legs
     val spine = spark.range(0, 10).toDF("bin")
     val f = spine
       .join(b.filter($"half" === 0).select($"bin", $"n".as("n_ref")), Seq("bin"), "left")
       .join(b.filter($"half" === 1).select($"bin", $"n".as("n_cur")), Seq("bin"), "left")
       .select($"bin", coalesce($"n_ref", lit(0L)).as("n_ref"),
         coalesce($"n_cur", lit(0L)).as("n_cur"))
-      .ckpt() // totals + terms
+      .ckptLazy() // totals + terms
     val tot = f.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
     val terms = f.crossJoin(broadcast(tot))
       .select($"bin", $"n_ref", $"n_cur",
         (($"n_ref" + 1).cast("double") / ($"t_ref" + 10).cast("double")).as("p_ref"),
         (($"n_cur" + 1).cast("double") / ($"t_cur" + 10).cast("double")).as("p_cur"))
-      .ckpt() // rows + the psi sum
+      .ckptLazy() // rows + the psi sum
     val psi = terms.agg(
       sum((($"p_ref" - $"p_cur") * log($"p_ref" / $"p_cur")).cast(D))
         .cast("double").as("psi_total"))
@@ -2203,7 +2218,7 @@ object ProfilingQueries extends QuerySet {
       .select(expr("(ts div 1000) div 86400000000").as("d"),
         $"event_type".as("typ"), $"value")
       .groupBy($"d", $"typ").agg(dsum($"value").as("v"))
-      .ckpt() // feeds k, blocks, and the ranked join
+      .ckptLazy() // feeds k, blocks, and the ranked join
     val k = daily.agg(countDistinct($"typ").as("k"))
     val blocks = daily.groupBy($"d").agg(count(lit(1)).as("c"))
       .join(broadcast(k), $"c" === $"k").select($"d")
@@ -2274,7 +2289,7 @@ object ProfilingQueries extends QuerySet {
       .select(expr("(ts div 1000) div 86400000000").as("d"),
         $"event_type".as("typ"), $"value")
       .groupBy($"d", $"typ").agg(dsum($"value").as("v"))
-      .ckpt() // feeds k, blocks, and the ranked join
+      .ckptLazy() // feeds k, blocks, and the ranked join
     val k = daily.agg(countDistinct($"typ").as("k"))
     val blocks = daily.groupBy($"d").agg(count(lit(1)).as("c"))
       .join(broadcast(k), $"c" === $"k").select($"d")

@@ -1293,7 +1293,7 @@ object SequenceQueries extends QuerySet {
       .distinct()
     val deg = sym.groupBy($"src".as("node"))
       .agg(count(lit(1)).as("d"))
-      .ckpt()
+      .ckptLazy()
     val hist = deg.groupBy($"d".as("degree")).agg(count(lit(1)).as("n_nodes"))
     val fit = deg.agg(
       count(lit(1)).as("n"),
@@ -1357,7 +1357,7 @@ object SequenceQueries extends QuerySet {
       .select(expr("(ts div 1000) div 86400000000").as("day"), $"value")
       .groupBy($"day")
       .agg(sum($"value".cast(Common.D)).cast("double").as("v"))
-      .ckpt()
+      .ckptLazy()
     val m = daily.agg(
       count(lit(1)).as("n"),
       (sum($"v".cast(Common.D)).cast("double") / count(lit(1)).cast("double")).as("mu"))
@@ -1365,7 +1365,7 @@ object SequenceQueries extends QuerySet {
       .withColumn("t", row_number().over(Window.orderBy($"day")).cast("long"))
       .select($"t", $"v")
       .crossJoin(broadcast(m.select($"mu")))
-      .ckpt()
+      .ckptLazy()
     val den = r.agg(
       sum(round(($"v" - $"mu") * ($"v" - $"mu"), 6).cast(Common.D))
         .cast("double").as("d"))
@@ -1473,7 +1473,7 @@ object SequenceQueries extends QuerySet {
       .withColumn("e3", lead($"event_type", 2).over(w))
       .filter($"e2".isNotNull && $"e3".isNotNull)
       .select(concat($"event_type", lit(" > "), $"e2", lit(" > "), $"e3").as("path"))
-    val c = p.groupBy($"path").agg(count(lit(1)).as("n")).ckpt()
+    val c = p.groupBy($"path").agg(count(lit(1)).as("n")).ckptLazy()
     val tot = c.agg(sum($"n").as("t"))
     c.crossJoin(broadcast(tot))
       .select($"path", $"n",
@@ -1580,7 +1580,7 @@ object SequenceQueries extends QuerySet {
     val op = t(spark, dir).lineitem.select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
     val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
       .select($"a.p".as("u"), $"b.p".as("v")).distinct()
-      .ckpt() // feeds degrees + the edge-degree join (no subtree sharing)
+      .ckptLazy() // feeds degrees + the edge-degree join (no subtree sharing)
     val deg = e.select($"u".as("node")).unionAll(e.select($"v"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
     val de = e.join(deg.as("du"), $"u" === $"du.node")
@@ -1721,7 +1721,7 @@ object SequenceQueries extends QuerySet {
       .select($"typ",
         transform($"sv", s => s.getField("v")).as("series"),
         size($"sv").cast("long").as("n"))
-      .ckpt() // feeds both sides of the pair join
+      .ckptLazy() // feeds both sides of the pair join
     ser.as("a").join(ser.as("b"), col("a.typ") < col("b.typ"))
       .select(col("a.typ").as("type_a"), col("b.typ").as("type_b"),
         col("a.n").as("n_days_a"), col("b.n").as("n_days_b"),
@@ -2062,12 +2062,12 @@ object SequenceQueries extends QuerySet {
         $"event_type".as("typ"), $"value")
       .groupBy($"typ", $"day")
       .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
-      .ckpt() // both sides of the type-pair join
+      .ckptLazy() // both sides of the type-pair join
     val xy = daily.as("a")
       .join(daily.as("b"), $"b.typ" > $"a.typ" && $"b.day" === $"a.day")
       .select($"a.typ".as("type_a"), $"b.typ".as("type_b"), $"a.day".as("day"),
         $"a.vq".as("x"), $"b.vq".as("y"))
-      .ckpt() // both sides of the day-pair join + the day count
+      .ckptLazy() // both sides of the day-pair join + the day count
     val nd = xy.groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_days"))
     val pr = xy.as("p")
       .join(xy.as("q"),
@@ -2214,7 +2214,7 @@ object SequenceQueries extends QuerySet {
         $"event_type".as("typ"), $"value")
       .groupBy($"typ", $"day")
       .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
-      .ckpt() // both sides of the type-pair join
+      .ckptLazy() // both sides of the type-pair join
     val xy = daily.as("a")
       .join(daily.as("b"), $"b.typ" > $"a.typ" && $"b.day" === $"a.day")
       .groupBy($"a.typ".as("type_a"), $"b.typ".as("type_b"))
@@ -2279,7 +2279,7 @@ object SequenceQueries extends QuerySet {
         $"event_type".as("typ"), $"value")
       .groupBy($"typ", $"day")
       .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
-      .ckpt() // pair join sides + tie histogram + day counts
+      .ckptLazy() // pair join sides + tie histogram + day counts
     val s = daily.as("p")
       .join(daily.as("q"), $"q.typ" === $"p.typ" && $"q.day" > $"p.day")
       .groupBy($"p.typ".as("typ"))
@@ -2340,12 +2340,12 @@ object SequenceQueries extends QuerySet {
     val edges = graft.operators.Graphs
       .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
       .filter($"weight" >= 2)
-      .select($"src", $"dst").ckpt() // degree pick + two sweeps
+      .select($"src", $"dst").ckptLazy() // degree pick + two sweeps
     val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
     val source = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
       .orderBy($"deg".desc, $"src").limit(1).select($"src").as[Long].head()
     val d1 = graft.operators.Graphs.bfsHops(edges, source, maxIter = 30)
-      .ckpt() // farthest pick + reachable count
+      .ckptLazy() // farthest pick + reachable count
     val far = d1.orderBy($"hops".desc, $"node").limit(1)
       .select($"node", $"hops".cast("long")).collect()(0)
     val d2 = graft.operators.Graphs.bfsHops(edges, far.getLong(0), maxIter = 30)
@@ -2416,7 +2416,7 @@ object SequenceQueries extends QuerySet {
         $"event_type".as("typ"), $"value")
       .groupBy($"typ", $"day")
       .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
-      .ckpt() // both sides of the type-pair join
+      .ckptLazy() // both sides of the type-pair join
     val dd = daily.as("a")
       .join(daily.as("b"), $"b.typ" > $"a.typ" && $"b.day" === $"a.day")
       .filter($"a.vq" =!= $"b.vq")
@@ -2629,7 +2629,7 @@ object SequenceQueries extends QuerySet {
     val edges = graft.operators.Graphs
       .cooccurrenceEdges(t(spark, dir).lineitem, "l_orderkey", "l_partkey")
       .filter($"weight" >= 2)
-      .select($"src", $"dst").ckpt() // degree pass + BFS reuse
+      .select($"src", $"dst").ckptLazy() // degree pass + BFS reuse
     val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
     val source = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
       .orderBy($"deg".desc, $"src").limit(1)
@@ -2761,7 +2761,7 @@ object SequenceQueries extends QuerySet {
         $"event_type".as("typ"), $"value")
       .groupBy($"typ", $"day")
       .agg(floor(sum($"value".cast(D)).cast("double") * 100 + 0.5).cast("long").as("vq"))
-      .ckpt() // feeds both sides of the lag join
+      .ckptLazy() // feeds both sides of the lag join
     val lags = (-7L to 7L).toDF("lag")
     val a = daily.select($"typ".as("type_a"), $"day", $"vq".as("xq"))
       .crossJoin(broadcast(lags))
@@ -2843,12 +2843,12 @@ object SequenceQueries extends QuerySet {
       .select($"event_type".as("typ"),
         expr("(ts div 1000) div 86400000000").as("d"), $"value")
       .groupBy($"typ", $"d").agg(dsum($"value").as("v"))
-      .ckpt() // feeds members, anchors, and the final join
+      .ckptLazy() // feeds members, anchors, and the final join
     val contrib = daily.select($"typ",
       explode(sequence($"d" - 3, $"d" + 3)).as("ad"), $"v")
     val win = contrib
       .join(daily.select($"typ", $"d".as("ad")), Seq("typ", "ad"))
-      .ckpt() // feeds med AND mad
+      .ckptLazy() // feeds med AND mad
     val med = win.groupBy($"typ", $"ad").agg(
       count(lit(1)).as("n_win"),
       expr("element_at(sort_array(collect_list(v)), CAST((count(1) + 1) div 2 AS INT))")

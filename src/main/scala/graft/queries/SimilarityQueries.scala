@@ -735,7 +735,7 @@ object SimilarityQueries extends QuerySet {
     val exact = Similarity
       .bruteForceTopK(emb, probes, "vec_id", "embedding", 3)
       .select($"query_id", $"neighbor_id")
-      .ckpt()
+      .ckptLazy()
     def hitsOf(celled: org.apache.spark.sql.DataFrame, as: String) =
       exact
         .join(
@@ -1563,7 +1563,7 @@ object SimilarityQueries extends QuerySet {
     val cc = emb
       .select($"vec_id", cell.as("cell"))
       .groupBy($"cell").agg(count(lit(1)).as("sz"))
-      .ckpt()
+      .ckptLazy()
     val hist = cc.groupBy($"sz".as("cell_size")).agg(count(lit(1)).as("n_cells"))
     val summ = cc.agg(
       count(lit(1)).as("total_cells"),
@@ -1676,10 +1676,10 @@ object SimilarityQueries extends QuerySet {
       .knnGraphLsh(t(spark, dir).embeddings, "vec_id", "embedding", k = 10)
       .select($"src", $"dst",
         floor((lit(1.0) - $"cos_sim") * 1e6 + 0.5).cast("long").as("dm"))
-      .ckpt() // feeds kdist + the two neighbor joins
+      .ckptLazy() // feeds kdist + the two neighbor joins
     val kd = knn.groupBy($"src")
       .agg(max($"dm").as("kdist"), count(lit(1)).as("cnt"))
-      .ckpt() // joined back twice (own row + per-neighbor)
+      .ckptLazy() // joined back twice (own row + per-neighbor)
     val reach = knn
       .join(kd.select($"src".as("dst"), $"kdist".as("kdist_o")), Seq("dst"))
       .select($"src", greatest($"kdist_o", $"dm").as("reach"))
@@ -1687,7 +1687,7 @@ object SimilarityQueries extends QuerySet {
       .join(kd, Seq("src"))
       .select($"src", $"cnt", $"kdist",
         expr("(cnt * 1000000000000000L) div greatest(rsum, 1L)").as("lrd_nano"))
-      .ckpt() // joined back twice (own row + per-neighbor)
+      .ckptLazy() // joined back twice (own row + per-neighbor)
     knn.join(lrd.select($"src".as("dst"), $"lrd_nano".as("lrd_o")), Seq("dst"))
       .groupBy($"src").agg(sum($"lrd_o").as("sum_lrd"))
       .join(lrd, Seq("src"))
@@ -1753,7 +1753,7 @@ object SimilarityQueries extends QuerySet {
     import spark.implicits._
     val v = t(spark, dir).embeddings
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
-      .ckpt() // scanned once per round
+      .ckptLazy() // scanned once per round
     def distTo(c: Array[Double]) = {
       val cLit = array(c.map(lit): _*)
       aggregate(zip_with($"e", cLit, (x, m) => (x - m) * (x - m)),
@@ -1763,14 +1763,14 @@ object SimilarityQueries extends QuerySet {
       .select($"vec_id", $"e").collect()(0)
     var centers = List((0, seed.getLong(0), Option.empty[Double]))
     var pts = v.withColumn("dmin", distTo(seed.getSeq[Double](1).toArray))
-      .ckpt()
+      .ckptLazy()
     for (r <- 1 to KcenterRounds) {
       val far = pts.orderBy($"dmin".desc, $"vec_id").limit(1)
         .select($"vec_id", $"e", $"dmin").collect()(0)
       centers ::= ((r, far.getLong(0), Some(far.getDouble(2))))
       pts = pts.withColumn("dmin",
         least($"dmin", distTo(far.getSeq[Double](1).toArray)))
-        .ckpt()
+        .ckptLazy()
     }
     centers.reverse
       .toDF("round", "center_id", "radius")

@@ -766,7 +766,7 @@ object TextAnalysis extends QuerySet {
     val sh = t(spark, dir).documents
       .select($"source", graft.functions.GraftFunctions.shingles($"text", 3))
       .distinct()
-      .ckpt()
+      .ckptLazy()
     val sz = sh.groupBy($"source").agg(count(lit(1)).as("n"))
     val cm = sh.as("a")
       .join(sh.as("b"),
@@ -1024,7 +1024,7 @@ object TextAnalysis extends QuerySet {
       .select($"bin", $"n", $"n_pos",
         round($"sum_conf" / $"n".cast("bigint"), 6).as("conf"),
         round($"n_pos".cast("double") / $"n".cast("double"), 6).as("acc"))
-      .ckpt()
+      .ckptLazy()
     val tot = c.agg(sum($"n").as("nn"))
     val e = c.crossJoin(broadcast(tot))
       .agg(sum(round(($"n".cast("double") / $"nn".cast("double"))
@@ -1155,7 +1155,7 @@ object TextAnalysis extends QuerySet {
       .select($"doc_id", toks.as("ts"))
       .filter(size($"ts") >= 8)
       .select($"doc_id", array_join(slice($"ts", 1, 8), " ").as("prefix"))
-      .ckpt()
+      .ckptLazy()
     val tot = p.agg(count(lit(1)).as("n"))
     p.groupBy($"prefix")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("example_doc"))
@@ -1773,7 +1773,7 @@ object TextAnalysis extends QuerySet {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val toks = filter(graft.operators.TextOps.tokens($"text"), x => length(x) > 0)
-    val docs = t(spark, dir).documents.select(toks.as("ts")).ckpt()
+    val docs = t(spark, dir).documents.select(toks.as("ts")).ckptLazy()
     val uni = docs.select(explode($"ts").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("cu"))
     val bi = docs
@@ -1839,7 +1839,7 @@ object TextAnalysis extends QuerySet {
     val tc = t(spark, dir).documents
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
-      .ckpt() // feeds the per-doc totals AND the entropy sum
+      .ckptLazy() // feeds the per-doc totals AND the entropy sum
     val n = tc.groupBy($"doc_id")
       .agg(sum($"c").as("nt"), count(lit(1)).as("nd"))
     tc.join(n, "doc_id")
@@ -1894,7 +1894,7 @@ object TextAnalysis extends QuerySet {
       transform(sequence(lit(1), size($"t") - 2),
         i => concat_ws(" ",
           element_at($"t", i), element_at($"t", i + 1), element_at($"t", i + 2))))).as("g"))
-      .ckpt() // feeds the first-occurrence pass AND the join-back
+      .ckptLazy() // feeds the first-occurrence pass AND the join-back
     val first = sh.groupBy($"g").agg(min($"doc_id").as("first_doc"))
     sh.join(first, "g")
       .groupBy($"doc_id")
@@ -1968,7 +1968,7 @@ object TextAnalysis extends QuerySet {
         .when($"de_score" >= $"fr_score" && $"de_score" >= $"es_score", "de")
         .when($"es_score" >= $"fr_score", "es")
         .otherwise("fr").as("pred"))
-    val cells = p.groupBy($"truth", $"pred").agg(count(lit(1)).as("n")).ckpt()
+    val cells = p.groupBy($"truth", $"pred").agg(count(lit(1)).as("n")).ckptLazy()
     val cls = cells.select($"truth".as("c")).union(cells.select($"pred")).distinct()
     val m = cls.crossJoin(broadcast(cells))
       .groupBy($"c")
@@ -2150,7 +2150,7 @@ object TextAnalysis extends QuerySet {
           element_at($"ts", i), element_at($"ts", i + 1), element_at($"ts", i + 2))))
         .as("s"))
     val tc = sh.groupBy($"s").agg(count(lit(1)).as("r"))
-    val ff = tc.groupBy($"r").agg(count(lit(1)).as("nr")).ckpt()
+    val ff = tc.groupBy($"r").agg(count(lit(1)).as("nr")).ckptLazy()
     val tot = sh.agg(count(lit(1)).as("n_total"))
     val n1 = ff.filter($"r" === 1)
       .agg(coalesce(sum($"nr"), lit(0L)).as("n1"))
@@ -2252,9 +2252,9 @@ object TextAnalysis extends QuerySet {
     val tok = t(spark, dir).documents
       .select($"doc_id", $"lang",
         explode(graft.operators.TextOps.tokens($"text")).as("tk"))
-    val train = tok.filter($"doc_id" % 5 =!= 0).ckpt() // feeds v/cls/model
+    val train = tok.filter($"doc_id" % 5 =!= 0).ckptLazy() // feeds v/cls/model
     val (model, clsq) = graft.operators.TextOps.nbQuantizedModel(train)
-    val testTok = tok.filter($"doc_id" % 5 === 0).ckpt() // feeds score + labels
+    val testTok = tok.filter($"doc_id" % 5 === 0).ckptLazy() // feeds score + labels
     val pred = graft.operators.TextOps
       .nbScore(testTok.select($"doc_id", $"tk"), model, clsq)
     val lab = testTok.groupBy($"doc_id").agg(min($"lang").as("actual"))
@@ -2397,7 +2397,7 @@ object TextAnalysis extends QuerySet {
           s => s.getField("tk")), " ").as("phrase"),
         count(lit(1)).as("n_words"))
       .filter($"n_words" <= 4)
-      .ckpt() // feeds word degrees AND phrase scores
+      .ckptLazy() // feeds word degrees AND phrase scores
     val wdeg = cand
       .select($"n_words", explode(split($"phrase", " ")).as("tk"))
       .groupBy($"tk").agg(sum($"n_words").as("deg"))

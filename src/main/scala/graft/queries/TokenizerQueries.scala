@@ -214,7 +214,7 @@ object TokenizerQueries extends QuerySet {
              CAST(len(string_split(ltrim(path), ' ')) AS BIGINT) AS n_pieces
       FROM wrec WHERE cur = len + 1 ORDER BY word""")
   ) { (spark, dir) =>
-    val words = wordTable(spark, dir).ckpt() // feeds seed AND the scan
+    val words = wordTable(spark, dir).ckptLazy() // feeds seed AND the scan
     val vocab = UnigramLm.seedVocab(words, MaxVocab)
       .select(col("piece")).collect().map(_.getString(0)).toSet
     UnigramLm.wordpieceSegment(words, vocab)
