@@ -49,6 +49,16 @@ object Graft {
       // tiny inputs, not a tuned constant (env-overridable for A/B).
       "spark.sql.files.openCostInBytes" ->
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (512L << 10).toString),
+      // AQE sort-merge→shuffled-hash conversion (guide §3.1): with
+      // runtime-EXACT partition sizes (unlike the estimate-driven planner
+      // election that produced the round-11/12 broadcast hazards), AQE
+      // rewrites an SMJ to SHJ when every post-shuffle build partition is
+      // under this threshold — both sorts disappear. Spark's default is 0
+      // (off); 64 MB matches autoBroadcastJoinThreshold and the advisory
+      // partition size, and is scale-adaptive by construction: partitions
+      // that outgrow it stay sort-merge and spill gracefully.
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" ->
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", (64L << 20).toString),
       // Streaming state backend: RocksDB — the CTable-parity choice (the
       // reference's primary store is RocksDB, callysto/src/stores/rocksdb.rs)
       // and required by transformWithState. Changelog checkpointing mirrors

@@ -126,15 +126,24 @@ object Embeddings {
     require(dim > 0 && rounds >= 1, "pcaTopComponent: need dim > 0, rounds >= 1")
     import org.apache.spark.sql.types.DecimalType
     val x = df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
-    // per-dim mean: bounded d-row aggregate, DECIMAL-pinned, collected
-    val mu: Array[Double] = x
+    // per-dim mean: bounded d-row aggregate, DECIMAL-pinned, collected —
+    // the per-dim row count doubles as n (one corpus pass fewer than a
+    // separate count() job; round-13, guide §1.2)
+    val muRows = x
       .select(posexplode(col("v")).as(Seq("i", "xi")))
       .groupBy(col("i"))
       .agg((sum(col("xi").cast(DecimalType(38, 6))).cast("double")
-        / count(lit(1)).cast("double")).as("m"))
+        / count(lit(1)).cast("double")).as("m"), count(lit(1)).as("cnt"))
       .orderBy(col("i"))
-      .select(col("m")).collect().map(_.getDouble(0))
+      .select(col("m"), col("cnt")).collect()
+    val mu: Array[Double] = muRows.map(_.getDouble(0))
     require(mu.length == dim, s"vectors are ${mu.length}-dim, caller said $dim")
+    // ragged/empty vectors would make per-dim counts disagree with the
+    // row count the old x.count() measured — fail loud rather than
+    // silently shift the 1/n normalization
+    require(muRows.forall(_.getLong(1) == muRows(0).getLong(1)),
+      "pcaTopComponent: ragged vectors (per-dim counts differ)")
+    val n = muRows(0).getLong(1).toDouble
     val muLit = array(mu.map(lit): _*)
     // centered vectors as a MATERIALIZED column (a lambda-captured
     // centering tree would be re-evaluated d² times per row below)
@@ -146,10 +155,15 @@ object Embeddings {
     // at large n·|c|² while the oracle's DuckDB SUM(BIGINT) promotes to
     // HUGEINT — decimal matches that promotion (and a true 38-digit
     // overflow surfaces as a loud null below, never a wrong answer).
+    // UPPER TRIANGLE only (round-13, guide §1.2): floor(ci·cj·1e9) is
+    // symmetric in (i, j), so the mirrored per-cell sums are EXACTLY
+    // equal — emitting j ≥ i halves the d² row-local expansion and the
+    // aggregate volume; the driver-side cov() mirrors the lookup. Inner
+    // slice index jj is 0-based within the suffix, so j = i + jj.
     val covFp: Map[Int, java.math.BigDecimal] = cent
       .select(explode(flatten(transform(col("c"), (xi, i) =>
-        transform(col("c"), (xj, j) =>
-          struct((i * dim + j).as("k"),
+        transform(slice(col("c"), i + lit(1), lit(dim) - i), (xj, jj) =>
+          struct((i * dim + i + jj).as("k"),
             floor(xi * xj * lit(1e9)).cast("long").as("t")))))).as("kt"))
       .groupBy(col("kt.k").as("k"))
       .agg(sum(col("kt.t").cast(DecimalType(38, 0))).as("s"))
@@ -158,10 +172,11 @@ object Embeddings {
         require(s != null, "pcaTopComponent: covariance sum overflowed DECIMAL(38,0)")
         r.getAs[Int]("k") -> s
       }.toMap
-    val n = x.count().toDouble
     val zero = java.math.BigDecimal.ZERO
-    def cov(i: Int, j: Int): Double =
-      covFp.getOrElse(i * dim + j, zero).doubleValue() / 1e9 / n
+    def cov(i: Int, j: Int): Double = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      covFp.getOrElse(a * dim + b, zero).doubleValue() / 1e9 / n
+    }
     // driver power iteration; every d-term sum fixed-point-pinned
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to rounds) {

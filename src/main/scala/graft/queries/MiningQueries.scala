@@ -749,7 +749,9 @@ object MiningQueries extends QuerySet {
     val vals = t(spark, dir).orders
       .groupBy($"o_totalprice".as("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("bk", floor($"v" / eps).cast("long"))
-      .ckptLazy() // feeds neighborhood (both sides), assignment, summary
+      .ckpt() // EAGER deliberately (round-13): 4 consumer stages schedule
+      // concurrently and the lazy-checkpoint first-use race re-ran the
+      // post-shuffle work per stage (median 7.6->9.5 s, p95 10.1 s)
     val other = vals.select($"bk".as("obk"), $"v".as("ov"), $"cnt".as("ocnt"))
     val nb = vals
       .select($"v", explode(array($"bk" - 1, $"bk", $"bk" + 1)).as("obk"))
@@ -758,7 +760,7 @@ object MiningQueries extends QuerySet {
       .groupBy($"v").agg(sum($"ocnt").as("w"))
     val core = nb.filter($"w" >= minPts)
       .select($"v", floor($"v" / eps).cast("long").as("bk"))
-      .ckptLazy() // feeds the break probe (both sides) + cluster ids
+      .ckpt() // EAGER deliberately (round-13): same race as vals above
     // island starts: no core predecessor within eps (2-bucket probe)
     val pred = core
       .select($"v", explode(array($"bk" - 1, $"bk")).as("obk"))

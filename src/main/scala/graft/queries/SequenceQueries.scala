@@ -959,12 +959,26 @@ object SequenceQueries extends QuerySet {
       ORDER BY n.node""")
     ) { (spark, dir) =>
       import spark.implicits._
+      // Iterate on PACKED LONG node ids (2·suppkey for the supplier side,
+      // 2·partkey+1 for the part side — injective across both key
+      // domains) and derive the oracle's 's…'/'p…' STRING ids only in the
+      // final projection: every per-iteration join/aggregate shuffles an
+      // 8-byte key instead of a 10-16 byte UTF8 string with string
+      // hashing/compares (guide §2.3 "narrower types"). Scores are
+      // per-node sums of the same contributions under an injective
+      // relabeling, so hub/auth values are bit-identical; the oracle
+      // (unchanged, string-keyed) gates the equivalence.
       val edges = t(spark, dir).lineitem.select(
-        concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
-        concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+        ($"l_suppkey" * 2L).as("src"),
+        ($"l_partkey" * 2L + 1L).as("dst"))
       graft.operators.Graphs
         .hits(edges, k = iters)
-        .select($"node", round($"hub", 6).as("hub"), round($"auth", 6).as("auth"))
+        .select(
+          // node >> 1 recovers the key on BOTH sides (2k >> 1 = k,
+          // (2k+1) >> 1 = k) — integer shift, never Spark's double `/`
+          concat(when($"node" % 2 === 0, lit("s")).otherwise(lit("p")),
+            shiftright($"node", 1).cast("string")).as("node"),
+          round($"hub", 6).as("hub"), round($"auth", 6).as("auth"))
         .orderBy($"node")
     }
   }
